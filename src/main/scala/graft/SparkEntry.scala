@@ -1,13 +1,291 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.GraftSession
+import graft.operators.JoinOps
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per operator
+  * from SURVEY.md §2. Implementation is DataFrame-API-first (Catalyst plans
+  * the physical strategy); `spark.sql` is used for the entries whose point IS
+  * the SQL surface (comma joins, scalar subqueries, NATURAL join) so the same
+  * text exercises Spark's parser exactly like the reference's
+  * (`engine/src/parser.cpp`).
+  *
+  * Oracle-stability rules (driver hashes column-name-sorted values):
+  *  - money aggregates go through CAST(x AS DECIMAL(12,2)) on BOTH sides —
+  *    decimal sums are exact and order-independent, double sums are not;
+  *  - AVG is computed as SUM/COUNT on both sides (one final fp division on
+  *    exact operands, identical bits in JVM and DuckDB);
+  *  - LIMIT always rides on a total order with a unique tiebreaker.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  private type QFn = (SparkSession, String) => DataFrame
+
+  /** A query whose single SQL text runs identically in Spark and DuckDB. */
+  private def shared(q: String): (QFn, Option[String]) =
+    (((s: SparkSession, dir: String) => { GraftSession.registerAll(s, dir); s.sql(q) }), Some(q))
+
+  private def entry(fn: QFn, oracle: String): (QFn, Option[String]) = (fn, Some(oracle))
+  private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
+
+  // ------------------------------------------------------------------
+  // §2a/§2b relational surface — one entry per reference operator
+  // ------------------------------------------------------------------
+  private lazy val relational: Vector[(String, (QFn, Option[String]))] = Vector(
+
+    // #1 table scan + #4 projection (column pruning reaches the parquet scan)
+    "q01_scan_project" -> entry(
+      (s, d) => t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"),
+
+    // #3 filter — predicate pushed to parquet (PushedFilters)
+    "q02_filter_pushdown" -> entry(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_quantity > 45.0"),
+
+    // #2 index-scan analog: selective point lookup (row-group skipping via min/max)
+    "q03_point_lookup" -> entry(
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") === 42L)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")),
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42"),
+
+    // LIKE pattern filter (§2b)
+    "q04_like" -> entry(
+      (s, d) => t(s, d, "part").filter(col("p_name").like("red%"))
+        .select(col("p_partkey"), col("p_name")),
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%'"),
+
+    // AND / OR / NOT boolean structure (§2b)
+    "q05_boolean" -> entry(
+      (s, d) => t(s, d, "orders")
+        .filter((col("o_orderstatus") === "F" || col("o_totalprice") > 400000.0)
+          && !col("o_orderpriority").like("1%"))
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE (o_orderstatus = 'F' OR o_totalprice > 400000.0) AND NOT (o_orderpriority LIKE '1%')"),
+
+    // arithmetic expressions in projection and predicates (§2b)
+    "q06_arith" -> entry(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") % 2 === 0 && col("l_quantity") + 10 > 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("net")),
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net FROM lineitem WHERE l_quantity % 2 = 0 AND l_quantity + 10 > 30"),
+
+    // BETWEEN + IN list (§2b)
+    "q07_between_in" -> entry(
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp"))
+          && col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' AND o_orderstatus IN ('O', 'F')"),
+
+    // CASE expression (§2b)
+    "q08_case" -> entry(
+      (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 150000.0, "mid")
+          .otherwise("small").as("bucket")),
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 300000.0 THEN 'big' WHEN o_totalprice > 150000.0 THEN 'mid' ELSE 'small' END AS bucket FROM orders"),
+
+    // #13 DISTINCT
+    "q09_distinct" -> entry(
+      (s, d) => t(s, d, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct(),
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"),
+
+    // #11 sort + #12 limit → Spark fuses to TakeOrderedAndProject (top-k)
+    "q10_topk" -> entry(
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+
+    // #8 hash aggregate w/ GROUP BY + #9 scalar aggs (partial+final, map-side combine)
+    "q11_agg_group" -> entry(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows")),
+      "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base, SUM(l_quantity) / COUNT(*) AS avg_qty, COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    // #9 global (no GROUP BY) aggregate incl. COUNT(*), COUNT(DISTINCT), MIN/MAX
+    "q12_global_agg" -> entry(
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship")),
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders, SUM(l_quantity) AS sum_qty, MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem"),
+
+    // #10 HAVING (post-aggregation filter)
+    "q13_having" -> entry(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spend"))
+        .filter(col("n_orders") >= 12),
+      "SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"),
+
+    // #5 inner equi-join (Catalyst picks broadcast/shuffled-hash/sort-merge)
+    "q14_join_inner" -> entry(
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      },
+      "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 400000.0"),
+
+    // #6 LEFT outer join (NULL padding observable)
+    "q15_join_left" -> entry(
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_custkey") <= 100L)
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("o_orderkey"))
+      },
+      "SELECT c.c_custkey, o.o_orderkey FROM (SELECT * FROM customer WHERE c_custkey <= 100) c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o ON c.c_custkey = o.o_custkey"),
+
+    // #6 RIGHT outer join
+    "q16_join_right" -> entry(
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        val c = t(s, d, "customer").filter(col("c_custkey") <= 100L)
+        o.join(c, c("c_custkey") === o("o_custkey"), "right")
+          .select(col("c_custkey"), col("o_orderkey"))
+      },
+      "SELECT c.c_custkey, o.o_orderkey FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o RIGHT JOIN (SELECT * FROM customer WHERE c_custkey <= 100) c ON c.c_custkey = o.o_custkey"),
+
+    // #6 FULL outer join (on pre-aggregated sides: both-null regions visible)
+    "q17_join_full" -> entry(
+      (s, d) => {
+        val cn = t(s, d, "customer").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+          .filter(col("c_nationkey") < 20)
+        val sn = t(s, d, "supplier").groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+          .filter(col("s_nationkey") >= 10)
+        cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+          .select(col("c_nationkey"), col("n_cust"), col("s_nationkey"), col("n_supp"))
+      },
+      "SELECT cn.c_nationkey, cn.n_cust, sn.s_nationkey, sn.n_supp FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey HAVING c_nationkey < 20) cn FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey HAVING s_nationkey >= 10) sn ON cn.c_nationkey = sn.s_nationkey"),
+
+    // #6 NATURAL join — same SQL text in Spark and DuckDB
+    "q18_join_natural" -> shared(
+      "SELECT n_name, r_name FROM (SELECT n_nationkey, n_name, n_regionkey AS regionkey FROM nation) a NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b"),
+
+    // IN (subquery) → left-semi join (§2b; reference RewritePredicateSubquery analog)
+    "q19_semi_in" -> shared(
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)"),
+
+    // LEFT ANTI (reference parses `LEFT ANTI`, parser.cpp:99-121)
+    "q20_join_left_anti" -> entry(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)"),
+
+    // RIGHT ANTI — no native Spark join type; JoinOps.rightAnti (swapped left_anti)
+    "q21_join_right_anti" -> entry(
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_custkey") <= 750L)
+        val o = t(s, d, "orders")
+        JoinOps.rightAnti(c, o, c("c_custkey") === o("o_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_custkey <= 750)"),
+
+    // FULL OUTER ANTI — union of both anti joins (JoinOps.fullOuterAnti)
+    "q22_join_full_outer_anti" -> entry(
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_custkey") <= 100L)
+          .select(col("c_custkey"), col("c_name"))
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 480000.0)
+          .select(col("o_orderkey"), col("o_custkey"))
+        JoinOps.fullOuterAnti(c, o, c("c_custkey") === o("o_custkey"))
+      },
+      "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_custkey FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 480000.0) o ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL OR o.o_custkey IS NULL"),
+
+    // #7 true cross join (reference: comma join that survives with no predicate)
+    "q23_cross" -> entry(
+      (s, d) => t(s, d, "region")
+        .crossJoin(t(s, d, "nation").filter(col("n_nationkey") < 5))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey")),
+      "SELECT r_regionkey, r_name, n_nationkey FROM region CROSS JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n"),
+
+    // #7 comma join + WHERE → Catalyst converts to inner equi-join
+    // (≙ reference query_rewriter.cpp:41-133 comma-join conversion)
+    "q24_comma_join" -> shared(
+      "SELECT c.c_name, o.o_orderkey, o.o_totalprice FROM customer c, orders o WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000.0 AND o.o_orderstatus = 'O'"),
+
+    // scalar subqueries (correlated + uncorrelated) → LEFT JOIN decorrelation
+    // (≙ reference query_rewriter.cpp:229-318)
+    "q25_scalar_subquery" -> shared(
+      "SELECT c_custkey, c_name, (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nation_name, (SELECT r_name FROM region WHERE r_regionkey = 0) AS region0 FROM customer WHERE c_custkey <= 200"),
+
+    // correlated COUNT/SUM subqueries → JOIN + GROUP BY (≙ OPTIMIZATION_DEMO.md:101-139)
+    "q26_correlated_agg" -> shared(
+      "SELECT c.c_custkey, c.c_name, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_count, (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spent FROM customer c WHERE c.c_acctbal > 0"),
+
+    // NOT IN over a literal list (§2b)
+    "q27_not_in" -> shared(
+      "SELECT c_custkey FROM customer WHERE c_nationkey NOT IN (0, 1, 2) AND c_custkey <= 300"),
+
+    // multi-join star aggregation — broadcasts the small dims explicitly
+    "q28_star_agg" -> entry(
+      (s, d) => {
+        val r = t(s, d, "region"); val n = t(s, d, "nation")
+        val c = t(s, d, "customer"); val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          // discount data is 2-decimal: exact decimal arithmetic on both
+          // sides (a double product cast to decimal rounds differently in
+          // Spark vs DuckDB at the cent boundary)
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      "SELECT r_name, n_name, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue, COUNT(*) AS n_items FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey GROUP BY r_name, n_name"),
+
+    // flagship (≙ demo_query.sql): comma joins + scalar subquery + filters +
+    // ORDER BY + LIMIT (unique key added for determinism)
+    "q29_flagship" -> shared(
+      "SELECT c.c_name, (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name, o.o_orderkey, l.l_linenumber FROM customer c, orders o, lineitem l WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey AND c.c_acctbal > 0 AND o.o_orderstatus = 'O' ORDER BY o.o_orderkey, l.l_linenumber LIMIT 20"),
+
+    // GROUP BY on a computed expression (corpus: computed sort/group keys)
+    "q30_group_expr" -> shared(
+      "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus")
+  )
+
+  private lazy val all: Vector[(String, (QFn, Option[String]))] = relational
+
+  // ------------------------------------------------------------------
+  // driver contract
+  // ------------------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q29_flagship")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
 }
