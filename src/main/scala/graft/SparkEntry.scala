@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.GraftSession
-import graft.operators.JoinOps
+import graft.operators.{Dedup, JoinOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per operator
   * from SURVEY.md §2. Implementation is DataFrame-API-first (Catalyst plans
@@ -273,7 +273,106 @@ object SparkEntry {
       "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus")
   )
 
-  private lazy val all: Vector[(String, (QFn, Option[String]))] = relational
+  // ------------------------------------------------------------------
+  // Training-data pipeline extensions (north-star, BASELINE.json):
+  // dedup, similarity search, text analysis, multimodal, event analytics.
+  // Non-SQL-expressible ops omit the oracle → driver records rows-only.
+  // ------------------------------------------------------------------
+  private lazy val extensions: Vector[(String, (QFn, Option[String]))] = Vector(
+
+    // exact dedup — one hash aggregate on the content key
+    "d01_dedup_exact" -> entry(
+      (s, d) => Dedup.exactClusters(t(s, d, "documents"), "doc_id", "text"),
+      "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text"),
+
+    // dedup on normalized-content md5 fingerprint
+    "d02_dedup_fingerprint" -> entry(
+      (s, d) => Dedup.fingerprintClusters(t(s, d, "documents"), "doc_id", "text"),
+      "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"),
+
+    // MinHash + LSH banding near-duplicates (candidate gen via band shuffle)
+    "d03_dedup_minhash" -> noOracle(
+      (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))),
+
+    // SimHash hamming<=3 near-duplicates (pigeonhole block join)
+    "d04_dedup_simhash" -> noOracle(
+      (s, d) => Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text")),
+
+    // exact n-gram Jaccard >= 0.5, blocked by source (inverted-index join)
+    "d05_ngram_jaccard" -> entry(
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
+      """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
+
+    // embedding-cosine near-duplicate pairs, blocked by label
+    "d06_embed_neardup" -> noOracle(
+      (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.4)
+        .select(col("id_a"), col("id_b"))),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "d07_ann_topk" -> noOracle(
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)),
+
+    // sign-LSH bucketed approximate top-k (the scale path)
+    "d08_ann_lsh" -> noOracle(
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)),
+
+    // language-ID heuristic (codegen'd CASE/LIKE chain)
+    "t01_lang_id" -> entry(
+      (s, d) => t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      "SELECT doc_id, CASE WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' OR ' ' || text || ' ' LIKE '% die %' OR ' ' || text || ' ' LIKE '% nicht %' THEN 'de' WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% la %' OR ' ' || text || ' ' LIKE '% et %' OR ' ' || text || ' ' LIKE '% les %' THEN 'fr' WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% los %' OR ' ' || text || ' ' LIKE '% las %' OR ' ' || text || ' ' LIKE '% es %' THEN 'es' WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% a %' OR ' ' || text || ' ' LIKE '% and %' OR ' ' || text || ' ' LIKE '% of %' THEN 'en' ELSE 'und' END AS lang_pred FROM documents"),
+
+    // quality-signal scoring
+    "t02_quality" -> entry(
+      (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*),
+      "SELECT doc_id, length(text) AS n_chars, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS mean_tok_len, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS stopword_ratio FROM documents"),
+
+    // token counting: whitespace + BPE-ish pre-tokenizer regex
+    "t03_token_count" -> entry(
+      (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),
+      "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens FROM documents"),
+
+    // multimodal: binary payload + metadata + per-partition decode stub
+    "m01_multimodal_features" -> noOracle(
+      (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text")),
+
+    // event-stream analytics: hourly tumbling aggregation (batch form of the
+    // Structured Streaming window; see streaming spec)
+    "s01_events_hourly" -> entry(
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(10, 2))).as("total")),
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(10,2))) AS total FROM events GROUP BY 1, 2"),
+
+    // semi-structured props: JSON field extraction + aggregation
+    "s02_events_json" -> entry(
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("k_sum"), count(lit(1)).as("n")),
+      "SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum, COUNT(*) AS n FROM events GROUP BY user_id"),
+
+    // gap-based sessionization (30-min inactivity) — window functions, the
+    // batch twin of flatMapGroupsWithState
+    "s03_events_sessionize" -> entry(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        t(s, d, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      },
+      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) > 1800000000 OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end FROM s GROUP BY user_id, session_id""")
+  )
+
+  private lazy val all: Vector[(String, (QFn, Option[String]))] = relational ++ extensions
 
   // ------------------------------------------------------------------
   // driver contract

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * normalized-fingerprint, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (the point of each shape at 100 TB):
+  *  - exact / fingerprint: one hash-shuffle on the dedup key — the minimum
+  *    possible; map-side partial aggregation halves shuffle volume.
+  *  - MinHash+LSH: candidate generation is `explode(bands) → shuffle on
+  *    (band, hash) → within-bucket self-join`, never an O(n²) cross join.
+  *  - SimHash: 64-bit signature per doc; hamming-≤3 pairs found by the
+  *    pigeonhole block trick (4×16-bit blocks; any close pair shares one).
+  *  - n-gram Jaccard: exact verification via inverted-index join, blocked
+  *    by a partition key to bound the candidate set.
+  *
+  * Everything is `functions._` column algebra (higher-order functions, no
+  * UDFs) so signatures are computed in a single codegen'd pass per doc.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup clusters: one row per distinct text with the kept
+    * (minimum) id and the duplicate count. Single hash aggregate.
+    */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Dedup on the normalized-content fingerprint (TextOps.fingerprint). */
+  def fingerprintClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Word n-gram shingles of the text (whole text if shorter). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = TextOps.tokens(text)
+    when(size(words) < n, array(text)).otherwise(
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature (array of k minima over independently-hashed shingle
+    * hashes) — the shingle hashing is column algebra, the k-minima pass is
+    * the native [[graft.functions.MinHashSignatureExpr]] (one primitive
+    * loop; k interpreted `transform` lambdas were ~100× slower and
+    * dominated LSH dedup wall-clock).
+    */
+  def minhashSignature(text: Column, k: Int = 64): Column =
+    graft.functions.MinHashSignatureExpr.minhashSignature(
+      transform(shingles(text), s => xxhash64(s)), k)
+
+  /** Estimated Jaccard between two signatures = fraction of equal minima. */
+  def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
+      size(sigA)
+
+  /** Near-duplicate pairs via MinHash + LSH banding.
+    *
+    * @param bands signature is split into `bands` bands of `k/bands` rows;
+    *              docs colliding on any band become candidates.
+    * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, filtered to
+    *         `threshold`. Candidate generation shuffles on (band, hash) —
+    *         at 1000 executors each bucket is a local join, never O(n²).
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val buckets = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,
+    * sign of the sum of ±1 token contributions. One explode + one hash
+    * aggregate; the 64 bit-sums are codegen'd columns.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxHamming (< 4):
+    * pigeonhole on 4 16-bit blocks (a pair within hamming 3 must agree on at
+    * least one block), then exact bit_count verify. Shuffles on (block id,
+    * block value) only.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "block trick with 4 blocks covers hamming <= 3")
+    val sh = simhash(docs, idCol, textCol)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "blkval")))
+    val a = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "blkval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ------------------------------------------------------- exact jaccard
+
+  /** Exact token-set Jaccard pairs >= threshold, blocked by `blockCol`
+    * (inverted-index join: shuffle on (block, token), aggregate pair
+    * intersections, join back per-doc set sizes).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ta = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_a"))
+    val tb = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_b"))
+    val inter = ta.join(tb, Seq("blk", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio libraries in
+  * this environment — a real deployment swaps `decodeStub` for a JNI/codec
+  * call). Everything Spark-side is real and load-bearing at scale: binary
+  * schema, metadata struct, partition-batched iteration (one codec init per
+  * partition, not per row — the same shape a Pandas-UDF/`mapInPandas`
+  * pipeline has in PySpark).
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct to a docs table, modeling an
+    * image column. Payload here is the utf-8 text bytes (deterministic
+    * stand-in for real media bytes).
+    */
+  def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        (pmod(col(idCol), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 1).cast("int").as("height"),
+        lit("fake/rgb8").as("format")).as(s"meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("checksum", LongType)))
+
+  /** Per-partition batched "decode + feature extraction".
+    *
+    * STUB: a real implementation decodes the media codec here (the
+    * per-partition structure — init once, stream the batch — is exactly
+    * where that call goes). The stub extracts deterministic byte-level
+    * features so the distributed plumbing is testable end-to-end.
+    */
+  def decodeStub(withBinary: DataFrame): DataFrame = {
+    val spark = withBinary.sparkSession
+    val rdd = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { iter =>
+      // real codec/library init would happen once per partition, here
+      iter.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        var sum = 0L
+        var checksum = 1L
+        bytes.foreach { b =>
+          sum += (b & 0xff)
+          checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
+        }
+        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+        Row(id, bytes.length, mean, checksum)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Full pipeline: attach binary → decode/extract → join features back to
+    * metadata. The shape a 100 TB image-dataset featurization job has.
+    */
+  def featurize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bin = attachBinary(docs, idCol, textCol)
+    decodeStub(bin).join(bin.select(col("doc_id"), col("meta.width").as("width"),
+      col("meta.height").as("height")), "doc_id")
+  }
+}

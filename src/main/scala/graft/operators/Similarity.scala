@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exactness baseline, plus a random-hyperplane-LSH
+  * bucketed variant as the 100 TB scale path.
+  *
+  * Vector math is `zip_with`/`aggregate` column algebra — evaluated
+  * natively per row, no UDF serialization. Unit-normalizing once up front
+  * turns every cosine into a plain dot product.
+  */
+object Similarity {
+
+  /** dot(a, b) for two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cast to double and scale to unit L2 norm (zero vectors left as zero). */
+  def unitNorm(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Normalize an embeddings table once: (id, unit) — the shared prefix of
+    * every operator below.
+    */
+  def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), unitNorm(col(vecCol)).as("unit"))
+
+  /** Exact brute-force cosine top-k neighbors for the query rows selected by
+    * `queryPred`. O(|Q|·|N|) — the correctness baseline; broadcast the
+    * (small) query side so candidates never shuffle.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val all = normalized(emb, idCol, vecCol)
+    val queries = broadcast(all.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("unit").as("q_unit")))
+    val scored = all.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("q_unit"), col("unit")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
+    * key (e.g. a cluster/label column) — blocked self-join, not O(n²).
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val n = emb.select(col(idCol).as("vec_id"), col(blockCol).as("blk"),
+      unitNorm(col(vecCol)).as("unit"))
+    val a = n.select(col("blk"), col("vec_id").as("id_a"), col("unit").as("u_a"))
+    val b = n.select(col("blk"), col("vec_id").as("id_b"), col("unit").as("u_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes (fixed seed, plan-time constants). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id from `nPlanes` hyperplane sign bits. */
+  def lshBucket(unit: Column, nPlanes: Int, dim: Int): Column =
+    hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+      when(dot(unit, typedlit(p)) >= 0.0, lit(1 << j)).otherwise(0)
+    }.reduce(_ bitwiseOR _)
+
+  /** Approximate top-k via sign-LSH bucketing: each query is compared only
+    * to candidates in its bucket. Shuffles on the bucket id; at cluster
+    * scale each bucket is a local join. Recall < 1 by construction — the
+    * scale path next to [[bruteForceTopK]]'s exactness baseline.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val all = normalized(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
+    val queries = all.filter(queryPred)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    val scored = all.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("q_unit"), col("unit")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extensions, BASELINE.json): language-ID heuristic, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * All pure `org.apache.spark.sql.functions` column expressions — no UDFs —
+  * so every operator stays inside whole-stage codegen and scales linearly
+  * with input splits (no shuffle except where a groupBy is the point).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (split on single space matches the
+    * DuckDB oracle's string_split exactly).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Stopword-hit language ID: first-match CASE chain over language-marker
+    * words. A real pipeline would use char-n-gram profiles; the operator
+    * shape (single pass, codegen'd CASE) is what matters at 100 TB.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    def anyOf(words: Seq[String]): Column =
+      words.map(w => padded.like(s"% $w %")).reduce(_ || _)
+    when(anyOf(Seq("der", "und", "die", "nicht")), "de")
+      .when(anyOf(Seq("le", "la", "et", "les")), "fr")
+      .when(anyOf(Seq("el", "los", "las", "es")), "es")
+      .when(anyOf(Seq("the", "a", "and", "of")), "en")
+      .otherwise("und")
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Quality-signal columns: length, token count, mean token length,
+    * punctuation count, stopword ratio. Ratios are single fp divisions of
+    * exact integers → bit-identical across engines.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
+    Seq(
+      length(text).as("n_chars"),
+      nTok.as("n_tokens"),
+      (length(regexp_replace(text, "\\s+", "")).cast("double") / nTok).as("mean_tok_len"),
+      (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).as("n_punct"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"))
+  }
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the standard pre-tokenizer regex shape.
+    */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(tokens(text)).as("ws_tokens"),
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
+
+  /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
+    * Identical on any engine; the dedup key for exact-after-normalization.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}
