@@ -1,0 +1,180 @@
+package graft.engine
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ScalarSubquery}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Query facade reproducing the reference CLI's observable behavior
+  * (`engine/src/cli.cpp:63-326`): EXPLAIN-prefix handling (`cli.cpp:201`),
+  * per-query transform log (`engine/src/optimizer.cpp:287-318`), plan tree
+  * with per-node row estimates (`engine/include/execution_plan.h:247-261`),
+  * typo suggestions (`engine/include/utils.h:23-45`), warn-style semantic
+  * errors (`engine/src/semantic.cpp`), DML parse-and-report
+  * (`cli.cpp:322`), and `"NULL"`/`" | "` row rendering (`cli.cpp:312-318`).
+  *
+  * The optimization itself is Catalyst's — parse → analyze → optimize →
+  * physical plan is the same pipeline the reference hand-rolls (SURVEY.md
+  * §3.1); this class *observes* Catalyst's work and reports it in the
+  * reference's vocabulary.
+  */
+object QueryEngine {
+
+  /** Result of one query. `rows` is populated only for executed SELECTs. */
+  case class QueryReport(
+      kind: String, // SELECT | EXPLAIN | INSERT | UPDATE | DELETE | ERROR
+      transformLog: Seq[String],
+      planTree: String,
+      rows: Seq[String],
+      rowCount: Long,
+      error: Option[String],
+      suggestion: Option[String],
+      df: Option[DataFrame])
+
+  private val keywords = Seq(
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "NATURAL", "ANTI",
+    "CROSS", "ON", "AS", "AND", "OR", "NOT", "LIKE", "BETWEEN", "IN",
+    "DISTINCT", "COUNT", "SUM", "AVG", "MIN", "MAX", "INSERT", "INTO",
+    "VALUES", "UPDATE", "SET", "DELETE", "EXPLAIN")
+
+  /** Levenshtein distance (≙ reference `utils.h:23-45`). */
+  def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+    }
+    d(a.length)(b.length)
+  }
+
+  /** Closest keyword within distance 2, reference's suggestion rule. */
+  def suggestKeyword(token: String): Option[String] = {
+    val up = token.toUpperCase
+    keywords.map(k => k -> levenshtein(up, k)).filter(_._2 <= 2).filter(_._2 > 0)
+      .sortBy(_._2).headOption.map(_._1)
+  }
+
+  private def firstWord(sql: String): String =
+    sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+
+  /** Run one statement with reference-CLI semantics. */
+  def run(spark: SparkSession, sqlIn: String): QueryReport = {
+    val trimmed = sqlIn.trim.stripSuffix(";")
+    val isExplain = firstWord(trimmed) == "EXPLAIN"
+    val sql = if (isExplain) trimmed.trim.drop("EXPLAIN".length).trim else trimmed
+
+    firstWord(sql) match {
+      case "INSERT" | "UPDATE" | "DELETE" =>
+        // parity with `cli.cpp:322`: parsed, acknowledged, not optimized
+        val kind = firstWord(sql)
+        QueryReport(kind, Seq(s"$kind statement parsed." ,
+          "Optimization not implemented for this type"), "", Nil, 0, None, None, None)
+      case _ =>
+        try {
+          val df = spark.sql(sql)
+          val qe = df.queryExecution
+          val log = transformLog(qe.analyzed, qe.optimizedPlan)
+          val tree = renderTree(qe.optimizedPlan)
+          if (isExplain) QueryReport("EXPLAIN", log, tree, Nil, 0, None, None, Some(df))
+          else {
+            val collected = df.collect()
+            val rendered = collected.toSeq.map(row =>
+              row.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString(" | "))
+            QueryReport("SELECT", log, tree, rendered, collected.length, None, None, Some(df))
+          }
+        } catch {
+          // ParseException extends AnalysisException — match it first so
+          // syntax errors get the reference's typo suggestion
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            val tok = "[A-Za-z_]+".r.findAllIn(sql).toSeq
+              .find(t => suggestKeyword(t).isDefined && !keywords.contains(t.toUpperCase))
+            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
+              tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
+          case e: AnalysisException =>
+            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None)
+          case NonFatal(e) =>
+            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getMessage), None, None)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // transform log: diff analyzed vs optimized (reference optimizer.cpp:287-318)
+  // ------------------------------------------------------------------
+
+  private def collectExprs(p: LogicalPlan): Seq[Expression] =
+    p.collect { case n => n.expressions.flatMap(e => e.collect { case x => x }) }.flatten
+
+  private def scalarSubqueryCount(p: LogicalPlan): Int =
+    collectExprs(p).count(_.isInstanceOf[ScalarSubquery])
+
+  private def joinsWithoutCondition(p: LogicalPlan): Int =
+    p.collect { case j: Join if j.condition.isEmpty => j }.size
+
+  private def filtersDirectlyOverLeaves(p: LogicalPlan): Int =
+    p.collect { case Filter(_, _: LeafNode) => 1 }.size
+
+  private def leafOrder(p: LogicalPlan): Seq[String] =
+    p.collect { case l: LeafNode => l.toString.takeWhile(_ != '\n') }
+
+  /** Columns pruned by Catalyst's ColumnPruning: narrowing Project nodes
+    * sitting directly above a leaf (looking through one Filter), which the
+    * analyzed plan doesn't have — they materialize as a narrowed ReadSchema
+    * in the physical scan.
+    */
+  private def prunedColumnCount(p: LogicalPlan): Int = {
+    def leafBelow(n: LogicalPlan): Option[LeafNode] = n match {
+      case l: LeafNode => Some(l)
+      case Filter(_, child) => leafBelow(child)
+      case _ => None
+    }
+    p.collect {
+      case Project(list, child) if leafBelow(child).exists(_.output.size > list.size) =>
+        leafBelow(child).get.output.size - list.size
+    }.sum
+  }
+
+  /** Reference-style numbered transform log, derived by observing what
+    * Catalyst's optimizer actually did to this plan.
+    */
+  def transformLog(analyzed: LogicalPlan, optimized: LogicalPlan): Seq[String] = {
+    val entries = Seq.newBuilder[String]
+    val commaJoins = joinsWithoutCondition(analyzed) - joinsWithoutCondition(optimized)
+    if (commaJoins > 0)
+      entries += s"comma_join_conversion: $commaJoins comma/cross join(s) converted to equi-joins"
+    val subq = scalarSubqueryCount(analyzed) - scalarSubqueryCount(optimized)
+    if (subq > 0)
+      entries += s"subquery_to_join_conversion: $subq scalar subquery(ies) decorrelated to joins"
+    val pushed = filtersDirectlyOverLeaves(optimized) - filtersDirectlyOverLeaves(analyzed)
+    if (pushed > 0)
+      entries += s"predicate_pushdown: $pushed filter(s) pushed to base relations"
+    val pruned = prunedColumnCount(optimized) - prunedColumnCount(analyzed)
+    if (pruned > 0)
+      entries += s"projection_pushdown: $pruned column(s) pruned from scans"
+    val (ao, oo) = (leafOrder(analyzed), leafOrder(optimized))
+    if (ao.size == oo.size && ao.size > 1 && ao != oo)
+      entries += "join_reordering: join order changed by cost-based optimizer"
+    val log = entries.result()
+    if (log.isEmpty) Seq("no transformations applied") else log.zipWithIndex.map {
+      case (l, i) => s"${i + 1}. $l"
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // plan tree with per-node estimates (reference execution_plan.h:247-261)
+  // ------------------------------------------------------------------
+
+  /** Indented plan tree with per-node `rows=`/`size=` from Catalyst CBO
+    * statistics — the reference's `Project(rows=…, cost=…)` rendering with
+    * Catalyst's numbers (SURVEY.md §7: document the mapping, don't fake
+    * PostgreSQL constants).
+    */
+  def renderTree(p: LogicalPlan, indent: Int = 0): String = {
+    val stats = p.stats
+    val rows = stats.rowCount.map(_.toString).getOrElse("?")
+    val line = " " * indent + s"${p.nodeName}(rows=$rows, size=${stats.sizeInBytes})"
+    (line +: p.children.map(c => renderTree(c, indent + 2))).mkString("\n")
+  }
+}

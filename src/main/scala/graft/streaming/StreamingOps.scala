@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (north-star extension; the reference has no
+  * streaming — SURVEY.md §2c). Transforms are written batch/stream
+  * agnostic: the same column algebra applied to `readStream` inputs runs
+  * incrementally with watermark-bounded state at cluster scale.
+  */
+object StreamingOps {
+
+  /** File-stream source over an events parquet directory. Schema must be
+    * explicit for file streams; `ts` arrives as ns-since-epoch (see
+    * GraftSession.table) and is truncated to a microsecond timestamp.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts per event type with a watermark bounding state.
+    * Works identically on a batch DataFrame (window() is just a grouping
+    * expression there).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  case class UserEvent(user_id: Long, tsUs: Long)
+  case class UserSessionState(sessionCount: Long, lastTsUs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful per-user session counting (30-min inactivity gap) via
+    * mapGroupsWithState — the streaming twin of the batch window-function
+    * sessionization (SparkEntry s03). Update-mode output: one running
+    * (user, session-count, event-count) row per user per trigger.
+    */
+  def sessionCounts(events: Dataset[UserEvent],
+      gapUs: Long = 1800L * 1000000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      (user: Long, evs: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+        val sorted = evs.toSeq.sortBy(_.tsUs)
+        var (sessions, last) = state.getOption
+          .map(s => (s.sessionCount, s.lastTsUs)).getOrElse((0L, Long.MinValue))
+        var n = 0L
+        sorted.foreach { e =>
+          if (last == Long.MinValue || e.tsUs - last > gapUs) sessions += 1
+          last = e.tsUs
+          n += 1
+        }
+        state.update(UserSessionState(sessions, last))
+        UserSessions(user, sessions, n)
+    }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory table and block until
+    * all available input is processed (local smoke path).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import scala.io.StdIn
+
+import graft.engine.{GraftSession, QueryEngine}
+
+/** Interactive SQL CLI — parity with the reference's primary entry point
+  * (`engine/src/cli.cpp:63-326`): reads statements from stdin, prints the
+  * transform log, the costed plan tree, and ` | `-separated rows with NULLs
+  * rendered as `"NULL"`; `EXPLAIN` prefix shows the plan without executing;
+  * DML is parsed and acknowledged only.
+  *
+  * Usage: runMain graft.tools.Cli [sfDir]   (then type SQL, `exit` to quit)
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-cli")
+    GraftSession.registerAll(spark, sfDir)
+    println(s"graft SQL engine — tables from $sfDir — type SQL, 'exit' to quit")
+    var line = ""
+    while ({ line = Option(StdIn.readLine("sql> ")).getOrElse("exit"); line.trim != "exit" }) {
+      if (line.trim.nonEmpty) {
+        val rep = QueryEngine.run(spark, line)
+        rep.error.foreach(e => println(s"ERROR: $e"))
+        rep.suggestion.foreach(println)
+        if (rep.transformLog.nonEmpty) {
+          println("-- transform log --")
+          rep.transformLog.foreach(println)
+        }
+        if (rep.planTree.nonEmpty) {
+          println("-- plan --")
+          println(rep.planTree)
+        }
+        if (rep.kind == "SELECT") {
+          rep.rows.take(50).foreach(println)
+          if (rep.rowCount > 50) println(s"... (${rep.rowCount} rows total)")
+          else println(s"(${rep.rowCount} rows)")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

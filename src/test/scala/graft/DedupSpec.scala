@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (1L, base, "s0"),
+    (2L, base, "s0"),                                  // exact dup of 1
+    (3L, base.replace("today", "tomorrow"), "s0"),     // near dup of 1
+    (4L, "completely different text about spark sql engines and optimizers", "s0"),
+    (5L, "another unrelated document mentioning databases and storage layers", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactClusters keeps min id and counts copies") {
+    val m = Dedup.exactClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(base) == (1L, 2L))
+    assert(m.size == 4)
+  }
+
+  test("fingerprintClusters is whitespace/case invariant") {
+    val noisy = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val m = Dedup.fingerprintClusters(noisy, "doc_id", "text").collect()
+    assert(m.length == 2)
+    assert(m.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0) // identical signature
+    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L))) // near dup
+    assert(!byPair.keys.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) < java.lang.Long.bitCount(sh(1L) ^ sh(4L)))
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard with blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    val j13 = pairs((1L, 3L))
+    assert(j13 > 0.5 && j13 < 1.0)
+    // doc 5 is in another block: no cross-block pair may appear
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("shingles: short text falls back to whole-text shingle") {
+    val one = Seq((1L, "tiny text")).toDF("doc_id", "text")
+    val sig = Dedup.minhashNearDuplicates(one, "doc_id", "text").collect()
+    assert(sig.isEmpty) // no pairs from a single doc; computation must not fail
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.GraftSession
+
+/** Optimizer-parity assertions (SURVEY.md §7 step 5): the plan *shapes* the
+  * reference's rewrites exist to produce must actually appear in Catalyst's
+  * output — pushed filters, no cartesian products, decorrelated subqueries,
+  * broadcast dims, top-k fusion.
+  */
+class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def executedPlanString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter is pushed to the parquet scan") {
+    val p = executedPlanString("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"), p)
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val p = executedPlanString("q02_filter_pushdown")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>")
+      || p.contains("l_extendedprice:double>"), p)
+    assert(!p.contains("l_returnflag"), "unprojected column must not be read")
+  }
+
+  test("q10: sort+limit fuses to TakeOrderedAndProject (top-k)") {
+    val p = executedPlanString("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q28: small dims join via BroadcastHashJoin") {
+    val p = executedPlanString("q28_star_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q29 flagship: no cartesian product, subqueries decorrelated") {
+    val df = SparkEntry.queries("q29_flagship")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val subqueries = optimized.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s
+    })
+    assert(subqueries.isEmpty, "scalar subquery must be decorrelated")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: aggregation is partial+final (map-side combine)") {
+    val df = SparkEntry.queries("q11_agg_group")(spark, sf)
+    df.collect()
+    val aggs = collect(df.queryExecution.executedPlan) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size >= 2, "expect partial and final HashAggregateExec")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("), "expected WholeStageCodegen span")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{GraftSession, QueryEngine}
+
+class QueryEngineSpec extends AnyFunSuite {
+  lazy val spark = { val s = TestSpark.spark; GraftSession.registerAll(s, TestSpark.sfDir); s }
+
+  private val flagship =
+    """SELECT c.c_name,
+       (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name
+       FROM customer c, orders o
+       WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0 AND o.o_orderstatus = 'O'
+       LIMIT 10"""
+
+  test("flagship: executes and logs the reference's transforms") {
+    val rep = QueryEngine.run(spark, flagship)
+    assert(rep.kind == "SELECT" && rep.rowCount == 10)
+    val log = rep.transformLog.mkString("\n")
+    assert(log.contains("subquery_to_join_conversion"), log)
+    assert(log.contains("predicate_pushdown"), log)
+    assert(log.contains("projection_pushdown"), log)
+    assert(rep.planTree.nonEmpty)
+  }
+
+  test("EXPLAIN prefix returns plan without executing (cli.cpp:201 parity)") {
+    val rep = QueryEngine.run(spark, s"EXPLAIN $flagship")
+    assert(rep.kind == "EXPLAIN" && rep.rows.isEmpty && rep.planTree.nonEmpty)
+  }
+
+  test("DML is parsed and reported, not optimized (cli.cpp:322 parity)") {
+    val rep = QueryEngine.run(spark, "INSERT INTO customer VALUES (1)")
+    assert(rep.kind == "INSERT")
+    assert(rep.transformLog.exists(_.contains("Optimization not implemented")))
+  }
+
+  test("keyword typo yields Levenshtein suggestion (utils.h:23-45 parity)") {
+    val rep = QueryEngine.run(spark, "SELCT c_name FROM customer")
+    assert(rep.kind == "ERROR")
+    assert(rep.suggestion.contains("Did you mean: SELECT?"), rep.suggestion)
+  }
+
+  test("unknown table is an analysis error with message") {
+    val rep = QueryEngine.run(spark, "SELECT * FROM no_such_table")
+    assert(rep.kind == "ERROR" && rep.error.exists(_.toLowerCase.contains("no_such_table")))
+  }
+
+  test("NULL rendering and ' | ' separators (cli.cpp:312-318 parity)") {
+    val rep = QueryEngine.run(spark,
+      "SELECT c_custkey, CASE WHEN c_custkey > 2 THEN NULL ELSE c_name END AS maybe FROM customer WHERE c_custkey <= 3 ORDER BY c_custkey")
+    assert(rep.rows.length == 4)
+    assert(rep.rows.last.endsWith(" | NULL"))
+    assert(rep.rows.head.contains(" | "))
+  }
+
+  test("comma-join conversion appears in the log") {
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT c.c_name FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey")
+    assert(rep.transformLog.mkString.contains("comma_join_conversion"), rep.transformLog)
+  }
+}

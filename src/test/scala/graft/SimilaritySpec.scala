@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine") {
+    val res = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 3)
+      .collect().sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getInt(2)))
+    assert(res.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("unitNorm leaves zero vectors untouched and normalizes others") {
+    val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(Similarity.unitNorm(col("v")).as("u")).collect()
+      .map(_.getSeq[Double](0))
+    assert(math.abs(out(0).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(out(1).forall(_ == 0.0))
+  }
+
+  test("cosineNearDupPairs respects blocking and threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L))) // 0~1 cos≈0.994 same label; 3,4 orthogonal
+  }
+
+  test("lshTopK returns correctly-ranked subset of brute-force results") {
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 4,
+      nPlanes = 4, dim = 3).collect().map(r => (r.getLong(1), r.getInt(2)))
+    // every returned neighbor must exist in the exact result with rank order preserved
+    assert(approx.sortBy(_._2).map(_._1).forall(exact.contains))
+  }
+}

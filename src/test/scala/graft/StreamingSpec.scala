@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.GraftSession
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed counts equal the batch computation") {
+    val stream = StreamingOps.eventsStream(spark, streamDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.windowedCounts(stream), "win_counts", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = StreamingOps.windowedCounts(GraftSession.table(spark, TestSpark.sfDir, "events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet && got.keySet.nonEmpty)
+    got.foreach { case (k, (n, total)) =>
+      assert(want(k)._1 == n && math.abs(want(k)._2 - total) < 1e-6, s"window $k")
+    }
+  }
+
+  test("stateful session counts match batch sessionization totals") {
+    import spark.implicits._
+    val stream = StreamingOps.eventsStream(spark, streamDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[StreamingOps.UserEvent]
+    val got = StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(stream).toDF(), "sess_counts", OutputMode.Update())
+      .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("s03_events_sessionize")(spark, TestSpark.sfDir)
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == want)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks marker languages, falls back to und") {
+    val df = Seq(
+      (1L, "das ist der grosse test und die sache"),
+      (2L, "le chat et la maison les arbres"),
+      (3L, "el perro y los gatos las casas es bueno"),
+      (4L, "the quick fox and a dog of note"),
+      (5L, "xyzzy qwerty")
+    ).toDF("id", "text")
+    val m = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en", 5L -> "und"))
+  }
+
+  test("quality columns compute exact counts and ratios") {
+    val df = Seq((1L, "the cat sat, on a mat!")).toDF("id", "text")
+    val r = df.select(col("id") +: TextOps.qualityColumns(col("text")): _*).collect()(0)
+    assert(r.getInt(1) == 22)           // n_chars
+    assert(r.getInt(2) == 6)            // n_tokens
+    assert(r.getInt(4) == 2)            // n_punct (, !)
+    assert(math.abs(r.getDouble(5) - 2.0 / 6.0) < 1e-12) // the, a
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "hello world42 x-y")).toDF("id", "text")
+    val r = df.select(col("id") +: TextOps.tokenCounts(col("text")): _*).collect()(0)
+    assert(r.getInt(1) == 3)  // ws tokens
+    assert(r.getInt(2) == 6)  // hello, world, 42, x, -, y
+  }
+
+  test("fingerprint invariant to case and whitespace runs") {
+    val df = Seq((1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
+      .toDF("id", "text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
