@@ -32,7 +32,7 @@ object SparkEntry {
 
   /** A query whose single SQL text runs identically in Spark and DuckDB. */
   private def shared(q: String): (QFn, Option[String]) =
-    (((s: SparkSession, dir: String) => { GraftSession.registerAll(s, dir); s.sql(q) }), Some(q))
+    (((s: SparkSession, dir: String) => { GraftSession.registerFor(s, dir, q); s.sql(q) }), Some(q))
 
   private def entry(fn: QFn, oracle: String): (QFn, Option[String]) = (fn, Some(oracle))
   private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
@@ -270,7 +270,17 @@ object SparkEntry {
 
     // GROUP BY on a computed expression (corpus: computed sort/group keys)
     "q30_group_expr" -> shared(
-      "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus")
+      "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus"),
+
+    // correlated EXISTS → left-semi join
+    "q31_exists" -> shared(
+      "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)"),
+
+    // ANY/ALL comparison semantics via their MIN/MAX scalar-subquery
+    // rewrites (reference lexes ANY/ALL, `lexer.cpp:36`; Spark SQL expresses
+    // them this way)
+    "q32_any_all" -> shared(
+      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice >= (SELECT MAX(p_retailprice) FROM part) OR p_retailprice < (SELECT MIN(p_retailprice) + 1.0 FROM part)")
   )
 
   // ------------------------------------------------------------------
@@ -337,6 +347,11 @@ object SparkEntry {
     // multimodal: binary payload + metadata + per-partition decode stub
     "m01_multimodal_features" -> noOracle(
       (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text")),
+
+    // winnowing-style rolling-hash fingerprint (native expression, O(n)/doc)
+    "t04_rolling_fingerprint" -> noOracle(
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        graft.functions.RollingMinHashExpr.rollingMinHash(col("text"), 16).as("roll_fp"))),
 
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)

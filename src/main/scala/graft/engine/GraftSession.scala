@@ -36,6 +36,7 @@ object GraftSession {
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.statistics.histogram.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,4 +65,36 @@ object GraftSession {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register only the tables a SQL text references (word match) — avoids
+    * paying footer reads for all 10 tables on every ad-hoc statement.
+    */
+  def registerFor(spark: SparkSession, dir: String, sql: String): Unit = {
+    val lower = sql.toLowerCase
+    tableNames.filter(n => s"\\b$n\\b".r.findFirstIn(lower).isDefined)
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+  }
+
+  /** Tables safe to ANALYZE … FOR ALL COLUMNS (no array/ns-timestamp cols). */
+  private val analyzableTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents")
+
+  /** Create in-memory-catalog tables over the parquet files and harvest CBO
+    * statistics — the direct analog of the reference's startup stats
+    * harvest (`statistics_manager.cpp:9-142`: COUNT(*), COUNT(DISTINCT),
+    * MIN/MAX, histograms). Populates `rowCount`/`ColumnStat` so plan trees
+    * show real row estimates and CostBasedJoinReorder has numbers to work
+    * with. Events/embeddings stay temp views (ns-timestamp / array cols).
+    */
+  def ensureAnalyzedCatalog(spark: SparkSession, dir: String): Unit = {
+    analyzableTables.foreach { n =>
+      if (!spark.catalog.tableExists(n)) {
+        spark.sql(s"CREATE TABLE $n USING parquet LOCATION '$dir/$n.parquet'")
+        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    Seq("events", "embeddings").foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
 }

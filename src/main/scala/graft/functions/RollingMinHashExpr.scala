@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document fingerprint: minimum polynomial rolling hash over all
+  * `window`-byte substrings of the text — the winnowing/Rabin-Karp
+  * primitive, O(n) per document via the rolling update
+  * `h' = (h - b_out·B^(w-1))·B + b_in`.
+  *
+  * Two near-identical documents share most windows, hence (with high
+  * probability) the same minimum — a locality-sensitive scalar fingerprint
+  * that costs one pass and no shuffle, complementing md5 (exact) and
+  * MinHash (set-similarity) dedup keys.
+  */
+case class RollingMinHashExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMinHashExpr.minRollingHash(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RollingMinHashExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.minRollingHash($c, $window);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHashExpr {
+  private val B = 1000003L
+
+  def minRollingHash(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    // B^(w-1) with wrapping arithmetic (consistent everywhere)
+    var bw = 1L
+    var i = 1
+    while (i < w) { bw *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var minH = h
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xff) * bw) * B + (bytes(i) & 0xff)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  def rollingMinHash(text: Column, window: Int = 16): Column =
+    ColumnBridge.column(RollingMinHashExpr(ColumnBridge.expression(text), window))
+}

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) for two array<double> columns. */
+  /** dot(a, b) for two array<double> columns — native codegen'd loop
+    * ([[graft.functions.DotProductExpr]]); this is evaluated once per
+    * candidate pair, the hot path of every operator below.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dotProduct(a, b)
 
   /** Cast to double and scale to unit L2 norm (zero vectors left as zero). */
   def unitNorm(vec: Column): Column = {

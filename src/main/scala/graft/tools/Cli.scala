@@ -16,7 +16,10 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-cli")
-    GraftSession.registerAll(spark, sfDir)
+    // ≙ reference startup stats harvest (statistics_manager.cpp): CBO row
+    // counts + column stats make the plan tree print real row estimates
+    println("harvesting table statistics (ANALYZE) ...")
+    GraftSession.ensureAnalyzedCatalog(spark, sfDir)
     println(s"graft SQL engine — tables from $sfDir — type SQL, 'exit' to quit")
     var line = ""
     while ({ line = Option(StdIn.readLine("sql> ")).getOrElse("exit"); line.trim != "exit" }) {

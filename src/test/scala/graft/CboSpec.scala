@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{GraftSession, QueryEngine}
+
+/** CBO statistics harvest (≙ reference statistics_manager.cpp): catalog
+  * tables + ANALYZE give the plan tree real row estimates.
+  */
+class CboSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("analyzed catalog yields rowCount estimates in the plan tree") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    // temp views (registered by other suites) would shadow the catalog tables
+    Seq("nation", "region").foreach(spark.catalog.dropTempView(_))
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
+    assert(rep.planTree.contains("rows=25"), rep.planTree)
+    assert(!rep.planTree.split("\n").exists(_.contains("rows=?")), rep.planTree)
+  }
+
+  test("CBO join estimation produces a row estimate for the join node") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    Seq("customer", "orders").foreach(v => if (spark.catalog.tableExists(v))
+      spark.catalog.dropTempView(v))
+    val df = spark.sql(
+      "SELECT c.c_name FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE c.c_acctbal > 0")
+    val joinStats = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.stats
+    }
+    assert(joinStats.nonEmpty && joinStats.head.rowCount.isDefined,
+      s"join should have a CBO row estimate, got $joinStats")
+  }
+}
