@@ -361,6 +361,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(10, 2))).as("total")),
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(10,2))) AS total FROM events GROUP BY 1, 2"),
 
+    // skew-resistant salted join — oracle is the PLAIN join, proving the
+    // salting rewrite is semantics-preserving
+    "x01_salted_join" -> entry(
+      (s, d) => {
+        val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+        graft.operators.ScaleOps.saltedJoin(l, sup, "l_suppkey", "s_suppkey", 8)
+          .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      },
+      "SELECT l_orderkey, l_linenumber, s_name FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"),
+
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(
       (s, d) => t(s, d, "events")

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File source/sink surface. The reference reads MySQL tables and prints to
+  * stdout (SURVEY.md §2c: no file formats); a Spark-native engine gets the
+  * full columnar/row format family. Parquet is the primary format (columnar,
+  * predicate+projection pushdown, min/max skipping); ORC shares those
+  * properties; CSV/JSON are interchange formats (schema-on-read, no
+  * pushdown beyond partition pruning — keep them at the edges of a
+  * pipeline, never in the middle).
+  */
+object DataSources {
+
+  val formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  def write(df: DataFrame, path: String, format: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite").format(format)
+    if (format == "csv") w = w.option("header", "true")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+
+  /** Read with an explicit schema where the format needs one (CSV/JSON
+    * schema inference costs an extra full pass at 100 TB — never rely on it
+    * in production paths).
+    */
+  def read(spark: SparkSession, path: String, format: String,
+      schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read.format(format)
+    if (format == "csv") r = r.option("header", "true")
+    schema.foreach(s => r = r.schema(s))
+    r.load(path)
+  }
+}

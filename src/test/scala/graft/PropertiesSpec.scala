@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.GraftSession
+
+/** Optimizer-parity properties (FIXTURES.md §5): the rewrites the reference
+  * performs must be semantics-preserving in our engine — optimized and
+  * naive formulations return identical result sets.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = { val s = TestSpark.spark; GraftSession.registerAll(s, TestSpark.sfDir); s }
+
+  private def assertSameResult(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$hint: results differ (${a.count()} vs ${b.count()} rows)")
+  }
+
+  test("comma-join form ≡ explicit JOIN form (rewrite preserves results)") {
+    val pairs = Seq(
+      ("SELECT c.c_name, o.o_orderkey FROM customer c, orders o WHERE c.c_custkey = o.o_custkey",
+       "SELECT c.c_name, o.o_orderkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"),
+      ("SELECT c.c_name, n.n_name FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000",
+       "SELECT c.c_name, n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE c.c_acctbal > 5000"),
+      ("SELECT c.c_name, o.o_orderkey, n.n_name FROM customer c, orders o, nation n WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = n.n_nationkey AND o.o_orderstatus = 'F'",
+       "SELECT c.c_name, o.o_orderkey, n.n_name FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE o.o_orderstatus = 'F'"))
+    pairs.zipWithIndex.foreach { case ((comma, explicit), i) =>
+      assertSameResult(spark.sql(comma), spark.sql(explicit), s"pair $i")
+    }
+  }
+
+  test("scalar-subquery form ≡ LEFT JOIN form (decorrelation preserves results)") {
+    val sub = spark.sql(
+      """SELECT c.c_custkey, (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nn
+         FROM customer c""")
+    val join = spark.sql(
+      """SELECT c.c_custkey, n.n_name AS nn
+         FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey""")
+    assertSameResult(sub, join, "decorrelation")
+  }
+
+  test("filter order permutations yield identical results (pushdown invariance)") {
+    val base = GraftSession.table(spark, TestSpark.sfDir, "orders")
+    import org.apache.spark.sql.functions.col
+    val f1 = col("o_totalprice") > 100000.0
+    val f2 = col("o_orderstatus") === "O"
+    val f3 = col("o_custkey") < 1000L
+    val perms = Seq(Seq(f1, f2, f3), Seq(f3, f1, f2), Seq(f2, f3, f1))
+    val results = perms.map(fs => fs.foldLeft(base)((d, f) => d.filter(f)))
+    results.tail.foreach(r => assertSameResult(results.head, r, "filter permutation"))
+  }
+
+  test("LIMIT n is a subset of the unlimited result") {
+    val all = spark.sql("SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0")
+      .collect().map(_.getLong(0)).toSet
+    val limited = spark.sql("SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0 LIMIT 20")
+      .collect().map(_.getLong(0)).toSet
+    assert(limited.size == math.min(20, all.size) && limited.subsetOf(all))
+  }
+
+  test("CBO on/off produces identical flagship results") {
+    val q = SparkEntry.oracleSql("q29_flagship")
+    val on = spark.sql(q)
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = spark.sql(q)
+      assertSameResult(on, off, "cbo on/off")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+}
