@@ -1,29 +1,84 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 import graft.engine.GraftSession
 
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop sink
-  * (a bare count() would let Catalyst prune the projected work), and prints
-  * ONE JSON line for the driver.
+/** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * forcing full materialization through the noop sink (a bare count() would
+  * let Catalyst prune the projected work), and prints ONE JSON line.
+  *
+  * Also reproduces BASELINE.md's optimized-vs-naive table: the five
+  * reference query shapes timed with the optimizer stack on (CBO + AQE +
+  * broadcast + parquet pushdown) vs pessimized — the Spark-vs-Spark
+  * analog of the reference's before/after claims (`OPTIMIZATION_DEMO.md:
+  * 240-255`), reported under "baseline_shapes".
   */
 object Bench {
+
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The five BASELINE.md query-class shapes on the testdata schema. */
+  private val shapes: Seq[(String, String)] = Seq(
+    "simple_select" ->
+      "SELECT c_name FROM customer WHERE c_acctbal > 9000.0",
+    "join_2table" ->
+      "SELECT c.c_name, o.o_totalprice FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_orderstatus = 'O'",
+    "join_3table" ->
+      "SELECT c.c_name, o.o_orderkey, l.l_quantity FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE c.c_acctbal > 0",
+    "scalar_subquery" ->
+      "SELECT c.c_name, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_count FROM customer c WHERE c.c_acctbal > 0",
+    "complex" ->
+      "SELECT n.n_name, COUNT(*) AS n, SUM(l.l_extendedprice) AS rev FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY n.n_name HAVING COUNT(*) > 10 ORDER BY rev DESC LIMIT 10")
+
+  /** Pessimize the optimizer stack (≙ the reference's "before" plans):
+    * no CBO, no AQE, no broadcast joins, no parquet pushdown, default-200
+    * shuffle partitions.
+    */
+  private def setNaive(spark: SparkSession, naive: Boolean, cpus: Int): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", (!naive).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", (!naive).toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", if (naive) "-1" else "10485760")
+    spark.conf.set("spark.sql.parquet.filterPushdown", (!naive).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", if (naive) "200" else cpus.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.build(cpus, "graft-bench")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val t = time {
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    GraftSession.registerAll(spark, sfDir)
+    val shapeResults = shapes.map { case (name, sql) =>
+      setNaive(spark, naive = false, cpus)
+      val opt = time(materialize(spark.sql(sql)))
+      setNaive(spark, naive = true, cpus)
+      val naive = time(materialize(spark.sql(sql)))
+      setNaive(spark, naive = false, cpus)
+      name -> (opt, naive)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bs = shapeResults.map { case (k, (o, n)) =>
+      f""""$k":{"optimized":$o%.3f,"naive":$n%.3f,"speedup":${n / math.max(o, 1e-9)}%.2f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_shapes":$bs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -141,19 +141,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+    val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val ta = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_a"))
-    val tb = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_b"))
+    val sizes = toks0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // size-ratio prune: J(A,B) <= min/max, so J >= t requires
+    // min(|A|,|B|) >= t*max(|A|,|B|) — an upper-bound prune that drops
+    // candidate pairs before the expensive intersection count without
+    // changing the result set.
+    val toks = toks0.join(broadcast(sizes), "doc_id")
+    val ta = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val tb = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     val inter = ta.join(tb, Seq("blk", "tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") < col("doc_b")
+        && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold)
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    inter.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    inter.select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
