@@ -55,6 +55,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.build(cpus, "graft-bench")
 
+    // warm the JVM/codegen/file-listing paths so the first timed query
+    // isn't charged session startup
+    materialize(GraftSession.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count())
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = time {
         try materialize(fn(spark, sfDir))

@@ -329,6 +329,11 @@ object SparkEntry {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 5)),
 
+    // IVF approximate top-k: sampled spherical k-means cells + nProbe search
+    "d09_ann_ivf" -> noOracle(
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)),
+
     // language-ID heuristic (codegen'd CASE/LIKE chain)
     "t01_lang_id" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),

@@ -79,6 +79,62 @@ object Similarity {
       when(dot(unit, typedlit(p)) >= 0.0, lit(1 << j)).otherwise(0)
     }.reduce(_ bitwiseOR _)
 
+  /** IVF-style approximate top-k: spherical k-means centroids trained on a
+    * bounded driver-side sample (deterministic seed/order), broadcast as
+    * plan constants; every vector is assigned to its nearest centroid in a
+    * codegen'd projection, and each query probes only its `nProbe` nearest
+    * cells. The join shuffles on the cell id — at 100 TB the sample stays
+    * bounded, the centroid set is tiny, and candidate comparison is
+    * 1/nCentroids·nProbe of brute force.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
+      iters: Int = 5): DataFrame = {
+    val all = normalized(emb, idCol, vecCol)
+    // bounded, deterministic sample → local spherical k-means
+    val sample = all.orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= nCentroids, "sample smaller than nCentroids")
+    var centroids = sample.take(nCentroids)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        val best = centroids.indices.maxBy(i =>
+          centroids(i).zip(v).map { case (a, b) => a * b }.sum)
+        counts(best) += 1
+        v.indices.foreach(j => sums(best)(j) += v(j))
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else {
+          val m = sums(i).map(_ / counts(i))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) centroids(i) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    // per-row cell assignment and per-query probe list, from broadcast
+    // centroid constants (struct ordering makes array_min/array_sort pick
+    // by similarity first)
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+    }: _*)
+    val assigned = all.withColumn("cell", array_min(cells).getField("cell"))
+    val queries = assigned.filter(queryPred)
+      .withColumn("probe", explode(slice(array_sort(cells), 1, nProbe)))
+      .select(col("probe.cell").as("cell"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    val scored = assigned.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("q_unit"), col("unit")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Approximate top-k via sign-LSH bucketing: each query is compared only
     * to candidates in its bucket. Shuffles on the bucket id; at cluster
     * scale each bucket is a local join. Recall < 1 by construction — the

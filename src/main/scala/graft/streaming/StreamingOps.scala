@@ -63,6 +63,15 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
+    * event pipeline needs): duplicates arriving within the watermark window
+    * are dropped with bounded state.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a streaming DataFrame to a named in-memory table and block until
     * all available input is processed (local smoke path).
     */

@@ -37,6 +37,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L))) // 0~1 cos≈0.994 same label; 3,4 orthogonal
   }
 
+  test("ivfTopK finds high-overlap neighbors vs brute force on real embeddings") {
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+      nCentroids = 8, nProbe = 3, sampleSize = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet, s"all queries answered: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks contiguous for $q")
+      // with nProbe=3/8 cells, most approximate neighbors should appear in
+      // the exact top-20
+      val overlap = rows.map(_._2).count(exact(q).contains)
+      assert(overlap >= rows.length / 2, s"query $q overlap $overlap of ${rows.length}")
+    }
+  }
+
   test("lshTopK returns correctly-ranked subset of brute-force results") {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 4)
       .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap

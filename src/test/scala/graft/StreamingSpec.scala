@@ -32,6 +32,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops at-least-once duplicates within the watermark") {
+    // duplicate the whole input: every event_id arrives twice
+    val dir = Files.createTempDirectory("graft-events-dup")
+    Files.copy(Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamingOps.eventsStream(spark, dir.toString)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.dedupStream(stream, Seq("event_id")), "dedup_out", OutputMode.Append())
+    val nDistinct = GraftSession.table(spark, TestSpark.sfDir, "events").count()
+    assert(got.count() == nDistinct, s"${got.count()} vs $nDistinct")
+  }
+
   test("stateful session counts match batch sessionization totals") {
     import spark.implicits._
     val stream = StreamingOps.eventsStream(spark, streamDir)
