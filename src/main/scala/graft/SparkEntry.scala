@@ -280,7 +280,17 @@ object SparkEntry {
     // rewrites (reference lexes ANY/ALL, `lexer.cpp:36`; Spark SQL expresses
     // them this way)
     "q32_any_all" -> shared(
-      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice >= (SELECT MAX(p_retailprice) FROM part) OR p_retailprice < (SELECT MIN(p_retailprice) + 1.0 FROM part)")
+      "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice >= (SELECT MAX(p_retailprice) FROM part) OR p_retailprice < (SELECT MIN(p_retailprice) + 1.0 FROM part)"),
+
+    // kitchen sink (≙ test_complex_queries.sql:1): arithmetic inside an
+    // aggregate + IN list + OR + LIKE + GROUP BY + HAVING + ORDER BY on the
+    // aggregate alias + LIMIT
+    "q33_kitchen_sink" -> shared(
+      "SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 2) AS doubled_spend, COUNT(*) AS n FROM orders WHERE o_orderstatus IN ('O', 'F') OR o_orderpriority LIKE '5%' GROUP BY o_custkey HAVING COUNT(*) >= 10 ORDER BY doubled_spend DESC, o_custkey LIMIT 25"),
+
+    // 4-table join + DISTINCT + computed sort key (≙ test_complex_queries.sql:5)
+    "q34_four_join_distinct" -> shared(
+      "SELECT DISTINCT r_name, n_name, c_mktsegment, year(o_orderdate) AS yr FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey ORDER BY yr DESC, r_name, n_name, c_mktsegment")
   )
 
   // ------------------------------------------------------------------

@@ -75,6 +75,32 @@ object GraftSession {
       .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
   }
 
+  /** Expose graft's native expressions to SQL users:
+    * `minhash_signature(hashes, k)`, `dot_product(a, b)`,
+    * `rolling_minhash(text, window)` become callable from any `spark.sql`
+    * text and the CLI.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    val reg = spark.sessionState.functionRegistry
+    def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${es.length}")
+    def intArg(fn: String, e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$fn: expected int literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (es: Seq[Expression]) => { arity("minhash_signature", es, 2)
+        graft.functions.MinHashSignatureExpr(es.head, intArg("minhash_signature", es(1))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      (es: Seq[Expression]) => { arity("dot_product", es, 2)
+        graft.functions.DotProductExpr(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_minhash",
+      (es: Seq[Expression]) => { arity("rolling_minhash", es, 2)
+        graft.functions.RollingMinHashExpr(es.head, intArg("rolling_minhash", es(1))) }, "scala_udf")
+  }
+
   /** Tables safe to ANALYZE … FOR ALL COLUMNS (no array/ns-timestamp cols). */
   private val analyzableTables = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents")

@@ -20,6 +20,7 @@ object Cli {
     // counts + column stats make the plan tree print real row estimates
     println("harvesting table statistics (ANALYZE) ...")
     GraftSession.ensureAnalyzedCatalog(spark, sfDir)
+    GraftSession.registerFunctions(spark)
     println(s"graft SQL engine — tables from $sfDir — type SQL, 'exit' to quit")
     var line = ""
     while ({ line = Option(StdIn.readLine("sql> ")).getOrElse("exit"); line.trim != "exit" }) {

@@ -39,6 +39,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1)) // min window falls inside the shared chunk
   }
 
+  test("native expressions are callable from SQL after registration") {
+    graft.engine.GraftSession.registerFunctions(spark)
+    Seq((1L, "the quick brown fox", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("id", "text", "a", "b").createOrReplaceTempView("fn_probe")
+    val r = spark.sql(
+      """SELECT rolling_minhash(text, 8) AS rh, dot_product(a, b) AS dp,
+                size(minhash_signature(array(xxhash64(text)), 16)) AS sig_len
+         FROM fn_probe""").collect()(0)
+    assert(r.getDouble(1) == 11.0 && r.getInt(2) == 16)
+  }
+
   test("rolling min-hash: short and empty inputs do not fail") {
     val df = Seq((1L, ""), (2L, "ab")).toDF("id", "text")
     val fps = df.select(RollingMinHashExpr.rollingMinHash(col("text"), 16)).collect()
