@@ -324,6 +324,12 @@ object SparkEntry {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
+    // end-to-end corpus dedup: exact-fingerprint pass + MinHash near-dup
+    // pass, greedy keep-lowest-id (the "dedup this corpus" API)
+    "d10_dedup_corpus" -> noOracle(
+      (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"))),
+
     // embedding-cosine near-duplicate pairs, blocked by label
     "d06_embed_neardup" -> noOracle(
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.4)

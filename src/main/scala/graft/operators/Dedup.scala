@@ -133,6 +133,25 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** End-to-end corpus dedup: exact (normalized fingerprint) clustering
+    * first, then MinHash-LSH near-duplicate pairs over the exact-unique
+    * survivors; greedy keep-lowest-id resolution (doc_b of every near-dup
+    * pair is dropped). Returns the documents to KEEP with original columns.
+    *
+    * Two shuffles total (fingerprint groupBy + LSH band join) — the shape
+    * a 100 TB corpus dedup actually runs.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minhashThreshold: Double = 0.7): DataFrame = {
+    val keepExact = fingerprintClusters(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactSurvivors = docs.join(keepExact, idCol)
+    val nearDupDrops = minhashNearDuplicates(exactSurvivors, idCol, textCol,
+        threshold = minhashThreshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    exactSurvivors.join(nearDupDrops, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------- exact jaccard
 
   /** Exact token-set Jaccard pairs >= threshold, blocked by `blockCol`

@@ -60,6 +60,13 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("dedupCorpus keeps one representative per exact/near-dup cluster") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", minhashThreshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // 1,2 exact dups and 3 near-dup of 1 → keep 1 only; 4 and 5 unrelated
+    assert(kept == Set(1L, 4L, 5L), kept)
+  }
+
   test("shingles: short text falls back to whole-text shingle") {
     val one = Seq((1L, "tiny text")).toDF("doc_id", "text")
     val sig = Dedup.minhashNearDuplicates(one, "doc_id", "text").collect()
