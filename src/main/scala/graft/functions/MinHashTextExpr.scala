@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash-from-text: whitespace-tokenize, form word `n`-gram
+  * shingles as BYTE SPANS of the original text (no substring
+  * materialization), xxhash64 each span, and fold the k seeded-family
+  * minima — one pass, one primitive minima array, zero per-shingle
+  * allocations.
+  *
+  * Replaces the `shingles → transform(xxhash64) → MinHashSignatureExpr`
+  * pipeline's remaining interpreted stage (shingle string construction via
+  * higher-order lambdas), which dominated signature cost after the k-minima
+  * stage went native. Signature semantics: documents sharing word n-grams
+  * (single-space canonical form) collide exactly as before.
+  */
+case class MinHashTextExpr(child: Expression, shingle: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashTextExpr.signature(input.asInstanceOf[UTF8String], shingle, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinHashTextExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.signature($c, $shingle, $k));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashTextExpr {
+
+  def signature(text: UTF8String, shingle: Int, k: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // word boundaries: starts(i)/ends(i) of non-empty runs between spaces
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && bytes(i) != ' ') i += 1
+        ends.add(i)
+      }
+    }
+    val words = starts.size()
+    val minima = Array.fill(k)(Long.MaxValue)
+    def fold(base: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashLong(base, j)
+        if (v < minima(j)) minima(j) = v
+        j += 1
+      }
+    }
+    if (words < shingle) {
+      fold(hashSpan(bytes, 0, n))
+    } else {
+      var w = 0
+      while (w <= words - shingle) {
+        fold(hashSpan(bytes, starts.get(w), ends.get(w + shingle - 1)))
+        w += 1
+      }
+    }
+    minima
+  }
+
+  /** xxhash64 over the byte span, seed 42 (Spark's default hash seed). */
+  private def hashSpan(bytes: Array[Byte], from: Int, until: Int): Long =
+    XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+      until - from, 42L)
+
+  def minhashText(text: Column, shingle: Int = 3, k: Int = 64): Column =
+    ColumnBridge.column(MinHashTextExpr(ColumnBridge.expression(text), shingle, k))
+}

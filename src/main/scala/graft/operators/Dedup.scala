@@ -46,15 +46,14 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature (array of k minima over independently-hashed shingle
-    * hashes) — the shingle hashing is column algebra, the k-minima pass is
-    * the native [[graft.functions.MinHashSignatureExpr]] (one primitive
-    * loop; k interpreted `transform` lambdas were ~100× slower and
-    * dominated LSH dedup wall-clock).
+  /** MinHash signature: fully fused native expression
+    * ([[graft.functions.MinHashTextExpr]]) — tokenize, shingle-as-byte-span,
+    * hash, k-minima in one codegen'd pass. The staged column-algebra
+    * variants ([[shingles]] + [[graft.functions.MinHashSignatureExpr]])
+    * remain available for composition with custom tokenizers.
     */
   def minhashSignature(text: Column, k: Int = 64): Column =
-    graft.functions.MinHashSignatureExpr.minhashSignature(
-      transform(shingles(text), s => xxhash64(s)), k)
+    graft.functions.MinHashTextExpr.minhashText(text, shingle = 3, k = k)
 
   /** Estimated Jaccard between two signatures = fraction of equal minima. */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
