@@ -99,6 +99,15 @@ object GraftSession {
     reg.createOrReplaceTempFunction("rolling_minhash",
       (es: Seq[Expression]) => { arity("rolling_minhash", es, 2)
         graft.functions.RollingMinHashExpr(es.head, intArg("rolling_minhash", es(1))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash",
+      (es: Seq[Expression]) => { arity("simhash", es, 1)
+        graft.functions.SimHashTextExpr(es.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("unit_norm",
+      (es: Seq[Expression]) => { arity("unit_norm", es, 1)
+        graft.functions.UnitNormExpr(es.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("match_fraction",
+      (es: Seq[Expression]) => { arity("match_fraction", es, 2)
+        graft.functions.MatchFractionExpr(es.head, es(1)) }, "scala_udf")
   }
 
   /** Tables safe to ANALYZE … FOR ALL COLUMNS (no array/ns-timestamp cols). */

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fraction of positions where two `array<long>` MinHash signatures agree —
+  * the Jaccard estimate, evaluated once per LSH candidate pair (the verify
+  * hot path), where the `zip_with → filter → size` column-algebra form pays
+  * three interpreted lambda passes per pair.
+  */
+case class MatchFractionExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  // int arrays arrive from SQL literals (`array(1,2,3)`); widen to long
+  private def isLong(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MatchFractionExpr.fraction(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isLong(left), isLong(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MatchFractionExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $cls.fraction($l, $r, ${isLong(left)}, ${isLong(right)});")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatchFractionExpr {
+
+  /** equal-position count / left length (signatures share a fixed k). */
+  def fraction(a: ArrayData, b: ArrayData, aLong: Boolean, bLong: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      val av = if (aLong) a.getLong(i) else a.getInt(i).toLong
+      val bv = if (bLong) b.getLong(i) else b.getInt(i).toLong
+      if (av == bv) eq += 1
+      i += 1
+    }
+    if (a.numElements() == 0) 0.0 else eq.toDouble / a.numElements()
+  }
+
+  def matchFraction(a: Column, b: Column): Column =
+    ColumnBridge.column(MatchFractionExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

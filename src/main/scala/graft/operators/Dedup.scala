@@ -55,10 +55,12 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 64): Column =
     graft.functions.MinHashTextExpr.minhashText(text, shingle = 3, k = k)
 
-  /** Estimated Jaccard between two signatures = fraction of equal minima. */
+  /** Estimated Jaccard between two signatures = fraction of equal minima
+    * (native codegen'd loop, [[graft.functions.MatchFractionExpr]] — this is
+    * evaluated once per LSH candidate pair).
+    */
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
-      size(sigA)
+    graft.functions.MatchFractionExpr.matchFraction(sigA, sigB)
 
   /** Near-duplicate pairs via MinHash + LSH banding.
     *
@@ -93,21 +95,17 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,
-    * sign of the sum of ±1 token contributions. One explode + one hash
-    * aggregate; the 64 bit-sums are codegen'd columns.
+    * sign of the sum of ±1 token contributions — fused into one codegen'd
+    * pass per document ([[graft.functions.SimHashTextExpr]]).
+    *
+    * SimHash is a pure per-row function, so the signature stage needs ZERO
+    * shuffle (the earlier explode + 64-column hash aggregate shuffled every
+    * token). Token-less docs are dropped, matching the explode form.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
-    }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHashTextExpr.simhashText(col(textCol)).as("simhash"))
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming (< 4):
     * pigeonhole on 4 16-bit blocks (a pair within hamming 3 must agree on at

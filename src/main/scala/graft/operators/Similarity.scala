@@ -21,12 +21,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProductExpr.dotProduct(a, b)
 
-  /** Cast to double and scale to unit L2 norm (zero vectors left as zero). */
-  def unitNorm(vec: Column): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(n === 0.0, v).otherwise(transform(v, x => x / n))
-  }
+  /** Cast to double and scale to unit L2 norm (zero vectors left as zero) —
+    * native codegen'd loop ([[graft.functions.UnitNormExpr]]); evaluated
+    * once per vector, the shared prefix of every operator below.
+    */
+  def unitNorm(vec: Column): Column =
+    graft.functions.UnitNormExpr.unitNorm(vec)
 
   /** Normalize an embeddings table once: (id, unit) — the shared prefix of
     * every operator below.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DotProductExpr, RollingMinHashExpr}
+import graft.functions.{DotProductExpr, MatchFractionExpr, RollingMinHashExpr, SimHashTextExpr, UnitNormExpr}
 
 class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -54,5 +54,52 @@ class FunctionsSpec extends AnyFunSuite {
     val df = Seq((1L, ""), (2L, "ab")).toDF("id", "text")
     val fps = df.select(RollingMinHashExpr.rollingMinHash(col("text"), 16)).collect()
     assert(fps.length == 2)
+  }
+
+  test("SimHashTextExpr matches the explode/groupBy column-algebra form bit-for-bit") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst tungsten adaptive"), (3L, "one"), (4L, "  padded   tokens  "))
+      .toDF("id", "text")
+    // oracle: the staged form — explode tokens, xxhash64, 64 ±1 bit sums, sign
+    val toks = df.select(col("id"), explode(filter(split(col("text"), " "), w => w =!= "")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val staged = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = df.select(col("id"), SimHashTextExpr.simhashText(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == staged)
+  }
+
+  test("UnitNormExpr normalizes float and double arrays; zero vector passes through") {
+    val f = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val rows = f.select(col("id"), UnitNormExpr.unitNorm(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows(1L) == Seq(0.6, 0.8) && rows(2L) == Seq(0.0, 0.0))
+    val d = Seq((1L, Array(1.0, 1.0, 1.0, 1.0))).toDF("id", "v")
+      .select(UnitNormExpr.unitNorm(col("v"))).collect()(0).getSeq[Double](0)
+    assert(d == Seq(0.5, 0.5, 0.5, 0.5))
+  }
+
+  test("MatchFractionExpr equals the zip_with/filter/size form") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
+      (Array(1L, 2L), Array(5L, 6L))).toDF("a", "b")
+    val staged = df.select(
+      (size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), b => b)).cast("double") /
+        size(col("a"))).as("f")).collect().map(_.getDouble(0))
+    val native = df.select(MatchFractionExpr.matchFraction(col("a"), col("b")).as("f"))
+      .collect().map(_.getDouble(0))
+    assert(native(0) == 0.75 && native(0) == staged(0))
+    assert(native(1) == 0.0 && native(1) == staged(1))
+    // staged form divides by zero on empty signatures (ANSI); native defines 0.0
+    val empty = Seq((Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+      .select(MatchFractionExpr.matchFraction(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(empty == 0.0)
   }
 }
