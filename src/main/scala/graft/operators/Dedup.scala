@@ -151,28 +151,53 @@ object Dedup {
 
   // ------------------------------------------------------- exact jaccard
 
-  /** Exact token-set Jaccard pairs >= threshold, blocked by `blockCol`
-    * (inverted-index join: shuffle on (block, token), aggregate pair
-    * intersections, join back per-doc set sizes).
+  /** Exact token-set Jaccard pairs >= threshold, blocked by `blockCol` —
+    * PPJoin-style prefix filtering (Xiao et al., WWW'08):
+    *
+    *  1. Rank every token by GLOBAL document frequency (rare first; token
+    *     string as tiebreak — any total order works).
+    *  2. A pair with J >= t shares at least ceil(t·|A|) tokens, so its
+    *     smallest-ranked common token must sit within the first
+    *     |d| − ceil(t·|d|) + 1 tokens of BOTH docs. Only those prefix
+    *     tokens enter the inverted-index candidate join: stopwords fall
+    *     out of most prefixes, killing the O(df²) hot-token blowup that
+    *     dominates at corpus scale.
+    *  3. Size-ratio prune (J <= min/max ⇒ min >= t·max), then exact verify
+    *     by a native sorted-merge intersection
+    *     ([[graft.functions.SortedIntersectCountExpr]]) over per-doc sorted
+    *     token arrays computed straight from the text (zero extra shuffle).
+    *
+    * Same exact result set as the full inverted-index join (the d05 DuckDB
+    * oracle checks this); candidate volume drops from Σ df² over ALL
+    * tokens to Σ df² over prefix tokens.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-    val sizes = toks0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // size-ratio prune: J(A,B) <= min/max, so J >= t requires
-    // min(|A|,|B|) >= t*max(|A|,|B|) — an upper-bound prune that drops
-    // candidate pairs before the expensive intersection count without
-    // changing the result set.
-    val toks = toks0.join(broadcast(sizes), "doc_id")
-    val ta = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val tb = toks.select(col("blk"), col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    val inter = ta.join(tb, Seq("blk", "tok"))
+    val tokenDf = toks0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks0.join(tokenDf, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val pa = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val pb = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cands = pa.join(pb, Seq("blk", "tok"))
       .filter(col("doc_a") < col("doc_b")
         && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold)
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter.select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    // exact verify: per-doc sorted distinct-token arrays, straight from text
+    val arrs = docs.select(col(idCol).as("doc_id"),
+      sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
+    val verified = cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("inter", graft.functions.SortedIntersectCountExpr
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+    verified.select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
