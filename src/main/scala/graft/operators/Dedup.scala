@@ -76,20 +76,24 @@ object Dedup {
     val r = k / bands
     val sigs = docs.select(col(idCol).as("doc_id"),
       minhashSignature(col(textCol), k).as("sig"))
-    val buckets = sigs.select(col("doc_id"), col("sig"),
+    // candidate generation carries ONLY (band, bucket, doc_id) — the k-long
+    // signature (k×8 bytes) stays out of the bands-times-amplified explode
+    // shuffle; pairs are deduped across bands BEFORE signatures re-join.
+    val buckets = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
