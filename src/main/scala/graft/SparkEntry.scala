@@ -393,6 +393,38 @@ object SparkEntry {
       },
       "SELECT l_orderkey, l_linenumber, s_name FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"),
 
+    // column profiling — the user-facing twin of the reference's stats
+    // harvest (statistics_manager.cpp:9-142): one multi-aggregate pass,
+    // then a driver-sized unpivot
+    "p01_profile" -> entry(
+      (s, d) => graft.operators.Profile.describe(
+        t(s, d, "orders"), Seq("o_orderkey", "o_orderstatus", "o_orderdate")),
+      """SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(o_orderstatus),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(o_orderdate),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+        FROM orders"""),
+
+    // deterministic id-hash train/test split — reproducible, repartition-
+    // stable, never rand() (xxhash64 has no DuckDB twin → rows-only check;
+    // SampleOpsSpec asserts determinism, disjointness, fraction)
+    "x02_split" -> noOracle(
+      (s, d) => graft.operators.SampleOps
+        .deterministicSplit(t(s, d, "documents"), "doc_id", 80)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))),
+
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(
       (s, d) => t(s, d, "events")

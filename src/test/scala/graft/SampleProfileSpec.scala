@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Profile, SampleOps}
+
+class SampleProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val df = Seq.tabulate(1000)(i =>
+    (i.toLong, s"cat${i % 4}", if (i % 10 == 0) null else s"v$i"))
+    .toDF("id", "cat", "v")
+
+  test("deterministicSplit: reproducible, disjoint, roughly the asked fraction") {
+    val s1 = SampleOps.deterministicSplit(df, "id", 80)
+    val s2 = SampleOps.deterministicSplit(df.repartition(7), "id", 80)
+    val m1 = s1.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2) // stable under repartitioning
+    val nTrain = m1.values.count(_ == "train")
+    assert(nTrain > 700 && nTrain < 900) // ~80% of 1000
+  }
+
+  test("hashSample keeps the id-stable subset of the split") {
+    val sampled = SampleOps.hashSample(df, "id", 80).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val train = SampleOps.deterministicSplit(df, "id", 80)
+      .filter(col("split") === "train").select("id").collect().map(_.getLong(0)).toSet
+    assert(sampled == train)
+  }
+
+  test("stratifiedCap bounds every stratum and is deterministic") {
+    val c1 = SampleOps.stratifiedCap(df, "cat", "id", 10)
+    val c2 = SampleOps.stratifiedCap(df.repartition(5), "cat", "id", 10)
+    val counts = c1.groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10) && counts.size == 4)
+    assert(c1.select("id").collect().map(_.getLong(0)).toSet ==
+      c2.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("Profile.describe matches hand-computed stats, nulls counted") {
+    val rows = Profile.describe(df, Seq("id", "cat", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getLong(1) == 1000 && rows("id").getLong(2) == 0 &&
+      rows("id").getLong(3) == 1000 && rows("id").getString(4) == "0" &&
+      rows("id").getString(5) == "999")
+    assert(rows("cat").getLong(3) == 4)
+    assert(rows("v").getLong(1) == 900 && rows("v").getLong(2) == 100 &&
+      rows("v").getLong(3) == 900)
+  }
+
+  test("Profile.describe is one exchange: partial+final aggregate, no row shuffle") {
+    val plan = Profile.describe(df, Seq("id", "cat")).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("ObjectHashAggregate"))
+  }
+}
