@@ -369,6 +369,22 @@ object SparkEntry {
     "m01_multimodal_features" -> noOracle(
       (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text")),
 
+    // video-like frame sampling: fixed-stride binary slices, every 4th of
+    // 16-byte frames; frame lengths are SQL-expressible → full oracle
+    "m02_frame_sample" -> entry(
+      (s, d) => Multimodal.frameSample(
+          Multimodal.attachBinary(t(s, d, "documents"), "doc_id", "text"), 16, 4)
+        .select(col("doc_id"), col("frame_no"), col("n_frames"),
+          length(col("frame_bytes")).as("frame_len")),
+      """WITH f AS (
+          SELECT doc_id, strlen(text) AS len,
+                 CAST(ceil(strlen(text) / 16.0) AS INT) AS n_frames
+          FROM documents WHERE strlen(text) > 0),
+        e AS (SELECT doc_id, len, n_frames, unnest(range(0, n_frames)) AS fno FROM f)
+        SELECT doc_id, CAST(fno AS INT) AS frame_no, n_frames,
+               CAST(LEAST(16, len - fno * 16) AS INT) AS frame_len
+        FROM e WHERE fno % 4 = 0"""),
+
     // winnowing-style rolling-hash fingerprint (native expression, O(n)/doc)
     "t04_rolling_fingerprint" -> noOracle(
       (s, d) => t(s, d, "documents").select(col("doc_id"),

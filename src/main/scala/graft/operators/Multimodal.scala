@@ -70,4 +70,23 @@ object Multimodal {
     decodeStub(bin).join(bin.select(col("doc_id"), col("meta.width").as("width"),
       col("meta.height").as("height")), "doc_id")
   }
+
+  /** Frame sampling for video-like payloads: treat the binary as fixed-size
+    * frames, keep every `everyN`-th — pure column algebra (posexplode +
+    * binary substring), one output row per kept frame, no shuffle. A real
+    * pipeline replaces the fixed-stride slicing with container parsing in
+    * [[decodeStub]]'s per-partition loop; the row-explosion shape, frame
+    * numbering, and byte-slicing stay exactly as here.
+    */
+  def frameSample(withBinary: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
+    withBinary
+      .withColumn("n_frames",
+        ceil(length(col("payload")).cast("double") / frameBytes).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_no", "i")))
+      .filter(pmod(col("frame_no"), lit(everyN)) === 0)
+      .select(col("doc_id"), col("frame_no"), col("n_frames"),
+        col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
 }

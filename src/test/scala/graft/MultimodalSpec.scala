@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+
+  test("attachBinary round-trips the payload bytes with metadata") {
+    val rows = Multimodal.attachBinary(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(rows(1L) == "abcdefghij" && rows(3L) == "")
+  }
+
+  test("decodeStub extracts deterministic byte features") {
+    val feats = Multimodal.featurize(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(feats(1L) == 10 && feats(2L) == 2 && feats(3L) == 0)
+  }
+
+  test("frameSample slices fixed-stride frames and keeps every Nth") {
+    val frames = Multimodal.frameSample(
+        Multimodal.attachBinary(docs, "doc_id", "text"), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    // doc 1: 10 bytes -> frames 0,1,2 (4,4,2 bytes); keep 0 and 2
+    assert(frames.toSet == Set((1L, 0, "abcd"), (1L, 2, "ij"), (2L, 0, "xy")))
+  }
+}
