@@ -21,7 +21,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
   */
 object QueryEngine {
 
-  /** Result of one query. `rows` is populated only for executed SELECTs. */
+  /** Result of one query. `rows` is populated only for executed SELECTs;
+    * `rewrittenSql` when the optimized plan un-parses to SQL (≙ the
+    * reference's regenerated optimized SQL, `sqlopt.cpp:691-724`).
+    */
   case class QueryReport(
       kind: String, // SELECT | EXPLAIN | INSERT | UPDATE | DELETE | ERROR
       transformLog: Seq[String],
@@ -30,7 +33,8 @@ object QueryEngine {
       rowCount: Long,
       error: Option[String],
       suggestion: Option[String],
-      df: Option[DataFrame])
+      df: Option[DataFrame],
+      rewrittenSql: Option[String] = None)
 
   private val keywords = Seq(
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
@@ -77,12 +81,13 @@ object QueryEngine {
           val qe = df.queryExecution
           val log = transformLog(qe.analyzed, qe.optimizedPlan)
           val tree = renderTree(qe.optimizedPlan)
-          if (isExplain) QueryReport("EXPLAIN", log, tree, Nil, 0, None, None, Some(df))
+          val rewritten = rewrittenSql(qe.optimizedPlan)
+          if (isExplain) QueryReport("EXPLAIN", log, tree, Nil, 0, None, None, Some(df), rewritten)
           else {
             val collected = df.collect()
             val rendered = collected.toSeq.map(row =>
               row.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString(" | "))
-            QueryReport("SELECT", log, tree, rendered, collected.length, None, None, Some(df))
+            QueryReport("SELECT", log, tree, rendered, collected.length, None, None, Some(df), rewritten)
           }
         } catch {
           // ParseException extends AnalysisException — match it first so
@@ -160,6 +165,107 @@ object QueryEngine {
     if (log.isEmpty) Seq("no transformations applied") else log.zipWithIndex.map {
       case (l, i) => s"${i + 1}. $l"
     }
+  }
+
+  // ------------------------------------------------------------------
+  // rewritten SQL: un-parse the OPTIMIZED plan back to SQL text
+  // (reference sqlopt.cpp:691-724 — pushed-down filters render as inline
+  // views, join order is the optimizer's)
+  // ------------------------------------------------------------------
+
+  /** Expression → SQL with alias qualifiers stripped: the regenerated FROM
+    * clause re-aliases every relation to its table name, so original query
+    * aliases (`c.c_acctbal`) must not leak into the rendered expressions.
+    */
+  private def exprSql(e: Expression): String = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      a.withQualifier(Nil)
+  }.sql
+
+  private def tableName(l: LeafNode): Option[String] = l match {
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      r.catalogTable.map(_.identifier.table).orElse(r.relation match {
+        // temp views over parquet files: recover the name from the path
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+        case _ => None
+      })
+    case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+      Some(r.tableMeta.identifier.table)
+    case _ => None
+  }
+
+  /** FROM-clause rendering of a join subtree: base tables, inline views for
+    * pushed-down filters/projections, JOIN … ON chains. None for any node
+    * outside the supported family.
+    */
+  private def fromSql(p: LogicalPlan): Option[String] = p match {
+    case l: LeafNode => tableName(l)
+    case Filter(cond, l: LeafNode) =>
+      tableName(l).map(t => s"(SELECT * FROM $t WHERE ${exprSql(cond)}) AS $t")
+    case Project(cols, l: LeafNode) =>
+      tableName(l).map(t => s"(SELECT ${cols.map(exprSql).mkString(", ")} FROM $t) AS $t")
+    case Project(cols, Filter(cond, l: LeafNode)) =>
+      tableName(l).map(t =>
+        s"(SELECT ${cols.map(exprSql).mkString(", ")} FROM $t WHERE ${exprSql(cond)}) AS $t")
+    case Join(left, right, joinType, cond, _) =>
+      val kw = joinType match {
+        case org.apache.spark.sql.catalyst.plans.Inner => Some("JOIN")
+        case org.apache.spark.sql.catalyst.plans.LeftOuter => Some("LEFT JOIN")
+        case org.apache.spark.sql.catalyst.plans.RightOuter => Some("RIGHT JOIN")
+        case org.apache.spark.sql.catalyst.plans.FullOuter => Some("FULL JOIN")
+        case org.apache.spark.sql.catalyst.plans.Cross => Some("CROSS JOIN")
+        case _ => None
+      }
+      for {
+        k <- kw
+        ls <- fromSql(left)
+        rs <- fromSql(right)
+      } yield cond match {
+        case Some(c) => s"$ls $k $rs ON ${exprSql(c)}"
+        case None if k == "CROSS JOIN" => s"$ls CROSS JOIN $rs"
+        case None => s"$ls CROSS JOIN $rs"
+      }
+    case _ => None
+  }
+
+  /** Regenerated optimized SQL for the supported plan family:
+    * [Limit] [Sort] (Project | Aggregate) [Filter] join-tree. None (and the
+    * CLI says so) for shapes with no faithful SQL rendering — never a
+    * best-effort lie.
+    */
+  def rewrittenSql(optimized: LogicalPlan): Option[String] = {
+    // peel LIMIT
+    val (limitSql, p1) = optimized match {
+      case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+          LocalLimit(_, child)) => (s" LIMIT $n", child)
+      case other => ("", other)
+    }
+    // peel ORDER BY
+    val (orderSql, p2) = p1 match {
+      case Sort(order, true, child, _) =>
+        (s" ORDER BY ${order.map(exprSql).mkString(", ")}", child)
+      case other => ("", other)
+    }
+    // SELECT head: projection or aggregation (with optional HAVING-less filter below)
+    def body(n: LogicalPlan): Option[String] = n match {
+      case Aggregate(groups, aggs, child, _) =>
+        val from = n match { case _ => selectFrom(child) }
+        from.map { f =>
+          val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
+          s"SELECT ${aggs.map(exprSql).mkString(", ")} FROM $f$g"
+        }
+      case Project(cols, child) =>
+        selectFrom(child).map(f => s"SELECT ${cols.map(exprSql).mkString(", ")} FROM $f")
+      case other =>
+        selectFrom(other).map(f => s"SELECT * FROM $f")
+    }
+    def selectFrom(n: LogicalPlan): Option[String] = n match {
+      case Filter(cond, child @ (_: Join)) =>
+        fromSql(child).map(f => s"$f WHERE ${exprSql(cond)}")
+      case other => fromSql(other)
+    }
+    body(p2).map(b => s"$b$orderSql$limitSql")
   }
 
   // ------------------------------------------------------------------

@@ -36,6 +36,10 @@ object Cli {
           println("-- plan --")
           println(rep.planTree)
         }
+        rep.rewrittenSql.foreach { s =>
+          println("-- rewritten SQL --")
+          println(s)
+        }
         if (rep.kind == "SELECT") {
           rep.rows.take(50).foreach(println)
           if (rep.rowCount > 50) println(s"... (${rep.rowCount} rows total)")

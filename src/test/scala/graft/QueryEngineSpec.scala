@@ -59,4 +59,33 @@ class QueryEngineSpec extends AnyFunSuite {
       "EXPLAIN SELECT c.c_name FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey")
     assert(rep.transformLog.mkString.contains("comma_join_conversion"), rep.transformLog)
   }
+
+  test("rewritten SQL: comma join regenerates as JOIN..ON with inline-view pushdown") {
+    val rep = QueryEngine.run(spark,
+      """EXPLAIN SELECT c.c_name FROM customer c, nation n
+         WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000""")
+    val sql = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql; tree:\n${rep.planTree}"))
+    assert(sql.contains(" JOIN ") && sql.contains(" ON "), sql)
+    assert(sql.contains("(SELECT") && sql.contains("WHERE"), sql) // pushdown as inline view
+  }
+
+  test("rewritten SQL round-trips: optimized text returns the original results") {
+    val queries = Seq(
+      "SELECT c.c_name FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000",
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+  }
+
+  test("rewritten SQL is None, never a lie, for unsupported plan shapes") {
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn FROM orders")
+    assert(rep.rewrittenSql.isEmpty)
+  }
 }
