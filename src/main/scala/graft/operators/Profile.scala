@@ -19,13 +19,22 @@ object Profile {
   /** (col_name, n, n_null, n_distinct, min_value, max_value) — min/max
     * rendered as strings so heterogeneous column types stack into one
     * result.
+    *
+    * `exact = true` uses COUNT(DISTINCT …): Spark plans k distinct columns
+    * as an Expand producing k+1 rows per input row plus a regrouping
+    * shuffle — exact, oracle-able, fine up to mid scale. `exact = false`
+    * swaps in `approx_count_distinct` (HyperLogLog++): partial-mergeable,
+    * so the whole profile is ONE pass with a single one-row exchange and no
+    * Expand — the shape to run on 100 TB (this is what ANALYZE-style stats
+    * collection does too).
     */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describe(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val nd = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        nd.as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }

@@ -69,4 +69,40 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("*("), "expected WholeStageCodegen span")
   }
+
+  test("d04 simhash: zero exchanges before the candidate join (per-row signatures)") {
+    val df = graft.operators.Dedup.simhash(
+      GraftSession.table(spark, sf, "documents"), "doc_id", "text")
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "signature computation must not shuffle")
+  }
+
+  test("m02 frame sampling: no shuffle — explode stays in the scan stage") {
+    val df = SparkEntry.queries("m02_frame_sample")(spark, sf)
+    df.collect()
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "frame sampling is a per-row projection")
+  }
+
+  test("p01 profile: exact mode pays the Expand; approx mode is one pass, no Expand") {
+    val p = executedPlanString("p01_profile")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Aggregate"), p)
+
+    val approx = graft.operators.Profile.describe(
+      GraftSession.table(spark, sf, "orders"),
+      Seq("o_orderkey", "o_orderstatus", "o_orderdate"), exact = false)
+    approx.collect()
+    val ap = approx.queryExecution.executedPlan
+    assert(!ap.toString.contains("Expand"), "approx profile must not Expand rows")
+    val exchanges = collect(ap) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, "approx profile is partial+final over ONE exchange")
+  }
 }
