@@ -18,6 +18,18 @@ case class MatchFractionExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType | IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"match_fraction expects two integral arrays, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   // int arrays arrive from SQL literals (`array(1,2,3)`); widen to long
   private def isLong(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true

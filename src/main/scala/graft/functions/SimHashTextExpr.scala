@@ -23,6 +23,12 @@ case class SimHashTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash expects a string column, got ${child.dataType.simpleString}")
+
   override def nullSafeEval(input: Any): Any =
     SimHashTextExpr.simhash(input.asInstanceOf[UTF8String])
 

@@ -18,6 +18,18 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects two string arrays, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any =
     SortedIntersectCountExpr.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 

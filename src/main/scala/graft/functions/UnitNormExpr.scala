@@ -21,6 +21,15 @@ case class UnitNormExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType | LongType | IntegerType | _: DecimalType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unit_norm expects a numeric array, got ${other.simpleString}")
+    }
+
   /** (element-type code, decimal precision, decimal scale) */
   private def elemInfo: (Int, Int, Int) = child.dataType match {
     case ArrayType(DoubleType, _)     => (0, 0, 0)

@@ -102,4 +102,17 @@ class FunctionsSpec extends AnyFunSuite {
       .select(MatchFractionExpr.matchFraction(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(empty == 0.0)
   }
+
+  test("mistyped SQL inputs fail at analysis, not at runtime") {
+    graft.engine.GraftSession.registerFunctions(spark)
+    Seq(Tuple1("x")).toDF("s").createOrReplaceTempView("ty_probe")
+    val bad = Seq(
+      "SELECT match_fraction(array('a'), array('b')) FROM ty_probe",
+      "SELECT simhash(42) FROM ty_probe",
+      "SELECT unit_norm(array('a')) FROM ty_probe")
+    bad.foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("expects"), s"$q -> ${e.getMessage}")
+    }
+  }
 }
