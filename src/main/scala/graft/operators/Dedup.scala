@@ -186,11 +186,18 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefix = ranked.filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val pa = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val pb = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val pa = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val pb = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
+    // positional filter (PPJoin): tokens before rank pos cannot contribute
+    // more overlap than 1 + min(|A|−posA, |B|−posB); a J≥t pair needs
+    // overlap ≥ ceil(t/(1+t)·(|A|+|B|))
+    val needOverlap = ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")))
     val cands = pa.join(pb, Seq("blk", "tok"))
       .filter(col("doc_a") < col("doc_b")
-        && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold)
+        && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold
+        && lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= needOverlap)
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .distinct()
     // exact verify: per-doc sorted distinct-token arrays, straight from text
