@@ -330,6 +330,13 @@ object SparkEntry {
       (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"))),
 
+    // transitive closure of the near-dup graph: label-propagation connected
+    // components (one cluster per component, component = min doc id)
+    "d11_dedup_components" -> noOracle(
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text", threshold = 0.7),
+        "doc_a", "doc_b")),
+
     // embedding-cosine near-duplicate pairs, blocked by label
     "d06_embed_neardup" -> noOracle(
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.4)

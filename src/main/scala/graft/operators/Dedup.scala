@@ -134,6 +134,53 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Connected components over near-duplicate pairs — the transitive
+    * closure every production corpus dedup needs (a~b and b~c put a, b, c
+    * in ONE cluster; pairwise greedy resolution can't see that).
+    *
+    * Label propagation: every vertex starts as its own label; each round
+    * takes the min label over itself and its neighbors; converged when no
+    * label changes. Rounds are O(diameter) (≤ maxIter); each round is one
+    * shuffle on the vertex id — the standard large-scale CC shape (the
+    * large-star/small-star family). Near-dup graphs have tiny diameters,
+    * so this converges in 2-4 rounds in practice.
+    *
+    * @return (id, component) with component = min doc id in the cluster;
+    *         only vertices that appear in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    // localCheckpoint after every round: iterative joins otherwise compound
+    // the logical plan exponentially (persist caches data, not lineage). On
+    // a cluster, swap for reliable checkpointing to the shuffle/DFS dir.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "n_comp"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_comp")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** End-to-end corpus dedup: exact (normalized fingerprint) clustering
     * first, then MinHash-LSH near-duplicate pairs over the exact-unique
     * survivors; greedy keep-lowest-id resolution (doc_b of every near-dup

@@ -72,4 +72,21 @@ class DedupSpec extends AnyFunSuite {
     val sig = Dedup.minhashNearDuplicates(one, "doc_id", "text").collect()
     assert(sig.isEmpty) // no pairs from a single doc; computation must not fail
   }
+
+  test("connectedComponents closes transitive chains greedy resolution misses") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), comp)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 0-1-2-…-20: min-label propagation needs several rounds
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(0L), comp.values.toSet)
+  }
 }
