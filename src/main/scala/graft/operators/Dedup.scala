@@ -189,14 +189,27 @@ object Dedup {
     * Two shuffles total (fingerprint groupBy + LSH band join) — the shape
     * a 100 TB corpus dedup actually runs.
     */
+  /** @param transitive greedy mode (false) drops every pair's doc_b — one
+    *        pass, but a doc that only ever appears as doc_a survives even
+    *        when it is transitively a duplicate (pairs (2,10),(1,10) keep
+    *        BOTH 1 and 2). Transitive mode (true) runs
+    *        [[connectedComponents]] over the near-dup graph and keeps only
+    *        each component's min id — the semantics production corpus dedup
+    *        wants, for O(diameter) extra rounds.
+    */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      minhashThreshold: Double = 0.7): DataFrame = {
+      minhashThreshold: Double = 0.7, transitive: Boolean = false): DataFrame = {
     val keepExact = fingerprintClusters(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val exactSurvivors = docs.join(keepExact, idCol)
-    val nearDupDrops = minhashNearDuplicates(exactSurvivors, idCol, textCol,
-        threshold = minhashThreshold)
-      .select(col("doc_b").as(idCol)).distinct()
+    val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,
+      threshold = minhashThreshold)
+    val nearDupDrops =
+      if (transitive)
+        connectedComponents(pairs, "doc_a", "doc_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("doc_b").as(idCol)).distinct()
     exactSurvivors.join(nearDupDrops, Seq(idCol), "left_anti")
   }
 

@@ -73,6 +73,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.isEmpty) // no pairs from a single doc; computation must not fail
   }
 
+  test("transitive dedupCorpus drops doc_a-only transitive dups greedy keeps") {
+    // 1, 2, 10 mutually near-dup by construction; with ids arranged so doc 2
+    // only ever appears as doc_a, greedy keeps {1, 2}, transitive keeps {1}
+    val tri = Seq(
+      (1L, base, "s0"), (2L, base + " x", "s0"), (10L, base + " y", "s0"),
+      (20L, "completely different text about spark sql engines", "s0"))
+      .toDF("doc_id", "text", "source")
+    val transitive = Dedup.dedupCorpus(tri, "doc_id", "text",
+        minhashThreshold = 0.5, transitive = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(transitive == Set(1L, 20L), transitive)
+  }
+
   test("connectedComponents closes transitive chains greedy resolution misses") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
