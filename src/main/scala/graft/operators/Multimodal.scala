@@ -71,6 +71,34 @@ object Multimodal {
       col("meta.height").as("height")), "doc_id")
   }
 
+  /** Image-resize shape: new metadata plus a proportionally-thinned payload.
+    *
+    * STUB content (real resampling needs a codec — it goes where the byte
+    * arithmetic is, inside the per-partition loop); REAL plumbing: binary in
+    * → binary out with consistent metadata, evaluated per-row with no
+    * shuffle, the exact shape of a 100 TB thumbnail job.
+    */
+  def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = withBinary.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rdd = withBinary.select(col("doc_id"), col("payload"),
+        col("meta.width"), col("meta.height")).rdd.mapPartitions { iter =>
+      iter.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (w, h) = (row.getInt(2), row.getInt(3))
+        // stub "resample": keep bytes proportional to the area ratio
+        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+        val keep = math.max(1, (bytes.length * ratio).toInt)
+        Row(row.getLong(0), bytes.take(keep), math.min(w, targetW), math.min(h, targetH))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling for video-like payloads: treat the binary as fixed-size
     * frames, keep every `everyN`-th — pure column algebra (posexplode +
     * binary substring), one output row per kept frame, no shuffle. A real

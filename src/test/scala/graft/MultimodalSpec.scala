@@ -23,6 +23,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L) == 10 && feats(2L) == 2 && feats(3L) == 0)
   }
 
+  test("resizeStub caps metadata at the target and thins the payload") {
+    val out = Multimodal.resizeStub(
+        Multimodal.attachBinary(docs, "doc_id", "text"), 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
+    val (len1, w1, h1) = out(1L)
+    assert(w1 <= 2 && h1 <= 2 && len1 >= 1 && len1 <= 10)
+    assert(out(3L)._1 == 0) // empty payload: take(1) of nothing stays empty
+  }
+
   test("frameSample slices fixed-stride frames and keeps every Nth") {
     val frames = Multimodal.frameSample(
         Multimodal.attachBinary(docs, "doc_id", "text"), 4, 2)
