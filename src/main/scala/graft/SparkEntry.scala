@@ -392,6 +392,13 @@ object SparkEntry {
                CAST(LEAST(16, len - fno * 16) AS INT) AS frame_len
         FROM e WHERE fno % 4 = 0"""),
 
+    // image-resize shape: binary in → binary out + consistent metadata
+    "m03_resize" -> noOracle(
+      (s, d) => Multimodal.resizeStub(
+          Multimodal.attachBinary(t(s, d, "documents"), "doc_id", "text"), 64, 64)
+        .select(col("doc_id"), length(col("payload")).as("payload_len"),
+          col("width"), col("height"))),
+
     // winnowing-style rolling-hash fingerprint (native expression, O(n)/doc)
     "t04_rolling_fingerprint" -> noOracle(
       (s, d) => t(s, d, "documents").select(col("doc_id"),

@@ -69,4 +69,33 @@ class PropertiesSpec extends AnyFunSuite {
       assertSameResult(on, off, "cbo on/off")
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
+
+  test("PPJoin-filtered Jaccard ≡ brute-force pairs on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    // random 3-8 token docs over a 16-word vocab, 2 blocks, 3 seeds
+    (0 until 3).foreach { seed =>
+      val docs = (0 until 60).map { i =>
+        val n = 3 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" "),
+          s"b${i % 2}")
+      }.toDF("doc_id", "text", "source")
+      val fast = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+      // brute force: all within-block pairs, exact set jaccard
+      val toks = docs.select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("t"))
+      val brute = toks.as("a").join(toks.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.t"), col("b.t"))).cast("double") /
+            size(array_union(col("a.t"), col("b.t")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      assertSameResult(fast, brute, s"ppjoin exactness seed=$seed")
+    }
+  }
 }
