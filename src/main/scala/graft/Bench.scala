@@ -69,11 +69,14 @@ object Bench {
     }
 
     GraftSession.registerAll(spark, sfDir)
+    // best-of-2 per shape: sub-second timings at this SF carry ±2-3x
+    // JIT/GC noise on a single sample; min-of-2 is the standard stabilizer
+    // and applies equally to both configurations
     val shapeResults = shapes.map { case (name, sql) =>
       setNaive(spark, naive = false, cpus)
-      val opt = time(materialize(spark.sql(sql)))
+      val opt = math.min(time(materialize(spark.sql(sql))), time(materialize(spark.sql(sql))))
       setNaive(spark, naive = true, cpus)
-      val naive = time(materialize(spark.sql(sql)))
+      val naive = math.min(time(materialize(spark.sql(sql))), time(materialize(spark.sql(sql))))
       setNaive(spark, naive = false, cpus)
       name -> (opt, naive)
     }
