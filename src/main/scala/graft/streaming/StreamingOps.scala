@@ -72,6 +72,49 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming near-duplicate gate against a STATIC corpus: each arriving
+    * document's MinHash signature and LSH band buckets are computed in the
+    * stream's projection (per-row native expression — no state), then a
+    * stream-static equi-join on (band, bucket) surfaces corpus candidates
+    * and the signature estimate filters to real near-dups.
+    *
+    * This is the ingestion-time "is this already in my training set?"
+    * check: stateless on the stream side, so it scales to any arrival rate;
+    * the static side is the corpus signature index (re-broadcast or
+    * shuffled once per micro-batch by Spark as sizes dictate).
+    *
+    * @return streaming (doc_id, corpus_id, est_jaccard) — one row per
+    *         (arriving doc, matched corpus doc) pair over `threshold`.
+    */
+  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def withBuckets(df: DataFrame, idAs: String, sigAs: String) =
+      df.select(col(idCol).as(idAs),
+          graft.operators.Dedup.minhashSignature(col(textCol), k).as(sigAs))
+        .select(col(idAs), col(sigAs),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            j => xxhash64(slice(col(sigAs), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
+    val streamBuckets = withBuckets(stream, "doc_id", "sig")
+    val corpusBuckets = withBuckets(corpus, "corpus_id", "corpus_sig")
+    // one row per pair WITHOUT stateful dedup (streaming dropDuplicates
+    // would grow state forever): keep a pair only on its FIRST matching
+    // band — earlier bands are re-checked from the two signatures already
+    // on the joined row, so the filter is stateless and exact.
+    val earlierBandMatch = exists(sequence(lit(0), col("band") - 1),
+      j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j) ===
+        xxhash64(slice(col("corpus_sig"), j * r + 1, lit(r)), j))
+    // band 0 guard: sequence(0, -1) would descend, not be empty
+    val firstBandOnly = col("band") === 0 || !earlierBandMatch
+    streamBuckets.join(corpusBuckets, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("corpus_id") && firstBandOnly)
+      .select(col("doc_id"), col("corpus_id"),
+        graft.operators.Dedup.signatureSimilarity(col("sig"), col("corpus_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block until
     * all available input is processed (local smoke path).
     */

@@ -46,6 +46,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == nDistinct, s"${got.count()} vs $nDistinct")
   }
 
+  test("stream-static near-dup gate flags arrivals already in the corpus, once") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely different text about spark sql engines and optimizers"))
+      .toDF("doc_id", "text")
+    // arriving docs: 1 is a near-dup of corpus 100; 2 is novel
+    val arrivals = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "novel content mentioning streams and watermarks and state stores"))
+    val dir = Files.createTempDirectory("graft-docs-stream")
+    arrivals.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dir.resolve("batch").toString)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir.resolve("batch").toString)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.nearDupAgainstCorpus(stream, corpus, "doc_id", "text", threshold = 0.5),
+      "neardup_gate", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L)), got) // exactly once, despite multi-band collisions
+  }
+
   test("stateful session counts match batch sessionization totals") {
     import spark.implicits._
     val stream = StreamingOps.eventsStream(spark, streamDir)
