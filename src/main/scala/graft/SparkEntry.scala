@@ -367,6 +367,23 @@ object SparkEntry {
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*),
       "SELECT doc_id, length(text) AS n_chars, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS mean_tok_len, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS stopword_ratio FROM documents"),
 
+    // per-group top-k curation: keep the 3 longest docs per source
+    // (window-function top-k — the "best N per stratum" selection every
+    // corpus pipeline runs; deterministic doc_id tiebreak)
+    "t05_topk_per_source" -> entry(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(length(col("text")).desc, col("doc_id").asc)
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk"), col("doc_id"), length(col("text")).as("n_chars"))
+      },
+      """SELECT source, rk, doc_id, n_chars FROM (
+           SELECT source, doc_id, length(text) AS n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id ASC) AS rk
+           FROM documents) WHERE rk <= 3"""),
+
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "t03_token_count" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),
