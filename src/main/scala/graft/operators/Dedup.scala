@@ -201,7 +201,10 @@ object Dedup {
       minhashThreshold: Double = 0.7, transitive: Boolean = false): DataFrame = {
     val keepExact = fingerprintClusters(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactSurvivors = docs.join(keepExact, idCol)
+    // survivors feed BOTH the near-dup pair generation and the final
+    // anti-join; lazy localCheckpoint materializes the subtree once instead
+    // of re-scanning + re-joining the corpus (cluster: reliable checkpoint)
+    val exactSurvivors = docs.join(keepExact, idCol).localCheckpoint(false)
     val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,
       threshold = minhashThreshold)
     val nearDupDrops =
