@@ -221,12 +221,26 @@ object QueryEngine {
         k <- kw
         ls <- fromSql(left)
         rs <- fromSql(right)
-      } yield cond match {
-        case Some(c) => s"$ls $k $rs ON ${exprSql(c)}"
-        case None if k == "CROSS JOIN" => s"$ls CROSS JOIN $rs"
-        case None => s"$ls CROSS JOIN $rs"
-      }
+        // a condition-less OUTER join must not degrade to CROSS (a LEFT
+        // JOIN of an empty right side keeps rows; CROSS returns none)
+        rendered <- cond match {
+          case Some(c) => Some(s"$ls $k $rs ON ${exprSql(c)}")
+          case None if k == "JOIN" || k == "CROSS JOIN" => Some(s"$ls CROSS JOIN $rs")
+          case None => None
+        }
+      } yield rendered
     case _ => None
+  }
+
+  /** Qualifier-stripped rendering is only unambiguous when every relation
+    * name appears once and no column name is shared between two relations
+    * (a self-join rendered as `orders JOIN orders` has no way to qualify).
+    */
+  private def unambiguous(p: LogicalPlan): Boolean = {
+    val leaves = p.collect { case l: LeafNode => l }
+    val names = leaves.flatMap(tableName)
+    val colNames = leaves.flatMap(_.output.map(_.name))
+    names.distinct.size == leaves.size && colNames.distinct.size == colNames.size
   }
 
   /** Regenerated optimized SQL for the supported plan family:
@@ -250,8 +264,7 @@ object QueryEngine {
     // SELECT head: projection or aggregation (with optional HAVING-less filter below)
     def body(n: LogicalPlan): Option[String] = n match {
       case Aggregate(groups, aggs, child, _) =>
-        val from = n match { case _ => selectFrom(child) }
-        from.map { f =>
+        selectFrom(child).map { f =>
           val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
           s"SELECT ${aggs.map(exprSql).mkString(", ")} FROM $f$g"
         }
@@ -265,7 +278,8 @@ object QueryEngine {
         fromSql(child).map(f => s"$f WHERE ${exprSql(cond)}")
       case other => fromSql(other)
     }
-    body(p2).map(b => s"$b$orderSql$limitSql")
+    if (!unambiguous(p2)) None
+    else body(p2).map(b => s"$b$orderSql$limitSql")
   }
 
   // ------------------------------------------------------------------

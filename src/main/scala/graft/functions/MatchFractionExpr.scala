@@ -58,9 +58,13 @@ object MatchFractionExpr {
     var eq = 0
     var i = 0
     while (i < n) {
-      val av = if (aLong) a.getLong(i) else a.getInt(i).toLong
-      val bv = if (bLong) b.getLong(i) else b.getInt(i).toLong
-      if (av == bv) eq += 1
+      // null slots never match (the zip_with form's null comparison is
+      // dropped by its filter; reading null as 0 would count 0==0)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val av = if (aLong) a.getLong(i) else a.getInt(i).toLong
+        val bv = if (bLong) b.getLong(i) else b.getInt(i).toLong
+        if (av == bv) eq += 1
+      }
       i += 1
     }
     if (a.numElements() == 0) 0.0 else eq.toDouble / a.numElements()

@@ -20,6 +20,8 @@ case class UnitNormExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null also arises from null ELEMENTS (null-propagated), not just a null child
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -43,14 +45,18 @@ case class UnitNormExpr(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val (code, p, s) = elemInfo
-    new GenericArrayData(UnitNormExpr.norm(input.asInstanceOf[ArrayData], code, p, s))
+    val r = UnitNormExpr.norm(input.asInstanceOf[ArrayData], code, p, s)
+    if (r == null) null else new GenericArrayData(r)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = UnitNormExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val (code, p, s) = elemInfo
+    val arr = ctx.freshName("unitNormArr")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.norm($c, $code, $p, $s));")
+      s"""double[] $arr = $cls.norm($c, $code, $p, $s);
+         if ($arr == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -59,12 +65,16 @@ case class UnitNormExpr(child: Expression) extends UnaryExpression {
 
 object UnitNormExpr {
 
+  /** null when any element is null (the lambda form this replaces
+    * null-propagates; reading a null slot as 0.0 would fabricate a vector).
+    */
   def norm(a: ArrayData, code: Int, prec: Int, scale: Int): Array[Double] = {
     val n = a.numElements()
     val out = new Array[Double](n)
     var ss = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = code match {
         case 0 => a.getDouble(i)
         case 1 => a.getFloat(i).toDouble

@@ -62,6 +62,18 @@ object Dedup {
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
     graft.functions.MatchFractionExpr.matchFraction(sigA, sigB)
 
+  /** LSH bucket hash of band `j` (0-based Column) of a k-long signature
+    * split into bands of `r` rows — THE banding formula; every producer and
+    * consumer of band buckets (batch LSH, streaming corpus gate) must use
+    * this single definition or buckets stop agreeing.
+    */
+  def bandHash(sig: Column, j: Column, r: Int): Column =
+    xxhash64(slice(sig, j * r + 1, lit(r)), j)
+
+  /** (band, bucket) pairs of a signature as an exploded projection. */
+  def bandBuckets(sig: Column, bands: Int, r: Int): Column =
+    posexplode(transform(sequence(lit(0), lit(bands - 1)), j => bandHash(sig, j, r)))
+
   /** Near-duplicate pairs via MinHash + LSH banding.
     *
     * @param bands signature is split into `bands` bands of `k/bands` rows;
@@ -80,8 +92,7 @@ object Dedup {
     // signature (k×8 bytes) stays out of the bands-times-amplified explode
     // shuffle; pairs are deduped across bands BEFORE signatures re-join.
     val buckets = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
+      bandBuckets(col("sig"), bands, r).as(Seq("band", "bucket")))
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cands = a.join(b, Seq("band", "bucket"))
@@ -178,6 +189,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // never return wrong components silently: a maxIter exit with pending
+    // label changes means some cluster is still split
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter); raise maxIter")
     labels
   }
 
@@ -248,7 +264,12 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val prefix = ranked.filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // EPS guards the exact-integral boundary: ceil(0.55 * 100) evaluates
+    // ceil(55.000000000000007) = 56 in doubles and silently drops pairs
+    // whose Jaccard equals the threshold (standard PPJoin-impl trick)
+    val EPS = 1e-9
+    val prefix = ranked.filter(
+      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
     val pa = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_a"),
       col("sz").as("sz_a"), col("pos").as("pos_a"))
     val pb = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_b"),
@@ -256,10 +277,12 @@ object Dedup {
     // positional filter (PPJoin): tokens before rank pos cannot contribute
     // more overlap than 1 + min(|A|−posA, |B|−posB); a J≥t pair needs
     // overlap ≥ ceil(t/(1+t)·(|A|+|B|))
-    val needOverlap = ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")))
+    val needOverlap = ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - EPS)
     val cands = pa.join(pb, Seq("blk", "tok"))
       .filter(col("doc_a") < col("doc_b")
-        && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold
+        // size-ratio prune needs the same EPS: 11 >= 20*0.55 is FALSE in
+        // doubles (RHS = 11.000000000000002) though true in exact math
+        && least(col("sz_a"), col("sz_b")) >= greatest(col("sz_a"), col("sz_b")) * threshold - EPS
         && lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= needOverlap)
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .distinct()

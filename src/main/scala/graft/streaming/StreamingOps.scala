@@ -91,12 +91,12 @@ object StreamingOps {
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    import graft.operators.Dedup.{bandBuckets, bandHash}
     def withBuckets(df: DataFrame, idAs: String, sigAs: String) =
       df.select(col(idCol).as(idAs),
           graft.operators.Dedup.minhashSignature(col(textCol), k).as(sigAs))
         .select(col(idAs), col(sigAs),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            j => xxhash64(slice(col(sigAs), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
+          bandBuckets(col(sigAs), bands, r).as(Seq("band", "bucket")))
     val streamBuckets = withBuckets(stream, "doc_id", "sig")
     val corpusBuckets = withBuckets(corpus, "corpus_id", "corpus_sig")
     // one row per pair WITHOUT stateful dedup (streaming dropDuplicates
@@ -104,8 +104,7 @@ object StreamingOps {
     // band — earlier bands are re-checked from the two signatures already
     // on the joined row, so the filter is stateless and exact.
     val earlierBandMatch = exists(sequence(lit(0), col("band") - 1),
-      j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j) ===
-        xxhash64(slice(col("corpus_sig"), j * r + 1, lit(r)), j))
+      j => bandHash(col("sig"), j, r) === bandHash(col("corpus_sig"), j, r))
     // band 0 guard: sequence(0, -1) would descend, not be empty
     val firstBandOnly = col("band") === 0 || !earlierBandMatch
     streamBuckets.join(corpusBuckets, Seq("band", "bucket"))

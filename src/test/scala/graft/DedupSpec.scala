@@ -95,6 +95,32 @@ class DedupSpec extends AnyFunSuite {
     assert(comp(10L) == 10L && comp(11L) == 10L)
   }
 
+  test("ngramJaccardPairs keeps the exact-threshold pair where FP ceil overshoots") {
+    // B = 11-token subset of 20-token A, t = 0.55: J = 11/20 = 0.55 exactly,
+    // and 20*0.55 = 11.000000000000002 in doubles. Without the EPS guards
+    // this pair dies three ways: A's prefix shrinks from 10 to 9 (its 9
+    // df=1 unique tokens rank 1-9, so the first shared token sits at rank
+    // 10), the size-ratio prune computes 11 >= 11.000000000000002 = false,
+    // and needOverlap ceils 11.000000000000002 to 12 > the exact bound 11.
+    val shared = (1 to 11).map(i => s"c$i")
+    val unique = (1 to 9).map(i => s"u$i")
+    val docs = Seq(
+      (1L, (unique ++ shared).mkString(" "), "s0"),
+      (2L, shared.mkString(" "), "s0"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.55)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0.55), pairs)
+  }
+
+  test("connectedComponents throws instead of returning split clusters at maxIter") {
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-…-20: min-label propagation needs several rounds
     val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

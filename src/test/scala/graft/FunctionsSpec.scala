@@ -103,6 +103,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty == 0.0)
   }
 
+  test("null array elements: unit_norm propagates null, match_fraction never matches them") {
+    graft.engine.GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT unit_norm(array(3.0D, CAST(NULL AS DOUBLE), 4.0D)) AS un,
+                match_fraction(array(1L, CAST(NULL AS BIGINT)),
+                               array(2L, CAST(NULL AS BIGINT))) AS mf""").collect()(0)
+    assert(r.isNullAt(0), "null element must null the unit vector, not read as 0.0")
+    assert(r.getDouble(1) == 0.0, "null slots must not count as signature matches")
+  }
+
   test("mistyped SQL inputs fail at analysis, not at runtime") {
     graft.engine.GraftSession.registerFunctions(spark)
     Seq(Tuple1("x")).toDF("s").createOrReplaceTempView("ty_probe")

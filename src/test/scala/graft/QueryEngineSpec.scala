@@ -88,4 +88,10 @@ class QueryEngineSpec extends AnyFunSuite {
       "EXPLAIN SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn FROM orders")
     assert(rep.rewrittenSql.isEmpty)
   }
+
+  test("rewritten SQL is None for self-joins (qualifier-stripped text would be ambiguous)") {
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT a.o_orderkey FROM orders a JOIN orders b ON a.o_orderkey = b.o_custkey")
+    assert(rep.rewrittenSql.isEmpty, rep.rewrittenSql)
+  }
 }
