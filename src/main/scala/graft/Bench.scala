@@ -64,12 +64,18 @@ object Bench {
     // whole-stage-codegen compilation + JIT (measured ~85% of a small
     // query's cold time); run once to warm, report the second run — the
     // throughput a long-running cluster job actually sees
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Unit =
         try materialize(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       once()
-      name -> time(once())
+      val t = time(once())
+      // a failed query must not masquerade as a fast success in the JSON
+      name -> (if (failed(name)) -1.0 else t)
     }
 
     GraftSession.registerAll(spark, sfDir)
@@ -89,8 +95,9 @@ object Bench {
     val bs = shapeResults.map { case (k, (o, n)) =>
       f""""$k":{"optimized":$o%.3f,"naive":$n%.3f,"speedup":${n / math.max(o, 1e-9)}%.2f}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_shapes":$bs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

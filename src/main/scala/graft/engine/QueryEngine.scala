@@ -84,10 +84,15 @@ object QueryEngine {
           val rewritten = rewrittenSql(qe.optimizedPlan)
           if (isExplain) QueryReport("EXPLAIN", log, tree, Nil, 0, None, None, Some(df), rewritten)
           else {
-            val collected = df.collect()
-            val rendered = collected.toSeq.map(row =>
+            // the CLI renders at most 50 rows — never collect the full
+            // result to the driver (a SELECT * over a large table would
+            // OOM it); take 51 to learn whether a count is needed
+            val collected = df.limit(51).collect()
+            val total =
+              if (collected.length <= 50) collected.length.toLong else df.count()
+            val rendered = collected.toSeq.take(50).map(row =>
               row.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString(" | "))
-            QueryReport("SELECT", log, tree, rendered, collected.length, None, None, Some(df), rewritten)
+            QueryReport("SELECT", log, tree, rendered, total, None, None, Some(df), rewritten)
           }
         } catch {
           // ParseException extends AnalysisException — match it first so

@@ -13,19 +13,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * evaluation per candidate pair — where the `aggregate(zip_with(...))`
   * column-algebra form pays per-element lambda dispatch and boxing.
   * Codegen emits a primitive fused multiply-add loop inline.
+  *
+  * Null semantics match the lambda form it replaced: a length mismatch or
+  * any null element yields NULL (zip_with pads the shorter side with null →
+  * the aggregate folds to null) — never a truncated or fabricated score.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null also arises from ragged lengths / null elements, not just null children
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    DotProductExpr.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    DotProductExpr.dotOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DotProductExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $cls.dot($l, $r);")
+    val boxed = ctx.freshName("dotBoxed")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""java.lang.Double $boxed = (java.lang.Double) $cls.dotOrNull($l, $r);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed.doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -33,15 +43,17 @@ case class DotProductExpr(left: Expression, right: Expression)
 }
 
 object DotProductExpr {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   def dotProduct(a: Column, b: Column): Column =

@@ -58,6 +58,11 @@ object MinHashTextExpr {
     }
     val words = starts.size()
     val minima = Array.fill(k)(Long.MaxValue)
+    // shingles hash in CANONICAL single-space form: words are copied into a
+    // scratch buffer joined by one ' ' each, so 'a  b' and 'a b' collide —
+    // hashing the raw byte span would leak interior whitespace runs into
+    // the signature and silently miss near-dups that differ only in spacing
+    val scratch = new Array[Byte](n)
     def fold(base: Long): Unit = {
       var j = 0
       while (j < k) {
@@ -66,22 +71,31 @@ object MinHashTextExpr {
         j += 1
       }
     }
+    def hashWords(from: Int, untilWord: Int): Long = {
+      var len = 0
+      var w = from
+      while (w < untilWord) {
+        if (len > 0) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(w)
+        val e = ends.get(w)
+        System.arraycopy(bytes, s, scratch, len, e - s)
+        len += e - s
+        w += 1
+      }
+      XXH64.hashUnsafeBytes(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        len, 42L)
+    }
     if (words < shingle) {
-      fold(hashSpan(bytes, 0, n))
+      fold(hashWords(0, words))
     } else {
       var w = 0
       while (w <= words - shingle) {
-        fold(hashSpan(bytes, starts.get(w), ends.get(w + shingle - 1)))
+        fold(hashWords(w, w + shingle))
         w += 1
       }
     }
     minima
   }
-
-  /** xxhash64 over the byte span, seed 42 (Spark's default hash seed). */
-  private def hashSpan(bytes: Array[Byte], from: Int, until: Int): Long =
-    XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
-      until - from, 42L)
 
   def minhashText(text: Column, shingle: Int = 3, k: Int = 64): Column =
     ColumnBridge.column(MinHashTextExpr(ColumnBridge.expression(text), shingle, k))

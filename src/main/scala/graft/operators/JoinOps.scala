@@ -25,16 +25,21 @@ object JoinOps {
     * with NULLs for the opposite side's columns — the union of the two anti
     * joins. Equivalent to `l FULL JOIN r ON c WHERE l.k IS NULL OR r.k IS
     * NULL` but never materializes matched rows.
+    *
+    * Right-side columns whose name collides with a left column are emitted
+    * as `<name>_r` (a DataFrame can't carry two same-named columns; the
+    * old withColumn padding silently OVERWROTE the left side's values with
+    * NULL for shared names such as a common join key).
     */
   def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
-    val leftOnly = right.schema.fields.foldLeft(left.join(right, cond, "left_anti")) {
-      (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val rightOnly0 = right.join(left, cond, "left_anti")
-    val rightOnly = left.schema.fields.foldLeft(rightOnly0) {
-      (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val outCols = (left.columns ++ right.columns).map(col)
-    leftOnly.select(outCols: _*).unionByName(rightOnly.select(outCols: _*))
+    val leftNames = left.columns.toSet
+    def rName(n: String) = if (leftNames(n)) n + "_r" else n
+    val leftOnly = left.join(right, cond, "left_anti").select(
+      left.columns.map(col) ++
+        right.schema.fields.map(f => lit(null).cast(f.dataType).as(rName(f.name))): _*)
+    val rightOnly = right.join(left, cond, "left_anti").select(
+      left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        right.schema.fields.map(f => col(f.name).as(rName(f.name))): _*)
+    leftOnly.unionByName(rightOnly)
   }
 }

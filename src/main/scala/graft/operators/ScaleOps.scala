@@ -18,8 +18,15 @@ object ScaleOps {
     */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, skewedKey: String,
       dimKey: String, saltFactor: Int): DataFrame = {
+    // salt must be DETERMINISTIC per row: a nondeterministic source
+    // (monotonically_increasing_id, rand) re-evaluates differently when a
+    // lost map task reruns, while surviving reducers keep rows fetched
+    // under the old values — the SPARK-23207 duplicate/loss class. Hash of
+    // the row's own columns is stable across retries; rows identical in
+    // every column co-locate on one salt, which is fine (they are
+    // indistinguishable anyway).
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val dimExp = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(dimExp,

@@ -35,13 +35,14 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), unitNorm(col(vecCol)).as("unit"))
 
   /** Exact brute-force cosine top-k neighbors for the query rows selected by
-    * `queryPred`. O(|Q|·|N|) — the correctness baseline; broadcast the
-    * (small) query side so candidates never shuffle.
+    * `queryPred` — a predicate over the CALLER's columns, applied to `emb`
+    * before any internal renaming. O(|Q|·|N|) — the correctness baseline;
+    * broadcast the (small) query side so candidates never shuffle.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
     val all = normalized(emb, idCol, vecCol)
-    val queries = broadcast(all.filter(queryPred)
+    val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
       .select(col("vec_id").as("q_id"), col("unit").as("q_unit")))
     val scored = all.join(queries, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -121,7 +122,8 @@ object Similarity {
       struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
     }: _*)
     val assigned = all.withColumn("cell", array_min(cells).getField("cell"))
-    val queries = assigned.filter(queryPred)
+    // queryPred targets the caller's columns: filter emb BEFORE the rename
+    val queries = normalized(emb.filter(queryPred), idCol, vecCol)
       .withColumn("probe", explode(slice(array_sort(cells), 1, nProbe)))
       .select(col("probe.cell").as("cell"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
     val scored = assigned.join(queries, Seq("cell"))
@@ -144,7 +146,9 @@ object Similarity {
       queryPred: Column, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val all = normalized(emb, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
-    val queries = all.filter(queryPred)
+    // queryPred targets the caller's columns: filter emb BEFORE the rename
+    val queries = normalized(emb.filter(queryPred), idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
       .select(col("bucket"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
     val scored = all.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -103,6 +103,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty == 0.0)
   }
 
+  test("MinHashTextExpr: interior whitespace runs do not change the signature") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick  brown fox jumps  over the   lazy dog"), // extra spaces only
+      (3L, "a different document entirely about databases"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"),
+      graft.functions.MinHashTextExpr.minhashText(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "single-space canonical form must collide")
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("DotProductExpr: ragged lengths and null elements yield NULL, never a fabricated score") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0), Array(3.0, 4.0, 5.0)), // ragged
+      (2L, Array(1.0, 2.0), Array(3.0, 4.0)))      // clean
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"), DotProductExpr.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(11.0))
+    val withNull = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS d")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
   test("null array elements: unit_norm propagates null, match_fraction never matches them") {
     graft.engine.GraftSession.registerFunctions(spark)
     val r = spark.sql(

@@ -43,4 +43,15 @@ class JoinOpsSpec extends AnyFunSuite {
       .filter(col("c_custkey").isNotNull && col("o_custkey").isNotNull)
     assert(matched.count() == 0)
   }
+
+  test("fullOuterAnti keeps values of a SHARED join-key column name (suffixes right as _r)") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val r = Seq((2L, 9.0), (3L, 7.0)).toDF("id", "score")
+    val got = JoinOps.fullOuterAnti(l, r, l("id") === r("id"))
+    assert(got.columns.toSeq == Seq("id", "name", "id_r", "score"))
+    val rows = got.collect().map(x => (Option(x.get(0)), Option(x.get(2)))).toSet
+    // left-only row 1 keeps its real id; right-only row 3 keeps its real id_r
+    assert(rows == Set((Some(1L), None), (None, Some(3L))), rows)
+  }
 }
