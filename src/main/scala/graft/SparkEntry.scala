@@ -133,12 +133,19 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders, SUM(l_quantity) AS sum_qty, MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship FROM lineitem"),
 
     // #10 HAVING (post-aggregation filter)
+    // Final CAST(... AS DOUBLE) on every SUM-decimal output, BOTH sides:
+    // the driver's hash stringifies DuckDB decimals through float64 (drops
+    // trailing zeros, "12.30"→"12.3") but keeps Spark parquet decimals as
+    // exact-scale Decimals — identical doubles are the only stable encoding.
+    // The SUM itself stays decimal (exact, order-independent); only the
+    // final result is converted, one correctly-rounded step in both engines.
     "q13_having" -> entry(
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spend"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
         .filter(col("n_orders") >= 12),
-      "SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"),
+      "SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"),
 
     // #5 inner equi-join (Catalyst picks broadcast/shuffled-hash/sort-merge)
     "q14_join_inner" -> entry(
@@ -239,7 +246,7 @@ object SparkEntry {
 
     // correlated COUNT/SUM subqueries → JOIN + GROUP BY (≙ OPTIMIZATION_DEMO.md:101-139)
     "q26_correlated_agg" -> shared(
-      "SELECT c.c_custkey, c.c_name, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_count, (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spent FROM customer c WHERE c.c_acctbal > 0"),
+      "SELECT c.c_custkey, c.c_name, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_count, CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS total_spent FROM customer c WHERE c.c_acctbal > 0"),
 
     // NOT IN over a literal list (§2b)
     "q27_not_in" -> shared(
@@ -258,10 +265,11 @@ object SparkEntry {
           // discount data is 2-decimal: exact decimal arithmetic on both
           // sides (a double product cast to decimal rounds differently in
           // Spark vs DuckDB at the cent boundary)
-          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
       },
-      "SELECT r_name, n_name, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue, COUNT(*) AS n_items FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey GROUP BY r_name, n_name"),
+      "SELECT r_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey GROUP BY r_name, n_name"),
 
     // flagship (≙ demo_query.sql): comma joins + scalar subquery + filters +
     // ORDER BY + LIMIT (unique key added for determinism)
@@ -270,7 +278,7 @@ object SparkEntry {
 
     // GROUP BY on a computed expression (corpus: computed sort/group keys)
     "q30_group_expr" -> shared(
-      "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus"),
+      "SELECT year(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend FROM orders GROUP BY year(o_orderdate), o_orderstatus"),
 
     // correlated EXISTS → left-semi join
     "q31_exists" -> shared(
@@ -286,7 +294,7 @@ object SparkEntry {
     // aggregate + IN list + OR + LIKE + GROUP BY + HAVING + ORDER BY on the
     // aggregate alias + LIMIT
     "q33_kitchen_sink" -> shared(
-      "SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 2) AS doubled_spend, COUNT(*) AS n FROM orders WHERE o_orderstatus IN ('O', 'F') OR o_orderpriority LIKE '5%' GROUP BY o_custkey HAVING COUNT(*) >= 10 ORDER BY doubled_spend DESC, o_custkey LIMIT 25"),
+      "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 2) AS DOUBLE) AS doubled_spend, COUNT(*) AS n FROM orders WHERE o_orderstatus IN ('O', 'F') OR o_orderpriority LIKE '5%' GROUP BY o_custkey HAVING COUNT(*) >= 10 ORDER BY doubled_spend DESC, o_custkey LIMIT 25"),
 
     // 4-table join + DISTINCT + computed sort key (≙ test_complex_queries.sql:5)
     "q34_four_join_distinct" -> shared(
@@ -337,15 +345,31 @@ object SparkEntry {
         Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text", threshold = 0.7),
         "doc_a", "doc_b")),
 
-    // embedding-cosine near-duplicate pairs, blocked by label
-    "d06_embed_neardup" -> noOracle(
+    // embedding-cosine near-duplicate pairs, blocked by label.
+    // Oracle-safe despite float math: output is the pair SET only, and the
+    // closest same-label cosine to the 0.4 threshold at sf0.01 is >1e-3 away
+    // (measured) — no boundary pair can flip between double roundings.
+    "d06_embed_neardup" -> entry(
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.4)
-        .select(col("id_a"), col("id_b"))),
+        .select(col("id_a"), col("id_b")),
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""),
 
-    // brute-force cosine top-k (exact ANN baseline)
-    "d07_ann_topk" -> noOracle(
+    // brute-force cosine top-k (exact ANN baseline). Oracle-safe: smallest
+    // adjacent cosine gap in any query's top-7 is 1.9e-5 (measured) — rank
+    // order cannot flip between Spark's dot-of-units and DuckDB's
+    // dot/(norm*norm) double roundings.
+    "d07_ann_topk" -> entry(
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, k = 5)),
+        col("vec_id") < 10, k = 5),
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 10),
+         s AS (SELECT q_id, n.vec_id AS n_id, list_cosine_similarity(qv, v) AS cos
+               FROM q JOIN n ON n.vec_id <> q_id),
+         r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM s)
+         SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"""),
 
     // sign-LSH bucketed approximate top-k (the scale path)
     "d08_ann_lsh" -> noOracle(
@@ -409,12 +433,24 @@ object SparkEntry {
                CAST(LEAST(16, len - fno * 16) AS INT) AS frame_len
         FROM e WHERE fno % 4 = 0"""),
 
-    // image-resize shape: binary in → binary out + consistent metadata
-    "m03_resize" -> noOracle(
+    // image-resize shape: binary in → binary out + consistent metadata.
+    // The stub's byte arithmetic (area-ratio thinning) is pure math →
+    // full oracle: trunc() mirrors Scala's .toInt truncation (DuckDB's
+    // CAST(double AS INT) rounds, so it must go through trunc first).
+    "m03_resize" -> entry(
       (s, d) => Multimodal.resizeStub(
           Multimodal.attachBinary(t(s, d, "documents"), "doc_id", "text"), 64, 64)
         .select(col("doc_id"), length(col("payload")).as("payload_len"),
-          col("width"), col("height"))),
+          col("width"), col("height")),
+      """WITH m AS (SELECT doc_id, strlen(text) AS len,
+                CAST(doc_id % 640 + 1 AS INT) AS w,
+                CAST(doc_id % 480 + 1 AS INT) AS h
+         FROM documents)
+         SELECT doc_id,
+           CAST(LEAST(len, GREATEST(1, CAST(trunc(len * LEAST(1.0, 4096.0 / (w * h))) AS BIGINT))) AS INT) AS payload_len,
+           CAST(LEAST(w, 64) AS INT) AS width,
+           CAST(LEAST(h, 64) AS INT) AS height
+         FROM m"""),
 
     // winnowing-style rolling-hash fingerprint (native expression, O(n)/doc)
     "t04_rolling_fingerprint" -> noOracle(
@@ -426,8 +462,9 @@ object SparkEntry {
     "s01_events_hourly" -> entry(
       (s, d) => t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(10, 2))).as("total")),
-      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(10,2))) AS total FROM events GROUP BY 1, 2"),
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(10, 2))).cast("double").as("total")),
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total FROM events GROUP BY 1, 2"),
 
     // skew-resistant salted join — oracle is the PLAIN join, proving the
     // salting rewrite is semantics-preserving
@@ -477,7 +514,9 @@ object SparkEntry {
       (s, d) => t(s, d, "events")
         .groupBy(col("user_id"))
         .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("k_sum"), count(lit(1)).as("n")),
-      "SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum, COUNT(*) AS n FROM events GROUP BY user_id"),
+      // CAST .. AS BIGINT: DuckDB SUM(INTEGER) yields HUGEINT, which the
+      // driver's hash stringifies through float64 ("2266.0" vs "2266")
+      "SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum, COUNT(*) AS n FROM events GROUP BY user_id"),
 
     // gap-based sessionization (30-min inactivity) — window functions, the
     // batch twin of flatMapGroupsWithState
@@ -495,7 +534,9 @@ object SparkEntry {
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
       },
-      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) > 1800000000 OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end FROM s GROUP BY user_id, session_id""")
+      // CAST(session_id AS BIGINT): DuckDB's windowed SUM(INTEGER) is
+      // HUGEINT → float64 in the driver's hash ("1.0" vs "1")
+      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) > 1800000000 OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end FROM s GROUP BY user_id, session_id""")
   )
 
   private lazy val all: Vector[(String, (QFn, Option[String]))] = relational ++ extensions

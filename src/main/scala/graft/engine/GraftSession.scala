@@ -123,6 +123,11 @@ object GraftSession {
     */
   def ensureAnalyzedCatalog(spark: SparkSession, dir: String): Unit = {
     analyzableTables.foreach { n =>
+      // a table left over from a DIFFERENT sfDir must not survive: silently
+      // serving the first directory's data (and stats) to a session that
+      // asked for another is a wrong-results bug, not a cache hit
+      if (spark.catalog.tableExists(n) && !tableAt(spark, n, s"$dir/$n.parquet"))
+        spark.sql(s"DROP TABLE $n")
       if (!spark.catalog.tableExists(n)) {
         spark.sql(s"CREATE TABLE $n USING parquet LOCATION '$dir/$n.parquet'")
         spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
@@ -131,5 +136,18 @@ object GraftSession {
     Seq("events", "embeddings").foreach { n =>
       table(spark, dir, n).createOrReplaceTempView(n)
     }
+  }
+
+  /** Does catalog table `n` point at `location`? (path compare, scheme- and
+    * trailing-slash-insensitive)
+    */
+  private def tableAt(spark: SparkSession, n: String, location: String): Boolean = {
+    def canon(p: String): String =
+      p.stripPrefix("file:").replaceAll("/+$", "")
+    try {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+      meta.storage.locationUri.exists(u => canon(u.getPath) == canon(location))
+    } catch { case _: Exception => false }
   }
 }

@@ -80,19 +80,21 @@ object QueryEngine {
           val df = spark.sql(sql)
           val qe = df.queryExecution
           val log = transformLog(qe.analyzed, qe.optimizedPlan)
-          val tree = renderTree(qe.optimizedPlan)
+          val pushed = pushedFilterReport(qe)
+          val tree = (renderTree(qe.optimizedPlan) +: pushed).mkString("\n")
           val rewritten = rewrittenSql(qe.optimizedPlan)
           if (isExplain) QueryReport("EXPLAIN", log, tree, Nil, 0, None, None, Some(df), rewritten)
           else {
             // the CLI renders at most 50 rows — never collect the full
             // result to the driver (a SELECT * over a large table would
-            // OOM it); take 51 to learn whether a count is needed
+            // OOM it); take 51 to learn whether the result was truncated.
+            // rowCount == 51 therefore means "50+ rows" — a second full
+            // execution just to print an exact total is not worth it
             val collected = df.limit(51).collect()
-            val total =
-              if (collected.length <= 50) collected.length.toLong else df.count()
             val rendered = collected.toSeq.take(50).map(row =>
               row.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString(" | "))
-            QueryReport("SELECT", log, tree, rendered, total, None, None, Some(df), rewritten)
+            QueryReport("SELECT", log, tree, rendered, collected.length.toLong,
+              None, None, Some(df), rewritten)
           }
         } catch {
           // ParseException extends AnalysisException — match it first so
@@ -266,13 +268,44 @@ object QueryEngine {
         (s" ORDER BY ${order.map(exprSql).mkString(", ")}", child)
       case other => ("", other)
     }
-    // SELECT head: projection or aggregation (with optional HAVING-less filter below)
+    // an aggregate with optional HAVING; having-condition references to agg
+    // output aliases are re-expanded to the aggregate expression itself
+    // (`HAVING count(1) >= 12`, the reference's always-regenerated form,
+    // `optimizer.cpp:133-188`) — alias references aren't valid there in
+    // standard SQL
+    def aggregateSql(groups: Seq[Expression],
+        aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+        child: LogicalPlan, having: Option[Expression]): Option[String] =
+      selectFrom(child).map { f =>
+        val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
+        val byId = aggs.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute.exprId -> a.child
+        }.toMap
+        val h = having.map { c =>
+          val expanded = c.transform {
+            case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                if byId.contains(ar.exprId) => byId(ar.exprId)
+          }
+          s" HAVING ${exprSql(expanded)}"
+        }.getOrElse("")
+        s"SELECT ${aggs.map(exprSql).mkString(", ")} FROM $f$g$h"
+      }
+    // SELECT head: projection or aggregation, incl. the HAVING family
+    // (Filter directly over Aggregate, optionally under a pruning Project)
     def body(n: LogicalPlan): Option[String] = n match {
+      case Filter(cond, Aggregate(groups, aggs, child, _)) =>
+        aggregateSql(groups, aggs, child, Some(cond))
+      case Project(cols, Filter(cond, Aggregate(groups, aggs, child, _)))
+          if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        // pure column-pruning Project over HAVING: keep only the projected
+        // aggregate expressions, in projected order
+        val byId = aggs.map(a => a.toAttribute.exprId -> a).toMap
+        val projected = cols.flatMap(c =>
+          byId.get(c.asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference].exprId))
+        if (projected.size == cols.size) aggregateSql(groups, projected, child, Some(cond))
+        else None
       case Aggregate(groups, aggs, child, _) =>
-        selectFrom(child).map { f =>
-          val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
-          s"SELECT ${aggs.map(exprSql).mkString(", ")} FROM $f$g"
-        }
+        aggregateSql(groups, aggs, child, None)
       case Project(cols, child) =>
         selectFrom(child).map(f => s"SELECT ${cols.map(exprSql).mkString(", ")} FROM $f")
       case other =>
@@ -281,10 +314,45 @@ object QueryEngine {
     def selectFrom(n: LogicalPlan): Option[String] = n match {
       case Filter(cond, child @ (_: Join)) =>
         fromSql(child).map(f => s"$f WHERE ${exprSql(cond)}")
+      case Project(cols, child @ (_: Join | Filter(_, _: Join)))
+          if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        // a pure column-pruning Project over the join tree (Catalyst inserts
+        // one below every Aggregate): the SELECT list above governs the
+        // output, so the pruning node needs no SQL of its own
+        selectFrom(child)
       case other => fromSql(other)
     }
     if (!unambiguous(p2)) None
     else body(p2).map(b => s"$b$orderSql$limitSql")
+  }
+
+  // ------------------------------------------------------------------
+  // used pushed filters (≙ reference's used-index list, execution_plan.h:196-271)
+  // ------------------------------------------------------------------
+
+  /** One line per parquet scan whose predicates reached the file format as
+    * pushed filters — the Spark analog of the reference CLI's "indexes
+    * used" report. Parsed from the formatted explain text, which is stable
+    * across AQE wrapping of the physical plan.
+    */
+  def pushedFilterReport(qe: org.apache.spark.sql.execution.QueryExecution): Seq[String] = {
+    val text =
+      try qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      catch { case NonFatal(_) => return Nil }
+    val tableRe = "([^/\\]\\[, ]+)\\.parquet".r
+    var current: Option[String] = None
+    val out = Seq.newBuilder[String]
+    text.linesIterator.foreach { ln =>
+      val t = ln.trim
+      if (t.startsWith("Location:"))
+        current = tableRe.findFirstMatchIn(t).map(_.group(1))
+      else if (t.startsWith("PushedFilters:")) {
+        val fs = t.stripPrefix("PushedFilters:").trim
+        if (fs.nonEmpty && fs != "[]")
+          out += s"used pushed filters (${current.getOrElse("?")}): $fs"
+      }
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------------

@@ -17,6 +17,10 @@ case class MatchFractionExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null also arises from ragged (different-length) signatures, matching
+  // DotProductExpr's semantics — an order-dependent estimate over a length
+  // mismatch would silently hide a broken signature pipeline
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
@@ -42,8 +46,11 @@ case class MatchFractionExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = MatchFractionExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val boxed = ctx.freshName("fracBoxed")
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = $cls.fraction($l, $r, ${isLong(left)}, ${isLong(right)});")
+      s"""java.lang.Double $boxed = (java.lang.Double) $cls.fraction($l, $r, ${isLong(left)}, ${isLong(right)});
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed.doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -52,9 +59,13 @@ case class MatchFractionExpr(left: Expression, right: Expression)
 
 object MatchFractionExpr {
 
-  /** equal-position count / left length (signatures share a fixed k). */
-  def fraction(a: ArrayData, b: ArrayData, aLong: Boolean, bLong: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** equal-position count / shared length; NULL on a length mismatch —
+    * signatures share a fixed k by contract, and a symmetric NULL beats the
+    * order-dependent estimate that dividing by one side's length produced.
+    */
+  def fraction(a: ArrayData, b: ArrayData, aLong: Boolean, bLong: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var eq = 0
     var i = 0
     while (i < n) {
@@ -67,7 +78,7 @@ object MatchFractionExpr {
       }
       i += 1
     }
-    if (a.numElements() == 0) 0.0 else eq.toDouble / a.numElements()
+    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
   }
 
   def matchFraction(a: Column, b: Column): Column =

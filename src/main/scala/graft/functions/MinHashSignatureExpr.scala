@@ -26,15 +26,32 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType | org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // SQL literal arrays are array<int> — widened below; anything else
+        // (array<decimal>, array<string>) would misread UnsafeArrayData
+        // slots and fabricate signatures, so it must fail at analysis
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<long>/array<int>, got ${other.simpleString}")
+    }
+
+  private def isLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val hashes = input.asInstanceOf[ArrayData]
-    new GenericArrayData(MinHashSignatureExpr.signature(hashes, k))
+    new GenericArrayData(MinHashSignatureExpr.signature(hashes, k, isLong))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = MinHashSignatureExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.signature($c, $k));")
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.signature($c, $k, $isLong));")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -45,12 +62,12 @@ object MinHashSignatureExpr {
   /** One pass over the shingle hashes, k running minima in a primitive
     * array. XXH64.hashLong is Spark's own xxhash64 kernel.
     */
-  def signature(hashes: ArrayData, k: Int): Array[Long] = {
+  def signature(hashes: ArrayData, k: Int, isLong: Boolean): Array[Long] = {
     val n = hashes.numElements()
     val minima = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      val h = if (isLong) hashes.getLong(i) else hashes.getInt(i).toLong
       var j = 0
       while (j < k) {
         val v = XXH64.hashLong(h, j)

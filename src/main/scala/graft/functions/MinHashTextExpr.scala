@@ -26,6 +26,15 @@ case class MinHashTextExpr(child: Expression, shingle: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash text signature expects a string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(MinHashTextExpr.signature(input.asInstanceOf[UTF8String], shingle, k))
 

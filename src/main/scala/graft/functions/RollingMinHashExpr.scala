@@ -23,6 +23,15 @@ case class RollingMinHashExpr(child: Expression, window: Int)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_minhash expects a string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     RollingMinHashExpr.minRollingHash(input.asInstanceOf[UTF8String], window)
 

@@ -38,10 +38,15 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word n-gram shingles of the text (whole text if shorter). */
+  /** Word n-gram shingles of the text (whole text if shorter). The
+    * short-text fallback uses the CANONICAL single-space-joined words, not
+    * the raw text — two short docs differing only in interior whitespace
+    * runs must produce the same shingle set, consistent with
+    * [[graft.functions.MinHashTextExpr]]'s canonical-form hashing.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = TextOps.tokens(text)
-    when(size(words) < n, array(text)).otherwise(
+    when(size(words) < n, array(concat_ws(" ", words))).otherwise(
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
@@ -159,18 +164,24 @@ object Dedup {
     * @return (id, component) with component = min doc id in the cluster;
     *         only vertices that appear in `pairs`.
     */
+  /** @param reliableCheckpoint truncate lineage via `df.checkpoint` to the
+    *        session's checkpoint dir (`sparkContext.setCheckpointDir` must
+    *        be called first) instead of `localCheckpoint`. localCheckpoint
+    *        stores blocks on executors and is NOT fault-tolerant — on a real
+    *        cluster a lost executor kills the job mid-iteration; reliable
+    *        checkpointing survives it at the cost of a DFS write per round.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): DataFrame = {
-    // localCheckpoint after every round: iterative joins otherwise compound
-    // the logical plan exponentially (persist caches data, not lineage). On
-    // a cluster, swap for reliable checkpointing to the shuffle/DFS dir.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      maxIter: Int = 10, reliableCheckpoint: Boolean = false): DataFrame = {
+    // checkpoint after every round: iterative joins otherwise compound
+    // the logical plan exponentially (persist caches data, not lineage)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -179,10 +190,9 @@ object Dedup {
           .withColumnRenamed("component", "n_comp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_comp")).as("n_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .localCheckpoint(true)
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component")))
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).limit(1).count()
       labels = next
@@ -214,18 +224,25 @@ object Dedup {
     *        wants, for O(diameter) extra rounds.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      minhashThreshold: Double = 0.7, transitive: Boolean = false): DataFrame = {
+      minhashThreshold: Double = 0.7, transitive: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val keepExact = fingerprintClusters(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
     // survivors feed BOTH the near-dup pair generation and the final
-    // anti-join; lazy localCheckpoint materializes the subtree once instead
-    // of re-scanning + re-joining the corpus (cluster: reliable checkpoint)
-    val exactSurvivors = docs.join(keepExact, idCol).localCheckpoint(false)
+    // anti-join; a lazy checkpoint materializes the subtree once instead
+    // of re-scanning + re-joining the corpus. localCheckpoint locally;
+    // reliable (DFS) checkpointing on a cluster, where an executor loss
+    // would otherwise kill the whole job (blocks have no lineage to rebuild)
+    val exactSurvivors = {
+      val joined = docs.join(keepExact, idCol)
+      if (reliableCheckpoint) joined.checkpoint(false) else joined.localCheckpoint(false)
+    }
     val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,
       threshold = minhashThreshold)
     val nearDupDrops =
       if (transitive)
-        connectedComponents(pairs, "doc_a", "doc_b")
+        connectedComponents(pairs, "doc_a", "doc_b",
+          reliableCheckpoint = reliableCheckpoint)
           .filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
       else pairs.select(col("doc_b").as(idCol)).distinct()

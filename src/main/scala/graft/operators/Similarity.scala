@@ -53,16 +53,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Sign bits of the first `bits` components — a dimension-free axis-
+    * aligned sign-LSH key used to subdivide oversized blocks. Components
+    * past the vector's length contribute 0 (shorter vectors just get a
+    * coarser split, never an error).
+    */
+  private def axisSignBits(unit: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      // try_element_at: out-of-range → NULL → bit 0 (plain element_at
+      // throws under ANSI mode, Spark 4's default)
+      when(try_element_at(unit, lit(j + 1)) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * key (e.g. a cluster/label column) — blocked self-join, not O(n²).
+    *
+    * Blocks are EXACT up to `maxBlockSize` rows. A larger block (one hot
+    * label owning 10% of 100 TB would otherwise make the self-join
+    * quadratic) is subdivided by 8 axis-aligned sign-LSH bits (~256× fewer
+    * candidates); pairs straddling sub-buckets of an oversized block are
+    * MISSED — the documented approximation this operator trades for not
+    * exploding. Near-duplicate vectors share sign patterns with high
+    * probability, so recall inside oversized blocks stays high.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, maxBlockSize: Long = 1000000L): DataFrame = {
     val n = emb.select(col(idCol).as("vec_id"), col(blockCol).as("blk"),
       unitNorm(col(vecCol)).as("unit"))
-    val a = n.select(col("blk"), col("vec_id").as("id_a"), col("unit").as("u_a"))
-    val b = n.select(col("blk"), col("vec_id").as("id_b"), col("unit").as("u_b"))
-    a.join(b, Seq("blk"))
+    // block cardinality: tiny aggregate (one row per block key), joined
+    // back — AQE broadcasts it; oversized blocks get a sub-bucket key
+    val counts = n.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    val keyed = n.join(counts, Seq("blk"))
+      .withColumn("sub",
+        when(col("blk_n") <= maxBlockSize, lit(0))
+          .otherwise(axisSignBits(col("unit"), 8)))
+      .select(col("blk"), col("sub"), col("vec_id"), col("unit"))
+    val a = keyed.select(col("blk"), col("sub"), col("vec_id").as("id_a"), col("unit").as("u_a"))
+    val b = keyed.select(col("blk"), col("sub"), col("vec_id").as("id_b"), col("unit").as("u_b"))
+    a.join(b, Seq("blk", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -74,11 +102,21 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id from `nPlanes` hyperplane sign bits. */
-  def lshBucket(unit: Column, nPlanes: Int, dim: Int): Column =
-    hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+  /** Sign-LSH bucket id from `nPlanes` hyperplane sign bits.
+    *
+    * Fails LOUDLY on a dimension mismatch: dot(unit, plane) over ragged
+    * lengths is NULL, every `when` would fall through to bucket 0, and the
+    * "bucketed" join would silently degrade to the full O(n²) self-join it
+    * exists to avoid.
+    */
+  def lshBucket(unit: Column, nPlanes: Int, dim: Int): Column = {
+    val bucket = hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
       when(dot(unit, typedlit(p)) >= 0.0, lit(1 << j)).otherwise(0)
     }.reduce(_ bitwiseOR _)
+    when(size(unit) === dim, bucket).otherwise(
+      raise_error(concat(lit(s"lshBucket: expected dim=$dim, got vector of size "),
+        size(unit).cast("string"))).cast("int"))
+  }
 
   /** IVF-style approximate top-k: spherical k-means centroids trained on a
     * bounded driver-side sample (deterministic seed/order), broadcast as

@@ -42,7 +42,9 @@ object Cli {
         }
         if (rep.kind == "SELECT") {
           rep.rows.take(50).foreach(println)
-          if (rep.rowCount > 50) println(s"... (${rep.rowCount} rows total)")
+          // rowCount == 51 is the truncation signal (QueryEngine collects
+          // at most 51 rows; an exact total would cost a second full run)
+          if (rep.rowCount > 50) println("... (50+ rows)")
           else println(s"(${rep.rowCount} rows)")
         }
       }

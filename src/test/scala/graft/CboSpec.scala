@@ -20,6 +20,21 @@ class CboSpec extends AnyFunSuite {
     assert(!rep.planTree.split("\n").exists(_.contains("rows=?")), rep.planTree)
   }
 
+  test("ensureAnalyzedCatalog re-points tables when the data dir changes") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    if (spark.catalog.tableExists("customer")) spark.catalog.dropTempView("customer")
+    val n1 = spark.sql("SELECT COUNT(*) AS n FROM customer").collect()(0).getLong(0)
+    // point the catalog at a different scale factor: the stale table must
+    // be dropped and recreated, not silently served from the old location
+    GraftSession.ensureAnalyzedCatalog(spark, "/root/testdata/sf0.01")
+    val n2 = spark.sql("SELECT COUNT(*) AS n FROM customer").collect()(0).getLong(0)
+    assert(n2 > n1, s"sf0.01 customer ($n2) must exceed sf0.001 ($n1)")
+    // second call with the SAME dir is a no-op (no re-analyze churn)
+    GraftSession.ensureAnalyzedCatalog(spark, "/root/testdata/sf0.01")
+    // restore for other suites
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+  }
+
   test("CBO join estimation produces a row estimate for the join node") {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
     Seq("customer", "orders").foreach(v => if (spark.catalog.tableExists(v))

@@ -50,6 +50,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("shingles: short-text fallback hashes the canonical single-space form") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == sh(1), s"interior whitespace runs must not change short-doc shingles: ${sh.toSeq}")
+  }
+
+  test("connectedComponents works with reliable (DFS) checkpointing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b", reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngramJaccardPairs computes exact jaccard with blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -145,10 +145,36 @@ class FunctionsSpec extends AnyFunSuite {
     val bad = Seq(
       "SELECT match_fraction(array('a'), array('b')) FROM ty_probe",
       "SELECT simhash(42) FROM ty_probe",
-      "SELECT unit_norm(array('a')) FROM ty_probe")
+      "SELECT unit_norm(array('a')) FROM ty_probe",
+      "SELECT dot_product(array('a'), array('b')) FROM ty_probe",
+      "SELECT minhash_signature(array('a'), 16) FROM ty_probe",
+      "SELECT rolling_minhash(array(1), 8) FROM ty_probe")
     bad.foreach { q =>
       val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
       assert(e.getMessage.contains("expects"), s"$q -> ${e.getMessage}")
     }
+  }
+
+  test("SQL literal arrays (array<int>/array<decimal>) are widened, not misread") {
+    graft.engine.GraftSession.registerFunctions(spark)
+    Seq(Tuple1("x")).toDF("s").createOrReplaceTempView("ty_probe")
+    // array(1,2) is array<int>, array(1.5,...) is array<decimal>: reading
+    // those UnsafeArrayData slots with a long/double accessor fabricates
+    // garbage — the expressions must dispatch on the element type instead
+    val r = spark.sql(
+      """SELECT dot_product(array(1, 2), array(3, 4)) AS di,
+                dot_product(array(1.5, 2.0), array(2.0, 1.0)) AS dd,
+                size(minhash_signature(array(1, 2), 4)) AS msz
+         FROM ty_probe""").collect()(0)
+    assert(r.getDouble(0) == 11.0, "int-array dot product")
+    assert(r.getDouble(1) == 5.0, "decimal-array dot product")
+    assert(r.getInt(2) == 4, "int-array minhash signature")
+  }
+
+  test("MatchFractionExpr: ragged signature lengths yield NULL, not an order-dependent estimate") {
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val row = df.select(MatchFractionExpr.matchFraction(col("a"), col("b")).as("f"),
+      MatchFractionExpr.matchFraction(col("b"), col("a")).as("g")).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1), "both orders must agree (symmetric NULL)")
   }
 }

@@ -83,6 +83,28 @@ class QueryEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritten SQL round-trips GROUP BY + HAVING over a join (optimizer.cpp:133-188 parity)") {
+    val q =
+      """SELECT c_nationkey, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE o_totalprice > 100000.0 GROUP BY c_nationkey HAVING COUNT(*) >= 5"""
+    val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+    val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql; tree:\n${rep.planTree}"))
+    assert(rewritten.toUpperCase.contains("HAVING"), rewritten)
+    val a = spark.sql(q).collect().map(_.toString).sorted
+    val b = spark.sql(rewritten).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+  }
+
+  test("plan report lists used pushed filters (execution_plan.h:196-271 used-index parity)") {
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0")
+    assert(rep.planTree.contains("used pushed filters (lineitem)"), rep.planTree)
+    assert(rep.planTree.contains("l_quantity"), rep.planTree)
+    val point = QueryEngine.run(spark,
+      "EXPLAIN SELECT c_name FROM customer WHERE c_custkey = 42")
+    assert(point.planTree.contains("used pushed filters (customer)"), point.planTree)
+  }
+
   test("rewritten SQL is None, never a lie, for unsupported plan shapes") {
     val rep = QueryEngine.run(spark,
       "EXPLAIN SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn FROM orders")

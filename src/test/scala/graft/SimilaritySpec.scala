@@ -56,6 +56,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshBucket fails loudly on dimension mismatch (silent bucket-0 collapse is O(n^2))") {
+    val e = intercept[Throwable] {
+      Similarity.lshTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 2,
+        nPlanes = 4, dim = 8).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(e).contains("lshBucket"), messages(e))
+  }
+
+  test("cosineNearDupPairs: oversized blocks are subdivided, capped result stays sound") {
+    // one dominant block: 40 vectors in label 0; even/odd index = two
+    // distinct sign patterns, near-identical within each pattern
+    val big = (0 until 40).map(i =>
+      (i.toLong, Array(1.0f + i * 0.01f, if (i % 2 == 0) 1.0f else -1.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosineNearDupPairs(big, "vec_id", "embedding", "label", 0.95))
+    val capped = pairSet(Similarity.cosineNearDupPairs(big, "vec_id", "embedding", "label", 0.95,
+      maxBlockSize = 10))
+    // same-sign near-dups land in the same sub-bucket: nothing is lost here,
+    // and nothing unsound is ever added
+    assert(exact.size == 2 * 20 * 19 / 2, s"even-even + odd-odd pairs, got ${exact.size}")
+    assert(capped == exact, s"missing: ${exact -- capped}; extra: ${capped -- exact}")
+  }
+
   test("lshTopK returns correctly-ranked subset of brute-force results") {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 4)
       .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
