@@ -91,7 +91,11 @@ object Bench {
       name -> (opt, naive)
     }
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT formatting throughout: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale would emit invalid JSON
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }.mkString("{", ",", "}")
     // two shapes can't honestly reproduce the reference's MySQL-vs-MySQL
     // speedup at this SF (BENCH_NOTES.md): say so IN the JSON so a
     // mechanical within-2x comparison doesn't read them as plan defects
@@ -100,11 +104,11 @@ object Bench {
       "scalar_subquery" -> "Spark decorrelates in BOTH configs; the reference's 17x is MySQL N+1 round-trip elimination, unreproducible on Spark")
     val bs = shapeResults.map { case (k, (o, n)) =>
       val note = shapeNotes.get(k).map(s => s""","note":"$s"""").getOrElse("")
-      f""""$k":{"optimized":$o%.3f,"naive":$n%.3f,"speedup":${n / math.max(o, 1e-9)}%.2f$note}"""
+      s""""$k":{"optimized":${num("%.3f", o)},"naive":${num("%.3f", n)},"speedup":${num("%.2f", n / math.max(o, 1e-9))}$note}"""
     }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir"}"""
     // the driver tails sbt stdout and may truncate long logs — persist the
     // JSON to a file as well (SPARK_GRAFT_BENCH_OUT, default bench_out.json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

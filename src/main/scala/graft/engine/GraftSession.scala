@@ -125,12 +125,18 @@ object GraftSession {
     analyzableTables.foreach { n =>
       // a table left over from a DIFFERENT sfDir must not survive: silently
       // serving the first directory's data (and stats) to a session that
-      // asked for another is a wrong-results bug, not a cache hit
-      if (spark.catalog.tableExists(n) && !tableAt(spark, n, s"$dir/$n.parquet"))
-        spark.sql(s"DROP TABLE $n")
-      if (!spark.catalog.tableExists(n)) {
-        spark.sql(s"CREATE TABLE $n USING parquet LOCATION '$dir/$n.parquet'")
-        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
+      // asked for another is a wrong-results bug, not a cache hit.
+      // Everything here is database-qualified — unqualified DROP/EXISTS
+      // resolve to a same-named TEMP VIEW first (registerAll creates those),
+      // which would drop the wrong object and keep the stale table alive
+      def existsInCatalog =
+        spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
+      if (existsInCatalog && !tableAt(spark, n, s"$dir/$n.parquet"))
+        spark.sql(s"DROP TABLE default.$n")
+      if (!existsInCatalog) {
+        spark.sql(s"CREATE TABLE default.$n USING parquet LOCATION '$dir/$n.parquet'")
+        spark.sql(s"ANALYZE TABLE default.$n COMPUTE STATISTICS FOR ALL COLUMNS")
       }
     }
     Seq("events", "embeddings").foreach { n =>
@@ -146,7 +152,7 @@ object GraftSession {
       p.stripPrefix("file:").replaceAll("/+$", "")
     try {
       val meta = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
       meta.storage.locationUri.exists(u => canon(u.getPath) == canon(location))
     } catch { case _: Exception => false }
   }

@@ -273,12 +273,19 @@ object QueryEngine {
     // (`HAVING count(1) >= 12`, the reference's always-regenerated form,
     // `optimizer.cpp:133-188`) — alias references aren't valid there in
     // standard SQL
+    // `selectAggs` is what renders in the SELECT list (possibly pruned);
+    // `allAggs` is the Aggregate node's FULL list — HAVING may reference an
+    // aggregate alias the projection pruned (HAVING COUNT(*) with no count
+    // in the SELECT), so alias expansion must see every alias, not just the
+    // projected subset (a pruned alias would otherwise render as an
+    // unresolvable quoted column).
     def aggregateSql(groups: Seq[Expression],
-        aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+        selectAggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+        allAggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
         child: LogicalPlan, having: Option[Expression]): Option[String] =
       selectFrom(child).map { f =>
         val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
-        val byId = aggs.collect {
+        val byId = allAggs.collect {
           case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute.exprId -> a.child
         }.toMap
         val h = having.map { c =>
@@ -288,13 +295,13 @@ object QueryEngine {
           }
           s" HAVING ${exprSql(expanded)}"
         }.getOrElse("")
-        s"SELECT ${aggs.map(exprSql).mkString(", ")} FROM $f$g$h"
+        s"SELECT ${selectAggs.map(exprSql).mkString(", ")} FROM $f$g$h"
       }
     // SELECT head: projection or aggregation, incl. the HAVING family
     // (Filter directly over Aggregate, optionally under a pruning Project)
     def body(n: LogicalPlan): Option[String] = n match {
       case Filter(cond, Aggregate(groups, aggs, child, _)) =>
-        aggregateSql(groups, aggs, child, Some(cond))
+        aggregateSql(groups, aggs, aggs, child, Some(cond))
       case Project(cols, Filter(cond, Aggregate(groups, aggs, child, _)))
           if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
         // pure column-pruning Project over HAVING: keep only the projected
@@ -302,10 +309,10 @@ object QueryEngine {
         val byId = aggs.map(a => a.toAttribute.exprId -> a).toMap
         val projected = cols.flatMap(c =>
           byId.get(c.asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference].exprId))
-        if (projected.size == cols.size) aggregateSql(groups, projected, child, Some(cond))
+        if (projected.size == cols.size) aggregateSql(groups, projected, aggs, child, Some(cond))
         else None
       case Aggregate(groups, aggs, child, _) =>
-        aggregateSql(groups, aggs, child, None)
+        aggregateSql(groups, aggs, aggs, child, None)
       case Project(cols, child) =>
         selectFrom(child).map(f => s"SELECT ${cols.map(exprSql).mkString(", ")} FROM $f")
       case other =>

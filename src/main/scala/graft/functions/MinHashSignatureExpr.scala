@@ -25,6 +25,9 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null also arises from null ELEMENTS (null-propagated, like UnitNormExpr
+  // — hashing a null slot as 0 would fabricate a signature minimum)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -45,13 +48,17 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val hashes = input.asInstanceOf[ArrayData]
-    new GenericArrayData(MinHashSignatureExpr.signature(hashes, k, isLong))
+    val sig = MinHashSignatureExpr.signature(hashes, k, isLong)
+    if (sig == null) null else new GenericArrayData(sig)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = MinHashSignatureExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val arr = ctx.freshName("minhashArr")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.signature($c, $k, $isLong));")
+      s"""long[] $arr = $cls.signature($c, $k, $isLong);
+         if ($arr == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -60,13 +67,15 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
 object MinHashSignatureExpr {
   /** One pass over the shingle hashes, k running minima in a primitive
-    * array. XXH64.hashLong is Spark's own xxhash64 kernel.
+    * array; null on any null element (reading a null slot as 0 would
+    * fabricate a minimum). XXH64.hashLong is Spark's own xxhash64 kernel.
     */
   def signature(hashes: ArrayData, k: Int, isLong: Boolean): Array[Long] = {
     val n = hashes.numElements()
     val minima = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (hashes.isNullAt(i)) return null
       val h = if (isLong) hashes.getLong(i) else hashes.getInt(i).toLong
       var j = 0
       while (j < k) {

@@ -80,9 +80,13 @@ object Similarity {
       blockCol: String, threshold: Double, maxBlockSize: Long = 1000000L): DataFrame = {
     val n = emb.select(col(idCol).as("vec_id"), col(blockCol).as("blk"),
       unitNorm(col(vecCol)).as("unit"))
-    // block cardinality: tiny aggregate (one row per block key), joined
-    // back — AQE broadcasts it; oversized blocks get a sub-bucket key
-    val counts = n.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    // block cardinality from a PRUNED scan (block column only — no
+    // unitNorm, no vector bytes): a tiny aggregate joined back, which AQE
+    // broadcasts; oversized blocks get a sub-bucket key. The self-join
+    // sides below still re-derive `n` (two corpus scans), same as the
+    // unguarded form — the counts branch must not add a third full one.
+    val counts = emb.select(col(blockCol).as("blk"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
     val keyed = n.join(counts, Seq("blk"))
       .withColumn("sub",
         when(col("blk_n") <= maxBlockSize, lit(0))
@@ -113,9 +117,14 @@ object Similarity {
     val bucket = hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
       when(dot(unit, typedlit(p)) >= 0.0, lit(1 << j)).otherwise(0)
     }.reduce(_ bitwiseOR _)
-    when(size(unit) === dim, bucket).otherwise(
-      raise_error(concat(lit(s"lshBucket: expected dim=$dim, got vector of size "),
-        size(unit).cast("string"))).cast("int"))
+    // a NULL vector (null row or null element, unitNorm null-propagates)
+    // gets a NULL bucket — equi-joins then skip the row, same as every
+    // other operator's null handling; only a real size mismatch raises
+    when(unit.isNull, lit(null).cast("int"))
+      .when(size(unit) === dim, bucket)
+      .otherwise(
+        raise_error(concat(lit(s"lshBucket: expected dim=$dim, got vector of size "),
+          size(unit).cast("string"))).cast("int"))
   }
 
   /** IVF-style approximate top-k: spherical k-means centroids trained on a

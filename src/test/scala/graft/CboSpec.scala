@@ -22,13 +22,18 @@ class CboSpec extends AnyFunSuite {
 
   test("ensureAnalyzedCatalog re-points tables when the data dir changes") {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
-    if (spark.catalog.tableExists("customer")) spark.catalog.dropTempView("customer")
-    val n1 = spark.sql("SELECT COUNT(*) AS n FROM customer").collect()(0).getLong(0)
+    // a same-named TEMP VIEW must neither shadow the staleness check nor
+    // get dropped in the catalog table's place (unqualified DROP TABLE
+    // resolves temp-view-first)
+    GraftSession.table(spark, TestSpark.sfDir, "customer").createOrReplaceTempView("customer")
+    val n1 = spark.sql("SELECT COUNT(*) AS n FROM default.customer").collect()(0).getLong(0)
     // point the catalog at a different scale factor: the stale table must
     // be dropped and recreated, not silently served from the old location
     GraftSession.ensureAnalyzedCatalog(spark, "/root/testdata/sf0.01")
-    val n2 = spark.sql("SELECT COUNT(*) AS n FROM customer").collect()(0).getLong(0)
+    val n2 = spark.sql("SELECT COUNT(*) AS n FROM default.customer").collect()(0).getLong(0)
     assert(n2 > n1, s"sf0.01 customer ($n2) must exceed sf0.001 ($n1)")
+    assert(spark.catalog.tableExists("customer"), "temp view must survive the re-point")
+    spark.catalog.dropTempView("customer")
     // second call with the SAME dir is a no-op (no re-analyze churn)
     GraftSession.ensureAnalyzedCatalog(spark, "/root/testdata/sf0.01")
     // restore for other suites

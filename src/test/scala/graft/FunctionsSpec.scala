@@ -171,6 +171,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4, "int-array minhash signature")
   }
 
+  test("minhash_signature: null element yields NULL, never a fabricated minimum") {
+    graft.engine.GraftSession.registerFunctions(spark)
+    val r = spark.sql("SELECT minhash_signature(array(1L, CAST(NULL AS BIGINT)), 4) AS s").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("MatchFractionExpr: ragged signature lengths yield NULL, not an order-dependent estimate") {
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
     val row = df.select(MatchFractionExpr.matchFraction(col("a"), col("b")).as("f"),

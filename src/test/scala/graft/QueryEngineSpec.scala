@@ -95,6 +95,20 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
   }
 
+  test("rewritten SQL: HAVING aggregate pruned from SELECT still renders and round-trips") {
+    // COUNT(*) appears ONLY in HAVING: the optimizer prunes it from the
+    // projection, so alias expansion must consult the full aggregate list
+    val q = "SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10"
+    val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+    rep.rewrittenSql.foreach { rewritten =>
+      assert(rewritten.toUpperCase.contains("HAVING"), rewritten)
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+    // None is acceptable (unsupported shape); broken SQL is not
+  }
+
   test("plan report lists used pushed filters (execution_plan.h:196-271 used-index parity)") {
     val rep = QueryEngine.run(spark,
       "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0")

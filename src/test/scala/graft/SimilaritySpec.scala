@@ -66,6 +66,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(messages(e).contains("lshBucket"), messages(e))
   }
 
+  test("lshBucket: NULL vectors are skipped (null bucket), not a job-aborting error") {
+    val withNull = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, null.asInstanceOf[Array[Float]], 0)
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.lshTopK(withNull, "vec_id", "embedding", col("vec_id") === 0, k = 2,
+      nPlanes = 4, dim = 3).collect().map(_.getLong(1))
+    assert(res.contains(1L) && !res.contains(2L), res.toSeq)
+  }
+
   test("cosineNearDupPairs: oversized blocks are subdivided, capped result stays sound") {
     // one dominant block: 40 vectors in label 0; even/odd index = two
     // distinct sign patterns, near-identical within each pattern
