@@ -413,9 +413,24 @@ object SparkEntry {
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens FROM documents"),
 
-    // multimodal: binary payload + metadata + per-partition decode stub
-    "m01_multimodal_features" -> noOracle(
-      (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text")),
+    // multimodal: binary payload + metadata + per-partition decode stub.
+    // The stub's byte stats ARE oracle-able (documents are ASCII, so DuckDB
+    // codepoints = payload bytes; list_reduce replays the checksum fold)
+    "m01_multimodal_features" -> entry(
+      (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text"),
+      """WITH b AS (
+           SELECT doc_id, strlen(text) AS byte_len,
+                  list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS bytes
+           FROM documents)
+         SELECT doc_id,
+           CAST(byte_len AS INT) AS byte_len,
+           CASE WHEN byte_len = 0 THEN 0.0
+                ELSE CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / byte_len END AS mean_byte,
+           list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
+                       (acc, x) -> (acc * 31 + x) % 4294967296) AS checksum,
+           CAST(doc_id % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height
+         FROM b"""),
 
     // video-like frame sampling: fixed-stride binary slices, every 4th of
     // 16-byte frames; frame lengths are SQL-expressible → full oracle
