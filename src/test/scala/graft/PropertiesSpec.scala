@@ -70,6 +70,30 @@ class PropertiesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("rewrittenSql, when defined, always round-trips to identical results (GROUP BY/HAVING family)") {
+    import graft.engine.QueryEngine
+    val tables = Seq(
+      "orders" -> "o_custkey",
+      "customer JOIN orders ON c_custkey = o_custkey" -> "c_nationkey")
+    val wheres = Seq("", " WHERE o_totalprice > 100000.0")
+    val havings = Seq("", " HAVING COUNT(*) >= 5", " HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 1000000.00")
+    val tails = Seq("", " ORDER BY n DESC, 1 LIMIT 7")
+    var rendered = 0
+    for ((from, key) <- tables; w <- wheres; h <- havings; t <- tails) {
+      val q = s"SELECT $key, COUNT(*) AS n FROM $from$w GROUP BY $key$h$t"
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      rep.rewrittenSql.foreach { rw =>
+        rendered += 1
+        val a = spark.sql(q).collect().map(_.toString).sorted
+        val b = spark.sql(rw).collect().map(_.toString).sorted
+        assert(a.sameElements(b), s"round-trip mismatch\n  original : $q\n  rewritten: $rw")
+      }
+    }
+    // the family must not silently regress to all-None: most simple
+    // GROUP BY/HAVING shapes without ORDER BY positional refs do render
+    assert(rendered >= 12, s"only $rendered of 24 shapes rendered rewritten SQL")
+  }
+
   test("PPJoin-filtered Jaccard ≡ brute-force pairs on random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
