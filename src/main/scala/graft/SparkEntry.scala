@@ -316,7 +316,7 @@ object SparkEntry {
     // dedup on normalized-content md5 fingerprint
     "d02_dedup_fingerprint" -> entry(
       (s, d) => Dedup.fingerprintClusters(t(s, d, "documents"), "doc_id", "text"),
-      "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"),
+      "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"),
 
     // MinHash + LSH banding near-duplicates (candidate gen via band shuffle)
     "d03_dedup_minhash" -> noOracle(

@@ -17,6 +17,10 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // null also arises from null ELEMENTS (null-propagated, same convention
+  // as the other native expressions — an unsafe null slot reads as "" and
+  // would count as an intersection hit)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -35,7 +39,11 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = SortedIntersectCountExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $cls.count($l, $r);")
+    val boxed = ctx.freshName("sicBoxed")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""java.lang.Integer $boxed = (java.lang.Integer) $cls.count($l, $r);
+         if ($boxed == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $boxed.intValue(); }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -44,20 +52,24 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
 object SortedIntersectCountExpr {
 
-  /** merge walk; inputs must be sorted ascending (sort_array order). */
-  def count(a: ArrayData, b: ArrayData): Int = {
+  /** merge walk; inputs must be sorted ascending (sort_array order); NULL
+    * on any null element — an unguarded read NPEs on the interpreted path
+    * and silently reads "" (a fabricated match) on the unsafe path.
+    */
+  def count(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var eq = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { eq += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    eq
+    java.lang.Integer.valueOf(eq)
   }
 
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -33,7 +33,15 @@ object JoinOps {
     */
   def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
     val leftNames = left.columns.toSet
-    def rName(n: String) = if (leftNames(n)) n + "_r" else n
+    val rightNames = right.columns.toSet
+    // the rename target must itself be free — of left's columns AND of
+    // right's other columns (left (x, x_r) with right (x) would otherwise
+    // emit two x_r columns and fail the union as ambiguous)
+    def rName(n: String): String = {
+      var out = n
+      while (leftNames(out) || (out != n && rightNames(out))) out += "_r"
+      out
+    }
     val leftOnly = left.join(right, cond, "left_anti").select(
       left.columns.map(col) ++
         right.schema.fields.map(f => lit(null).cast(f.dataType).as(rName(f.name))): _*)

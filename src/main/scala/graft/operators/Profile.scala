@@ -29,21 +29,27 @@ object Profile {
     * collection does too).
     */
   def describe(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    // data columns referenced with backticks (a legal dotted column name
+    // would otherwise parse as struct-field access); internal alias names
+    // sanitized so they stay plain identifiers
+    def c0(c: String) = col(s"`$c`")
+    def a0(c: String) = c.replace('.', '_')
     val aggs = cols.flatMap { c =>
-      val nd = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      val nd = if (exact) countDistinct(c0(c)) else approx_count_distinct(c0(c))
       Seq(
-        count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        nd.as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        count(c0(c)).as(s"${a0(c)}__n"),
+        sum(when(c0(c).isNull, 1L).otherwise(0L)).as(s"${a0(c)}__nulls"),
+        nd.as(s"${a0(c)}__distinct"),
+        min(c0(c)).cast("string").as(s"${a0(c)}__min"),
+        max(c0(c)).cast("string").as(s"${a0(c)}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single stats row into one row per column
     val stacked = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"${c}__n").as("n"), col(s"${c}__nulls").as("n_null"),
-        col(s"${c}__distinct").as("n_distinct"), col(s"${c}__min").as("min_value"),
-        col(s"${c}__max").as("max_value"))
+      struct(lit(c).as("col_name"), col(s"${a0(c)}__n").as("n"), col(s"${a0(c)}__nulls").as("n_null"),
+        col(s"${a0(c)}__distinct").as("n_distinct"), col(s"${a0(c)}__min").as("min_value"),
+        col(s"${a0(c)}__max").as("max_value"))
     }
     one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }

@@ -18,6 +18,10 @@ object ScaleOps {
     */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, skewedKey: String,
       dimKey: String, saltFactor: Int): DataFrame = {
+    // pmod(x, 0) is NULL (not an error) in non-ANSI contexts and
+    // sequence(0, -1) DESCENDS — a non-positive factor would silently
+    // return an empty join instead of failing
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     // salt must be DETERMINISTIC per row: a nondeterministic source
     // (monotonically_increasing_id, rand) re-evaluates differently when a
     // lost map task reruns, while surviving reducers keep rows fetched

@@ -61,7 +61,10 @@ object TextOps {
 
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
+    * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or
+    * newline would otherwise survive the collapse as an edge space and
+    * split a cluster ("foo\n" vs "foo").
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 }

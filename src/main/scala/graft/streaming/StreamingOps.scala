@@ -39,27 +39,60 @@ object StreamingOps {
   case class UserSessionState(sessionCount: Long, lastTsUs: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Pure per-batch session fold: advance (sessionCount, lastTsUs) over one
+    * batch of a user's events. Extracted so the cross-batch semantics are
+    * unit-testable without streaming machinery.
+    */
+  private[graft] def foldEvents(prev: Option[UserSessionState],
+      evs: Seq[UserEvent], gapUs: Long): (UserSessionState, Long) = {
+    val sorted = evs.sortBy(_.tsUs)
+    var (sessions, last) = prev
+      .map(s => (s.sessionCount, s.lastTsUs)).getOrElse((0L, Long.MinValue))
+    var n = 0L
+    sorted.foreach { e =>
+      if (last == Long.MinValue || e.tsUs - last > gapUs) sessions += 1
+      // never rewind: a LATE event (tsUs < last) joins its session but must
+      // not drag `last` backwards — subsequent on-time events would measure
+      // their gap from the stale timestamp and open spurious sessions
+      last = math.max(last, e.tsUs)
+      n += 1
+    }
+    (UserSessionState(sessions, last), n)
+  }
+
   /** Stateful per-user session counting (30-min inactivity gap) via
     * mapGroupsWithState — the streaming twin of the batch window-function
     * sessionization (SparkEntry s03). Update-mode output: one running
     * (user, session-count, event-count) row per user per trigger.
+    *
+    * `stateTtl` bounds state for long-running deployments with an
+    * unbounded/rotating user population: users idle past the TTL
+    * (processing time) have their state expired (one final row with
+    * n_events = 0; a user seen again later starts a fresh session, which
+    * any TTL >= the gap would have declared anyway). Leave it None only
+    * when the key population is bounded. NOTE: pair a TTL with a real
+    * trigger interval — with the default 0ms trigger the engine runs
+    * continuous no-data micro-batches to evaluate pending timeouts.
     */
   def sessionCounts(events: Dataset[UserEvent],
-      gapUs: Long = 1800L * 1000000L): Dataset[UserSessions] = {
+      gapUs: Long = 1800L * 1000000L,
+      stateTtl: Option[String] = None): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id).mapGroupsWithState(timeoutConf) {
       (user: Long, evs: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
-        val sorted = evs.toSeq.sortBy(_.tsUs)
-        var (sessions, last) = state.getOption
-          .map(s => (s.sessionCount, s.lastTsUs)).getOrElse((0L, Long.MinValue))
-        var n = 0L
-        sorted.foreach { e =>
-          if (last == Long.MinValue || e.tsUs - last > gapUs) sessions += 1
-          last = e.tsUs
-          n += 1
+        if (stateTtl.isDefined && state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          UserSessions(user, s.sessionCount, 0L)
+        } else {
+          val (next, n) = foldEvents(state.getOption, evs.toSeq, gapUs)
+          state.update(next)
+          stateTtl.foreach(state.setTimeoutDuration)
+          UserSessions(user, next.sessionCount, n)
         }
-        state.update(UserSessionState(sessions, last))
-        UserSessions(user, sessions, n)
     }
   }
 
@@ -98,7 +131,11 @@ object StreamingOps {
         .select(col(idAs), col(sigAs),
           bandBuckets(col(sigAs), bands, r).as(Seq("band", "bucket")))
     val streamBuckets = withBuckets(stream, "doc_id", "sig")
-    val corpusBuckets = withBuckets(corpus, "corpus_id", "corpus_sig")
+    // persist the static side: a stream-static join re-evaluates the static
+    // plan EVERY micro-batch, which would re-tokenize + re-hash + re-explode
+    // the whole corpus per trigger (the per-trigger cost would be dominated
+    // by the corpus, not the arrivals). Caller unpersists when done.
+    val corpusBuckets = withBuckets(corpus, "corpus_id", "corpus_sig").persist()
     // one row per pair WITHOUT stateful dedup (streaming dropDuplicates
     // would grow state forever): keep a pair only on its FIRST matching
     // band — earlier bands are re-checked from the two signatures already
@@ -119,8 +156,10 @@ object StreamingOps {
     */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
+    // finally: a failed query must not stay registered (it would collide
+    // with the next start() under the same name and leak its sink state)
+    try q.processAllAvailable()
+    finally q.stop()
     df.sparkSession.table(name)
   }
 }

@@ -31,6 +31,15 @@ class DedupSpec extends AnyFunSuite {
     assert(m.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("fingerprint normalizes edge tabs/newlines, not just edge spaces") {
+    // trim() strips spaces only: collapse-then-trim must make "foo\n",
+    // "foo  " and "foo" one cluster
+    val noisy = Seq((1L, "foo\n"), (2L, "foo  "), (3L, "foo"), (4L, "\tfoo")).toDF("doc_id", "text")
+    val m = Dedup.fingerprintClusters(noisy, "doc_id", "text").collect()
+    assert(m.length == 1, m.toSeq.toString)
+    assert(m(0).getLong(2) == 4L)
+  }
+
   test("minhash LSH finds exact and near duplicates, skips unrelated") {
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

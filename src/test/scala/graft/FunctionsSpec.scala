@@ -177,6 +177,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("sorted_intersect_count: null element yields NULL, never a fabricated match") {
+    val df = Seq((Array[String](null, "a"), Array("", "a"))).toDF("a", "b")
+    val r = df.select(graft.functions.SortedIntersectCountExpr
+      .sortedIntersectCount(sort_array(col("a")), sort_array(col("b")))).collect()(0)
+    assert(r.isNullAt(0), "null slot must not compare (unsafe path reads it as \"\")")
+  }
+
   test("MatchFractionExpr: ragged signature lengths yield NULL, not an order-dependent estimate") {
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
     val row = df.select(MatchFractionExpr.matchFraction(col("a"), col("b")).as("f"),

@@ -54,4 +54,15 @@ class JoinOpsSpec extends AnyFunSuite {
     // left-only row 1 keeps its real id; right-only row 3 keeps its real id_r
     assert(rows == Set((Some(1L), None), (None, Some(3L))), rows)
   }
+
+  test("fullOuterAnti rename target collision: left already owns <name>_r") {
+    import spark.implicits._
+    val l = Seq((1L, "x")).toDF("id", "id_r") // pathological: left has id AND id_r
+    val r = Seq((2L, 9.0)).toDF("id", "score")
+    val got = JoinOps.fullOuterAnti(l, r, l("id") === r("id"))
+    assert(got.columns.distinct.length == got.columns.length,
+      s"duplicate output columns: ${got.columns.toSeq}")
+    assert(got.columns.contains("id_r_r"), got.columns.toSeq)
+    assert(got.count() == 2)
+  }
 }

@@ -25,6 +25,12 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin rejects a non-positive salt factor instead of returning empty") {
+    val skewed = Seq((1L, 1)).toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("dk", "name")
+    intercept[IllegalArgumentException](ScaleOps.saltedJoin(skewed, dim, "k", "dk", 0))
+  }
+
   test("bucketed tables join without a shuffle") {
     val c = GraftSession.table(spark, TestSpark.sfDir, "customer")
     val o = GraftSession.table(spark, TestSpark.sfDir, "orders")

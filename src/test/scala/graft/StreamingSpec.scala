@@ -68,6 +68,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 100L)), got) // exactly once, despite multi-band collisions
   }
 
+  test("late events never rewind session state (cross-batch out-of-order arrival)") {
+    import StreamingOps.{UserEvent, UserSessionState, foldEvents}
+    val H = 3600L * 1000000L
+    val gap = 1800L * 1000000L
+    // batch 1: one event at 10:00 → one session, last = 10:00
+    val (s1, _) = foldEvents(None, Seq(UserEvent(1L, 10 * H)), gap)
+    assert(s1 == UserSessionState(1L, 10 * H))
+    // batch 2: a LATE event (8:00) plus an on-time one 5 min after the
+    // true latest (10:05) — the 10:05 event must NOT open a new session
+    // (a rewound `last` would measure a 2h05m gap from the late event)
+    val (s2, n2) = foldEvents(Some(s1),
+      Seq(UserEvent(1L, 8 * H), UserEvent(1L, 10 * H + 300L * 1000000L)), gap)
+    assert(n2 == 2L)
+    assert(s2.sessionCount == 1L, s"late event rewound last-seen timestamp: $s2")
+    assert(s2.lastTsUs == 10 * H + 300L * 1000000L)
+  }
+
   test("stateful session counts match batch sessionization totals") {
     import spark.implicits._
     val stream = StreamingOps.eventsStream(spark, streamDir)
