@@ -345,6 +345,19 @@ object SparkEntry {
         Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text", threshold = 0.7),
         "doc_a", "doc_b")),
 
+    // train/eval contamination: cross-corpus near-dup pairs only (the
+    // benchmark-leakage check) — corpora = a deterministic doc_id split
+    // (every 10th doc plays the held-out eval set)
+    "d12_contamination" -> noOracle(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossCorpusContamination(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", threshold = 0.5)
+          .select(col("train_id"), col("eval_id"))
+      }),
+
     // embedding-cosine near-duplicate pairs, blocked by label.
     // Oracle-safe despite float math: output is the pair SET only, and the
     // closest same-label cosine to the 0.4 threshold at sf0.01 is >1e-3 away

@@ -112,6 +112,45 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Train/eval contamination detection: near-duplicate pairs ACROSS two
+    * corpora, never within one — the "is my benchmark in my training set?"
+    * check a training pipeline runs before any model sees the data.
+    *
+    * Same MinHash + LSH banding as [[minhashNearDuplicates]], but the band
+    * join pairs a train doc only with eval docs, so candidate volume is
+    * driven purely by cross-corpus collisions: at 100 TB train × small
+    * eval, each band bucket carries the handful of eval ids that hash
+    * there, and the join is effectively a semi-broadcast probe of the
+    * training corpus — never train × train.
+    *
+    * @return (train_id, eval_id, est_jaccard) for pairs >= threshold.
+    */
+  def crossCorpusContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val tSigs = train.select(col(idCol).as("train_id"),
+      minhashSignature(col(textCol), k).as("sig_t"))
+    val eSigs = eval.select(col(idCol).as("eval_id"),
+      minhashSignature(col(textCol), k).as("sig_e"))
+    // band shuffle carries only (band, bucket, id) — signatures re-join
+    // after cross-band pair dedup, as in minhashNearDuplicates
+    val tB = tSigs.select(col("train_id"),
+      bandBuckets(col("sig_t"), bands, r).as(Seq("band", "bucket")))
+    val eB = eSigs.select(col("eval_id"),
+      bandBuckets(col("sig_e"), bands, r).as(Seq("band", "bucket")))
+    val cands = tB.join(eB, Seq("band", "bucket"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    cands
+      .join(tSigs, "train_id")
+      .join(eSigs, "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        signatureSimilarity(col("sig_t"), col("sig_e")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,

@@ -59,6 +59,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("crossCorpusContamination finds cross-corpus near-dups only, never within-corpus pairs") {
+    val train = Seq(
+      (1L, base),                                    // contaminated: near eval 11
+      (2L, base),                                    // exact dup of 1 (within-train: must NOT pair)
+      (3L, "completely different text about spark sql engines and optimizers"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (11L, base.replace("today", "tomorrow")),      // near-dup of train 1 and 2
+      (12L, "an entirely novel benchmark prompt about graph algorithms"),
+      (13L, "another unrelated evaluation document mentioning storage"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .crossCorpusContamination(train, eval, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (2L, 11L)), got)
+  }
+
   test("shingles: short-text fallback hashes the canonical single-space form") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")
