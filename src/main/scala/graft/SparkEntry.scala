@@ -439,8 +439,10 @@ object SparkEntry {
            CAST(byte_len AS INT) AS byte_len,
            CASE WHEN byte_len = 0 THEN 0.0
                 ELSE CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / byte_len END AS mean_byte,
-           list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
-                       (acc, x) -> (acc * 31 + x) % 4294967296) AS checksum,
+           CASE WHEN byte_len = 0 THEN 1
+                ELSE list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
+                                 (acc, x) -> (acc * 31 + x) % 4294967296)
+           END AS checksum,
            CAST(doc_id % 640 + 1 AS INT) AS width,
            CAST(doc_id % 480 + 1 AS INT) AS height
          FROM b"""),

@@ -53,8 +53,11 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 object SortedIntersectCountExpr {
 
   /** merge walk; inputs must be sorted ascending (sort_array order); NULL
-    * on any null element — an unguarded read NPEs on the interpreted path
-    * and silently reads "" (a fabricated match) on the unsafe path.
+    * on any null element REACHED BY THE WALK — an unguarded read NPEs on
+    * the interpreted path and silently reads "" (a fabricated match) on
+    * the unsafe path. Elements past the shorter side's exhaustion are
+    * never examined: they cannot change the count, so a null there keeps
+    * the (already-determined) result rather than poisoning it.
     */
   def count(a: ArrayData, b: ArrayData): java.lang.Integer = {
     val na = a.numElements()

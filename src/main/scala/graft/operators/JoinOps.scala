@@ -32,16 +32,18 @@ object JoinOps {
     * NULL for shared names such as a common join key).
     */
   def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
-    val leftNames = left.columns.toSet
-    val rightNames = right.columns.toSet
-    // the rename target must itself be free — of left's columns AND of
-    // right's other columns (left (x, x_r) with right (x) would otherwise
-    // emit two x_r columns and fail the union as ambiguous)
-    def rName(n: String): String = {
+    // every rename target must be globally fresh: not a left column, not a
+    // right column, and not a target already assigned to an earlier right
+    // column (left (x, x_r) with right (x, x_r) would otherwise map BOTH
+    // right columns to x_r_r and fail the union as ambiguous)
+    val taken = scala.collection.mutable.Set[String](left.columns: _*)
+    val assigned = right.columns.map { n =>
       var out = n
-      while (leftNames(out) || (out != n && rightNames(out))) out += "_r"
-      out
-    }
+      while (taken(out)) out += "_r"
+      taken += out
+      n -> out
+    }.toMap
+    def rName(n: String): String = assigned(n)
     val leftOnly = left.join(right, cond, "left_anti").select(
       left.columns.map(col) ++
         right.schema.fields.map(f => lit(null).cast(f.dataType).as(rName(f.name))): _*)

@@ -31,25 +31,26 @@ object Profile {
   def describe(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     // data columns referenced with backticks (a legal dotted column name
-    // would otherwise parse as struct-field access); internal alias names
-    // sanitized so they stay plain identifiers
+    // would otherwise parse as struct-field access); internal aliases are
+    // position-indexed so they stay plain identifiers AND unique even when
+    // sanitized siblings would collide ("a.b" vs "a_b")
     def c0(c: String) = col(s"`$c`")
-    def a0(c: String) = c.replace('.', '_')
-    val aggs = cols.flatMap { c =>
+    def a0(i: Int) = s"c$i"
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val nd = if (exact) countDistinct(c0(c)) else approx_count_distinct(c0(c))
       Seq(
-        count(c0(c)).as(s"${a0(c)}__n"),
-        sum(when(c0(c).isNull, 1L).otherwise(0L)).as(s"${a0(c)}__nulls"),
-        nd.as(s"${a0(c)}__distinct"),
-        min(c0(c)).cast("string").as(s"${a0(c)}__min"),
-        max(c0(c)).cast("string").as(s"${a0(c)}__max"))
+        count(c0(c)).as(s"${a0(i)}__n"),
+        sum(when(c0(c).isNull, 1L).otherwise(0L)).as(s"${a0(i)}__nulls"),
+        nd.as(s"${a0(i)}__distinct"),
+        min(c0(c)).cast("string").as(s"${a0(i)}__min"),
+        max(c0(c)).cast("string").as(s"${a0(i)}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single stats row into one row per column
-    val stacked = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"${a0(c)}__n").as("n"), col(s"${a0(c)}__nulls").as("n_null"),
-        col(s"${a0(c)}__distinct").as("n_distinct"), col(s"${a0(c)}__min").as("min_value"),
-        col(s"${a0(c)}__max").as("max_value"))
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"${a0(i)}__n").as("n"), col(s"${a0(i)}__nulls").as("n_null"),
+        col(s"${a0(i)}__distinct").as("n_distinct"), col(s"${a0(i)}__min").as("min_value"),
+        col(s"${a0(i)}__max").as("max_value"))
     }
     one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }

@@ -119,23 +119,44 @@ object StreamingOps {
     * @return streaming (doc_id, corpus_id, est_jaccard) — one row per
     *         (arriving doc, matched corpus doc) pair over `threshold`.
     */
-  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+  private def withBuckets(df: DataFrame, idCol: String, textCol: String,
+      idAs: String, sigAs: String, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    df.select(col(idCol).as(idAs),
+        graft.operators.Dedup.minhashSignature(col(textCol), k).as(sigAs))
+      .select(col(idAs), col(sigAs),
+        graft.operators.Dedup.bandBuckets(col(sigAs), bands, r).as(Seq("band", "bucket")))
+  }
+
+  /** The corpus signature index the near-dup gate probes: (corpus_id,
+    * corpus_sig, band, bucket). Build it ONCE, `.persist()` it yourself,
+    * and pass it to [[nearDupAgainstCorpus]] — a stream-static join
+    * re-evaluates the static plan every micro-batch, so an unpersisted
+    * index re-tokenizes + re-hashes the whole corpus per trigger. Owning
+    * the reference also means YOU can `.unpersist()` it when the gate
+    * re-arms against a refreshed corpus (an internal persist would pin one
+    * cached copy per call with no way to release it).
+    */
+  def corpusSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    withBuckets(corpus, idCol, textCol, "corpus_id", "corpus_sig", k, bands)
+  }
+
+  /** Streaming near-duplicate gate against a STATIC corpus: each arriving
+    * document's MinHash signature and LSH band buckets are computed in the
+    * stream's projection (per-row native expression — no state), then a
+    * stream-static equi-join on (band, bucket) against `corpusIndex`
+    * (from [[corpusSignatureIndex]], persisted by the caller) surfaces
+    * candidates and the signature estimate filters to real near-dups.
+    */
+  def nearDupAgainstCorpusIndex(stream: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    import graft.operators.Dedup.{bandBuckets, bandHash}
-    def withBuckets(df: DataFrame, idAs: String, sigAs: String) =
-      df.select(col(idCol).as(idAs),
-          graft.operators.Dedup.minhashSignature(col(textCol), k).as(sigAs))
-        .select(col(idAs), col(sigAs),
-          bandBuckets(col(sigAs), bands, r).as(Seq("band", "bucket")))
-    val streamBuckets = withBuckets(stream, "doc_id", "sig")
-    // persist the static side: a stream-static join re-evaluates the static
-    // plan EVERY micro-batch, which would re-tokenize + re-hash + re-explode
-    // the whole corpus per trigger (the per-trigger cost would be dominated
-    // by the corpus, not the arrivals). Caller unpersists when done.
-    val corpusBuckets = withBuckets(corpus, "corpus_id", "corpus_sig").persist()
+    import graft.operators.Dedup.bandHash
+    val streamBuckets = withBuckets(stream, idCol, textCol, "doc_id", "sig", k, bands)
     // one row per pair WITHOUT stateful dedup (streaming dropDuplicates
     // would grow state forever): keep a pair only on its FIRST matching
     // band — earlier bands are re-checked from the two signatures already
@@ -144,12 +165,24 @@ object StreamingOps {
       j => bandHash(col("sig"), j, r) === bandHash(col("corpus_sig"), j, r))
     // band 0 guard: sequence(0, -1) would descend, not be empty
     val firstBandOnly = col("band") === 0 || !earlierBandMatch
-    streamBuckets.join(corpusBuckets, Seq("band", "bucket"))
+    streamBuckets.join(corpusIndex, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("corpus_id") && firstBandOnly)
       .select(col("doc_id"), col("corpus_id"),
         graft.operators.Dedup.signatureSimilarity(col("sig"), col("corpus_sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Convenience variant building the index from the raw corpus, UNCACHED:
+    * fine for one-shot local runs; long-running deployments should build
+    * [[corpusSignatureIndex]] once, persist it, and use
+    * [[nearDupAgainstCorpusIndex]] so they own the cache lifecycle.
+    */
+  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame =
+    nearDupAgainstCorpusIndex(stream,
+      corpusSignatureIndex(corpus, idCol, textCol, k, bands),
+      idCol, textCol, k, bands, threshold)
 
   /** Run a streaming DataFrame to a named in-memory table and block until
     * all available input is processed (local smoke path).

@@ -65,4 +65,14 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got.columns.contains("id_r_r"), got.columns.toSeq)
     assert(got.count() == 2)
   }
+
+  test("fullOuterAnti rename targets stay unique when BOTH sides share id and id_r") {
+    import spark.implicits._
+    val l = Seq((1L, "x")).toDF("id", "id_r")
+    val r = Seq((2L, "y")).toDF("id", "id_r") // both right columns collide
+    val got = JoinOps.fullOuterAnti(l, r, l("id") === r("id"))
+    assert(got.columns.distinct.length == got.columns.length,
+      s"duplicate output columns: ${got.columns.toSeq}")
+    assert(got.count() == 2)
+  }
 }

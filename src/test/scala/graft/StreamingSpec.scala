@@ -66,6 +66,16 @@ class StreamingSpec extends AnyFunSuite {
       "neardup_gate", OutputMode.Append())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 100L)), got) // exactly once, despite multi-band collisions
+
+    // production path: caller-built, caller-persisted (and released) index
+    val idx = StreamingOps.corpusSignatureIndex(corpus, "doc_id", "text").persist()
+    try {
+      val got2 = StreamingOps.runToMemory(
+        StreamingOps.nearDupAgainstCorpusIndex(stream, idx, "doc_id", "text", threshold = 0.5),
+        "neardup_gate_idx", OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got2 == got, got2)
+    } finally idx.unpersist()
   }
 
   test("late events never rewind session state (cross-batch out-of-order arrival)") {
