@@ -43,6 +43,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d06: block-count guard joins via broadcast, never a cartesian") {
+    val p = executedPlanString("d06_embed_neardup")
+    // the tiny one-row-per-label counts aggregate must broadcast back onto
+    // the normalized side — a shuffle join here would add a full-corpus
+    // exchange; a cartesian would mean the blocking key was lost
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q29 flagship: no cartesian product, subqueries decorrelated") {
     val df = SparkEntry.queries("q29_flagship")(spark, sf)
     val optimized = df.queryExecution.optimizedPlan
