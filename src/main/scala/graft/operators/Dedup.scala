@@ -151,6 +151,19 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Remove contaminated training documents: every train doc near-dup to
+    * ANY eval doc (per [[crossCorpusContamination]]) is dropped via a
+    * single anti join — the action a pipeline takes on a detected leak.
+    * Returns the training corpus with original columns.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val dirty = crossCorpusContamination(train, eval, idCol, textCol, k, bands, threshold)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(dirty, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,

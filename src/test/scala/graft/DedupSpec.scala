@@ -76,6 +76,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L), (2L, 11L)), got)
   }
 
+  test("decontaminate drops exactly the leaked training docs, keeps the rest intact") {
+    val train = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, "completely different text about spark sql engines and optimizers"))
+      .toDF("doc_id", "text")
+    val eval = Seq((11L, base.replace("today", "tomorrow"))).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .decontaminate(train, eval, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((3L, "completely different text about spark sql engines and optimizers")), kept)
+  }
+
   test("shingles: short-text fallback hashes the canonical single-space form") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")
