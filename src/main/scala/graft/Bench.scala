@@ -108,14 +108,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir"}"""
-    // the driver tails sbt stdout and may truncate long logs — persist the
-    // JSON to a file as well (SPARK_GRAFT_BENCH_OUT, default bench_out.json)
+    val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir"}"""
+    // the full JSON (with the 60-entry per-query map) goes to a FILE only
+    // (SPARK_GRAFT_BENCH_OUT, default bench_out.json); the driver tails
+    // ~3 KB of stdout, which front-truncates any long line, so the line we
+    // print must be the COMPACT summary — no per-query map — and it must be
+    // the process's final stdout line
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    val compact = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failures":$fails,"baseline_shapes":$bs,"sf":"$sfDir","detail":"$outPath"}"""
     spark.stop()
     // print AFTER spark.stop() so the JSON is the process's last stdout line
-    println(json)
+    println(compact)
   }
 }

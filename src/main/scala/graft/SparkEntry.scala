@@ -384,15 +384,28 @@ object SparkEntry {
          r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM s)
          SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"""),
 
-    // sign-LSH bucketed approximate top-k (the scale path)
+    // sign-LSH bucketed approximate top-k (the scale path); each row
+    // carries its query's measured recall@k vs the exact baseline run in
+    // the same job, so accuracy is driver-visible, not just ScalaTested
     "d08_ann_lsh" -> noOracle(
-      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, k = 5)),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.withRecallAtK(
+          Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+          k = 5)
+      }),
 
-    // IVF approximate top-k: sampled spherical k-means cells + nProbe search
+    // IVF approximate top-k: sampled spherical k-means cells + nProbe
+    // search; recall@k vs the exact baseline attached per row as in d08
     "d09_ann_ivf" -> noOracle(
-      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, k = 5)),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.withRecallAtK(
+          Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+          k = 5)
+      }),
 
     // language-ID heuristic (codegen'd CASE/LIKE chain)
     "t01_lang_id" -> entry(

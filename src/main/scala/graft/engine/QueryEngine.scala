@@ -23,7 +23,9 @@ object QueryEngine {
 
   /** Result of one query. `rows` is populated only for executed SELECTs;
     * `rewrittenSql` when the optimized plan un-parses to SQL (≙ the
-    * reference's regenerated optimized SQL, `sqlopt.cpp:691-724`).
+    * reference's regenerated optimized SQL, `sqlopt.cpp:691-724`);
+    * `warnings` for the reference's warn-and-continue semantic paths
+    * (`semantic.cpp:22-26,53-58` — reported, never terminal).
     */
   case class QueryReport(
       kind: String, // SELECT | EXPLAIN | INSERT | UPDATE | DELETE | ERROR
@@ -34,7 +36,8 @@ object QueryEngine {
       error: Option[String],
       suggestion: Option[String],
       df: Option[DataFrame],
-      rewrittenSql: Option[String] = None)
+      rewrittenSql: Option[String] = None,
+      warnings: Seq[String] = Nil)
 
   private val keywords = Seq(
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
@@ -105,10 +108,67 @@ object QueryEngine {
             QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
               tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
           case e: AnalysisException =>
-            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None)
+            warnAndContinue(spark, sql, isExplain, e).getOrElse(
+              QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None))
           case NonFatal(e) =>
             QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getMessage), None, None)
         }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // warn-and-continue semantics (reference semantic.cpp:22-26,53-58 via
+  // cli.cpp:228-243)
+  // ------------------------------------------------------------------
+
+  private def stripQuotes(ident: String): String = ident.replace("`", "")
+
+  /** Plain structure tree for a PARSED (possibly unresolved) plan —
+    * `p.stats` is undefined before analysis, so the warn path renders node
+    * names only.
+    */
+  private def renderParsedTree(p: LogicalPlan, indent: Int = 0): String =
+    ((" " * indent + p.nodeName) +: p.children.map(c => renderParsedTree(c, indent + 2)))
+      .mkString("\n")
+
+  /** The reference's warn-and-continue semantic paths: an unknown FROM
+    * table (`semantic.cpp:22-26`) and an UNQUALIFIED unknown column
+    * (`semantic.cpp:53-58`) are reported as warnings and the CLI says
+    * "Continuing with optimization..." (`cli.cpp:243`) — the reference is
+    * an analysis tool, so continuing means still reporting the parse-level
+    * plan, never aborting. Unknown JOIN tables, qualified unknown columns,
+    * and ambiguous references stay terminal, exactly as in the reference.
+    */
+  private def warnAndContinue(spark: SparkSession, sql: String, isExplain: Boolean,
+      e: AnalysisException): Option[QueryReport] = {
+    import scala.jdk.CollectionConverters._
+    val cond = Option(e.getCondition).getOrElse("")
+    val params = e.getMessageParameters.asScala
+    def parsedPlan: Option[LogicalPlan] =
+      try Some(spark.sessionState.sqlParser.parsePlan(sql))
+      catch { case NonFatal(_) => None }
+    val warning: Option[String] =
+      if (cond.startsWith("UNRESOLVED_COLUMN")) {
+        // unqualified only: a qualified unknown (`t.c`) is a hard error in
+        // the reference too (semantic.cpp:44-48)
+        params.get("objectName").filterNot(_.contains("."))
+          .map(o => s"Warning: Column '${stripQuotes(o)}' not found, proceeding anyway")
+      } else if (cond == "TABLE_OR_VIEW_NOT_FOUND") {
+        val missing = params.get("relationName").map(stripQuotes)
+        // the FROM table is the left-most relation of the parsed join tree;
+        // the reference warns only for it, JOIN tables stay terminal
+        val fromTable = parsedPlan.flatMap(_.collectFirst {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            u.multipartIdentifier.mkString(".")
+        })
+        missing.filter(m => fromTable.contains(m))
+          .map(m => s"Warning: Table '$m' not found in statistics, proceeding anyway")
+      } else None
+    warning.map { w =>
+      val tree = parsedPlan.map(renderParsedTree(_)).getOrElse("")
+      QueryReport(if (isExplain) "EXPLAIN" else "SELECT",
+        Seq("Continuing with optimization..."), tree, Nil, 0,
+        None, None, None, None, Seq(w))
     }
   }
 

@@ -242,12 +242,16 @@ object Dedup {
           .withColumnRenamed("component", "n_comp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_comp")).as("n_comp"))
+      // the convergence flag is derived in the SAME pass that computes the
+      // new labels (a label changes iff some neighbor's beats its own), so
+      // the probe is a scan of the just-checkpointed blocks — not the extra
+      // shuffle join per round that `next JOIN labels` would cost
       val next = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component")))
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).limit(1).count()
-      labels = next
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
+          (coalesce(col("n_comp"), col("component")) < col("component")).as("chg")))
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -33,9 +33,14 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("byte_len", IntegerType),
     StructField("mean_byte", DoubleType),
-    StructField("checksum", LongType)))
+    StructField("checksum", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
 
-  /** Per-partition batched "decode + feature extraction".
+  /** Per-partition batched "decode + feature extraction". The metadata
+    * fields ride along through the same pass — at 100 TB of media bytes a
+    * join-back to recover two ints would mean a second full scan plus a
+    * shuffle, so the decode emits them directly.
     *
     * STUB: a real implementation decodes the media codec here (the
     * per-partition structure — init once, stream the batch — is exactly
@@ -44,32 +49,32 @@ object Multimodal {
     */
   def decodeStub(withBinary: DataFrame): DataFrame = {
     val spark = withBinary.sparkSession
-    val rdd = withBinary.select(col("doc_id"), col("payload")).rdd.mapPartitions { iter =>
-      // real codec/library init would happen once per partition, here
-      iter.map { row =>
-        val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        var sum = 0L
-        var checksum = 1L
-        bytes.foreach { b =>
-          sum += (b & 0xff)
-          checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
+    val rdd = withBinary
+      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      .rdd.mapPartitions { iter =>
+        // real codec/library init would happen once per partition, here
+        iter.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          var sum = 0L
+          var checksum = 1L
+          bytes.foreach { b =>
+            sum += (b & 0xff)
+            checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
+          }
+          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+          Row(id, bytes.length, mean, checksum, row.getInt(2), row.getInt(3))
         }
-        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-        Row(id, bytes.length, mean, checksum)
       }
-    }
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Full pipeline: attach binary → decode/extract → join features back to
-    * metadata. The shape a 100 TB image-dataset featurization job has.
+  /** Full pipeline: attach binary → decode/extract, metadata carried through
+    * the decode pass — ONE scan, zero joins: the shape a 100 TB
+    * image-dataset featurization job has.
     */
-  def featurize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bin = attachBinary(docs, idCol, textCol)
-    decodeStub(bin).join(bin.select(col("doc_id"), col("meta.width").as("width"),
-      col("meta.height").as("height")), "doc_id")
-  }
+  def featurize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    decodeStub(attachBinary(docs, idCol, textCol))
 
   /** Image-resize shape: new metadata plus a proportionally-thinned payload.
     *

@@ -100,9 +100,9 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic random hyperplanes (fixed seed, plan-time constants). */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
+  /** Deterministic random hyperplanes (seeded, plan-time constants). */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
@@ -113,8 +113,8 @@ object Similarity {
     * "bucketed" join would silently degrade to the full O(n²) self-join it
     * exists to avoid.
     */
-  def lshBucket(unit: Column, nPlanes: Int, dim: Int): Column = {
-    val bucket = hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+  def lshBucket(unit: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val bucket = hyperplanes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
       when(dot(unit, typedlit(p)) >= 0.0, lit(1 << j)).otherwise(0)
     }.reduce(_ bitwiseOR _)
     // a NULL vector (null row or null element, unitNorm null-propagates)
@@ -184,25 +184,60 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
-  /** Approximate top-k via sign-LSH bucketing: each query is compared only
-    * to candidates in its bucket. Shuffles on the bucket id; at cluster
-    * scale each bucket is a local join. Recall < 1 by construction — the
-    * scale path next to [[bruteForceTopK]]'s exactness baseline.
+  /** Attach per-query recall@k to an approximate top-k result, measured
+    * against the exact result on the same queries: `recall = |approx ∩
+    * exact| / k`. Every output row of a query carries that query's recall,
+    * so a driver (or dashboard) reading only the result rows sees the
+    * accuracy — the reference's measured-claims discipline
+    * (`OPTIMIZATION_DEMO.md:240-255`) applied to the approximate ANN paths.
+    *
+    * Cost: the exact baseline is O(|Q|·|N|) — bounded by the QUERY count,
+    * not quadratic in the corpus; the per-query hit counts are a tiny
+    * aggregate broadcast back onto the approximate rows.
+    */
+  def withRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "leftsemi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("q_id"), "left")
+      .withColumn("recall", coalesce(col("n_hit"), lit(0)).cast("double") / k)
+      .drop("n_hit")
+  }
+
+  /** Approximate top-k via MULTI-TABLE sign-LSH bucketing: `nTables`
+    * independent hash tables of `nPlanes` sign bits each; a candidate is
+    * compared when it shares ANY table's bucket with the query (recall
+    * amplification 1-(1-p^nPlanes)^nTables — a single table's p^nPlanes
+    * recall is unusable for top-k, measured 0.03 at 8 planes on the test
+    * embeddings). Shuffles on the (table, bucket) key; the explode
+    * multiplies the shuffled corpus nTables× — the standard LSH cost/recall
+    * knob, still 1/2^nPlanes of brute force per table at cluster scale.
+    * Recall < 1 by construction — the scale path next to
+    * [[bruteForceTopK]]'s exactness baseline; [[withRecallAtK]] measures it.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val all = normalized(emb, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
+      queryPred: Column, k: Int, nPlanes: Int = 4, dim: Int = 64,
+      nTables: Int = 8): DataFrame = {
+    // one (table, bucket) key per hash table, per row; null vectors get
+    // null buckets in every table and are dropped here (same skip-not-abort
+    // semantics as the single-table form)
+    def withKeys(df: DataFrame): DataFrame = df
+      .withColumn("tb", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("unit"), nPlanes, dim, seed = 7L + t * 1009L).as("b"))): _*)))
+      .filter(col("tb.b").isNotNull)
+    val all = withKeys(normalized(emb, idCol, vecCol))
     // queryPred targets the caller's columns: filter emb BEFORE the rename
-    val queries = normalized(emb.filter(queryPred), idCol, vecCol)
-      .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
-      .select(col("bucket"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
-    val scored = all.join(queries, Seq("bucket"))
+    val queries = withKeys(normalized(emb.filter(queryPred), idCol, vecCol))
+      .select(col("tb"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    val scored = all.join(queries, Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         dot(col("q_unit"), col("unit")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // a pair found in several tables must count once: max(cos) is a no-op
+    // on the value (cos is pair-determined) and dedups the candidate set
+    scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
   }

@@ -27,6 +27,8 @@ object Cli {
       if (line.trim.nonEmpty) {
         val rep = QueryEngine.run(spark, line)
         rep.error.foreach(e => println(s"ERROR: $e"))
+        // ≙ cli.cpp:228-243 warn-and-continue rendering
+        rep.warnings.foreach(println)
         rep.suggestion.foreach(println)
         if (rep.transformLog.nonEmpty) {
           println("-- transform log --")

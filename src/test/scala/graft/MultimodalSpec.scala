@@ -23,6 +23,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L) == 10 && feats(2L) == 2 && feats(3L) == 0)
   }
 
+  test("featurize carries metadata through the decode pass: one scan, zero joins") {
+    val feats = Multimodal.featurize(docs, "doc_id", "text")
+    assert(!feats.queryExecution.executedPlan.toString.contains("Join"),
+      "featurize must not join back for metadata")
+    val r1 = feats.filter(col("doc_id") === 1L).collect().head
+    assert(r1.getInt(4) == 2 && r1.getInt(5) == 2) // width = 1%640+1, height = 1%480+1
+  }
+
   test("resizeStub caps metadata at the target and thins the payload") {
     val out = Multimodal.resizeStub(
         Multimodal.attachBinary(docs, "doc_id", "text"), 2, 2)

@@ -41,9 +41,28 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rep.suggestion.contains("Did you mean: SELECT?"), rep.suggestion)
   }
 
-  test("unknown table is an analysis error with message") {
+  test("unknown FROM table warns and continues (semantic.cpp:22-26, cli.cpp:243 parity)") {
     val rep = QueryEngine.run(spark, "SELECT * FROM no_such_table")
+    assert(rep.kind == "SELECT" && rep.error.isEmpty)
+    assert(rep.warnings.exists(w =>
+      w.contains("Table 'no_such_table' not found") && w.contains("proceeding anyway")), rep.warnings)
+    assert(rep.transformLog == Seq("Continuing with optimization..."))
+    assert(rep.planTree.nonEmpty) // parse-level plan still reported
+  }
+
+  test("unknown JOIN table stays terminal (semantic.cpp:32 parity)") {
+    val rep = QueryEngine.run(spark,
+      "SELECT * FROM customer c JOIN no_such_table x ON c.c_custkey = x.id")
     assert(rep.kind == "ERROR" && rep.error.exists(_.toLowerCase.contains("no_such_table")))
+  }
+
+  test("unqualified unknown column warns; qualified stays terminal (semantic.cpp:44-58 parity)") {
+    val warn = QueryEngine.run(spark, "SELECT no_such_col FROM customer")
+    assert(warn.kind == "SELECT" && warn.error.isEmpty)
+    assert(warn.warnings.exists(w =>
+      w.contains("Column 'no_such_col' not found") && w.contains("proceeding anyway")), warn.warnings)
+    val hard = QueryEngine.run(spark, "SELECT c.no_such_col FROM customer c")
+    assert(hard.kind == "ERROR" && hard.error.nonEmpty)
   }
 
   test("NULL rendering and ' | ' separators (cli.cpp:312-318 parity)") {

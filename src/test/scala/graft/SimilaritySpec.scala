@@ -94,6 +94,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == exact, s"missing: ${exact -- capped}; extra: ${capped -- exact}")
   }
 
+  test("withRecallAtK: per-query recall floor on real embeddings (d08/d09 driver shape)") {
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+    def recalls(approx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Similarity.withRecallAtK(approx, exact, k = 5)
+        .select(col("q_id"), col("recall")).distinct()
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = recalls(Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5))
+    val lsh = recalls(Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5))
+    // each query carries exactly one recall value in [0,1]; the suite floor
+    // is the driver-visible accuracy claim for the approximate paths
+    (ivf.values ++ lsh.values).foreach(r => assert(r >= 0.0 && r <= 1.0))
+    assert(ivf.values.sum / ivf.size >= 0.6, s"ivf mean recall ${ivf.values.sum / ivf.size}")
+    assert(lsh.values.sum / lsh.size >= 0.6, s"lsh mean recall ${lsh.values.sum / lsh.size}")
+  }
+
+  test("withRecallAtK: recall 1.0 when approx equals exact, 0.0 on disjoint") {
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 3)
+    val self = Similarity.withRecallAtK(exact, exact, k = 3)
+      .select(col("recall")).distinct().collect().map(_.getDouble(0))
+    assert(self.toSeq == Seq(1.0))
+    val disjoint = exact.withColumn("n_id", col("n_id") + 100L)
+    val zero = Similarity.withRecallAtK(disjoint, exact, k = 3)
+      .select(col("recall")).distinct().collect().map(_.getDouble(0))
+    assert(zero.toSeq == Seq(0.0))
+  }
+
   test("lshTopK returns correctly-ranked subset of brute-force results") {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 4)
       .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
