@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // graft.tools.Cli reads SQL from stdin
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt normally prefixes forked-run output with "[info] " and appends a
+// "[success] Total time..." trailer, both of which break that parse. With
+// StdoutOutput the forked JVM's stdout passes through unprefixed, and
+// showSuccess := false drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

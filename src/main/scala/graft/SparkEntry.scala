@@ -37,6 +37,17 @@ object SparkEntry {
   private def entry(fn: QFn, oracle: String): (QFn, Option[String]) = (fn, Some(oracle))
   private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
 
+  /** Recall@k measurement on the approximate ANN entries (d08/d09) runs the
+    * exact brute-force baseline inside the same job. On by default so the
+    * driver's correctness dump carries measured accuracy; Bench turns it off
+    * (`-Dgraft.ann.recall=off`) so the timed queries measure only the
+    * approximate path.
+    */
+  private def annRecall: Boolean =
+    sys.props.get("graft.ann.recall")
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_RECALL"))
+      .forall(_ != "off")
+
   // ------------------------------------------------------------------
   // §2a/§2b relational surface — one entry per reference operator
   // ------------------------------------------------------------------
@@ -386,12 +397,16 @@ object SparkEntry {
 
     // sign-LSH bucketed approximate top-k (the scale path); each row
     // carries its query's measured recall@k vs the exact baseline run in
-    // the same job, so accuracy is driver-visible, not just ScalaTested
+    // the same job, so accuracy is driver-visible, not just ScalaTested.
+    // The exact baseline is O(|Q|·|N|): Bench disables it
+    // (-Dgraft.ann.recall=off) so the TIMED number measures only the
+    // approximate search and stays comparable across rounds
     "d08_ann_lsh" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.withRecallAtK(
-          Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+        val approx = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
           k = 5)
       }),
@@ -401,8 +416,9 @@ object SparkEntry {
     "d09_ann_ivf" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.withRecallAtK(
-          Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+        val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
           k = 5)
       }),

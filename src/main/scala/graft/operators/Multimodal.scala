@@ -52,18 +52,26 @@ object Multimodal {
     val rdd = withBinary
       .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
       .rdd.mapPartitions { iter =>
-        // real codec/library init would happen once per partition, here
+        // real codec/library init would happen once per partition, here.
+        // The input schema declares every field nullable: primitive getters
+        // on a null cell throw executor-side, so null payload/meta rows
+        // must propagate nulls instead of killing the stage
         iter.map { row =>
-          val id = row.getLong(0)
+          val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
+          val w = if (row.isNullAt(2)) null else Int.box(row.getInt(2))
+          val h = if (row.isNullAt(3)) null else Int.box(row.getInt(3))
           val bytes = row.getAs[Array[Byte]](1)
-          var sum = 0L
-          var checksum = 1L
-          bytes.foreach { b =>
-            sum += (b & 0xff)
-            checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
+          if (bytes == null) Row(id, null, null, null, w, h)
+          else {
+            var sum = 0L
+            var checksum = 1L
+            bytes.foreach { b =>
+              sum += (b & 0xff)
+              checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
+            }
+            val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+            Row(id, bytes.length, mean, checksum, w, h)
           }
-          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-          Row(id, bytes.length, mean, checksum, row.getInt(2), row.getInt(3))
         }
       }
     spark.createDataFrame(rdd, featureSchema)
@@ -93,12 +101,20 @@ object Multimodal {
     val rdd = withBinary.select(col("doc_id"), col("payload"),
         col("meta.width"), col("meta.height")).rdd.mapPartitions { iter =>
       iter.map { row =>
+        val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
         val bytes = row.getAs[Array[Byte]](1)
-        val (w, h) = (row.getInt(2), row.getInt(3))
-        // stub "resample": keep bytes proportional to the area ratio
-        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
-        val keep = math.max(1, (bytes.length * ratio).toInt)
-        Row(row.getLong(0), bytes.take(keep), math.min(w, targetW), math.min(h, targetH))
+        // null payload or meta: nothing to resample — propagate nulls (same
+        // null discipline as decodeStub; primitive getInt on a null cell
+        // would NPE executor-side)
+        if (bytes == null || row.isNullAt(2) || row.isNullAt(3))
+          Row(id, null, null, null)
+        else {
+          val (w, h) = (row.getInt(2), row.getInt(3))
+          // stub "resample": keep bytes proportional to the area ratio
+          val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+          val keep = math.max(1, (bytes.length * ratio).toInt)
+          Row(id, bytes.take(keep), math.min(w, targetW), math.min(h, targetH))
+        }
       }
     }
     spark.createDataFrame(rdd, schema)

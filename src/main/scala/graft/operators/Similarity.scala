@@ -196,11 +196,25 @@ object Similarity {
     * aggregate broadcast back onto the approximate rows.
     */
   def withRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val hits = approx.join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "leftsemi")
+    val exactIds = exact.select(col("q_id"), col("n_id"))
+    val hits = approx.join(exactIds, Seq("q_id", "n_id"), "leftsemi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    approx.join(broadcast(hits), Seq("q_id"), "left")
-      .withColumn("recall", coalesce(col("n_hit"), lit(0)).cast("double") / k)
-      .drop("n_hit")
+    // denominator = |exact top-k| per query, not the constant k: a corpus
+    // with fewer than k eligible neighbors must not cap a perfect
+    // approximate result below recall 1.0
+    val perQuery = exactIds.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0)).cast("double") /
+          least(col("n_exact"), lit(k.toLong))).as("recall"))
+    // drive the join from the EXACT side's query set: a query whose
+    // approximate search returned zero candidates must still appear (null
+    // neighbor columns, recall 0.0) — dropping it would silently exclude
+    // the worst queries from the accuracy this function exists to report.
+    // Both sides are |Q|·k-bounded (top-k results), so AQE broadcasts.
+    val others = approx.columns.filterNot(_ == "q_id").map(col)
+    perQuery.join(approx, Seq("q_id"), "left")
+      .select(col("q_id") +: others :+ col("recall"): _*)
   }
 
   /** Approximate top-k via MULTI-TABLE sign-LSH bucketing: `nTables`
