@@ -398,9 +398,10 @@ object SparkEntry {
     // sign-LSH bucketed approximate top-k (the scale path); each row
     // carries its query's measured recall@k vs the exact baseline run in
     // the same job, so accuracy is driver-visible, not just ScalaTested.
-    // The exact baseline is O(|Q|·|N|): Bench disables it
-    // (-Dgraft.ann.recall=off) so the TIMED number measures only the
-    // approximate search and stays comparable across rounds
+    // The exact baseline is O(|Q|·|N|): Bench.main sets
+    // sys.props("graft.ann.recall") = "off" around its query loop so the
+    // TIMED number measures only the approximate search and stays
+    // comparable across rounds
     "d08_ann_lsh" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")

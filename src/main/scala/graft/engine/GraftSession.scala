@@ -40,6 +40,17 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a reliable checkpoint location makes Dedup.connectedComponents /
+    // dedupCorpus default to fault-tolerant lineage truncation (an executor
+    // loss under localCheckpoint kills an iterative job on a real cluster).
+    // Honor an externally-set dir (spark.graft.checkpoint.dir, or a dir a
+    // caller already set); otherwise a per-app temp dir — on a cluster this
+    // conf would point at DFS
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     spark
   }
 

@@ -25,10 +25,13 @@ object QueryEngine {
     * `rewrittenSql` when the optimized plan un-parses to SQL (≙ the
     * reference's regenerated optimized SQL, `sqlopt.cpp:691-724`);
     * `warnings` for the reference's warn-and-continue semantic paths
-    * (`semantic.cpp:22-26,53-58` — reported, never terminal).
+    * (`semantic.cpp:22-26,53-58` — reported, never terminal). A
+    * warn-and-continue report carries kind=WARN: the statement was analyzed
+    * and its parse-level plan reported, but it never EXECUTED — a consumer
+    * checking only `kind` must not read it as a successful empty SELECT.
     */
   case class QueryReport(
-      kind: String, // SELECT | EXPLAIN | INSERT | UPDATE | DELETE | ERROR
+      kind: String, // SELECT | EXPLAIN | WARN | INSERT | UPDATE | DELETE | ERROR
       transformLog: Seq[String],
       planTree: String,
       rows: Seq[String],
@@ -82,7 +85,7 @@ object QueryEngine {
         try {
           val df = spark.sql(sql)
           val qe = df.queryExecution
-          val log = transformLog(qe.analyzed, qe.optimizedPlan)
+          val log = transformLog(qe)
           val pushed = pushedFilterReport(qe)
           val tree = (renderTree(qe.optimizedPlan) +: pushed).mkString("\n")
           val rewritten = rewrittenSql(qe.optimizedPlan)
@@ -108,7 +111,7 @@ object QueryEngine {
             QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
               tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
           case e: AnalysisException =>
-            warnAndContinue(spark, sql, isExplain, e).getOrElse(
+            warnAndContinue(spark, sql, e).getOrElse(
               QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None))
           case NonFatal(e) =>
             QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getMessage), None, None)
@@ -139,7 +142,7 @@ object QueryEngine {
     * plan, never aborting. Unknown JOIN tables, qualified unknown columns,
     * and ambiguous references stay terminal, exactly as in the reference.
     */
-  private def warnAndContinue(spark: SparkSession, sql: String, isExplain: Boolean,
+  private def warnAndContinue(spark: SparkSession, sql: String,
       e: AnalysisException): Option[QueryReport] = {
     import scala.jdk.CollectionConverters._
     val cond = Option(e.getCondition).getOrElse("")
@@ -156,17 +159,24 @@ object QueryEngine {
       } else if (cond == "TABLE_OR_VIEW_NOT_FOUND") {
         val missing = params.get("relationName").map(stripQuotes)
         // the FROM table is the left-most relation of the parsed join tree;
-        // the reference warns only for it, JOIN tables stay terminal
-        val fromTable = parsedPlan.flatMap(_.collectFirst {
+        // the reference warns only for it, JOIN tables stay terminal.
+        // Spark surfaces the LEFT-MOST unresolved relation first, so a
+        // missing JOIN table behind a missing FROM table would be swallowed
+        // by the warn path — every OTHER relation must resolve before the
+        // FROM-table miss is downgraded to a warning
+        val relations = parsedPlan.map(_.collect {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
             u.multipartIdentifier.mkString(".")
-        })
-        missing.filter(m => fromTable.contains(m))
+        }).getOrElse(Nil)
+        val fromTable = relations.headOption
+        def othersResolve = relations.drop(1).forall(r =>
+          try spark.catalog.tableExists(r) catch { case NonFatal(_) => false })
+        missing.filter(m => fromTable.contains(m) && othersResolve)
           .map(m => s"Warning: Table '$m' not found in statistics, proceeding anyway")
       } else None
     warning.map { w =>
       val tree = parsedPlan.map(renderParsedTree(_)).getOrElse("")
-      QueryReport(if (isExplain) "EXPLAIN" else "SELECT",
+      QueryReport("WARN",
         Seq("Continuing with optimization..."), tree, Nil, 0,
         None, None, None, None, Seq(w))
     }
@@ -181,6 +191,16 @@ object QueryEngine {
 
   private def scalarSubqueryCount(p: LogicalPlan): Int =
     collectExprs(p).count(_.isInstanceOf[ScalarSubquery])
+
+  /** Constant expressions Catalyst has not yet folded: foldable non-literal
+    * nodes (`1 = 1`, `CAST('1996-01-01' AS DATE)`, …). After the optimizer's
+    * ConstantFolding runs, none survive — the analyzed-minus-optimized diff
+    * is exactly what was folded (≙ the reference's `constant_fold` log of
+    * `1=1` removal, `sqlopt.cpp:673-688`, generalized to every constant).
+    */
+  private def foldableExprCount(p: LogicalPlan): Int =
+    collectExprs(p).count(e => e.foldable &&
+      !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal])
 
   private def joinsWithoutCondition(p: LogicalPlan): Int =
     p.collect { case j: Join if j.condition.isEmpty => j }.size
@@ -225,6 +245,9 @@ object QueryEngine {
     val pruned = prunedColumnCount(optimized) - prunedColumnCount(analyzed)
     if (pruned > 0)
       entries += s"projection_pushdown: $pruned column(s) pruned from scans"
+    val folded = foldableExprCount(analyzed) - foldableExprCount(optimized)
+    if (folded > 0)
+      entries += s"constant_folding: $folded constant expression(s) folded"
     val (ao, oo) = (leafOrder(analyzed), leafOrder(optimized))
     if (ao.size == oo.size && ao.size > 1 && ao != oo)
       entries += "join_reordering: join order changed by cost-based optimizer"
@@ -232,6 +255,29 @@ object QueryEngine {
     if (log.isEmpty) Seq("no transformations applied") else log.zipWithIndex.map {
       case (l, i) => s"${i + 1}. $l"
     }
+  }
+
+  /** Full transform log including the reference's closing summary lines
+    * (`optimizer.cpp:314-318`: "Generated N execution plans" / "Selected
+    * best plan with cost: C"). The honest Catalyst mapping: N is the number
+    * of candidate physical plans the strategy planner emits for the
+    * optimized logical plan (Spark's strategies pick joins/aggregates
+    * deterministically and the cost-based choices — join reorder, AQE —
+    * happen inside rules, so N is usually 1, unlike the reference's
+    * permutation enumeration); the chosen plan's cost is Catalyst's CBO
+    * statistics of the optimized plan (row estimate + size in bytes), not a
+    * fabricated PostgreSQL-style constant.
+    */
+  def transformLog(qe: org.apache.spark.sql.execution.QueryExecution): Seq[String] = {
+    val core = transformLog(qe.analyzed, qe.optimizedPlan)
+    val nPlans =
+      try qe.sparkSession.sessionState.planner
+        .plan(ReturnAnswer(qe.optimizedPlan)).size
+      catch { case NonFatal(_) => 1 }
+    val stats = qe.optimizedPlan.stats
+    core ++ Seq(
+      s"Generated $nPlans execution plan(s)",
+      s"Selected best plan with cost: rows=${stats.rowCount.getOrElse("?")}, size=${stats.sizeInBytes} bytes")
   }
 
   // ------------------------------------------------------------------

@@ -217,18 +217,23 @@ object Dedup {
     *         only vertices that appear in `pairs`.
     */
   /** @param reliableCheckpoint truncate lineage via `df.checkpoint` to the
-    *        session's checkpoint dir (`sparkContext.setCheckpointDir` must
-    *        be called first) instead of `localCheckpoint`. localCheckpoint
-    *        stores blocks on executors and is NOT fault-tolerant — on a real
-    *        cluster a lost executor kills the job mid-iteration; reliable
-    *        checkpointing survives it at the cost of a DFS write per round.
+    *        session's checkpoint dir instead of `localCheckpoint`.
+    *        localCheckpoint stores blocks on executors and is NOT
+    *        fault-tolerant — on a real cluster a lost executor kills the
+    *        job mid-iteration; reliable checkpointing survives it at the
+    *        cost of a DFS write per round. Default (None) resolves to
+    *        reliable whenever the session has a checkpoint dir configured
+    *        (GraftSession.build always sets one), falling back to
+    *        localCheckpoint only when there is nowhere reliable to write.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10, reliableCheckpoint: Boolean = false): DataFrame = {
+      maxIter: Int = 10, reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+    val useReliable = reliableCheckpoint.getOrElse(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
     // checkpoint after every round: iterative joins otherwise compound
     // the logical plan exponentially (persist caches data, not lineage)
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+      if (useReliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
@@ -281,24 +286,27 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       minhashThreshold: Double = 0.7, transitive: Boolean = false,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+    val useReliable = reliableCheckpoint.getOrElse(
+      docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
     val keepExact = fingerprintClusters(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
     // survivors feed BOTH the near-dup pair generation and the final
     // anti-join; a lazy checkpoint materializes the subtree once instead
-    // of re-scanning + re-joining the corpus. localCheckpoint locally;
-    // reliable (DFS) checkpointing on a cluster, where an executor loss
-    // would otherwise kill the whole job (blocks have no lineage to rebuild)
+    // of re-scanning + re-joining the corpus. Reliable (DFS) checkpointing
+    // by default whenever a checkpoint dir exists — on a cluster an
+    // executor loss under localCheckpoint kills the whole job (blocks have
+    // no lineage to rebuild)
     val exactSurvivors = {
       val joined = docs.join(keepExact, idCol)
-      if (reliableCheckpoint) joined.checkpoint(false) else joined.localCheckpoint(false)
+      if (useReliable) joined.checkpoint(false) else joined.localCheckpoint(false)
     }
     val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,
       threshold = minhashThreshold)
     val nearDupDrops =
       if (transitive)
         connectedComponents(pairs, "doc_a", "doc_b",
-          reliableCheckpoint = reliableCheckpoint)
+          reliableCheckpoint = Some(useReliable))
           .filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
       else pairs.select(col("doc_b").as(idCol)).distinct()

@@ -101,9 +101,27 @@ class DedupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b", reliableCheckpoint = true)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b", reliableCheckpoint = Some(true))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("checkpoint dir configured => connectedComponents defaults to reliable checkpoints") {
+    // GraftSession.build always sets a checkpoint dir; give this run its own
+    // so the reliable-path writes are observable on disk
+    val prev = spark.sparkContext.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-default")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b") // default resolution
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // reliable checkpoints materialized under the configured dir
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected reliable checkpoint files under $dir")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
   test("ngramJaccardPairs computes exact jaccard with blocking") {

@@ -21,7 +21,17 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(log.contains("subquery_to_join_conversion"), log)
     assert(log.contains("predicate_pushdown"), log)
     assert(log.contains("projection_pushdown"), log)
+    // closing summary lines (optimizer.cpp:314-318 parity)
+    assert(log.contains("Generated") && log.contains("execution plan"), log)
+    assert(log.contains("Selected best plan with cost:"), log)
     assert(rep.planTree.nonEmpty)
+  }
+
+  test("WHERE 1=1 is folded and logged as constant_folding (sqlopt.cpp:673-688 parity)") {
+    val rep = QueryEngine.run(spark,
+      "EXPLAIN SELECT c_custkey FROM customer WHERE 1 = 1 AND c_custkey <= 5")
+    val log = rep.transformLog.mkString("\n")
+    assert(log.contains("constant_folding"), log)
   }
 
   test("EXPLAIN prefix returns plan without executing (cli.cpp:201 parity)") {
@@ -43,7 +53,9 @@ class QueryEngineSpec extends AnyFunSuite {
 
   test("unknown FROM table warns and continues (semantic.cpp:22-26, cli.cpp:243 parity)") {
     val rep = QueryEngine.run(spark, "SELECT * FROM no_such_table")
-    assert(rep.kind == "SELECT" && rep.error.isEmpty)
+    // kind=WARN, never SELECT: the statement was analyzed but not executed,
+    // and a consumer checking only kind must not read it as an empty result
+    assert(rep.kind == "WARN" && rep.error.isEmpty)
     assert(rep.warnings.exists(w =>
       w.contains("Table 'no_such_table' not found") && w.contains("proceeding anyway")), rep.warnings)
     assert(rep.transformLog == Seq("Continuing with optimization..."))
@@ -56,9 +68,17 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rep.kind == "ERROR" && rep.error.exists(_.toLowerCase.contains("no_such_table")))
   }
 
+  test("missing JOIN table stays terminal even when the FROM table is also missing") {
+    // Spark surfaces the LEFT-MOST unresolved relation (the FROM table)
+    // first; the warn path must not swallow the JOIN-table error behind it
+    val rep = QueryEngine.run(spark,
+      "SELECT * FROM no_such_from f JOIN no_such_join j ON f.x = j.y")
+    assert(rep.kind == "ERROR" && rep.error.nonEmpty, s"${rep.kind} ${rep.warnings}")
+  }
+
   test("unqualified unknown column warns; qualified stays terminal (semantic.cpp:44-58 parity)") {
     val warn = QueryEngine.run(spark, "SELECT no_such_col FROM customer")
-    assert(warn.kind == "SELECT" && warn.error.isEmpty)
+    assert(warn.kind == "WARN" && warn.error.isEmpty)
     assert(warn.warnings.exists(w =>
       w.contains("Column 'no_such_col' not found") && w.contains("proceeding anyway")), warn.warnings)
     val hard = QueryEngine.run(spark, "SELECT c.no_such_col FROM customer c")
