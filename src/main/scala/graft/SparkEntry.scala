@@ -329,14 +329,53 @@ object SparkEntry {
       (s, d) => Dedup.fingerprintClusters(t(s, d, "documents"), "doc_id", "text"),
       "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"),
 
-    // MinHash + LSH banding near-duplicates (candidate gen via band shuffle)
-    "d03_dedup_minhash" -> noOracle(
-      (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_a"), col("doc_b"))),
+    // MinHash + LSH banding near-duplicates (candidate gen via band shuffle).
+    // Oracle-exact: k=8/bands=4 with the md5Hash60 family — at threshold
+    // 0.7 a qualifying pair mismatches <= 2 minima, damaging <= 2 of 4
+    // bands, so banded LSH provably equals the oracle's all-pairs filter
+    // (the production k=64 xxhash64 fused-native path is DedupSpec'd)
+    "d03_dedup_minhash" -> entry(
+      (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.7,
+          signature = Some(Dedup.md5MinhashSignature(_, 8)))
+        .select(col("doc_a"), col("doc_b")),
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6"""),
 
-    // SimHash hamming<=3 near-duplicates (pigeonhole block join)
-    "d04_dedup_simhash" -> noOracle(
-      (s, d) => Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text")),
+    // SimHash hamming<=3 near-duplicates (pigeonhole block join).
+    // Oracle-exact via the 60-bit md5Simhash twin (4 blocks of 15 bits);
+    // the oracle replays bit-sign voting per token and verifies by
+    // bit_count(xor) like the Spark side (production 64-bit
+    // SimHashTextExpr path is DedupSpec'd)
+    "d04_dedup_simhash" -> entry(
+      (s, d) => Dedup.simhashNearDuplicatesMd5(t(s, d, "documents"), "doc_id", "text"),
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         th AS (
+           SELECT doc_id, unnest(list_transform(w, t ->
+             CAST(('0x' || substr(md5('0|' || t), 1, 15)) AS BIGINT))) AS h
+           FROM toks WHERE len(w) > 0),
+         bits AS (
+           SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th CROSS JOIN range(0, 60) r(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
 
     // exact n-gram Jaccard >= 0.5, blocked by source (inverted-index join)
     "d05_ngram_jaccard" -> entry(
@@ -344,30 +383,98 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
     // end-to-end corpus dedup: exact-fingerprint pass + MinHash near-dup
-    // pass, greedy keep-lowest-id (the "dedup this corpus" API)
-    "d10_dedup_corpus" -> noOracle(
-      (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"))),
+    // pass, greedy keep-lowest-id (the "dedup this corpus" API).
+    // Oracle replays the whole pipeline: fingerprint keep-set, md5-family
+    // minhash pairs over the survivors, drop every pair's doc_b
+    "d10_dedup_corpus" -> entry(
+      (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
+          k = 8, bands = 4, signature = Some(Dedup.md5MinhashSignature(_, 8)))
+        .select(col("doc_id")),
+      """WITH keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+         surv AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM surv),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         SELECT s.doc_id FROM surv s
+         WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = s.doc_id)"""),
 
     // transitive closure of the near-dup graph: label-propagation connected
-    // components (one cluster per component, component = min doc id)
-    "d11_dedup_components" -> noOracle(
+    // components (one cluster per component, component = min doc id).
+    // Oracle: recursive-CTE transitive closure over the same md5-family
+    // pair set — label propagation must agree with full reachability
+    "d11_dedup_components" -> entry(
       (s, d) => Dedup.connectedComponents(
-        Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text", threshold = 0.7),
-        "doc_a", "doc_b")),
+        Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.7,
+          signature = Some(Dedup.md5MinhashSignature(_, 8))),
+        "doc_a", "doc_b"),
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src"""),
 
     // train/eval contamination: cross-corpus near-dup pairs only (the
     // benchmark-leakage check) — corpora = a deterministic doc_id split
-    // (every 10th doc plays the held-out eval set)
-    "d12_contamination" -> noOracle(
+    // (every 10th doc plays the held-out eval set).
+    // Oracle-exact: bands=8/r=1 makes banding complete for ANY threshold
+    // (a pair sharing even one minimum collides in that minimum's band),
+    // so the banded join equals the oracle's all-pairs >= 4-of-8 filter
+    "d12_contamination" -> entry(
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.crossCorpusContamination(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", k = 8, bands = 8, threshold = 0.5,
+          signature = Some(Dedup.md5MinhashSignature(_, 8)))
           .select(col("train_id"), col("eval_id"))
-      }),
+      },
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh)
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+         FROM sig t JOIN sig e ON t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         WHERE len(list_filter(range(1, 9), i -> t.sig[i] = e.sig[i])) >= 4"""),
 
     // embedding-cosine near-duplicate pairs, blocked by label.
     // Oracle-safe despite float math: output is the pair SET only, and the
@@ -512,10 +619,16 @@ object SparkEntry {
            CAST(LEAST(h, 64) AS INT) AS height
          FROM m"""),
 
-    // winnowing-style rolling-hash fingerprint (native expression, O(n)/doc)
-    "t04_rolling_fingerprint" -> noOracle(
+    // winnowing-style rolling-window fingerprint: min hash over every
+    // 16-char window. Oracle-replayable md5Hash60 variant (the O(n)/doc
+    // native RollingMinHashExpr stays the production path, FunctionsSpec'd)
+    "t04_rolling_fingerprint" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id"),
-        graft.functions.RollingMinHashExpr.rollingMinHash(col("text"), 16).as("roll_fp"))),
+        TextOps.rollingFingerprintMd5(col("text"), 16).as("roll_fp")),
+      """SELECT doc_id, list_min(list_transform(
+           range(1, GREATEST(1, length(text) - 15) + 1),
+           i -> CAST(('0x' || substr(md5('0|' || substr(text, i, 16)), 1, 15)) AS BIGINT))) AS roll_fp
+         FROM documents"""),
 
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
@@ -562,12 +675,18 @@ object SparkEntry {
         FROM orders"""),
 
     // deterministic id-hash train/test split — reproducible, repartition-
-    // stable, never rand() (xxhash64 has no DuckDB twin → rows-only check;
-    // SampleOpsSpec asserts determinism, disjointness, fraction)
-    "x02_split" -> noOracle(
+    // stable, never rand(). Oracle via the md5Bucket twin (the xxhash64
+    // production bucket has no DuckDB twin; SampleProfileSpec asserts
+    // determinism, disjointness, fraction on both)
+    "x02_split" -> entry(
       (s, d) => graft.operators.SampleOps
-        .deterministicSplit(t(s, d, "documents"), "doc_id", 80)
-        .groupBy(col("split")).agg(count(lit(1)).as("n"))),
+        .deterministicSplit(t(s, d, "documents"), "doc_id", 80,
+          bucket = graft.operators.SampleOps.md5Bucket)
+        .groupBy(col("split")).agg(count(lit(1)).as("n")),
+      """SELECT split, COUNT(*) AS n FROM (
+           SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents) GROUP BY split"""),
 
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(

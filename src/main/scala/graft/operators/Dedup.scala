@@ -67,6 +67,50 @@ object Dedup {
   def signatureSimilarity(sigA: Column, sigB: Column): Column =
     graft.functions.MatchFractionExpr.matchFraction(sigA, sigB)
 
+  // --------------------------------------------- md5 oracle hash family
+
+  /** Seeded 60-bit hash from the md5 hex prefix: computable bit-for-bit in
+    * any engine with an `md5()` (DuckDB: `CAST('0x' || substr(md5(seed ||
+    * '|' || s), 1, 15) AS BIGINT)`) — the hash family behind every *Md5
+    * oracle variant below. 15 hex chars = 60 bits, safely inside a signed
+    * 64-bit in both engines. xxhash64 stays the production family (one
+    * native call vs an md5 + hex parse); the md5 twins exist so the
+    * driver's DuckDB oracle can replay the whole pipeline.
+    */
+  def md5Hash60(s: Column, seed: Int): Column = md5Hash60(s, lit(seed))
+
+  /** Seed-as-Column overload so the seed can be a lambda variable (keeps
+    * the expression tree small when building k-seed signatures: one
+    * shingles subtree instead of k copies — analyzer/optimizer time is
+    * paid per EXECUTION, so tree size is a real per-query cost).
+    */
+  def md5Hash60(s: Column, seed: Column): Column =
+    conv(substring(md5(concat_ws("|", seed, s)), 1, 15), 16, 10).cast("long")
+
+  /** Small-k MinHash signature over [[shingles]] with the [[md5Hash60]]
+    * family — the oracle-replayable twin of [[minhashSignature]]. With
+    * k = 8 and bands = 4 (r = 2), LSH banding is EXACT for thresholds
+    * >= 0.7: a qualifying pair mismatches <= 2 of 8 minima, which can
+    * damage at most 2 of the 4 bands, so at least one band collides —
+    * banded candidate generation provably equals the all-pairs filter the
+    * oracle computes.
+    *
+    * Fused native expression ([[graft.functions.Md5MinHashExpr]]); the
+    * column-algebra definition is [[md5MinhashSignatureAlgebra]], asserted
+    * equal in DedupSpec (and equal to the DuckDB replay by the driver's
+    * d03/d10/d11/d12 oracles).
+    */
+  def md5MinhashSignature(text: Column, k: Int = 8, n: Int = 3): Column =
+    graft.functions.Md5MinHashExpr.md5Minhash(text, n, k)
+
+  /** Column-algebra form of [[md5MinhashSignature]] — the executable
+    * definition of the family (16µs/hash interpreted lambdas; use the
+    * native form everywhere hot).
+    */
+  def md5MinhashSignatureAlgebra(text: Column, k: Int = 8, n: Int = 3): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingles(text, n), s => md5Hash60(s, i))))
+
   /** LSH bucket hash of band `j` (0-based Column) of a k-long signature
     * split into bands of `r` rows — THE banding formula; every producer and
     * consumer of band buckets (batch LSH, streaming corpus gate) must use
@@ -87,12 +131,18 @@ object Dedup {
     *         `threshold`. Candidate generation shuffles on (band, hash) —
     *         at 1000 executors each bucket is a local join, never O(n²).
     */
+  /** @param signature overrides the signature function (e.g.
+    *        [[md5MinhashSignature]] for oracle replay); must produce a
+    *        k-long array<long>. Default: production [[minhashSignature]].
+    */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
     val sigs = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k).as("sig"))
+      sigOf(col(textCol)).as("sig"))
     // candidate generation carries ONLY (band, bucket, doc_id) — the k-long
     // signature (k×8 bytes) stays out of the bands-times-amplified explode
     // shuffle; pairs are deduped across bands BEFORE signatures re-join.
@@ -127,13 +177,15 @@ object Dedup {
     */
   def crossCorpusContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
     val tSigs = train.select(col(idCol).as("train_id"),
-      minhashSignature(col(textCol), k).as("sig_t"))
+      sigOf(col(textCol)).as("sig_t"))
     val eSigs = eval.select(col(idCol).as("eval_id"),
-      minhashSignature(col(textCol), k).as("sig_e"))
+      sigOf(col(textCol)).as("sig_e"))
     // band shuffle carries only (band, bucket, id) — signatures re-join
     // after cross-band pair dedup, as in minhashNearDuplicates
     val tB = tSigs.select(col("train_id"),
@@ -158,8 +210,9 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val dirty = crossCorpusContamination(train, eval, idCol, textCol, k, bands, threshold)
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
+    val dirty = crossCorpusContamination(train, eval, idCol, textCol, k, bands, threshold, signature)
       .select(col("train_id").as(idCol)).distinct()
     train.join(dirty, Seq(idCol), "left_anti")
   }
@@ -185,12 +238,20 @@ object Dedup {
     * block value) only.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(simhash(docs, idCol, textCol), blockBits = 16, maxHamming)
+
+  /** Pigeonhole block join + exact hamming verify over a (doc_id, simhash)
+    * frame: signatures are split into 4 blocks of `blockBits`; any pair
+    * within hamming <= 3 must agree on at least one block. Shuffles on
+    * (block id, block value) only.
+    */
+  private def simhashPairs(sh: DataFrame, blockBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "block trick with 4 blocks covers hamming <= 3")
-    val sh = simhash(docs, idCol, textCol)
+    val mask = (1L << blockBits) - 1
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "blkval")))
+        shiftright(col("simhash"), j * blockBits).bitwiseAND(mask)): _*)).as(Seq("blk", "blkval")))
     val a = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("blk", "blkval"))
@@ -201,6 +262,46 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
+
+  /** (doc_id, simhash) with a 60-bit signature over the [[md5Hash60]]
+    * token-hash family — the oracle-replayable twin of [[simhash]]. Bit j
+    * of the signature is the sign of the frequency-weighted sum of ±1
+    * token contributions, exactly as [[graft.functions.SimHashTextExpr]]
+    * computes over xxhash64 bits; column algebra so DuckDB can replay it
+    * bit-for-bit. Staged through a materialized hash-array column: the 60
+    * per-bit counts then reference one attribute instead of 60 copies of
+    * the tokenize+hash subtree (tree size is a per-execution analyzer
+    * cost). Token-less docs are dropped, matching [[simhash]].
+    */
+  def md5SimhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(size(TextOps.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Md5SimHashExpr.md5Simhash(col(textCol)).as("simhash"))
+
+  /** Column-algebra form of [[md5SimhashSignatures]] — the executable
+    * definition (60 per-bit counts over a materialized hash-array column;
+    * DedupSpec asserts it equals the fused native expression).
+    */
+  def md5SimhashSignaturesAlgebra(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = docs
+      .select(col(idCol).as("doc_id"),
+        transform(TextOps.tokens(col(textCol)), t => md5Hash60(t, 0)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    hs.select(col("doc_id"),
+      (0 until 60).map { j =>
+        // bit set iff (#tokens with bit j set) * 2 > n  ⇔  Σ(±1) > 0
+        when(size(filter(col("hs"), h => h.bitwiseAND(lit(1L << j)) =!= lit(0L))) * 2 > size(col("hs")),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicates over the [[md5SimhashSignatures]] 60-bit
+    * family (4 pigeonhole blocks of 15 bits) — same algorithm as
+    * [[simhashNearDuplicates]], DuckDB-replayable end-to-end.
+    */
+  def simhashNearDuplicatesMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(md5SimhashSignatures(docs, idCol, textCol), blockBits = 15, maxHamming)
 
   /** Connected components over near-duplicate pairs — the transitive
     * closure every production corpus dedup needs (a~b and b~c put a, b, c
@@ -286,7 +387,9 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       minhashThreshold: Double = 0.7, transitive: Boolean = false,
-      reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+      reliableCheckpoint: Option[Boolean] = None,
+      k: Int = 64, bands: Int = 16,
+      signature: Option[Column => Column] = None): DataFrame = {
     val useReliable = reliableCheckpoint.getOrElse(
       docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
     val keepExact = fingerprintClusters(docs, idCol, textCol)
@@ -302,7 +405,7 @@ object Dedup {
       if (useReliable) joined.checkpoint(false) else joined.localCheckpoint(false)
     }
     val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,
-      threshold = minhashThreshold)
+      k = k, bands = bands, threshold = minhashThreshold, signature = signature)
     val nearDupDrops =
       if (transitive)
         connectedComponents(pairs, "doc_a", "doc_b",

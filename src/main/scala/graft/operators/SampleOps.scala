@@ -15,12 +15,25 @@ object SampleOps {
   /** Bucket 0..99 from a stable id — the split primitive. */
   def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(100L))
 
+  /** Bucket 0..99 via [[graft.operators.Dedup.md5Hash60]]'s hex-prefix
+    * trick on md5(id) — same semantics as [[hashBucket]] but replayable by
+    * any engine with an md5() (DuckDB: `CAST('0x' || substr(md5(CAST(id AS
+    * VARCHAR)), 1, 15) AS BIGINT) % 100`), so a split is oracle-checkable.
+    * xxhash64 stays the production bucket (one native call, no hex parse).
+    */
+  def md5Bucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+
   /** Add a `split` column: "train" for `trainPct`% of rows, else "test",
     * decided by id hash (clustered/sequential ids still split uniformly).
+    *
+    * @param bucket the id→0..99 bucket function ([[hashBucket]] default;
+    *               [[md5Bucket]] for oracle-replayable splits)
     */
-  def deterministicSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
+  def deterministicSplit(df: DataFrame, idCol: String, trainPct: Int,
+      bucket: Column => Column = hashBucket): DataFrame =
     df.withColumn("split",
-      when(hashBucket(col(idCol)) < trainPct, "train").otherwise("test"))
+      when(bucket(col(idCol)) < trainPct, "train").otherwise("test"))
 
   /** Keep ~`pct`% of rows, deterministically by id hash. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =

@@ -67,4 +67,22 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Rolling-window fingerprint, oracle-replayable variant: the minimum
+    * [[graft.operators.Dedup.md5Hash60]] over every `window`-char substring
+    * (the whole text when shorter) — the same min-over-windows semantics as
+    * [[graft.functions.RollingMinHashExpr]] (which stays the production
+    * path: O(n)/doc rolling hash vs O(n·window) md5 calls here; this twin
+    * exists so DuckDB can replay the fingerprint).
+    */
+  def rollingFingerprintMd5(text: Column, window: Int = 16): Column =
+    graft.functions.Md5RollingMinExpr.md5RollingMin(text, window)
+
+  /** Column-algebra form of [[rollingFingerprintMd5]] — the executable
+    * definition (TextOpsSpec asserts it equals the fused native form).
+    */
+  def rollingFingerprintMd5Algebra(text: Column, window: Int = 16): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(lit(1), length(text) - (window - 1))),
+      i => graft.operators.Dedup.md5Hash60(text.substr(i, lit(window)), 0)))
 }

@@ -202,4 +202,42 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.toSet == Set(0L), comp.values.toSet)
   }
+
+  // ---- md5-60 oracle family: native expression ≡ column-algebra twin ----
+
+  private lazy val corpusDocs =
+    graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+
+  test("md5MinhashSignature native equals column-algebra twin on real corpus docs") {
+    import org.apache.spark.sql.functions._
+    val mismatch = corpusDocs.select(
+        Dedup.md5MinhashSignature(col("text"), 8).as("a"),
+        Dedup.md5MinhashSignatureAlgebra(col("text"), 8).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mismatch == 0)
+  }
+
+  test("md5SimhashSignatures native equals column-algebra twin on real corpus docs") {
+    val a = Dedup.md5SimhashSignatures(corpusDocs, "doc_id", "text")
+    val b = Dedup.md5SimhashSignaturesAlgebra(corpusDocs, "doc_id", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("md5 minhash LSH banding equals the all-pairs filter it claims (k=8 bands=4 t=0.7)") {
+    import org.apache.spark.sql.functions._
+    // the oracle-exactness argument: banded candidates ⊇ every pair with
+    // >= 6 of 8 equal minima — check against brute-force on the corpus
+    val sigs = corpusDocs.select(col("doc_id"),
+      Dedup.md5MinhashSignature(col("text"), 8).as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(Dedup.signatureSimilarity(col("sig_a"), col("sig_b")) >= 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val banded = Dedup.minhashNearDuplicates(corpusDocs, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.7,
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .select(col("doc_a"), col("doc_b"))
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
+  }
 }

@@ -56,4 +56,19 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
       plan.contains("ObjectHashAggregate"))
   }
+
+  test("md5Bucket split is deterministic, disjoint, and near the requested fraction") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+    val s1 = graft.operators.SampleOps.deterministicSplit(docs, "doc_id", 80,
+      bucket = graft.operators.SampleOps.md5Bucket)
+    val s2 = graft.operators.SampleOps.deterministicSplit(docs.repartition(7), "doc_id", 80,
+      bucket = graft.operators.SampleOps.md5Bucket)
+    // deterministic + repartition-stable
+    assert(s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9, counts)
+  }
 }

@@ -44,4 +44,25 @@ class TextOpsSpec extends AnyFunSuite {
     val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("rollingFingerprintMd5 native equals column-algebra twin on real corpus docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+    val mismatch = docs.select(
+        TextOps.rollingFingerprintMd5(col("text"), 16).as("a"),
+        TextOps.rollingFingerprintMd5Algebra(col("text"), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch == 0)
+  }
+
+  test("rollingFingerprintMd5 handles short and empty text like the algebra twin") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq((1L, ""), (2L, "short"), (3L, "exactly sixteen!"), (4L, "x" * 17))
+      .toDF("doc_id", "text")
+    val rows = edge.select(
+        TextOps.rollingFingerprintMd5(col("text"), 16).as("a"),
+        TextOps.rollingFingerprintMd5Algebra(col("text"), 16).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
