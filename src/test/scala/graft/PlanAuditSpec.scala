@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The "would this survive a 100× scale-up" smell test as CI: every
+  * SparkEntry query is executed at sf0.001 and its FINALIZED (post-AQE)
+  * physical plan is checked against a pinned budget —
+  *
+  *  - zero `CartesianProductExec` anywhere, ever;
+  *  - shuffle count <= the pinned per-query budget (a new shuffle in a
+  *    rewrite is a real scale regression: at 100 TB each one is a full
+  *    network pass over the data);
+  *  - broadcast count >= the pinned minimum (a dim join silently falling
+  *    back to sort-merge re-shuffles the fact table).
+  *
+  * Budgets are the measured values of the current plans (graft.tools
+  * .PlanAudit prints them). If an intentional plan change moves a number,
+  * re-pin it HERE in the same commit — the point is that it can't move
+  * silently.
+  */
+class PlanAuditSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = TestSpark.spark
+
+  /** query -> (max shuffles, min broadcasts) in the finalized plan. */
+  private val budgets: Map[String, (Int, Int)] = Map(
+    "d01_dedup_exact" -> (1, 0),
+    "d02_dedup_fingerprint" -> (1, 0),
+    "d03_dedup_minhash" -> (1, 3),
+    "d04_dedup_simhash" -> (1, 1),
+    "d05_ngram_jaccard" -> (4, 5),
+    "d06_embed_neardup" -> (2, 3),
+    "d07_ann_topk" -> (1, 1),
+    "d08_ann_lsh" -> (9, 4),
+    "d09_ann_ivf" -> (9, 4),
+    "d10_dedup_corpus" -> (8, 0),
+    // connectedComponents returns checkpointed labels: lineage (and its
+    // per-round shuffles) is truncated by design, so the audited plan is
+    // the final scan
+    "d11_dedup_components" -> (0, 0),
+    "d12_contamination" -> (1, 3),
+    "m01_multimodal_features" -> (0, 0),
+    "m02_frame_sample" -> (0, 0),
+    "m03_resize" -> (0, 0),
+    "p01_profile" -> (2, 0),
+    "q01_scan_project" -> (0, 0),
+    "q02_filter_pushdown" -> (0, 0),
+    "q03_point_lookup" -> (0, 0),
+    "q04_like" -> (0, 0),
+    "q05_boolean" -> (0, 0),
+    "q06_arith" -> (0, 0),
+    "q07_between_in" -> (0, 0),
+    "q08_case" -> (0, 0),
+    "q09_distinct" -> (1, 0),
+    "q10_topk" -> (0, 0), // sort+limit must fuse to TakeOrderedAndProject
+    "q11_agg_group" -> (1, 0),
+    "q12_global_agg" -> (2, 0), // partial/final + countDistinct expand
+    "q13_having" -> (1, 0),
+    "q14_join_inner" -> (0, 1),
+    "q15_join_left" -> (0, 1),
+    "q16_join_right" -> (0, 1),
+    "q17_join_full" -> (2, 0), // full outer on two aggregates: SMJ is right
+    "q18_join_natural" -> (0, 1),
+    "q19_semi_in" -> (0, 1),
+    "q20_join_left_anti" -> (0, 1),
+    "q21_join_right_anti" -> (0, 1),
+    "q22_join_full_outer_anti" -> (0, 2),
+    "q23_cross" -> (0, 1), // intentional cross: broadcast-nested-loop, NOT CartesianProductExec
+    "q24_comma_join" -> (0, 1),
+    "q25_scalar_subquery" -> (0, 1),
+    "q26_correlated_agg" -> (2, 2),
+    "q27_not_in" -> (0, 0),
+    "q28_star_agg" -> (1, 4), // every dim broadcast; one shuffle for the final agg
+    "q29_flagship" -> (0, 3),
+    "q30_group_expr" -> (1, 0),
+    "q31_exists" -> (0, 1),
+    "q32_any_all" -> (0, 0),
+    "q33_kitchen_sink" -> (1, 0),
+    "q34_four_join_distinct" -> (2, 3),
+    "s01_events_hourly" -> (1, 0),
+    "s02_events_json" -> (1, 0),
+    "s03_events_sessionize" -> (1, 0),
+    "t01_lang_id" -> (0, 0),
+    "t02_quality" -> (0, 0),
+    "t03_token_count" -> (0, 0),
+    "t04_rolling_fingerprint" -> (0, 0),
+    "t05_topk_per_source" -> (1, 0),
+    "x01_salted_join" -> (0, 1),
+    "x02_split" -> (1, 0))
+
+  test("budget table covers exactly the SparkEntry query set") {
+    assert(budgets.keySet == SparkEntry.queries.keySet,
+      s"missing=${SparkEntry.queries.keySet -- budgets.keySet} stale=${budgets.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("every query: cartesian-free, within shuffle budget, broadcasts kept (finalized AQE plan)") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, TestSpark.sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan
+        val sh = collect(plan) { case s: ShuffleExchangeExec => s }.size
+        val bc = collect(plan) { case b: BroadcastExchangeExec => b }.size
+        val ca = collect(plan) { case c: CartesianProductExec => c }.size
+        val (maxSh, minBc) = budgets(name)
+        if (ca > 0) failures += s"$name: $ca CartesianProductExec (never allowed)"
+        if (sh > maxSh) failures += s"$name: $sh shuffles > pinned $maxSh"
+        if (bc < minBc) failures += s"$name: $bc broadcasts < pinned $minBc"
+      } catch {
+        case e: Throwable => failures += s"$name: failed to run: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
+}
