@@ -240,4 +240,32 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_a"), col("doc_b"))
     assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
   }
+
+  test("md5-60 family: native equals algebra twin on non-ASCII and edge-whitespace text") {
+    import org.apache.spark.sql.functions._
+    // byte-scan tokenization + UTF-8 md5 must agree with split(" ")/md5(string)
+    // beyond the ASCII corpus: multibyte tokens, tabs inside tokens (NOT
+    // separators), leading/trailing/double spaces, short docs
+    val edge = Seq(
+      (1L, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 \u00fcber tokens everywhere"),
+      (2L, "\u65e5\u672c\u8a9e \u30c6\u30ad\u30b9\u30c8 mixed ascii \u0436\u0438\u0432 text"),
+      (3L, "  leading and  double  spaces trailing "),
+      (4L, "tab\tinside token"),
+      (5L, "short"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val mm = edge.select(
+        Dedup.md5MinhashSignature(col("text"), 8).as("a"),
+        Dedup.md5MinhashSignatureAlgebra(col("text"), 8).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mm == 0)
+    val sa = Dedup.md5SimhashSignatures(edge, "doc_id", "text")
+    val sb = Dedup.md5SimhashSignaturesAlgebra(edge, "doc_id", "text")
+    assert(sa.exceptAll(sb).count() == 0 && sb.exceptAll(sa).count() == 0)
+    val rm = edge.select(
+        graft.operators.TextOps.rollingFingerprintMd5(col("text"), 16).as("a"),
+        graft.operators.TextOps.rollingFingerprintMd5Algebra(col("text"), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(rm == 0)
+  }
 }
