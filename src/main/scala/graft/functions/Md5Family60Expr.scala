@@ -141,21 +141,22 @@ object Md5Family60 {
     sig
   }
 
-  /** Rolling fingerprint: min over every `window`-CHAR substring (the
-    * whole text when shorter) of h(0, window). Char-based (not byte) to
-    * match the column twin's substring semantics on non-ASCII input.
+  /** Rolling fingerprint: min over every `window`-CODE-POINT substring
+    * (the whole text when shorter) of h(0, window). Windows advance by
+    * code point via UTF8String.substringSQL — Spark's length()/substr()
+    * count code points, and a UTF-16 `String.substring` window would split
+    * surrogate pairs on supplementary-plane text and break native ≡
+    * algebra ≡ DuckDB parity.
     */
   def rollingMin(text: UTF8String, window: Int): Long = {
-    val s = text.toString
-    val n = s.length
+    val n = text.numChars()
     // last window start; 0 even for empty text (one hash of "") — matches
     // the column twin's sequence(1, greatest(1, len - (w-1)))
     val last = math.max(0, n - window)
     var best = Long.MaxValue
     var i = 0
     while (i <= last) {
-      val sub = s.substring(i, math.min(n, i + window))
-      val b = sub.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = text.substringSQL(i + 1, window).getBytes
       val v = hash60(0, b, b.length)
       if (v < best) best = v
       i += 1

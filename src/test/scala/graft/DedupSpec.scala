@@ -252,7 +252,10 @@ class DedupSpec extends AnyFunSuite {
       (3L, "  leading and  double  spaces trailing "),
       (4L, "tab\tinside token"),
       (5L, "short"),
-      (6L, "")
+      (6L, ""),
+      // supplementary-plane (surrogate-pair) text: windows must advance by
+      // CODE POINT — a UTF-16 substring would split pairs and break parity
+      (7L, Array.fill(20)("𝄞").mkString + " 😀 mixed emoji 😁😂 tail")
     ).toDF("doc_id", "text")
     val mm = edge.select(
         Dedup.md5MinhashSignature(col("text"), 8).as("a"),

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The "would this survive a 100× scale-up" smell test as CI: every
@@ -21,21 +18,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-pin it HERE in the same commit — the point is that it can't move
   * silently.
   */
-class PlanAuditSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** query -> (max shuffles, min broadcasts) in the finalized plan. */
+  /** query -> (max shuffles, min broadcast JOINS) in the finalized plan
+    * (PlanAudit.counts semantics: broadcast-join operators, reuse-proof). */
   private val budgets: Map[String, (Int, Int)] = Map(
     "d01_dedup_exact" -> (1, 0),
     "d02_dedup_fingerprint" -> (1, 0),
     "d03_dedup_minhash" -> (1, 3),
     "d04_dedup_simhash" -> (1, 1),
-    "d05_ngram_jaccard" -> (4, 5),
-    "d06_embed_neardup" -> (2, 3),
+    "d05_ngram_jaccard" -> (2, 4),
+    "d06_embed_neardup" -> (1, 3),
     "d07_ann_topk" -> (1, 1),
-    "d08_ann_lsh" -> (9, 4),
-    "d09_ann_ivf" -> (9, 4),
-    "d10_dedup_corpus" -> (8, 0),
+    "d08_ann_lsh" -> (3, 5),
+    "d09_ann_ivf" -> (3, 5),
+    "d10_dedup_corpus" -> (5, 4), // AQE converts the survivor joins to broadcast at runtime
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
     // the final scan
@@ -99,18 +97,16 @@ class PlanAuditSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, TestSpark.sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        val plan = df.queryExecution.executedPlan
-        val sh = collect(plan) { case s: ShuffleExchangeExec => s }.size
-        val bc = collect(plan) { case b: BroadcastExchangeExec => b }.size
-        val ca = collect(plan) { case c: CartesianProductExec => c }.size
+        // shared with graft.tools.PlanAudit (which prints re-pin values):
+        // executes through the dataset's OWN queryExecution so the audited
+        // plan is the finalized one, including AQE's runtime join demotions
+        val (sh, bc, ca, _) = graft.tools.PlanAudit.counts(fn(spark, TestSpark.sfDir))
         val (maxSh, minBc) = budgets(name)
         if (ca > 0) failures += s"$name: $ca CartesianProductExec (never allowed)"
         if (sh > maxSh) failures += s"$name: $sh shuffles > pinned $maxSh"
         if (bc < minBc) failures += s"$name: $bc broadcasts < pinned $minBc"
       } catch {
-        case e: Throwable => failures += s"$name: failed to run: ${e.getMessage}"
+        case e: Throwable => failures += s"$name: failed to run: ${e.toString}"
       }
     }
     assert(failures.isEmpty, "\n" + failures.mkString("\n"))
