@@ -508,8 +508,17 @@ object SparkEntry {
     // The exact baseline is O(|Q|·|N|): Bench.main sets
     // sys.props("graft.ann.recall") = "off" around its query loop so the
     // TIMED number measures only the approximate search and stays
-    // comparable across rounds
-    "d08_ann_lsh" -> noOracle(
+    // comparable across rounds.
+    // Oracle: a FULL replay of the approximate pipeline — the generated SQL
+    // embeds the very hyperplane constants the Spark plan uses
+    // (Similarity.hyperplanes, same seeds), buckets on sign(dot(raw,
+    // plane)) (= sign(dot(unit, plane)): normalization scales by a
+    // positive factor), re-ranks candidates, and recomputes recall@k
+    // against the same exact baseline d07 already proves DuckDB-equal.
+    // Sign flips between the two engines' double roundings would need
+    // |dot| ~ 1e-13; measured min |dot| margin across all rows × 32 planes
+    // at sf0.01 is far above that (see DedupSpec's d08 oracle-margin test)
+    "d08_ann_lsh" -> entry(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val approx = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
@@ -517,7 +526,8 @@ object SparkEntry {
         else Similarity.withRecallAtK(approx,
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
           k = 5)
-      }),
+      },
+      lshOracleSql(nPlanes = 4, dim = 64, nTables = 8, k = 5)),
 
     // IVF approximate top-k: sampled spherical k-means cells + nProbe
     // search; recall@k vs the exact baseline attached per row as in d08

@@ -100,8 +100,12 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic random hyperplanes (seeded, plan-time constants). */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seeded, plan-time constants).
+    * `private[graft]` so SparkEntry can embed the SAME constants into the
+    * generated DuckDB oracle SQL for d08 — the oracle replays the exact
+    * bucketing, not an approximation of it.
+    */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
