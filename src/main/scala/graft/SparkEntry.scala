@@ -48,6 +48,56 @@ object SparkEntry {
       .orElse(sys.env.get("SPARK_GRAFT_ANN_RECALL"))
       .forall(_ != "off")
 
+  /** Generated DuckDB replay of d08's full approximate pipeline. Embeds the
+    * exact hyperplane constants the Spark plan uses
+    * ([[Similarity.hyperplanes]], seed 7 + t*1009 per table — Double.toString
+    * round-trips, so DuckDB parses bit-identical doubles), buckets on
+    * sign(dot(raw, plane)) (= sign(dot(unit, plane)): unit-normalization
+    * scales by a positive factor), unions candidates across tables
+    * (DISTINCT = the Spark side's max(cos) pair-dedup), re-ranks by cosine,
+    * and recomputes recall@k against the same exact baseline d07 already
+    * proves DuckDB-equal — including [[Similarity.withRecallAtK]]'s
+    * exact-side-driven left join (a query with zero approximate candidates
+    * still appears, null neighbor columns, recall 0.0) and its
+    * least(n_exact, k) denominator.
+    */
+  private def lshOracleSql(nPlanes: Int, dim: Int, nTables: Int, k: Int): String = {
+    val tableKeys = (0 until nTables).map { tb =>
+      val planes = Similarity.hyperplanes(nPlanes, dim, seed = 7L + tb * 1009L)
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tb AS t, $bits AS b FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       keys AS (
+       $tableKeys),
+       qk AS (SELECT vec_id AS q_id, t, b FROM keys WHERE vec_id < 10),
+       cand AS (SELECT DISTINCT qk.q_id, ky.vec_id AS n_id
+                FROM qk JOIN keys ky ON ky.t = qk.t AND ky.b = qk.b AND ky.vec_id <> qk.q_id),
+       scored AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qa.v, nb.v) AS cos
+                  FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n nb ON nb.vec_id = c.n_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM scored) WHERE rank <= $k),
+       ex AS (SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, nb.vec_id AS n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
+                FROM n q JOIN n nb ON nb.vec_id <> q.vec_id WHERE q.vec_id < 10)
+              WHERE rank <= $k),
+       n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
+       hits AS (SELECT a.q_id, COUNT(*) AS n_hit
+                FROM ap a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY a.q_id),
+       perq AS (SELECT n_ex.q_id,
+                  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall
+                FROM n_ex LEFT JOIN hits h ON h.q_id = n_ex.q_id)
+       SELECT p.q_id, a.n_id, a.rank, p.recall
+       FROM perq p LEFT JOIN ap a ON a.q_id = p.q_id"""
+  }
+
   // ------------------------------------------------------------------
   // §2a/§2b relational surface — one entry per reference operator
   // ------------------------------------------------------------------
@@ -516,8 +566,8 @@ object SparkEntry {
     // positive factor), re-ranks candidates, and recomputes recall@k
     // against the same exact baseline d07 already proves DuckDB-equal.
     // Sign flips between the two engines' double roundings would need
-    // |dot| ~ 1e-13; measured min |dot| margin across all rows × 32 planes
-    // at sf0.01 is far above that (see DedupSpec's d08 oracle-margin test)
+    // |dot| ~ 1e-13; SimilaritySpec's "d08 oracle margin" test asserts the
+    // measured min |dot| across all sf0.01 rows × 32 planes stays > 1e-6
     "d08_ann_lsh" -> entry(
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -639,6 +689,16 @@ object SparkEntry {
            range(1, GREATEST(1, length(text) - 15) + 1),
            i -> CAST(('0x' || substr(md5('0|' || substr(text, i, 16)), 1, 15)) AS BIGINT))) AS roll_fp
          FROM documents"""),
+
+    // the PRODUCTION rolling fingerprint: native O(n)/doc Rabin-Karp
+    // rolling minimum ([[graft.functions.RollingMinHashExpr]], codegen'd).
+    // Its 64-bit wrapping polynomial hash has no DuckDB twin (BIGINT
+    // overflow throws there), so this is a rows-only driver entry; value
+    // correctness is FunctionsSpec's (windows, wrap-around, min selection)
+    // and t04's md5 twin proves the surrounding pipeline shape end-to-end.
+    "t07_rolling_native" -> noOracle(
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        graft.functions.RollingMinHashExpr.rollingMinHash(col("text"), 16).as("roll_fp"))),
 
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)

@@ -85,7 +85,11 @@ object Dedup {
     * paid per EXECUTION, so tree size is a real per-query cost).
     */
   def md5Hash60(s: Column, seed: Column): Column =
-    conv(substring(md5(concat_ws("|", seed, s)), 1, 15), 16, 10).cast("long")
+    // concat (not concat_ws): NULL text must propagate to a NULL hash —
+    // concat_ws silently skips NULL args and would hash the seed alone,
+    // diverging from both the nullIntolerant fused Md5*Exprs and DuckDB's
+    // null-propagating `seed || '|' || s`
+    conv(substring(md5(concat(seed.cast("string"), lit("|"), s)), 1, 15), 16, 10).cast("long")
 
   /** Small-k MinHash signature over [[shingles]] with the [[md5Hash60]]
     * family — the oracle-replayable twin of [[minhashSignature]]. With

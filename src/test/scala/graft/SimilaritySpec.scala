@@ -129,4 +129,22 @@ class SimilaritySpec extends AnyFunSuite {
     // every returned neighbor must exist in the exact result with rank order preserved
     assert(approx.sortBy(_._2).map(_._1).forall(exact.contains))
   }
+
+  test("d08 oracle margin: no sign(dot) can flip between engine roundings at sf0.01") {
+    // The d08 DuckDB oracle replays bucketing on sign(dot(raw, plane));
+    // Spark buckets on sign(dot(unit, plane)). The two engines' double
+    // roundings differ by ~1e-13 relative — a bucket divergence needs a
+    // row×plane dot within that of zero. Assert the live data/hyperplane
+    // margin (all rows × 8 tables × 4 planes, the exact constants d08
+    // embeds) sits orders of magnitude above it.
+    val emb = graft.engine.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val unit = Similarity.normalized(emb, "vec_id", "embedding")
+    val dots = for {
+      t <- 0 until 8
+      p <- Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 7L + t * 1009L)
+    } yield abs(Similarity.dot(col("unit"), typedlit(p)))
+    val minMargin = unit.select(least(dots: _*).as("m"))
+      .agg(min(col("m"))).head.getDouble(0)
+    assert(minMargin > 1e-6, s"min |dot(unit, plane)| = $minMargin — too close to a sign flip")
+  }
 }
