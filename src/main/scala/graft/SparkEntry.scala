@@ -82,7 +82,17 @@ object SparkEntry {
                 SELECT q_id, n_id,
                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
                 FROM scored) WHERE rank <= $k),
-       ex AS (SELECT q_id, n_id FROM (
+       ${annOracleTail(k)}"""
+  }
+
+  /** Shared tail of the d08/d09 replays: the exact baseline (d07-proven
+    * DuckDB-equal), recall@k with [[Similarity.withRecallAtK]]'s exact-
+    * side-driven left join and least(n_exact, k) denominator, and the
+    * final (q_id, n_id, rank, recall) projection. Expects CTEs `n`
+    * (vec_id, v) and `ap` (q_id, n_id, rank) upstream.
+    */
+  private def annOracleTail(k: Int): String =
+    s"""ex AS (SELECT q_id, n_id FROM (
                 SELECT q.vec_id AS q_id, nb.vec_id AS n_id,
                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
                     ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
@@ -96,7 +106,53 @@ object SparkEntry {
                 FROM n_ex LEFT JOIN hits h ON h.q_id = n_ex.q_id)
        SELECT p.q_id, a.n_id, a.rank, p.recall
        FROM perq p LEFT JOIN ap a ON a.q_id = p.q_id"""
+
+  /** Generated DuckDB replay of d09's IVF pipeline — the data-dependent
+    * sibling of [[lshOracleSql]]. The centroids are deterministic plan
+    * constants ([[Similarity.ivfCentroids]]: seeded-order sample + local
+    * k-means), so the generator trains the IDENTICAL set on the dump dir
+    * and embeds it. Cell assignment (argmax sim, cell-index tiebreak) and
+    * the nProbe probe list replay Spark's array_min/array_sort-over-struct
+    * ordering as ROW_NUMBER ties; assignment on raw vectors is valid
+    * because argmax of dot(raw, c) = argmax of dot(unit, c) (positive
+    * per-row scale). Generated only when Verify supplies the oracle
+    * context — a static string cannot embed centroids it has not seen.
+    */
+  private def ivfOracleSql(spark: SparkSession, dir: String, nCentroids: Int,
+      nProbe: Int, sampleSize: Int, iters: Int, k: Int): String = {
+    val centroids = graft.operators.Similarity.ivfCentroids(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, list_dot_product(v, ${c.mkString("[", ", ", "]")}) AS sim FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       sims AS (
+       $cellSims),
+       ranked AS (SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims),
+       assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $nProbe AND vec_id < 10),
+       cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+                FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       scored AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qa.v, nb.v) AS cos
+                  FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n nb ON nb.vec_id = c.n_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM scored) WHERE rank <= $k),
+       ${annOracleTail(k)}"""
   }
+
+  /** Data-dependent oracle context: d09's replay embeds centroids trained
+    * on the ACTUAL dump dir, so its SQL exists only once that dir is
+    * known. Verify sets this before reading [[oracleSql]]; a consumer that
+    * never does gets the static map and d09 stays a rows-only entry.
+    */
+  @volatile private var oracleCtx: Option[(SparkSession, String)] = None
+  private[graft] def setOracleContext(spark: SparkSession, dir: String): Unit =
+    oracleCtx = Some((spark, dir))
 
   // ------------------------------------------------------------------
   // §2a/§2b relational surface — one entry per reference operator
@@ -580,7 +636,11 @@ object SparkEntry {
       lshOracleSql(nPlanes = 4, dim = 64, nTables = 8, k = 5)),
 
     // IVF approximate top-k: sampled spherical k-means cells + nProbe
-    // search; recall@k vs the exact baseline attached per row as in d08
+    // search; recall@k vs the exact baseline attached per row as in d08.
+    // Oracled DYNAMICALLY: the centroids depend on the data, so Verify
+    // injects the dump dir ([[setOracleContext]]) and [[ivfOracleSql]]
+    // trains the identical centroid set and emits a full DuckDB replay —
+    // noOracle here covers only a consumer that never supplies the context
     "d09_ann_ivf" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -802,5 +862,9 @@ object SparkEntry {
     all.map { case (n, (fn, _)) => n -> fn }.toMap
 
   def oracleSql: Map[String, String] =
-    all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+    all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap ++
+      oracleCtx.map { case (s, d) =>
+        "d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
+          sampleSize = 1024, iters = 5, k = 5)
+      }
 }

@@ -133,13 +133,13 @@ object GraftSession {
     * with. Events/embeddings stay temp views (ns-timestamp / array cols).
     */
   def ensureAnalyzedCatalog(spark: SparkSession, dir: String): Unit = {
-    analyzableTables.foreach { n =>
-      // a table left over from a DIFFERENT sfDir must not survive: silently
-      // serving the first directory's data (and stats) to a session that
-      // asked for another is a wrong-results bug, not a cache hit.
-      // Everything here is database-qualified — unqualified DROP/EXISTS
-      // resolve to a same-named TEMP VIEW first (registerAll creates those),
-      // which would drop the wrong object and keep the stale table alive
+    // a table left over from a DIFFERENT sfDir must not survive: silently
+    // serving the first directory's data (and stats) to a session that
+    // asked for another is a wrong-results bug, not a cache hit.
+    // Everything here is database-qualified — unqualified DROP/EXISTS
+    // resolve to a same-named TEMP VIEW first (registerAll creates those),
+    // which would drop the wrong object and keep the stale table alive
+    def ensure(n: String, analyzeSql: String): Unit = {
       def existsInCatalog =
         spark.sessionState.catalog.tableExists(
           org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
@@ -147,12 +147,20 @@ object GraftSession {
         spark.sql(s"DROP TABLE default.$n")
       if (!existsInCatalog) {
         spark.sql(s"CREATE TABLE default.$n USING parquet LOCATION '$dir/$n.parquet'")
-        spark.sql(s"ANALYZE TABLE default.$n COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(analyzeSql)
       }
     }
-    Seq("events", "embeddings").foreach { n =>
-      table(spark, dir, n).createOrReplaceTempView(n)
-    }
+    analyzableTables.foreach(n =>
+      ensure(n, s"ANALYZE TABLE default.$n COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // embeddings: the array column takes no column stats, but vec_id/label
+    // NDV+min/max and the table rowCount still feed CostBasedJoinReorder —
+    // SQL over embeddings no longer plans stats-blind
+    ensure("embeddings",
+      "ANALYZE TABLE default.embeddings COMPUTE STATISTICS FOR COLUMNS vec_id, label")
+    // events stays a temp view: its TIMESTAMP(NANOS) column needs table()'s
+    // read-side ns→µs rewrite — a catalog parquet table would serve raw
+    // BIGINT nanoseconds to every SQL consumer
+    table(spark, dir, "events").createOrReplaceTempView("events")
   }
 
   /** Does catalog table `n` point at `location`? (path compare, scheme- and

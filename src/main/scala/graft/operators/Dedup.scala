@@ -112,8 +112,11 @@ object Dedup {
     * native form everywhere hot).
     */
   def md5MinhashSignatureAlgebra(text: Column, k: Int = 8, n: Int = 3): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles(text, n), s => md5Hash60(s, i))))
+    // when without otherwise: NULL text → NULL signature (matching the
+    // nullIntolerant native expr), not a k-long array of NULL minima
+    when(text.isNotNull,
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(shingles(text, n), s => md5Hash60(s, i)))))
 
   /** LSH bucket hash of band `j` (0-based Column) of a k-long signature
     * split into bands of `r` rows — THE banding formula; every producer and

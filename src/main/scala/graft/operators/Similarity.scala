@@ -139,9 +139,15 @@ object Similarity {
     * bounded, the centroid set is tiny, and candidate comparison is
     * 1/nCentroids·nProbe of brute force.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
-      iters: Int = 5): DataFrame = {
+  /** The deterministic IVF centroid set: bounded seeded-order sample →
+    * local spherical k-means. Extracted (and `private[graft]`) so
+    * SparkEntry can train the IDENTICAL centroids at oracle-generation
+    * time and embed them into d09's generated DuckDB replay, the same way
+    * d08 embeds [[hyperplanes]] — the centroids are pure functions of the
+    * data, not of any run-time randomness.
+    */
+  private[graft] def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, sampleSize: Int, iters: Int): Array[Array[Double]] = {
     val all = normalized(emb, idCol, vecCol)
     // bounded, deterministic sample → local spherical k-means
     val sample = all.orderBy(col("vec_id")).limit(sampleSize)
@@ -166,6 +172,14 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
+      iters: Int = 5): DataFrame = {
+    val all = normalized(emb, idCol, vecCol)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
     // per-row cell assignment and per-query probe list, from broadcast
     // centroid constants (struct ordering makes array_min/array_sort pick
     // by similarity first)

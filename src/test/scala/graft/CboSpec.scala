@@ -20,6 +20,23 @@ class CboSpec extends AnyFunSuite {
     assert(!rep.planTree.split("\n").exists(_.contains("rows=?")), rep.planTree)
   }
 
+  test("embeddings is a stats-backed catalog table (scalar columns analyzed)") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    if (spark.catalog.tableExists("embeddings") &&
+        spark.sessionState.catalog.getTempView("embeddings").isDefined)
+      spark.catalog.dropTempView("embeddings")
+    val stats = spark.table("default.embeddings")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong > 0), s"embeddings rowCount missing: $stats")
+    val df = spark.sql(
+      "SELECT e.vec_id FROM embeddings e JOIN embeddings f ON e.vec_id = f.vec_id WHERE e.label = 0")
+    val joinStats = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.stats
+    }
+    assert(joinStats.nonEmpty && joinStats.head.rowCount.isDefined,
+      s"embeddings self-join should carry a CBO row estimate, got $joinStats")
+  }
+
   test("ensureAnalyzedCatalog re-points tables when the data dir changes") {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
     // a same-named TEMP VIEW must neither shadow the staleness check nor

@@ -271,4 +271,22 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("a") =!= col("b")).count()
     assert(rm == 0)
   }
+
+  test("md5-60 family: NULL text propagates to NULL in native, algebra, and hash forms") {
+    import org.apache.spark.sql.functions._
+    // concat_ws would silently hash the seed alone on NULL input; the fused
+    // exprs are nullIntolerant and DuckDB's `seed || '|' || s` null-
+    // propagates — all three forms must agree that NULL in means NULL out
+    val withNull = Seq((1L, "some real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = withNull.select(col("doc_id"),
+        Dedup.md5Hash60(col("text"), 0).as("h"),
+        Dedup.md5MinhashSignature(col("text"), 8).as("mm_native"),
+        Dedup.md5MinhashSignatureAlgebra(col("text"), 8).as("mm_algebra"),
+        graft.operators.TextOps.rollingFingerprintMd5(col("text"), 16).as("rf_native"),
+        graft.operators.TextOps.rollingFingerprintMd5Algebra(col("text"), 16).as("rf_algebra"))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    (1 to 5).foreach(i => assert(!r(1L).isNullAt(i), s"col $i null on real text"))
+    (1 to 5).foreach(i => assert(r(2L).isNullAt(i), s"col $i not null on NULL text"))
+  }
 }

@@ -147,4 +147,25 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(min(col("m"))).head.getDouble(0)
     assert(minMargin > 1e-6, s"min |dot(unit, plane)| = $minMargin — too close to a sign flip")
   }
+
+  test("d09 oracle margin: cell assignment and probe cut can't flip between engines at sf0.01") {
+    // The d09 DuckDB oracle ranks cells by dot(raw, centroid); Spark by
+    // dot(unit, centroid) — same order up to the positive per-row scale,
+    // UNLESS two cell similarities sit within double-rounding distance
+    // (~1e-13). Assignment uses rank 1, the probe list ranks 1..2: assert
+    // every row's rank-1/2 and rank-2/3 similarity gaps clear that by
+    // orders of magnitude, with the exact centroids the oracle embeds.
+    val emb = graft.engine.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16, sampleSize = 1024, iters = 5)
+    val unit = Similarity.normalized(emb, "vec_id", "embedding")
+    val sims = array_sort(array(cents.map(c =>
+      Similarity.dot(col("unit"), typedlit(c.toSeq))): _*), (a, b) => when(a < b, 1).when(a > b, -1).otherwise(0))
+    val gaps = unit.select(
+        (element_at(sims, 1) - element_at(sims, 2)).as("g12"),
+        (element_at(sims, 2) - element_at(sims, 3)).as("g23"))
+      .agg(min(col("g12")), min(col("g23"))).head
+    assert(gaps.getDouble(0) > 1e-6, s"min rank-1/2 sim gap ${gaps.getDouble(0)}")
+    assert(gaps.getDouble(1) > 1e-6, s"min rank-2/3 sim gap ${gaps.getDouble(1)}")
+  }
 }
