@@ -863,8 +863,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap ++
-      oracleCtx.map { case (s, d) =>
-        "d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
-          sampleSize = 1024, iters = 5, k = 5)
+      oracleCtx.flatMap { case (s, d) =>
+        // a generator failure (unreadable embeddings, sample < nCentroids)
+        // must degrade d09 to rows-only, not take down the whole dump —
+        // the static map carries the other 60 entries either way
+        try Some("d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
+          sampleSize = 1024, iters = 5, k = 5))
+        catch { case e: Throwable =>
+          System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: ${e.getMessage}")
+          None
+        }
       }
 }
