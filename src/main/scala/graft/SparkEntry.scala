@@ -866,12 +866,22 @@ object SparkEntry {
       oracleCtx.flatMap { case (s, d) =>
         // a generator failure (unreadable embeddings, sample < nCentroids)
         // must degrade d09 to rows-only, not take down the whole dump —
-        // the static map carries the other 60 entries either way
+        // the static map carries the other 60 entries either way. NonFatal:
+        // an OOM mid-collect must still fail the dump fast, not serialize
+        // from a broken heap
         try Some("d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
           sampleSize = 1024, iters = 5, k = 5))
-        catch { case e: Throwable =>
-          System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(e) =>
+          oracleGenErrors = Map("d09_ann_ivf" -> s"$e")
+          System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: $e")
           None
         }
       }
+
+  /** Generator failures behind [[oracleSql]]'s dynamic entries, keyed by
+    * query name — Verify writes these to `oracle_errors.json` so a broken
+    * generator is a visible artifact, not a silent downgrade to rows-only
+    * that every later round inherits unnoticed.
+    */
+  @volatile private[graft] var oracleGenErrors: Map[String, String] = Map.empty
 }

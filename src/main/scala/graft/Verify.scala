@@ -34,6 +34,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // dynamic-generator failures become a visible artifact (the entry
+    // itself degraded to rows-only in oracle_sql.json)
+    if (SparkEntry.oracleGenErrors.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/oracle_errors.json"),
+        SparkEntry.oracleGenErrors
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
