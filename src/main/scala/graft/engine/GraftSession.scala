@@ -61,13 +61,25 @@ object GraftSession {
     * reader rejects; read it as a long and truncate to microseconds — the
     * same ns→us truncation DuckDB applies when casting to TIMESTAMP.
     */
+  /** events.parquet schema as read under `nanosAsLong` (ts = raw ns long).
+    * Shared with the streaming source (file streams need an explicit
+    * schema) so batch and stream cannot drift apart.
+    */
+  private[graft] val eventsSchemaDdl =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** ns-since-epoch `ts` → microsecond timestamp. Integral `div`, NOT `/`:
+    * ns-since-epoch exceeds 2^53, so double division would round the
+    * microsecond (off-by-1µs vs DuckDB). The single definition both the
+    * batch reader and [[graft.streaming.StreamingOps.eventsStream]] apply.
+    */
+  private[graft] def eventsTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integral `div`, NOT `/`: ns-since-epoch exceeds 2^53, so double
-      // division would round the microsecond (off-by-1µs vs DuckDB)
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      eventsTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

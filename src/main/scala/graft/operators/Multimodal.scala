@@ -22,7 +22,9 @@ object Multimodal {
     */
   def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-      col(idCol).as("doc_id"),
+      // long, explicitly: decodeStub's row.getLong and featureSchema
+      // declare LongType — an int id would CCE executor-side
+      col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
         (pmod(col(idCol), lit(640)) + 1).cast("int").as("width"),
@@ -127,7 +129,12 @@ object Multimodal {
     * [[decodeStub]]'s per-partition loop; the row-explosion shape, frame
     * numbering, and byte-slicing stay exactly as here.
     */
-  def frameSample(withBinary: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
+  def frameSample(withBinary: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    // division by 0 → Infinity → ceil wraps negative on the int cast, and
+    // pmod(x, 0) is NULL: either would silently return an EMPTY result
+    // instead of failing
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     withBinary
       .withColumn("n_frames",
         ceil(length(col("payload")).cast("double") / frameBytes).cast("int"))
@@ -138,4 +145,5 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), col("n_frames"),
         col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes))
           .as("frame_bytes"))
+  }
 }

@@ -40,7 +40,9 @@ object Profile {
       val nd = if (exact) countDistinct(c0(c)) else approx_count_distinct(c0(c))
       Seq(
         count(c0(c)).as(s"${a0(i)}__n"),
-        sum(when(c0(c).isNull, 1L).otherwise(0L)).as(s"${a0(i)}__nulls"),
+        // count, not sum: sum over ZERO rows is NULL, and an empty table
+        // must profile as n_null = 0, not a null that NPEs on unboxing
+        count(when(c0(c).isNull, 1L)).as(s"${a0(i)}__nulls"),
         nd.as(s"${a0(i)}__distinct"),
         min(c0(c)).cast("string").as(s"${a0(i)}__min"),
         max(c0(c)).cast("string").as(s"${a0(i)}__max"))

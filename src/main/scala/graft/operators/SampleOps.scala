@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
-  /** Bucket 0..99 from a stable id — the split primitive. */
-  def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(100L))
+  /** Bucket 0..99 from a stable id — the split primitive. A NULL id gets a
+    * NULL bucket (bare xxhash64 would hash the seed alone and silently herd
+    * every null-id row into ONE bucket — 100% or 0% of them sampled);
+    * [[deterministicSplit]]'s `otherwise` then lands null ids in "test",
+    * identically for both bucket families.
+    */
+  def hashBucket(id: Column): Column =
+    when(id.isNotNull, pmod(xxhash64(id), lit(100L)))
 
   /** Bucket 0..99 via [[graft.operators.Dedup.md5Hash60]]'s hex-prefix
     * trick on md5(id) — same semantics as [[hashBucket]] but replayable by
@@ -43,6 +49,11 @@ object SampleOps {
     * chosen by id-hash order (not arrival order) so the sample is stable.
     * One shuffle on the stratum key — the groupBy-top-k shape, which AQE
     * skew-splits if a stratum is hot.
+    *
+    * `idCol` must identify rows uniquely: rows SHARING an id are
+    * indistinguishable to every id-derived sort key, so if the cap
+    * boundary falls between two of them the pick depends on physical row
+    * order — determinism holds only up to id uniqueness.
     */
   def stratifiedCap(df: DataFrame, stratumCol: String, idCol: String,
       perStratum: Int): DataFrame = {

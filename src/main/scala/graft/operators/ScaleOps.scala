@@ -29,8 +29,21 @@ object ScaleOps {
     // the row's own columns is stable across retries; rows identical in
     // every column co-locate on one salt, which is fine (they are
     // indistinguishable anyway).
+    // xxhash64 rejects MapType inputs at analysis (map iteration order is
+    // undefined): hash only the hashable columns. If every column is a
+    // map, fall back to the join key — constant per hot key, so salting
+    // degrades to a plain join (correct, just unmitigated) instead of
+    // failing a pipeline the un-salted join would have run.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = skewed.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64((if (hashCols.nonEmpty) hashCols else Array(col(skewedKey))): _*),
+        lit(saltFactor)).cast("int"))
     val dimExp = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(dimExp,
@@ -41,13 +54,20 @@ object ScaleOps {
   /** Persist `df` as a bucketed+sorted catalog table. Two tables bucketed
     * on their join keys with the same bucket count join WITHOUT a shuffle —
     * the co-located-join layout for repeatedly-joined 100 TB fact tables.
+    *
+    * @param warehouseDir parent directory for the table data; production
+    *        deployments pass a durable (DFS) location — the default is a
+    *        local scratch path suited to tests only
     */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int, warehouseDir: String = "/tmp/graft-warehouse"): Unit = {
+    // a '/' in the name would escape warehouseDir via the path concat
+    require(!tableName.contains("/"), s"tableName must not contain '/': $tableName")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
-      .option("path", s"/tmp/graft-warehouse/$tableName")
+      .option("path", s"$warehouseDir/$tableName")
       .saveAsTable(tableName)
+  }
 
   /** Write partitioned by a low-cardinality column — the layout that turns
     * partition-key filters into directory pruning (no data read at all).

@@ -17,10 +17,10 @@ object StreamingOps {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.engine.GraftSession.eventsTsToMicros(
+      spark.readStream
+        .schema(graft.engine.GraftSession.eventsSchemaDdl)
+        .parquet(dir))
   }
 
   /** Tumbling-window counts per event type with a watermark bounding state.
@@ -101,23 +101,14 @@ object StreamingOps {
     * are dropped with bounded state.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
-  /** Streaming near-duplicate gate against a STATIC corpus: each arriving
-    * document's MinHash signature and LSH band buckets are computed in the
-    * stream's projection (per-row native expression — no state), then a
-    * stream-static equi-join on (band, bucket) surfaces corpus candidates
-    * and the signature estimate filters to real near-dups.
-    *
-    * This is the ingestion-time "is this already in my training set?"
-    * check: stateless on the stream side, so it scales to any arrival rate;
-    * the static side is the corpus signature index (re-broadcast or
-    * shuffled once per micro-batch by Spark as sizes dictate).
-    *
-    * @return streaming (doc_id, corpus_id, est_jaccard) — one row per
-    *         (arriving doc, matched corpus doc) pair over `threshold`.
+  /** Shared projection of both near-dup-gate sides: (id, signature, band,
+    * bucket) — one row per band, batch/stream agnostic.
     */
   private def withBuckets(df: DataFrame, idCol: String, textCol: String,
       idAs: String, sigAs: String, k: Int, bands: Int): DataFrame = {

@@ -49,4 +49,20 @@ class MultimodalSpec extends AnyFunSuite {
     // doc 1: 10 bytes -> frames 0,1,2 (4,4,2 bytes); keep 0 and 2
     assert(frames.toSet == Set((1L, 0, "abcd"), (1L, 2, "ij"), (2L, 0, "xy")))
   }
+
+  test("frameSample rejects non-positive stride/step instead of returning empty") {
+    val wb = Multimodal.attachBinary(docs, "doc_id", "text")
+    // frameBytes = 0: length/0 -> Infinity -> int cast wraps negative ->
+    // every row filtered; everyN = 0: pmod NULL filters every row — both
+    // must fail loudly, not produce a silent zero-frame result
+    intercept[IllegalArgumentException](Multimodal.frameSample(wb, 0, 2))
+    intercept[IllegalArgumentException](Multimodal.frameSample(wb, 4, 0))
+  }
+
+  test("attachBinary normalizes an int id to the long the decode schema declares") {
+    val intId = Seq((1, "abc"), (2, "de")).toDF("doc_id", "text")
+    val feats = Multimodal.featurize(intId, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(feats == Map(1L -> 3, 2L -> 2))
+  }
 }

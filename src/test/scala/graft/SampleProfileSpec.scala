@@ -71,4 +71,24 @@ class SampleProfileSpec extends AnyFunSuite {
     val total = counts.values.sum.toDouble
     assert(counts("train") / total > 0.7 && counts("train") / total < 0.9, counts)
   }
+
+  test("NULL ids: both bucket families yield NULL buckets, split lands them in test") {
+    val withNull = Seq((Some(1L), "a"), (None, "b"), (None, "c")).toDF("id", "v")
+    // a bare xxhash64(NULL) hashes the seed alone and would herd every
+    // null-id row into one arbitrary bucket (all sampled or none)
+    val h = withNull.select(SampleOps.hashBucket(col("id"))).collect()
+    val m = withNull.select(SampleOps.md5Bucket(col("id"))).collect()
+    assert(h.count(_.isNullAt(0)) == 2 && m.count(_.isNullAt(0)) == 2)
+    val split = SampleOps.deterministicSplit(withNull, "id", 80)
+      .filter(col("id").isNull).select("split").collect().map(_.getString(0))
+    assert(split.toSeq == Seq("test", "test"))
+    assert(SampleOps.hashSample(withNull, "id", 80).filter(col("id").isNull).count() == 0)
+  }
+
+  test("Profile.describe on an empty table: zero counts, not NULL NPE bait") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val rows = Profile.describe(empty, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("id") == ((0L, 0L, 0L)) && rows("v") == ((0L, 0L, 0L)))
+  }
 }

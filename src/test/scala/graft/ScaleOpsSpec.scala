@@ -31,6 +31,15 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     intercept[IllegalArgumentException](ScaleOps.saltedJoin(skewed, dim, "k", "dk", 0))
   }
 
+  test("saltedJoin tolerates map columns (xxhash64 rejects MapType) and stays correct") {
+    val skewed = Seq((1L, 1), (1L, 2), (2L, 3)).toDF("k", "v")
+      .withColumn("props", map(lit("a"), col("v")))
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("dk", "name")
+    val plain = skewed.join(dim, col("k") === col("dk")).select("k", "v", "name")
+    val salted = ScaleOps.saltedJoin(skewed, dim, "k", "dk", 4).select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     val c = GraftSession.table(spark, TestSpark.sfDir, "customer")
     val o = GraftSession.table(spark, TestSpark.sfDir, "orders")
