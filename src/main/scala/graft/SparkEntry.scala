@@ -428,12 +428,12 @@ object SparkEntry {
     // exact dedup — one hash aggregate on the content key
     "d01_dedup_exact" -> entry(
       (s, d) => Dedup.exactClusters(t(s, d, "documents"), "doc_id", "text"),
-      "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text"),
+      "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents WHERE text IS NOT NULL GROUP BY text"),
 
     // dedup on normalized-content md5 fingerprint
     "d02_dedup_fingerprint" -> entry(
       (s, d) => Dedup.fingerprintClusters(t(s, d, "documents"), "doc_id", "text"),
-      "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY 1"),
+      "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents WHERE text IS NOT NULL GROUP BY 1"),
 
     // MinHash + LSH banding near-duplicates (candidate gen via band shuffle).
     // Oracle-exact: k=8/bands=4 with the md5Hash60 family — at threshold
@@ -659,7 +659,7 @@ object SparkEntry {
     // quality-signal scoring
     "t02_quality" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*),
-      "SELECT doc_id, length(text) AS n_chars, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS mean_tok_len, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS stopword_ratio FROM documents"),
+      "SELECT doc_id, length(text) AS n_chars, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS mean_tok_len, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS stopword_ratio FROM documents"),
 
     // per-group top-k curation: keep the 3 longest docs per source
     // (window-function top-k — the "best N per stratum" selection every

@@ -77,10 +77,13 @@ object QueryEngine {
 
     firstWord(sql) match {
       case "INSERT" | "UPDATE" | "DELETE" =>
-        // parity with `cli.cpp:322`: parsed, acknowledged, not optimized
+        // parity with `cli.cpp:322`: parsed, acknowledged, not optimized.
+        // EXPLAIN <dml> keeps kind EXPLAIN — the stripped prefix must not
+        // silently demote an explain request to a DML acknowledgement
         val kind = firstWord(sql)
-        QueryReport(kind, Seq(s"$kind statement parsed." ,
-          "Optimization not implemented for this type"), "", Nil, 0, None, None, None)
+        QueryReport(if (isExplain) "EXPLAIN" else kind,
+          Seq(s"$kind statement parsed.",
+            "Optimization not implemented for this type"), "", Nil, 0, None, None, None)
       case _ =>
         try {
           val df = spark.sql(sql)
@@ -114,7 +117,10 @@ object QueryEngine {
             warnAndContinue(spark, sql, e).getOrElse(
               QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None))
           case NonFatal(e) =>
-            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getMessage), None, None)
+            // getMessage is null for many JVM exceptions (bare NPEs from
+            // codegen) — fall back to the class name, never "ERROR: null"
+            QueryReport("ERROR", Nil, "", Nil, 0,
+              Some(Option(e.getMessage).getOrElse(e.toString)), None, None)
         }
     }
   }

@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `h(seed, s) = int(hex_prefix_15(md5(seed || "|" || s)))` — the first 15
   * hex chars (60 bits) of the md5 of the seed-prefixed string, as a
   * non-negative long. Column-algebra twin:
-  * `conv(substring(md5(concat_ws("|", seed, s)), 1, 15), 16, 10)`;
+  * `conv(substring(md5(concat(seed, "|", s)), 1, 15), 16, 10)` — concat,
+  * NOT concat_ws: concat_ws silently skips NULL inputs, while this family
+  * (native exprs nullIntolerant, DuckDB `||`) propagates NULL → NULL;
   * DuckDB twin: `CAST('0x' || substr(md5(seed || '|' || s), 1, 15) AS
   * BIGINT)`. DedupSpec/TextOpsSpec assert native ≡ column-algebra on real
   * corpus docs, and the driver's oracle asserts ≡ DuckDB end-to-end.
@@ -57,6 +59,10 @@ object Md5Family60 {
     * cannot occur inside a UTF-8 multibyte sequence, so byte scanning is
     * correct for any input).
     */
+  // KEEP IN SYNC: this single-space byte scanner is inlined (for zero
+  // per-row allocation) in MinHashTextExpr.signature and
+  // SimHashTextExpr.simhash too — a tokenization change must land in all
+  // three or the native≡algebra≡oracle parity the specs assert breaks
   private def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
     val n = bytes.length
     val starts = new java.util.ArrayList[Integer]()

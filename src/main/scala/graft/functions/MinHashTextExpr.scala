@@ -53,7 +53,9 @@ object MinHashTextExpr {
   def signature(text: UTF8String, shingle: Int, k: Int): Array[Long] = {
     val bytes = text.getBytes
     val n = bytes.length
-    // word boundaries: starts(i)/ends(i) of non-empty runs between spaces
+    // word boundaries: starts(i)/ends(i) of non-empty runs between spaces.
+    // KEEP IN SYNC with Md5Family60.wordSpans and SimHashTextExpr's scan —
+    // tokenization changes must land in all three (parity-spec'd)
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     var i = 0

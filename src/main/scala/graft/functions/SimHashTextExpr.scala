@@ -49,6 +49,8 @@ object SimHashTextExpr {
   def simhash(text: UTF8String): Long = {
     val bytes = text.getBytes
     val n = bytes.length
+    // KEEP IN SYNC: the whitespace scan below matches Md5Family60.wordSpans
+    // and MinHashTextExpr's inline scanner (parity-spec'd)
     val sums = new Array[Int](64)
     var i = 0
     while (i < n) {

@@ -25,14 +25,23 @@ object Dedup {
 
   /** Exact dedup clusters: one row per distinct text with the kept
     * (minimum) id and the duplicate count. Single hash aggregate.
+    *
+    * NULL-text docs are EXCLUDED (here and in [[fingerprintClusters]]):
+    * groupBy puts all NULLs in one group, which would declare every
+    * absent-content doc (e.g. image-only rows) a duplicate of every other
+    * and silently drop all but one in [[dedupCorpus]].
     */
   def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Dedup on the normalized-content fingerprint (TextOps.fingerprint). */
+  /** Dedup on the normalized-content fingerprint (TextOps.fingerprint);
+    * NULL texts excluded (see [[exactClusters]]).
+    */
   def fingerprintClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -148,8 +157,18 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
+    // sig IS NOT NULL: a NULL text yields a NULL signature, and
+    // xxhash64(slice(NULL), j) is NON-null (hash exprs skip null inputs) —
+    // unfiltered, every null-text doc would collide in EVERY band and m
+    // such docs would shuffle O(m²) candidate pairs before the verify
+    // stage discards them. persist: the signature frame feeds bucket
+    // generation AND both verify-side joins — uncached, the dominant-cost
+    // minhash would compute 3× per doc (MEMORY_AND_DISK: spills, never
+    // recomputes; evicted LRU under pressure).
     val sigs = docs.select(col(idCol).as("doc_id"),
       sigOf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate generation carries ONLY (band, bucket, doc_id) — the k-long
     // signature (k×8 bytes) stays out of the bands-times-amplified explode
     // shuffle; pairs are deduped across bands BEFORE signatures re-join.
@@ -189,10 +208,17 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
+    // NULL-sig filter + persist for the same reasons as
+    // [[minhashNearDuplicates]]: null texts must not band-collide, and
+    // each side feeds both the band join and its verify re-join
     val tSigs = train.select(col(idCol).as("train_id"),
       sigOf(col(textCol)).as("sig_t"))
+      .filter(col("sig_t").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eSigs = eval.select(col(idCol).as("eval_id"),
       sigOf(col(textCol)).as("sig_e"))
+      .filter(col("sig_e").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band shuffle carries only (band, bucket, id) — signatures re-join
     // after cross-band pair dedup, as in minhashNearDuplicates
     val tB = tSigs.select(col("train_id"),
@@ -408,7 +434,11 @@ object Dedup {
     // executor loss under localCheckpoint kills the whole job (blocks have
     // no lineage to rebuild)
     val exactSurvivors = {
-      val joined = docs.join(keepExact, idCol)
+      // NULL-text docs bypass dedup (absent content is not equal content):
+      // excluded from the fingerprint clusters, they must still SURVIVE —
+      // a bare inner join on keep_id would silently drop them all
+      val joined = docs.join(keepExact, Seq(idCol), "left_semi")
+        .unionByName(docs.filter(col(textCol).isNull))
       if (useReliable) joined.checkpoint(false) else joined.localCheckpoint(false)
     }
     val pairs = minhashNearDuplicates(exactSurvivors, idCol, textCol,

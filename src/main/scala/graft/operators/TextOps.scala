@@ -42,11 +42,14 @@ object TextOps {
     */
   def qualityColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)
-    val nTok = size(toks)
+    // nullif: a token-less (empty/whitespace-only) doc must score NULL
+    // ratios — under Spark 4's default ANSI mode a bare x/0 THROWS and
+    // would kill the whole scoring job on one empty document
+    val nTok = nullif(size(toks), lit(0))
     val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
     Seq(
       length(text).as("n_chars"),
-      nTok.as("n_tokens"),
+      size(toks).as("n_tokens"),
       (length(regexp_replace(text, "\\s+", "")).cast("double") / nTok).as("mean_tok_len"),
       (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).as("n_punct"),
       (nStop.cast("double") / nTok).as("stopword_ratio"))

@@ -15,9 +15,13 @@ object DataSources {
 
   val formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
 
+  /** @param mode save mode; the default "error" (errorIfExists) makes
+    *        clobbering an existing path an explicit caller decision
+    *        (`mode = "overwrite"`), never a silent data loss
+    */
   def write(df: DataFrame, path: String, format: String,
-      partitionBy: Seq[String] = Nil): Unit = {
-    var w = df.write.mode("overwrite").format(format)
+      partitionBy: Seq[String] = Nil, mode: String = "error"): Unit = {
+    var w = df.write.mode(mode).format(format)
     if (format == "csv") w = w.option("header", "true")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.save(path)

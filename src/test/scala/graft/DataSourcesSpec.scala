@@ -13,7 +13,7 @@ class DataSourcesSpec extends AnyFunSuite {
     val src = GraftSession.table(spark, TestSpark.sfDir, "nation")
     DataSources.formats.foreach { fmt =>
       val path = s"/tmp/graft-ds-roundtrip-$fmt"
-      DataSources.write(src, path, fmt)
+      DataSources.write(src, path, fmt, mode = "overwrite")
       val back = DataSources.read(spark, path, fmt, Some(src.schema))
       assert(back.count() == 25, fmt)
       val sums = back.agg(sum(col("n_nationkey"))).collect()(0).getLong(0)

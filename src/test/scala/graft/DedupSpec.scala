@@ -272,6 +272,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rm == 0)
   }
 
+  test("NULL-text docs: never clustered together, never band-collided, survive dedupCorpus") {
+    import org.apache.spark.sql.functions._
+    val mixed = Seq(
+      (1L, "shared duplicate text body", "s0"),
+      (2L, "shared duplicate text body", "s0"),
+      (3L, null.asInstanceOf[String], "s0"),
+      (4L, null.asInstanceOf[String], "s1"),
+      (5L, "unique text entirely different", "s0")
+    ).toDF("doc_id", "text", "source")
+    // absent content is not equal content: no NULL cluster...
+    assert(Dedup.exactClusters(mixed, "doc_id", "text").count() == 2)
+    assert(Dedup.fingerprintClusters(mixed, "doc_id", "text").count() == 2)
+    // ...no NULL-signature band collisions (xxhash64 of a NULL slice is
+    // NON-null, so unfiltered they would all pair with each other)...
+    val pairs = Dedup.minhashNearDuplicates(mixed, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // ...and dedupCorpus keeps both null-text docs while dropping the dup
+    val kept = Dedup.dedupCorpus(mixed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L), kept.toString)
+  }
+
   test("md5-60 family: NULL text propagates to NULL in native, algebra, and hash forms") {
     import org.apache.spark.sql.functions._
     // concat_ws would silently hash the seed alone on NULL input; the fused

@@ -31,6 +31,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 2.0 / 6.0) < 1e-12) // the, a
   }
 
+  test("quality columns: token-less docs score NULL ratios, never ANSI divide-by-zero") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "ok")).toDF("id", "text")
+    val rows = df.select(col("id") +: TextOps.qualityColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).getInt(2) == 0, s"doc $id n_tokens")
+      assert(rows(id).isNullAt(3) && rows(id).isNullAt(5), s"doc $id ratios must be NULL")
+    }
+    assert(rows(3L).getInt(2) == 1 && !rows(3L).isNullAt(3))
+  }
+
   test("tokenCounts: whitespace vs BPE-ish") {
     val df = Seq((1L, "hello world42 x-y")).toDF("id", "text")
     val r = df.select(col("id") +: TextOps.tokenCounts(col("text")): _*).collect()(0)
