@@ -318,15 +318,22 @@ object QueryEngine {
     * pushed-down filters/projections, JOIN … ON chains. None for any node
     * outside the supported family.
     */
+  /** Render a projection list; a ZERO-column project (COUNT(*) prunes every
+    * column) must emit valid SQL — `SELECT 1`, preserving row count — not
+    * the unparseable `SELECT  FROM`.
+    */
+  private def selectList(cols: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+    if (cols.isEmpty) "1" else cols.map(exprSql).mkString(", ")
+
   private def fromSql(p: LogicalPlan): Option[String] = p match {
     case l: LeafNode => tableName(l)
     case Filter(cond, l: LeafNode) =>
       tableName(l).map(t => s"(SELECT * FROM $t WHERE ${exprSql(cond)}) AS $t")
     case Project(cols, l: LeafNode) =>
-      tableName(l).map(t => s"(SELECT ${cols.map(exprSql).mkString(", ")} FROM $t) AS $t")
+      tableName(l).map(t => s"(SELECT ${selectList(cols)} FROM $t) AS $t")
     case Project(cols, Filter(cond, l: LeafNode)) =>
       tableName(l).map(t =>
-        s"(SELECT ${cols.map(exprSql).mkString(", ")} FROM $t WHERE ${exprSql(cond)}) AS $t")
+        s"(SELECT ${selectList(cols)} FROM $t WHERE ${exprSql(cond)}) AS $t")
     case Join(left, right, joinType, cond, _) =>
       val kw = joinType match {
         case org.apache.spark.sql.catalyst.plans.Inner => Some("JOIN")
@@ -426,7 +433,7 @@ object QueryEngine {
       case Aggregate(groups, aggs, child, _) =>
         aggregateSql(groups, aggs, aggs, child, None)
       case Project(cols, child) =>
-        selectFrom(child).map(f => s"SELECT ${cols.map(exprSql).mkString(", ")} FROM $f")
+        selectFrom(child).map(f => s"SELECT ${selectList(cols)} FROM $f")
       case other =>
         selectFrom(other).map(f => s"SELECT * FROM $f")
     }

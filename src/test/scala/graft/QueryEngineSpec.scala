@@ -112,7 +112,10 @@ class QueryEngineSpec extends AnyFunSuite {
     val queries = Seq(
       "SELECT c.c_name FROM customer c, nation n WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000",
       "SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus",
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5")
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+      // COUNT(*) prunes every column — the zero-column Project must render
+      // as SELECT 1 (runnable), not "SELECT  FROM"
+      "SELECT COUNT(*) AS n FROM nation")
     queries.foreach { q =>
       val rep = QueryEngine.run(spark, s"EXPLAIN $q")
       val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
