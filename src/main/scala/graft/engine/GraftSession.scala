@@ -109,8 +109,14 @@ object GraftSession {
     def arity(fn: String, es: Seq[Expression], n: Int): Unit =
       if (es.length != n) throw new IllegalArgumentException(
         s"$fn expects $n arguments, got ${es.length}")
+    // positive, at analysis time: a non-positive k/window reaches the
+    // expressions' per-row loops as a negative array size or index and
+    // would crash EXECUTOR-side on the first row — the codebase rule is
+    // that bad inputs fail at analysis, not at runtime
     def intArg(fn: String, e: Expression): Int = e match {
-      case Literal(v: Int, _) => v
+      case Literal(v: Int, _) =>
+        if (v < 1) throw new IllegalArgumentException(s"$fn: expected a positive int, got $v")
+        v
       case other => throw new IllegalArgumentException(s"$fn: expected int literal, got $other")
     }
     reg.createOrReplaceTempFunction("minhash_signature",

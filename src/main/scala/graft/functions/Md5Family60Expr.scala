@@ -59,27 +59,34 @@ object Md5Family60 {
     * cannot occur inside a UTF-8 multibyte sequence, so byte scanning is
     * correct for any input).
     */
-  // KEEP IN SYNC: this single-space byte scanner is inlined (for zero
-  // per-row allocation) in MinHashTextExpr.signature and
-  // SimHashTextExpr.simhash too — a tokenization change must land in all
-  // three or the native≡algebra≡oracle parity the specs assert breaks
-  private def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+  // THE word-boundary scanner of the native text-hash family — shared with
+  // MinHashTextExpr.signature ([[wordSpans]] is `private[functions]` for
+  // exactly that); SimHashTextExpr keeps a truly zero-allocation inline
+  // scan (it hashes each word as it goes, no spans needed) that MUST stay
+  // in sync. Primitive int arrays with doubling growth: the boxed-Integer
+  // ArrayList this replaces allocated two objects per word per row on the
+  // signature hot path.
+  private[functions] def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
     val n = bytes.length
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
+    var cap = 16
+    var starts = new Array[Int](cap); var ends = new Array[Int](cap)
+    var count = 0
     var i = 0
     while (i < n) {
       while (i < n && bytes(i) == ' ') i += 1
       if (i < n) {
-        starts.add(i)
+        if (count == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(count) = i
         while (i < n && bytes(i) != ' ') i += 1
-        ends.add(i)
+        ends(count) = i
+        count += 1
       }
     }
-    val s = new Array[Int](starts.size()); val e = new Array[Int](ends.size())
-    var j = 0
-    while (j < s.length) { s(j) = starts.get(j); e(j) = ends.get(j); j += 1 }
-    (s, e)
+    (java.util.Arrays.copyOf(starts, count), java.util.Arrays.copyOf(ends, count))
   }
 
   /** MinHash signature: min over shingles of h(seed, shingle) for each

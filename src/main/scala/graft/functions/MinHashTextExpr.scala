@@ -53,21 +53,11 @@ object MinHashTextExpr {
   def signature(text: UTF8String, shingle: Int, k: Int): Array[Long] = {
     val bytes = text.getBytes
     val n = bytes.length
-    // word boundaries: starts(i)/ends(i) of non-empty runs between spaces.
-    // KEEP IN SYNC with Md5Family60.wordSpans and SimHashTextExpr's scan —
-    // tokenization changes must land in all three (parity-spec'd)
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i < n) {
-      while (i < n && bytes(i) == ' ') i += 1
-      if (i < n) {
-        starts.add(i)
-        while (i < n && bytes(i) != ' ') i += 1
-        ends.add(i)
-      }
-    }
-    val words = starts.size()
+    // word boundaries from the family's ONE shared scanner (primitive int
+    // spans — no per-word boxing on this hot path); SimHashTextExpr's
+    // inline scan is the only other copy and must stay in sync
+    val (starts, ends) = Md5Family60.wordSpans(bytes)
+    val words = starts.length
     val minima = Array.fill(k)(Long.MaxValue)
     // shingles hash in CANONICAL single-space form: words are copied into a
     // scratch buffer joined by one ' ' each, so 'a  b' and 'a b' collide —
@@ -87,8 +77,8 @@ object MinHashTextExpr {
       var w = from
       while (w < untilWord) {
         if (len > 0) { scratch(len) = ' '; len += 1 }
-        val s = starts.get(w)
-        val e = ends.get(w)
+        val s = starts(w)
+        val e = ends(w)
         System.arraycopy(bytes, s, scratch, len, e - s)
         len += e - s
         w += 1

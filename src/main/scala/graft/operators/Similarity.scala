@@ -41,8 +41,12 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val all = normalized(emb, idCol, vecCol)
+    // null units skipped on both sides (the family-wide skip-not-abort
+    // policy): a null-cos row would otherwise rank LAST yet still claim a
+    // top-k slot for queries with fewer than k real neighbors
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
       .select(col("vec_id").as("q_id"), col("unit").as("q_unit")))
     val scored = all.join(queries, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -148,7 +152,10 @@ object Similarity {
     */
   private[graft] def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, sampleSize: Int, iters: Int): Array[Array[Double]] = {
-    val all = normalized(emb, idCol, vecCol)
+    // NULL units excluded (null row / null element — unitNorm propagates):
+    // a null in the sample would NPE the driver-side k-means; skip-not-
+    // abort, same policy as lshTopK's null buckets
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     // bounded, deterministic sample → local spherical k-means
     val sample = all.orderBy(col("vec_id")).limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -178,7 +185,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
       iters: Int = 5): DataFrame = {
-    val all = normalized(emb, idCol, vecCol)
+    // null units skipped (as in [[ivfCentroids]]/[[lshTopK]]): a null unit
+    // would otherwise fall through every null negSim to an arbitrary cell
+    // and could surface as a fabricated NULL-cos neighbor
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
     // per-row cell assignment and per-query probe list, from broadcast
     // centroid constants (struct ordering makes array_min/array_sort pick
@@ -189,6 +199,7 @@ object Similarity {
     val assigned = all.withColumn("cell", array_min(cells).getField("cell"))
     // queryPred targets the caller's columns: filter emb BEFORE the rename
     val queries = normalized(emb.filter(queryPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
       .withColumn("probe", explode(slice(array_sort(cells), 1, nProbe)))
       .select(col("probe.cell").as("cell"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
     val scored = assigned.join(queries, Seq("cell"))
@@ -196,7 +207,11 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         dot(col("q_unit"), col("unit")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos")).as("cos"))
+    // no pair-dedup aggregate here (unlike [[lshTopK]]): every vector has
+    // exactly ONE assigned cell and a query's probe cells are distinct, so
+    // a (q, n) pair matches on at most one cell — the extra exchange a
+    // dedup groupBy would force on the candidate hot path buys nothing
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
