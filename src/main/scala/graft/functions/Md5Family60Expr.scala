@@ -66,7 +66,7 @@ object Md5Family60 {
   // in sync. Primitive int arrays with doubling growth: the boxed-Integer
   // ArrayList this replaces allocated two objects per word per row on the
   // signature hot path.
-  private[functions] def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+  private[graft] def wordSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
     val n = bytes.length
     var cap = 16
     var starts = new Array[Int](cap); var ends = new Array[Int](cap)

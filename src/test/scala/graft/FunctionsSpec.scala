@@ -190,4 +190,22 @@ class FunctionsSpec extends AnyFunSuite {
       MatchFractionExpr.matchFraction(col("b"), col("a")).as("g")).collect()(0)
     assert(row.isNullAt(0) && row.isNullAt(1), "both orders must agree (symmetric NULL)")
   }
+
+  test("shared word-span scanner ≡ split-on-space tokens on 500 random strings") {
+    // the ONE scanner behind MinHashTextExpr/Md5Family60 (and the contract
+    // SimHashTextExpr's inline copy must keep): byte spans over random
+    // text — multibyte runs, tabs/newlines INSIDE tokens, leading/
+    // trailing/run-of-space — must equal filter(split(text, " "), _ != "")
+    val rnd = new scala.util.Random(42)
+    val pieces = Array("a", "bc", " ", "  ", "π", "é", "日", "😀", "\t", "\n", "ж")
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))(pieces(rnd.nextInt(pieces.length))).mkString
+      val bytes = org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes
+      val (starts, ends) = graft.functions.Md5Family60.wordSpans(bytes)
+      val words = starts.indices.map(i =>
+        new String(java.util.Arrays.copyOfRange(bytes, starts(i), ends(i)), "UTF-8"))
+      val expected = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      assert(words == expected, s"input=${s.codePoints().toArray.mkString(",")}")
+    }
+  }
 }
