@@ -31,6 +31,25 @@ object Multimodal {
         (pmod(col(idCol), lit(480)) + 1).cast("int").as("height"),
         lit("fake/rgb8").as("format")).as(s"meta"))
 
+  /** Adapt a [[graft.sources.DataSources.readBinaryFiles]] frame (path,
+    * content, ...) to the (doc_id, payload, meta) layout [[decodeStub]] /
+    * [[frameSample]] consume: doc_id = xxhash64(path) (deterministic and
+    * shuffle-safe — never monotonically_increasing_id), payload = raw file
+    * bytes, meta dimensions 0 (unknown until decode — the real codec fills
+    * them in [[decodeStub]]'s per-partition seam). The original `path`
+    * rides along: it is the collision-proof identity (64-bit hash ids
+    * start colliding around billions of files) and the provenance column
+    * every corpus pipeline needs for audits.
+    */
+  def fromBinaryFiles(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("doc_id"),
+      col("path"),
+      col("content").as("payload"),
+      struct(
+        lit(0).as("width"), lit(0).as("height"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format")).as("meta"))
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("byte_len", IntegerType),

@@ -38,4 +38,29 @@ object DataSources {
     schema.foreach(s => r = r.schema(s))
     r.load(path)
   }
+
+  /** Raw text-line corpus: one row per line (`value` string column) — the
+    * ingestion format of plain-text LLM corpora. `wholetext = true` reads
+    * one row per FILE instead (document-per-file layouts); at 100 TB
+    * prefer line-oriented files, which split across tasks — a wholetext
+    * file is one task no matter its size.
+    */
+  def readText(spark: SparkSession, path: String, wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
+  /** Binary-file ingestion for multimodal corpora: one row per file with
+    * (path, modificationTime, length, content) via Spark's `binaryFile`
+    * source — the 100 TB path from image/audio files on disk into
+    * [[graft.operators.Multimodal]]. `glob` prunes at LISTING time (e.g.
+    * "*.png" — pruned files are never opened, unlike a post-read filter);
+    * nested directory layouts are walked recursively. Each file must fit
+    * in one row (`spark.sql.sources.binaryFile.maxLength`, default 2 GiB)
+    * — shard larger media at write time.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    var r = spark.read.format("binaryFile")
+    glob.foreach(g => r = r.option("pathGlobFilter", g))
+    r.option("recursiveFileLookup", "true").load(path)
+  }
 }

@@ -20,4 +20,35 @@ class DataSourcesSpec extends AnyFunSuite {
       assert(sums == (0 to 24).sum, fmt)
     }
   }
+
+  test("readText: line-oriented and wholetext corpus layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.txt").toPath, "line one\nline two\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.txt").toPath, "line three\n")
+    val lines = DataSources.readText(spark, dir.getAbsolutePath)
+      .collect().map(_.getString(0)).toSet
+    assert(lines == Set("line one", "line two", "line three"))
+    val whole = DataSources.readText(spark, dir.getAbsolutePath, wholetext = true)
+    assert(whole.count() == 2)
+    assert(whole.collect().map(_.getString(0)).toSet
+      == Set("line one\nline two\n", "line three\n"))
+  }
+
+  test("readBinaryFiles: glob prunes at listing time, bytes survive, multimodal adapter runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toFile
+    val payload = Array[Byte](1, 2, 3, -1, 0, 42)
+    java.nio.file.Files.write(new java.io.File(dir, "x.img").toPath, payload)
+    java.nio.file.Files.writeString(new java.io.File(dir, "skip.txt").toPath, "nope")
+    val files = DataSources.readBinaryFiles(spark, dir.getAbsolutePath, glob = Some("*.img"))
+    val rows = files.collect()
+    assert(rows.length == 1, "glob must exclude skip.txt")
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+    // binaryFile -> adapter -> stub decode, end-to-end
+    val feats = graft.operators.Multimodal.decodeStub(
+        graft.operators.Multimodal.fromBinaryFiles(files))
+      .collect()
+    assert(feats.length == 1 && feats(0).getInt(1) == payload.length)
+  }
 }
