@@ -861,22 +861,45 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, (fn, _)) => n -> fn }.toMap
 
-  def oracleSql: Map[String, String] =
-    all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap ++
-      oracleCtx.flatMap { case (s, d) =>
-        // a generator failure (unreadable embeddings, sample < nCentroids)
-        // must degrade d09 to rows-only, not take down the whole dump —
-        // the static map carries the other 60 entries either way. NonFatal:
-        // an OOM mid-collect must still fail the dump fast, not serialize
-        // from a broken heap
-        try Some("d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
-          sampleSize = 1024, iters = 5, k = 5))
-        catch { case scala.util.control.NonFatal(e) =>
-          oracleGenErrors = Map("d09_ann_ivf" -> s"$e")
-          System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: $e")
-          None
+  /** Memoized dynamic-oracle generation per (spark, dir): [[oracleSql]] is
+    * a getter, and regenerating d09's SQL on every call would re-train the
+    * IVF centroids (a driver-side collect plus k-means Spark jobs) as a
+    * hidden side effect of reading a Map.
+    */
+  @volatile private var dynOracleCache
+      : Option[((SparkSession, String), Option[(String, String)], Map[String, String])] = None
+
+  def oracleSql: Map[String, String] = {
+    val static = all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+    oracleCtx match {
+      case None =>
+        oracleGenErrors = Map.empty
+        static
+      case Some(ctx @ (s, d)) =>
+        val (dyn, errs) = dynOracleCache match {
+          case Some((c, e, er)) if c == ctx => (e, er)
+          case _ =>
+            // a generator failure (unreadable embeddings, sample <
+            // nCentroids) must degrade d09 to rows-only, not take down the
+            // whole dump — the static map carries the other entries either
+            // way. NonFatal: an OOM mid-collect must still fail the dump
+            // fast, not serialize from a broken heap
+            val (e, er) =
+              try (Some("d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
+                sampleSize = 1024, iters = 5, k = 5)), Map.empty[String, String])
+              catch { case scala.util.control.NonFatal(ex) =>
+                System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: $ex")
+                (None, Map("d09_ann_ivf" -> s"$ex"))
+              }
+            dynOracleCache = Some((ctx, e, er))
+            (e, er)
         }
-      }
+        // error state always mirrors THIS evaluation — a failure from an
+        // earlier context must not survive a later successful call
+        oracleGenErrors = errs
+        static ++ dyn
+    }
+  }
 
   /** Generator failures behind [[oracleSql]]'s dynamic entries, keyed by
     * query name — Verify writes these to `oracle_errors.json` so a broken

@@ -35,11 +35,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // dynamic-generator failures become a visible artifact (the entry
-    // itself degraded to rows-only in oracle_sql.json)
+    // itself degraded to rows-only in oracle_sql.json); a CLEAN run must
+    // also delete any stale file a prior failed run left in this outDir,
+    // or it would falsely report the entry as still degraded
     if (SparkEntry.oracleGenErrors.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/oracle_errors.json"),
         SparkEntry.oracleGenErrors
           .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    else Files.deleteIfExists(Paths.get(s"$outDir/oracle_errors.json"))
     spark.stop()
   }
 }

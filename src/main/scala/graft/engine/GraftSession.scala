@@ -148,7 +148,11 @@ object GraftSession {
     * harvest (`statistics_manager.cpp:9-142`: COUNT(*), COUNT(DISTINCT),
     * MIN/MAX, histograms). Populates `rowCount`/`ColumnStat` so plan trees
     * show real row estimates and CostBasedJoinReorder has numbers to work
-    * with. Events/embeddings stay temp views (ns-timestamp / array cols).
+    * with. Every table ends up stats-backed: embeddings takes scalar-column
+    * stats only (the array column has none), and events is materialized
+    * once per sfDir as a µs-timestamp managed table (its raw
+    * TIMESTAMP(NANOS) parquet needs [[eventsTsToMicros]], so a
+    * LOCATION-mapped table can't serve it).
     */
   def ensureAnalyzedCatalog(spark: SparkSession, dir: String): Unit = {
     // a table left over from a DIFFERENT sfDir must not survive: silently
@@ -157,13 +161,13 @@ object GraftSession {
     // Everything here is database-qualified — unqualified DROP/EXISTS
     // resolve to a same-named TEMP VIEW first (registerAll creates those),
     // which would drop the wrong object and keep the stale table alive
+    def existsInCatalog(n: String) =
+      spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
     def ensure(n: String, analyzeSql: String): Unit = {
-      def existsInCatalog =
-        spark.sessionState.catalog.tableExists(
-          org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
-      if (existsInCatalog && !tableAt(spark, n, s"$dir/$n.parquet"))
+      if (existsInCatalog(n) && !tableAt(spark, n, s"$dir/$n.parquet"))
         spark.sql(s"DROP TABLE default.$n")
-      if (!existsInCatalog) {
+      if (!existsInCatalog(n)) {
         spark.sql(s"CREATE TABLE default.$n USING parquet LOCATION '$dir/$n.parquet'")
         spark.sql(analyzeSql)
       }
@@ -175,10 +179,41 @@ object GraftSession {
     // SQL over embeddings no longer plans stats-blind
     ensure("embeddings",
       "ANALYZE TABLE default.embeddings COMPUTE STATISTICS FOR COLUMNS vec_id, label")
-    // events stays a temp view: its TIMESTAMP(NANOS) column needs table()'s
-    // read-side ns→µs rewrite — a catalog parquet table would serve raw
-    // BIGINT nanoseconds to every SQL consumer
-    table(spark, dir, "events").createOrReplaceTempView("events")
+    // events: materialize the ns→µs-converted frame as a MANAGED table
+    // (CTAS into the warehouse) and ANALYZE it — the one table whose
+    // catalog copy cannot just point at the source parquet. Staleness is
+    // tracked via a table property carrying the source dir (tableAt's
+    // location compare sees the warehouse path, not the sfDir).
+    val srcProp = "graft.src.dir"
+    def eventsFresh = existsInCatalog("events") &&
+      (try spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("events", Some("default")))
+        .properties.get(srcProp).contains(dir)
+      catch { case _: Exception => false })
+    if (existsInCatalog("events") && !eventsFresh) spark.sql("DROP TABLE default.events")
+    if (!existsInCatalog("events")) {
+      // the in-memory catalog forgets tables at session end but the
+      // warehouse directory survives, and CTAS refuses a non-empty managed
+      // location (LOCATION_ALREADY_EXISTS) — remove the previous session's
+      // leftover files first
+      val leftover = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "events")
+      val fs = leftover.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(leftover)) fs.delete(leftover, true)
+      table(spark, dir, "events").write.saveAsTable("default.events")
+      spark.sql(s"ALTER TABLE default.events SET TBLPROPERTIES ('$srcProp' = '$dir')")
+      spark.sql("ANALYZE TABLE default.events COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    // registerAll/registerFor may have left same-named TEMP VIEWS for the
+    // two tables whose catalog copies carry what the views lack (events'
+    // µs conversion is in the CTAS data; embeddings' stats): a view would
+    // silently shadow the stats-backed table for every SQL consumer. The
+    // analyzable 8 keep user temp views untouched — same data either way,
+    // and a caller's deliberate view (e.g. over a different dir) is theirs.
+    Seq("events", "embeddings").foreach { n =>
+      if (spark.sessionState.catalog.getTempView(n).isDefined)
+        spark.catalog.dropTempView(n)
+    }
   }
 
   /** Does catalog table `n` point at `location`? (path compare, scheme- and

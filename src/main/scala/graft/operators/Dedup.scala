@@ -147,9 +147,25 @@ object Dedup {
     *         `threshold`. Candidate generation shuffles on (band, hash) —
     *         at 1000 executors each bucket is a local join, never O(n²).
     */
+  /** Materialize the (small) pair result eagerly so the operator's internal
+    * signature caches can be released before returning — disk-backed
+    * persisted blocks are not LRU-evicted, so a lazy return would leak one
+    * cached signature frame per call across a long-running session. The
+    * checkpoint is reliable (DFS) when the session has a checkpoint dir,
+    * local otherwise — the same rule as [[connectedComponents]].
+    */
+  private def eagerPairs(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** @param signature overrides the signature function (e.g.
     *        [[md5MinhashSignature]] for oracle replay); must produce a
     *        k-long array<long>. Default: production [[minhashSignature]].
+    *
+    * EAGER: the pair set is computed and checkpointed before this returns
+    * (pairs are tiny next to the corpus), so the internal signature cache
+    * is released immediately — repeated calls in a long-lived session do
+    * not accumulate persisted blocks.
     */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
@@ -164,28 +180,30 @@ object Dedup {
     // stage discards them. persist: the signature frame feeds bucket
     // generation AND both verify-side joins — uncached, the dominant-cost
     // minhash would compute 3× per doc (MEMORY_AND_DISK: spills, never
-    // recomputes; evicted LRU under pressure).
+    // recomputes); released in the finally once the pairs materialize.
     val sigs = docs.select(col(idCol).as("doc_id"),
       sigOf(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate generation carries ONLY (band, bucket, doc_id) — the k-long
-    // signature (k×8 bytes) stays out of the bands-times-amplified explode
-    // shuffle; pairs are deduped across bands BEFORE signatures re-join.
-    val buckets = sigs.select(col("doc_id"),
-      bandBuckets(col("sig"), bands, r).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    try {
+      // candidate generation carries ONLY (band, bucket, doc_id) — the k-long
+      // signature (k×8 bytes) stays out of the bands-times-amplified explode
+      // shuffle; pairs are deduped across bands BEFORE signatures re-join.
+      val buckets = sigs.select(col("doc_id"),
+        bandBuckets(col("sig"), bands, r).as(Seq("band", "bucket")))
+      val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      val cands = a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      eagerPairs(cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold))
+    } finally sigs.unpersist(false)
   }
 
   /** Train/eval contamination detection: near-duplicate pairs ACROSS two
@@ -200,6 +218,8 @@ object Dedup {
     * training corpus — never train × train.
     *
     * @return (train_id, eval_id, est_jaccard) for pairs >= threshold.
+    *         EAGER, like [[minhashNearDuplicates]]: pairs are checkpointed
+    *         and both signature caches released before returning.
     */
   def crossCorpusContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String,
@@ -219,21 +239,23 @@ object Dedup {
       sigOf(col(textCol)).as("sig_e"))
       .filter(col("sig_e").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band shuffle carries only (band, bucket, id) — signatures re-join
-    // after cross-band pair dedup, as in minhashNearDuplicates
-    val tB = tSigs.select(col("train_id"),
-      bandBuckets(col("sig_t"), bands, r).as(Seq("band", "bucket")))
-    val eB = eSigs.select(col("eval_id"),
-      bandBuckets(col("sig_e"), bands, r).as(Seq("band", "bucket")))
-    val cands = tB.join(eB, Seq("band", "bucket"))
-      .select(col("train_id"), col("eval_id"))
-      .distinct()
-    cands
-      .join(tSigs, "train_id")
-      .join(eSigs, "eval_id")
-      .select(col("train_id"), col("eval_id"),
-        signatureSimilarity(col("sig_t"), col("sig_e")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    try {
+      // band shuffle carries only (band, bucket, id) — signatures re-join
+      // after cross-band pair dedup, as in minhashNearDuplicates
+      val tB = tSigs.select(col("train_id"),
+        bandBuckets(col("sig_t"), bands, r).as(Seq("band", "bucket")))
+      val eB = eSigs.select(col("eval_id"),
+        bandBuckets(col("sig_e"), bands, r).as(Seq("band", "bucket")))
+      val cands = tB.join(eB, Seq("band", "bucket"))
+        .select(col("train_id"), col("eval_id"))
+        .distinct()
+      eagerPairs(cands
+        .join(tSigs, "train_id")
+        .join(eSigs, "eval_id")
+        .select(col("train_id"), col("eval_id"),
+          signatureSimilarity(col("sig_t"), col("sig_e")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold))
+    } finally { tSigs.unpersist(false); eSigs.unpersist(false) }
   }
 
   /** Remove contaminated training documents: every train doc near-dup to

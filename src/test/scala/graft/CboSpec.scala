@@ -37,6 +37,19 @@ class CboSpec extends AnyFunSuite {
       s"embeddings self-join should carry a CBO row estimate, got $joinStats")
   }
 
+  test("events is a stats-backed catalog table serving µs timestamps") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    val events = spark.table("default.events")
+    val stats = events.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong > 0), s"events rowCount missing: $stats")
+    // the CTAS copy must carry the ns→µs conversion, not raw BIGINT nanos
+    assert(events.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val fromCatalog = spark.sql("SELECT MIN(ts) AS m FROM default.events").head.getTimestamp(0)
+    val fromReader = GraftSession.table(spark, TestSpark.sfDir, "events")
+      .agg(org.apache.spark.sql.functions.min("ts").as("m")).head.getTimestamp(0)
+    assert(fromCatalog == fromReader, "catalog events diverged from the read-side conversion")
+  }
+
   test("ensureAnalyzedCatalog re-points tables when the data dir changes") {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
     // a same-named TEMP VIEW must neither shadow the staleness check nor

@@ -137,7 +137,8 @@ class SimilaritySpec extends AnyFunSuite {
     // row×plane dot within that of zero. Assert the live data/hyperplane
     // margin (all rows × 8 tables × 4 planes, the exact constants d08
     // embeds) sits orders of magnitude above it.
-    val emb = graft.engine.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    assume(TestSpark.hasOracleSf, s"oracle-scale dataset ${TestSpark.oracleSfDir} not present")
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.oracleSfDir, "embeddings")
     val unit = Similarity.normalized(emb, "vec_id", "embedding")
     val dots = for {
       t <- 0 until 8
@@ -155,7 +156,8 @@ class SimilaritySpec extends AnyFunSuite {
     // (~1e-13). Assignment uses rank 1, the probe list ranks 1..2: assert
     // every row's rank-1/2 and rank-2/3 similarity gaps clear that by
     // orders of magnitude, with the exact centroids the oracle embeds.
-    val emb = graft.engine.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    assume(TestSpark.hasOracleSf, s"oracle-scale dataset ${TestSpark.oracleSfDir} not present")
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.oracleSfDir, "embeddings")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
       nCentroids = 16, sampleSize = 1024, iters = 5)
     val unit = Similarity.normalized(emb, "vec_id", "embedding")
