@@ -551,6 +551,45 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src"""),
 
+    // TRANSITIVE corpus dedup: same pipeline as d10 but near-dup drops come
+    // from connected components (keep each component's min id) — the
+    // semantics production dedup wants (greedy keeps both 1 and 2 for pairs
+    // (2,10),(1,10); transitive keeps only 1). Oracle = d10's replay with
+    // the drop set derived from recursive-CTE reachability (d11's closure)
+    // over the SURVIVOR pair graph
+    "d13_dedup_transitive" -> entry(
+      (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
+          transitive = true, k = 8, bands = 4,
+          signature = Some(Dedup.md5MinhashSignature(_, 8)))
+        .select(col("doc_id")),
+      """WITH RECURSIVE keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+         surv AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM surv),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         drops AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) < src)
+         SELECT s.doc_id FROM surv s
+         WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = s.doc_id)"""),
+
     // train/eval contamination: cross-corpus near-dup pairs only (the
     // benchmark-leakage check) — corpora = a deterministic doc_id split
     // (every 10th doc plays the held-out eval set).
@@ -817,6 +856,29 @@ object SparkEntry {
            SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
                        THEN 'train' ELSE 'test' END AS split
            FROM documents) GROUP BY split"""),
+
+    // deterministic hash sampling + stratified cap composed — the "keep
+    // ~50%, then at most 5 per source" curation step. Oracle via the
+    // md5 bucket/order-hash twins (the xxhash64 production pair has no
+    // DuckDB twin; SampleProfileSpec asserts both families agree on
+    // determinism and cap semantics)
+    "x03_sample_cap" -> entry(
+      (s, d) => {
+        val samp = graft.operators.SampleOps.hashSample(
+          t(s, d, "documents"), "doc_id", 50, bucket = graft.operators.SampleOps.md5Bucket)
+        graft.operators.SampleOps.stratifiedCap(samp, "source", "doc_id", 5,
+          orderHash = graft.operators.SampleOps.md5OrderHash)
+          .select(col("source"), col("doc_id"))
+      },
+      """WITH samp AS (
+           SELECT doc_id, source FROM documents
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50),
+         r AS (
+           SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC, doc_id ASC) AS rn
+           FROM samp)
+         SELECT source, doc_id FROM r WHERE rn <= 5"""),
 
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(

@@ -21,14 +21,20 @@ object SampleOps {
   def hashBucket(id: Column): Column =
     when(id.isNotNull, pmod(xxhash64(id), lit(100L)))
 
-  /** Bucket 0..99 via [[graft.operators.Dedup.md5Hash60]]'s hex-prefix
-    * trick on md5(id) — same semantics as [[hashBucket]] but replayable by
-    * any engine with an md5() (DuckDB: `CAST('0x' || substr(md5(CAST(id AS
-    * VARCHAR)), 1, 15) AS BIGINT) % 100`), so a split is oracle-checkable.
-    * xxhash64 stays the production bucket (one native call, no hex parse).
+  /** Full-range 60-bit order hash from the md5 hex prefix — the
+    * oracle-replayable twin of `xxhash64` for [[stratifiedCap]]'s
+    * hash-order pick (DuckDB: `CAST('0x' || substr(md5(CAST(id AS
+    * VARCHAR)), 1, 15) AS BIGINT)`). xxhash64 stays the production hash
+    * (one native call, no hex parse).
     */
-  def md5Bucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+  def md5OrderHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Bucket 0..99 via [[md5OrderHash]] — same semantics as [[hashBucket]]
+    * but replayable by any engine with an md5(), so a split is
+    * oracle-checkable.
+    */
+  def md5Bucket(id: Column): Column = pmod(md5OrderHash(id), lit(100L))
 
   /** Add a `split` column: "train" for `trainPct`% of rows, else "test",
     * decided by id hash (clustered/sequential ids still split uniformly).
@@ -41,9 +47,16 @@ object SampleOps {
     df.withColumn("split",
       when(bucket(col(idCol)) < trainPct, "train").otherwise("test"))
 
-  /** Keep ~`pct`% of rows, deterministically by id hash. */
-  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
-    df.filter(hashBucket(col(idCol)) < pct)
+  /** Keep ~`pct`% of rows, deterministically by id hash. NULL ids give a
+    * NULL bucket and are dropped (filter on NULL is false) — the one
+    * deterministic reading of "sample by id" for an absent id.
+    *
+    * @param bucket the id→0..99 bucket function ([[hashBucket]] default;
+    *               [[md5Bucket]] for oracle-replayable samples)
+    */
+  def hashSample(df: DataFrame, idCol: String, pct: Int,
+      bucket: Column => Column = hashBucket): DataFrame =
+    df.filter(bucket(col(idCol)) < pct)
 
   /** Deterministic stratified cap: at most `perStratum` rows per stratum,
     * chosen by id-hash order (not arrival order) so the sample is stable.
@@ -55,11 +68,14 @@ object SampleOps {
     * boundary falls between two of them the pick depends on physical row
     * order — determinism holds only up to id uniqueness.
     */
+  /** @param orderHash the id→order-key hash (xxhash64 default;
+    *        [[md5OrderHash]] for oracle-replayable caps)
+    */
   def stratifiedCap(df: DataFrame, stratumCol: String, idCol: String,
-      perStratum: Int): DataFrame = {
+      perStratum: Int, orderHash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
       .drop("__rn")

@@ -40,6 +40,22 @@ class SampleProfileSpec extends AnyFunSuite {
       c2.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("md5 family: hashSample + stratifiedCap obey the same contract as xxhash64 (x03 path)") {
+    // same structural guarantees as the production family — determinism
+    // under repartitioning, cap bound per stratum, sample ≈ fraction —
+    // with the md5 bucket/order-hash the driver's DuckDB oracle replays
+    val samp = SampleOps.hashSample(df, "id", 50, bucket = SampleOps.md5Bucket)
+    val n = samp.count()
+    assert(n > 400 && n < 600, s"~50% of 1000 expected, got $n")
+    val c1 = SampleOps.stratifiedCap(samp, "cat", "id", 5, orderHash = SampleOps.md5OrderHash)
+    val c2 = SampleOps.stratifiedCap(samp.repartition(7), "cat", "id", 5,
+      orderHash = SampleOps.md5OrderHash)
+    val counts = c1.groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 5) && counts.size == 4)
+    assert(c1.select("id").collect().map(_.getLong(0)).toSet ==
+      c2.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("Profile.describe matches hand-computed stats, nulls counted") {
     val rows = Profile.describe(df, Seq("id", "cat", "v"))
       .collect().map(r => r.getString(0) -> r).toMap
