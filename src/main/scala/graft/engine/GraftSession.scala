@@ -216,6 +216,27 @@ object GraftSession {
     }
   }
 
+  /** Startup catalog listing — parity with the reference CLI's table dump
+    * (`engine/src/cli.cpp:167-188`: every table with its row count and its
+    * columns SORTED by name with types). Row counts come from the ANALYZEd
+    * catalog ([[ensureAnalyzedCatalog]] must have run); the reference's
+    * per-table index list has no Spark analog (parquet min/max + bloom
+    * skipping replaces indexes), so no "Indexes:" block is printed.
+    */
+  def catalogListing(spark: SparkSession): String = {
+    val cat = spark.sessionState.catalog
+    val sb = new StringBuilder("Loaded tables:\n")
+    cat.listTables("default").map(_.table).sorted.foreach { n =>
+      val meta = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(n, Some("default")))
+      val rows = meta.stats.flatMap(_.rowCount).map(_.toString).getOrElse("?")
+      sb.append(s"  $n (rows: $rows)\n")
+      meta.schema.fields.sortBy(_.name).foreach(f =>
+        sb.append(s"    - ${f.name} (${f.dataType.simpleString})\n"))
+    }
+    sb.toString
+  }
+
   /** Does catalog table `n` point at `location`? (path compare, scheme- and
     * trailing-slash-insensitive)
     */

@@ -69,6 +69,18 @@ object QueryEngine {
   private def firstWord(sql: String): String =
     sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
 
+  /** Syntax-error report with the reference's typo suggestion
+    * (`utils.h:23-45`): first token within Levenshtein 2 of a keyword that
+    * is not itself a keyword.
+    */
+  private def parseErrorReport(sql: String,
+      e: org.apache.spark.sql.catalyst.parser.ParseException): QueryReport = {
+    val tok = "[A-Za-z_]+".r.findAllIn(sql).toSeq
+      .find(t => suggestKeyword(t).isDefined && !keywords.contains(t.toUpperCase))
+    QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
+      tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
+  }
+
   /** Run one statement with reference-CLI semantics. */
   def run(spark: SparkSession, sqlIn: String): QueryReport = {
     val trimmed = sqlIn.trim.stripSuffix(";")
@@ -77,13 +89,22 @@ object QueryEngine {
 
     firstWord(sql) match {
       case "INSERT" | "UPDATE" | "DELETE" =>
-        // parity with `cli.cpp:322`: parsed, acknowledged, not optimized.
+        // parity with `cli.cpp:322`: parsed, acknowledged, not optimized —
+        // but genuinely PARSED (the reference builds real DML ASTs,
+        // `engine/src/parser.cpp:193-296`): malformed DML is a syntax
+        // ERROR with the typo suggestion, not an acknowledgement.
         // EXPLAIN <dml> keeps kind EXPLAIN — the stripped prefix must not
         // silently demote an explain request to a DML acknowledgement
         val kind = firstWord(sql)
-        QueryReport(if (isExplain) "EXPLAIN" else kind,
-          Seq(s"$kind statement parsed.",
-            "Optimization not implemented for this type"), "", Nil, 0, None, None, None)
+        try {
+          spark.sessionState.sqlParser.parsePlan(sql)
+          QueryReport(if (isExplain) "EXPLAIN" else kind,
+            Seq(s"$kind statement parsed.",
+              "Optimization not implemented for this type"), "", Nil, 0, None, None, None)
+        } catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            parseErrorReport(sql, e)
+        }
       case _ =>
         try {
           val df = spark.sql(sql)
@@ -109,10 +130,7 @@ object QueryEngine {
           // ParseException extends AnalysisException — match it first so
           // syntax errors get the reference's typo suggestion
           case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-            val tok = "[A-Za-z_]+".r.findAllIn(sql).toSeq
-              .find(t => suggestKeyword(t).isDefined && !keywords.contains(t.toUpperCase))
-            QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
-              tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
+            parseErrorReport(sql, e)
           case e: AnalysisException =>
             warnAndContinue(spark, sql, e).getOrElse(
               QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage), None, None))

@@ -21,6 +21,9 @@ object Cli {
     println("harvesting table statistics (ANALYZE) ...")
     GraftSession.ensureAnalyzedCatalog(spark, sfDir)
     GraftSession.registerFunctions(spark)
+    // ≙ cli.cpp:167-188: the startup table dump with row counts and
+    // name-sorted columns + types, from the just-ANALYZEd catalog
+    println(GraftSession.catalogListing(spark))
     println(s"graft SQL engine — tables from $sfDir — type SQL, 'exit' to quit")
     var line = ""
     while ({ line = Option(StdIn.readLine("sql> ")).getOrElse("exit"); line.trim != "exit" }) {

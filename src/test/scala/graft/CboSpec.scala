@@ -70,6 +70,26 @@ class CboSpec extends AnyFunSuite {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
   }
 
+  test("startup catalog listing renders every table with row count and sorted typed columns") {
+    GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
+    val listing = GraftSession.catalogListing(spark)
+    assert(listing.startsWith("Loaded tables:"), listing.take(80))
+    // all 10 tables present, each with an ANALYZEd (numeric) row count
+    GraftSession.tableNames.foreach { n =>
+      assert(s"(?m)^  $n \\(rows: \\d+\\)$$".r.findFirstIn(listing).isDefined,
+        s"missing or stats-less table $n in:\n$listing")
+    }
+    // known-cardinality dims: exact counts, independent of scale factor
+    assert(listing.contains("  nation (rows: 25)"), listing)
+    assert(listing.contains("  region (rows: 5)"), listing)
+    // columns are name-sorted with types
+    assert(listing.contains("    - n_name (string)"))
+    assert(listing.contains("    - ts (timestamp)"), "events must list the µs-converted ts")
+    val nationCols = listing.linesIterator.dropWhile(!_.startsWith("  nation "))
+      .drop(1).takeWhile(_.startsWith("    - ")).toSeq
+    assert(nationCols == nationCols.sorted, s"nation columns not sorted: $nationCols")
+  }
+
   test("CBO join estimation produces a row estimate for the join node") {
     GraftSession.ensureAnalyzedCatalog(spark, TestSpark.sfDir)
     Seq("customer", "orders").foreach(v => if (spark.catalog.tableExists(v))

@@ -45,6 +45,34 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rep.transformLog.exists(_.contains("Optimization not implemented")))
   }
 
+  test("valid DML of each kind parses and acknowledges (parser.cpp:193-296 parity)") {
+    val cases = Seq(
+      "INSERT INTO customer (c_custkey) VALUES (1), (2)" -> "INSERT",
+      "UPDATE customer SET c_name = 'x' WHERE c_custkey = 1" -> "UPDATE",
+      "DELETE FROM customer WHERE c_custkey = 1" -> "DELETE")
+    cases.foreach { case (sql, kind) =>
+      val rep = QueryEngine.run(spark, sql)
+      assert(rep.kind == kind && rep.error.isEmpty, s"$sql -> $rep")
+      assert(rep.transformLog.exists(_.contains(s"$kind statement parsed")), rep.transformLog)
+    }
+  }
+
+  test("malformed DML is a syntax ERROR, never acknowledged (reference parses DML for real)") {
+    val cases = Seq(
+      "INSERT INTO customer garbage syntax here",
+      "UPDATE customer SET WHERE c_custkey = 1",
+      "DELETE FROM customer WHERE c_custkey >")
+    cases.foreach { sql =>
+      val rep = QueryEngine.run(spark, sql)
+      assert(rep.kind == "ERROR" && rep.error.nonEmpty, s"$sql -> $rep")
+      assert(!rep.transformLog.exists(_.contains("statement parsed")), s"$sql acknowledged")
+    }
+    // a typo'd DML keyword inside the statement still earns a suggestion
+    val rep = QueryEngine.run(spark, "INSERT INTO customer VALEUS (1)")
+    assert(rep.kind == "ERROR")
+    assert(rep.suggestion.contains("Did you mean: VALUES?"), rep.suggestion)
+  }
+
   test("keyword typo yields Levenshtein suggestion (utils.h:23-45 parity)") {
     val rep = QueryEngine.run(spark, "SELCT c_name FROM customer")
     assert(rep.kind == "ERROR")
