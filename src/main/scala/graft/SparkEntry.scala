@@ -722,9 +722,13 @@ object SparkEntry {
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens FROM documents"),
 
-    // multimodal: binary payload + metadata + per-partition decode stub.
-    // The stub's byte stats ARE oracle-able (documents are ASCII, so DuckDB
-    // codepoints = payload bytes; list_reduce replays the checksum fold)
+    // multimodal: binary payload + metadata + per-partition decode
+    // (javax.imageio for real image formats; these synthetic fake/rgb8
+    // payloads take the byte-stats fallback — real-PNG decode is
+    // MultimodalSpec'd, DuckDB can't decode images). The byte stats ARE
+    // oracle-able (documents are ASCII, so DuckDB codepoints = payload
+    // bytes; list_reduce replays the checksum fold); mean_pixel is NULL on
+    // the fallback path in both engines
     "m01_multimodal_features" -> entry(
       (s, d) => Multimodal.featurize(t(s, d, "documents"), "doc_id", "text"),
       """WITH b AS (
@@ -740,7 +744,8 @@ object SparkEntry {
                                  (acc, x) -> (acc * 31 + x) % 4294967296)
            END AS checksum,
            CAST(doc_id % 640 + 1 AS INT) AS width,
-           CAST(doc_id % 480 + 1 AS INT) AS height
+           CAST(doc_id % 480 + 1 AS INT) AS height,
+           CAST(NULL AS DOUBLE) AS mean_pixel
          FROM b"""),
 
     // video-like frame sampling: fixed-stride binary slices, every 4th of

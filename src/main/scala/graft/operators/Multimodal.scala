@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The decode step is a clearly-marked STUB (no image/audio libraries in
-  * this environment — a real deployment swaps `decodeStub` for a JNI/codec
-  * call). Everything Spark-side is real and load-bearing at scale: binary
-  * schema, metadata struct, partition-batched iteration (one codec init per
-  * partition, not per row — the same shape a Pandas-UDF/`mapInPandas`
-  * pipeline has in PySpark).
+  * The decode step is REAL for still images (PNG/JPEG/BMP/GIF via the
+  * JDK's `javax.imageio` — no extra dependencies) and falls back to
+  * byte-level stats for unknown codecs (audio/video would swap a JNI/codec
+  * call into the same seam). Everything Spark-side is load-bearing at
+  * scale: binary schema, metadata struct, partition-batched iteration (one
+  * codec init per partition, not per row — the same shape a
+  * Pandas-UDF/`mapInPandas` pipeline has in PySpark).
   */
 object Multimodal {
 
@@ -22,7 +23,7 @@ object Multimodal {
     */
   def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-      // long, explicitly: decodeStub's row.getLong and featureSchema
+      // long, explicitly: decode's row.getLong and featureSchema
       // declare LongType — an int id would CCE executor-side
       col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"),
@@ -32,11 +33,11 @@ object Multimodal {
         lit("fake/rgb8").as("format")).as(s"meta"))
 
   /** Adapt a [[graft.sources.DataSources.readBinaryFiles]] frame (path,
-    * content, ...) to the (doc_id, payload, meta) layout [[decodeStub]] /
+    * content, ...) to the (doc_id, payload, meta) layout [[decode]] /
     * [[frameSample]] consume: doc_id = xxhash64(path) (deterministic and
     * shuffle-safe — never monotonically_increasing_id), payload = raw file
     * bytes, meta dimensions 0 (unknown until decode — the real codec fills
-    * them in [[decodeStub]]'s per-partition seam). The original `path`
+    * them in [[decode]]'s per-partition seam). The original `path`
     * rides along: it is the collision-proof identity (64-bit hash ids
     * start colliding around billions of files) and the provenance column
     * every corpus pipeline needs for audits.
@@ -56,33 +57,46 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("checksum", LongType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("mean_pixel", DoubleType)))
 
-  /** Per-partition batched "decode + feature extraction". The metadata
-    * fields ride along through the same pass — at 100 TB of media bytes a
+  /** Image formats `javax.imageio`'s built-in readers decode — the gate for
+    * the real-decode path (attempting ImageIO on arbitrary non-image bytes
+    * would pay a reader probe per row for nothing).
+    */
+  private val imageFormats = Set("png", "jpg", "jpeg", "bmp", "gif", "wbmp")
+
+  /** Per-partition batched decode + feature extraction. The metadata fields
+    * ride along through the same pass — at 100 TB of media bytes a
     * join-back to recover two ints would mean a second full scan plus a
     * shuffle, so the decode emits them directly.
     *
-    * STUB: a real implementation decodes the media codec here (the
-    * per-partition structure — init once, stream the batch — is exactly
-    * where that call goes). The stub extracts deterministic byte-level
-    * features so the distributed plumbing is testable end-to-end.
+    * REAL decode for PNG/JPEG/BMP/GIF via `javax.imageio` (zero extra
+    * dependencies): width/height come from the decoded image and
+    * `mean_pixel` is the mean sample value across all pixels and bands.
+    * Everything else (unknown codec, undecodable bytes, the synthetic
+    * `fake/rgb8` payloads) falls back to the byte-stats path — metadata
+    * dimensions pass through and `mean_pixel` is NULL. Byte stats
+    * (byte_len / mean_byte / checksum) are computed for every payload
+    * either way: they are the payload-identity features. Audio/video
+    * codecs would slot into the same per-partition seam.
     */
-  def decodeStub(withBinary: DataFrame): DataFrame = {
+  def decode(withBinary: DataFrame): DataFrame = {
     val spark = withBinary.sparkSession
     val rdd = withBinary
-      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"),
+        lower(col("meta.format")).as("format"))
       .rdd.mapPartitions { iter =>
-        // real codec/library init would happen once per partition, here.
-        // The input schema declares every field nullable: primitive getters
-        // on a null cell throw executor-side, so null payload/meta rows
-        // must propagate nulls instead of killing the stage
+        // per-partition codec init: one cache-config call, not one per row
+        // (and a real native codec's handle would be created exactly here)
+        javax.imageio.ImageIO.setUseCache(false)
         iter.map { row =>
           val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
-          val w = if (row.isNullAt(2)) null else Int.box(row.getInt(2))
-          val h = if (row.isNullAt(3)) null else Int.box(row.getInt(3))
+          val metaW = if (row.isNullAt(2)) null else Int.box(row.getInt(2))
+          val metaH = if (row.isNullAt(3)) null else Int.box(row.getInt(3))
+          val fmt = if (row.isNullAt(4)) "" else row.getString(4)
           val bytes = row.getAs[Array[Byte]](1)
-          if (bytes == null) Row(id, null, null, null, w, h)
+          if (bytes == null) Row(id, null, null, null, metaW, metaH, null)
           else {
             var sum = 0L
             var checksum = 1L
@@ -90,8 +104,32 @@ object Multimodal {
               sum += (b & 0xff)
               checksum = (checksum * 31 + (b & 0xff)) & 0xFFFFFFFFL
             }
-            val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-            Row(id, bytes.length, mean, checksum, w, h)
+            val meanByte = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+            val decoded =
+              if (!imageFormats(fmt) || bytes.isEmpty) None
+              else try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            decoded match {
+              case Some(img) =>
+                val raster = img.getRaster
+                val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+                var s = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    var b = 0
+                    while (b < bands) { s += raster.getSampleDouble(x, y, b); b += 1 }
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(id, bytes.length, meanByte, checksum, w, h,
+                  s / (w.toLong * h * bands))
+              case None =>
+                Row(id, bytes.length, meanByte, checksum, metaW, metaH, null)
+            }
           }
         }
       }
@@ -103,7 +141,7 @@ object Multimodal {
     * image-dataset featurization job has.
     */
   def featurize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    decodeStub(attachBinary(docs, idCol, textCol))
+    decode(attachBinary(docs, idCol, textCol))
 
   /** Image-resize shape: new metadata plus a proportionally-thinned payload.
     *
@@ -125,7 +163,7 @@ object Multimodal {
         val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
         val bytes = row.getAs[Array[Byte]](1)
         // null payload or meta: nothing to resample — propagate nulls (same
-        // null discipline as decodeStub; primitive getInt on a null cell
+        // null discipline as decode; primitive getInt on a null cell
         // would NPE executor-side)
         if (bytes == null || row.isNullAt(2) || row.isNullAt(3))
           Row(id, null, null, null)
@@ -145,7 +183,7 @@ object Multimodal {
     * frames, keep every `everyN`-th — pure column algebra (posexplode +
     * binary substring), one output row per kept frame, no shuffle. A real
     * pipeline replaces the fixed-stride slicing with container parsing in
-    * [[decodeStub]]'s per-partition loop; the row-explosion shape, frame
+    * [[decode]]'s per-partition loop; the row-explosion shape, frame
     * numbering, and byte-slicing stay exactly as here.
     */
   def frameSample(withBinary: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {

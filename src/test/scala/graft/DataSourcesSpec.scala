@@ -46,7 +46,7 @@ class DataSourcesSpec extends AnyFunSuite {
     assert(rows.length == 1, "glob must exclude skip.txt")
     assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
     // binaryFile -> adapter -> stub decode, end-to-end
-    val feats = graft.operators.Multimodal.decodeStub(
+    val feats = graft.operators.Multimodal.decode(
         graft.operators.Multimodal.fromBinaryFiles(files))
       .collect()
     assert(feats.length == 1 && feats(0).getInt(1) == payload.length)

@@ -17,7 +17,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1L) == "abcdefghij" && rows(3L) == "")
   }
 
-  test("decodeStub extracts deterministic byte features") {
+  test("decode extracts deterministic byte features (fallback path)") {
     val feats = Multimodal.featurize(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(feats(1L) == 10 && feats(2L) == 2 && feats(3L) == 0)
@@ -64,5 +64,41 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.featurize(intId, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(feats == Map(1L -> 3, 2L -> 2))
+  }
+
+  test("real PNG decode end-to-end: readBinaryFiles -> fromBinaryFiles -> decode") {
+    // two generated PNGs: a 8x5 solid (40,80,120) and a 3x7 gray ramp —
+    // written through javax.imageio (lossless), read back through the full
+    // binary-ingestion pipeline; dimensions and mean pixel must be
+    // pixel-true, not the metadata zeros fromBinaryFiles carries
+    val dir = java.nio.file.Files.createTempDirectory("graft-png-").toFile
+    def writePng(name: String, w: Int, h: Int, rgb: (Int, Int, Int) => Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y, 0))
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    writePng("solid.png", 8, 5, (_, _, _) => (40 << 16) | (80 << 8) | 120)
+    writePng("ramp.png", 3, 7, (x, y, _) => { val g = 10 * (x + y); (g << 16) | (g << 8) | g })
+    // a non-image payload with an image extension must FALL BACK, not fail
+    java.nio.file.Files.write(new java.io.File(dir, "broken.png").toPath,
+      "not a png at all".getBytes("UTF-8"))
+    try {
+      val feats = Multimodal.decode(Multimodal.fromBinaryFiles(
+          graft.sources.DataSources.readBinaryFiles(spark, dir.getAbsolutePath,
+            glob = Some("*.png"))))
+        .collect().map(r => r.getInt(4) -> r).toMap // keyed by width
+      val solid = feats(8)
+      assert(solid.getInt(5) == 5, "solid height")
+      assert(solid.getDouble(6) == 80.0, s"solid mean pixel: ${solid.getDouble(6)}")
+      val ramp = feats(3)
+      assert(ramp.getInt(5) == 7, "ramp height")
+      // mean gray of 10*(x+y) over 3x7 = 10 * (mean x + mean y) = 10 * (1 + 3)
+      assert(ramp.getDouble(6) == 40.0, s"ramp mean pixel: ${ramp.getDouble(6)}")
+      val broken = feats(0) // fallback keeps meta width 0
+      assert(broken.isNullAt(6), "undecodable bytes must fall back to NULL mean_pixel")
+      assert(broken.getInt(1) == 16, "byte stats still computed on the fallback path")
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
   }
 }
