@@ -497,7 +497,15 @@ object Dedup {
     * oracle checks this); candidate volume drops from Σ df² over ALL
     * tokens to Σ df² over prefix tokens.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+  /** The PPJoin candidate stage of [[ngramJaccardPairs]] — exposed so the
+    * prefix filter's pruning claim is MEASURABLE (DedupSpec compares its
+    * candidate count against the unfiltered inverted-index join on a
+    * Zipfian corpus), not just narrated.
+    *
+    * @return (doc_a, doc_b, sz_a, sz_b) candidate pairs surviving the
+    *         prefix, positional, and size-ratio filters.
+    */
+  private[graft] def ppjoinCandidates(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
@@ -521,7 +529,7 @@ object Dedup {
     // more overlap than 1 + min(|A|−posA, |B|−posB); a J≥t pair needs
     // overlap ≥ ceil(t/(1+t)·(|A|+|B|))
     val needOverlap = ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - EPS)
-    val cands = pa.join(pb, Seq("blk", "tok"))
+    pa.join(pb, Seq("blk", "tok"))
       .filter(col("doc_a") < col("doc_b")
         // size-ratio prune needs the same EPS: 11 >= 20*0.55 is FALSE in
         // doubles (RHS = 11.000000000000002) though true in exact math
@@ -529,6 +537,11 @@ object Dedup {
         && lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= needOverlap)
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .distinct()
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val cands = ppjoinCandidates(docs, idCol, textCol, blockCol, threshold)
     // exact verify: per-doc sorted distinct-token arrays, straight from text
     val arrs = docs.select(col(idCol).as("doc_id"),
       sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
