@@ -765,11 +765,13 @@ object SparkEntry {
         FROM e WHERE fno % 4 = 0"""),
 
     // image-resize shape: binary in → binary out + consistent metadata.
-    // The stub's byte arithmetic (area-ratio thinning) is pure math →
-    // full oracle: trunc() mirrors Scala's .toInt truncation (DuckDB's
-    // CAST(double AS INT) rounds, so it must go through trunc first).
+    // These synthetic fake/rgb8 payloads take the byte-thinning fallback
+    // (the real bilinear path is MultimodalSpec'd on generated PNGs),
+    // whose arithmetic is pure math → full oracle: trunc() mirrors
+    // Scala's .toInt truncation (DuckDB's CAST(double AS INT) rounds, so
+    // it must go through trunc first).
     "m03_resize" -> entry(
-      (s, d) => Multimodal.resizeStub(
+      (s, d) => Multimodal.resize(
           Multimodal.attachBinary(t(s, d, "documents"), "doc_id", "text"), 64, 64)
         .select(col("doc_id"), length(col("payload")).as("payload_len"),
           col("width"), col("height")),

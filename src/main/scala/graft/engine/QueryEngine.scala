@@ -40,7 +40,11 @@ object QueryEngine {
       suggestion: Option[String],
       df: Option[DataFrame],
       rewrittenSql: Option[String] = None,
-      warnings: Seq[String] = Nil)
+      warnings: Seq[String] = Nil,
+      // true only for PARSE failures — the CLI renders those as the
+      // reference's styled syntax-error block (cli.cpp:205-218); analysis
+      // and runtime errors keep the plain ERROR line
+      syntaxError: Boolean = false)
 
   private val keywords = Seq(
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
@@ -78,7 +82,8 @@ object QueryEngine {
     val tok = "[A-Za-z_]+".r.findAllIn(sql).toSeq
       .find(t => suggestKeyword(t).isDefined && !keywords.contains(t.toUpperCase))
     QueryReport("ERROR", Nil, "", Nil, 0, Some(e.getSimpleMessage),
-      tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None)
+      tok.flatMap(suggestKeyword).map(k => s"Did you mean: $k?"), None,
+      syntaxError = true)
   }
 
   /** Run one statement with reference-CLI semantics. */

@@ -143,14 +143,20 @@ object Multimodal {
   def featurize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     decode(attachBinary(docs, idCol, textCol))
 
-  /** Image-resize shape: new metadata plus a proportionally-thinned payload.
+  /** Image resize: binary in → binary out with consistent metadata,
+    * evaluated per-partition with no shuffle — the exact shape of a 100 TB
+    * thumbnail job.
     *
-    * STUB content (real resampling needs a codec — it goes where the byte
-    * arithmetic is, inside the per-partition loop); REAL plumbing: binary in
-    * → binary out with consistent metadata, evaluated per-row with no
-    * shuffle, the exact shape of a 100 TB thumbnail job.
+    * REAL resampling for `javax.imageio` formats: decode → bilinear scale
+    * to (min(w, targetW), min(h, targetH)) — never upscaled, matching the
+    * metadata contract below — → re-encode as PNG. Non-image payloads
+    * (including the synthetic `fake/rgb8` ones) keep the byte-thinning
+    * fallback: payload truncated proportionally to the area ratio, so the
+    * volume shape of the job is still exercised end-to-end without a
+    * codec. Both paths emit width = min(w, targetW), height =
+    * min(h, targetH).
     */
-  def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resize(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = withBinary.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -158,26 +164,56 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType)))
     val rdd = withBinary.select(col("doc_id"), col("payload"),
-        col("meta.width"), col("meta.height")).rdd.mapPartitions { iter =>
+        col("meta.width"), col("meta.height"),
+        lower(col("meta.format")).as("format")).rdd.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
       iter.map { row =>
         val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
         val bytes = row.getAs[Array[Byte]](1)
-        // null payload or meta: nothing to resample — propagate nulls (same
-        // null discipline as decode; primitive getInt on a null cell
-        // would NPE executor-side)
-        if (bytes == null || row.isNullAt(2) || row.isNullAt(3))
-          Row(id, null, null, null)
-        else {
-          val (w, h) = (row.getInt(2), row.getInt(3))
-          // stub "resample": keep bytes proportional to the area ratio
-          val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
-          val keep = math.max(1, (bytes.length * ratio).toInt)
-          Row(id, bytes.take(keep), math.min(w, targetW), math.min(h, targetH))
+        val fmt = if (row.isNullAt(4)) "" else row.getString(4)
+        val decoded =
+          if (bytes == null || bytes.isEmpty || !imageFormats(fmt)) None
+          else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(img) =>
+            val (nw, nh) = (math.min(img.getWidth, targetW), math.min(img.getHeight, targetH))
+            val scaled = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", out)
+            Row(id, out.toByteArray, nw, nh)
+          case None =>
+            // null payload or meta: nothing to resample — propagate nulls
+            // (same null discipline as decode; primitive getInt on a null
+            // cell would NPE executor-side)
+            if (bytes == null || row.isNullAt(2) || row.isNullAt(3))
+              Row(id, null, null, null)
+            else {
+              val (w, h) = (row.getInt(2), row.getInt(3))
+              // byte-stats fallback "resample": keep bytes proportional to
+              // the area ratio
+              val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+              val keep = math.max(1, (bytes.length * ratio).toInt)
+              Row(id, bytes.take(keep), math.min(w, targetW), math.min(h, targetH))
+            }
         }
       }
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Historical name from when the resample path was a stub — forwards to
+    * [[resize]].
+    */
+  @deprecated("use resize - the image path really resamples now", "round 9")
+  def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    resize(withBinary, targetW, targetH)
 
   /** Frame sampling for video-like payloads: treat the binary as fixed-size
     * frames, keep every `everyN`-th — pure column algebra (posexplode +

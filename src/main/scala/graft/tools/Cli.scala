@@ -29,10 +29,21 @@ object Cli {
     while ({ line = Option(StdIn.readLine("sql> ")).getOrElse("exit"); line.trim != "exit" }) {
       if (line.trim.nonEmpty) {
         val rep = QueryEngine.run(spark, line)
-        rep.error.foreach(e => println(s"ERROR: $e"))
+        if (rep.syntaxError) {
+          // ≙ cli.cpp:205-218: the styled syntax-error block. The hint
+          // list is adapted to THIS engine (the reference warns about
+          // UNION being unsupported; Spark supports it)
+          println("\nQuery Type: Syntax Error")
+          println("Issues Detected:")
+          rep.error.foreach(e => println(s"  x $e"))
+          println("\nSuggestions:")
+          rep.suggestion.foreach(s => println(s"  - $s"))
+          println("  - Check for an unbalanced parenthesis or a dangling clause")
+          println("  - Ensure proper semicolon placement")
+        } else rep.error.foreach(e => println(s"ERROR: $e"))
         // ≙ cli.cpp:228-243 warn-and-continue rendering
         rep.warnings.foreach(println)
-        rep.suggestion.foreach(println)
+        if (!rep.syntaxError) rep.suggestion.foreach(println)
         if (rep.transformLog.nonEmpty) {
           println("-- transform log --")
           rep.transformLog.foreach(println)

@@ -31,8 +31,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.getInt(4) == 2 && r1.getInt(5) == 2) // width = 1%640+1, height = 1%480+1
   }
 
-  test("resizeStub caps metadata at the target and thins the payload") {
-    val out = Multimodal.resizeStub(
+  test("resize fallback caps metadata at the target and thins the payload") {
+    val out = Multimodal.resize(
         Multimodal.attachBinary(docs, "doc_id", "text"), 2, 2)
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
@@ -97,6 +97,22 @@ class MultimodalSpec extends AnyFunSuite {
       val broken = feats(0) // fallback keeps meta width 0
       assert(broken.isNullAt(6), "undecodable bytes must fall back to NULL mean_pixel")
       assert(broken.getInt(1) == 16, "byte stats still computed on the fallback path")
+
+      // real resize: bilinear downscale of the 8x5 solid to 4x4 — output
+      // payload must be a decodable PNG with the target dims and the solid
+      // color intact (bilinear of a constant field is the constant)
+      val resized = Multimodal.resize(Multimodal.fromBinaryFiles(
+          graft.sources.DataSources.readBinaryFiles(spark, dir.getAbsolutePath,
+            glob = Some("solid.png"))), 4, 4)
+        .collect().head
+      assert(resized.getInt(2) == 4 && resized.getInt(3) == 4,
+        s"resize dims: ${resized.getInt(2)}x${resized.getInt(3)}")
+      val thumb = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]](1)))
+      assert(thumb != null && thumb.getWidth == 4 && thumb.getHeight == 4,
+        "resized payload must be a real decodable PNG")
+      assert((thumb.getRGB(2, 2) & 0xFFFFFF) == ((40 << 16) | (80 << 8) | 120),
+        "solid color must survive bilinear resampling")
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }

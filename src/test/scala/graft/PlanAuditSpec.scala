@@ -26,19 +26,24 @@ class PlanAuditSpec extends AnyFunSuite {
   private val budgets: Map[String, (Int, Int)] = Map(
     "d01_dedup_exact" -> (1, 0),
     "d02_dedup_fingerprint" -> (1, 0),
-    "d03_dedup_minhash" -> (1, 3),
+    // minhashNearDuplicates eagerly checkpoints its pair result (cache
+    // release, round 9): the audited plan is the checkpoint scan; the
+    // band-join/verify plan runs inside the call (its shape is pinned by
+    // DedupSpec's candidate-count and banding-equivalence tests)
+    "d03_dedup_minhash" -> (0, 0),
     "d04_dedup_simhash" -> (1, 1),
     "d05_ngram_jaccard" -> (2, 4),
     "d06_embed_neardup" -> (1, 3),
     "d07_ann_topk" -> (1, 1),
     "d08_ann_lsh" -> (3, 5),
     "d09_ann_ivf" -> (3, 5),
-    "d10_dedup_corpus" -> (5, 4), // AQE converts the survivor joins to broadcast at runtime
+    "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
     // the final scan
     "d11_dedup_components" -> (0, 0),
-    "d12_contamination" -> (1, 3),
+    "d12_contamination" -> (0, 0), // eager pairs checkpoint, as d03
+    "d13_dedup_transitive" -> (2, 1), // as d10; drops come from checkpointed CC labels
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -87,7 +92,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t07_rolling_native" -> (0, 0),
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),
-    "x02_split" -> (1, 0))
+    "x02_split" -> (1, 0),
+    "x03_sample_cap" -> (1, 0)) // one window shuffle on the stratum key
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

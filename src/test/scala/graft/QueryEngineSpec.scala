@@ -77,6 +77,12 @@ class QueryEngineSpec extends AnyFunSuite {
     val rep = QueryEngine.run(spark, "SELCT c_name FROM customer")
     assert(rep.kind == "ERROR")
     assert(rep.suggestion.contains("Did you mean: SELECT?"), rep.suggestion)
+    // parse failures carry the syntax flag (CLI styled block,
+    // cli.cpp:205-218 parity); analysis errors must NOT
+    assert(rep.syntaxError)
+    val analysis = QueryEngine.run(spark,
+      "SELECT c.no_such_col FROM customer c")
+    assert(analysis.kind == "ERROR" && !analysis.syntaxError)
   }
 
   test("unknown FROM table warns and continues (semantic.cpp:22-26, cli.cpp:243 parity)") {
