@@ -556,7 +556,11 @@ object SparkEntry {
     // semantics production dedup wants (greedy keeps both 1 and 2 for pairs
     // (2,10),(1,10); transitive keeps only 1). Oracle = d10's replay with
     // the drop set derived from recursive-CTE reachability (d11's closure)
-    // over the SURVIVOR pair graph
+    // over the SURVIVOR pair graph. On THIS fixture the transitive and
+    // greedy drop sets happen to coincide (measured at sf0.01), so the
+    // case where they differ is pinned by DedupSpec's synthetic
+    // counter-example, while this entry proves the full pipeline against
+    // an independent reachability oracle
     "d13_dedup_transitive" -> entry(
       (s, d) => Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
           transitive = true, k = 8, bands = 4,

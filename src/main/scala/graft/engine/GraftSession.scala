@@ -37,6 +37,11 @@ object GraftSession {
       .config("spark.sql.statistics.histogram.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // reliable-checkpoint files (dedup pair materialization, CC rounds)
+      // are written per call; without this they live until the app dies —
+      // with it, the ContextCleaner removes a checkpoint's files once its
+      // RDD is garbage-collected, so a long-running session stays bounded
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,8 +52,20 @@ object GraftSession {
     // caller already set); otherwise a per-app temp dir — on a cluster this
     // conf would point at DFS
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+      val external = spark.conf.getOption("spark.graft.checkpoint.dir")
+      val dir = external.getOrElse {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+        // WE created this scratch dir, so we also remove it at JVM exit
+        // (the cleaner conf above bounds it DURING the session; this stops
+        // repeated sessions littering /tmp). An externally-configured dir
+        // is the caller's to manage.
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          } catch { case _: Exception => () }))
+        tmp.toString
+      }
       spark.sparkContext.setCheckpointDir(dir)
     }
     spark
