@@ -139,14 +139,6 @@ object Dedup {
   def bandBuckets(sig: Column, bands: Int, r: Int): Column =
     posexplode(transform(sequence(lit(0), lit(bands - 1)), j => bandHash(sig, j, r)))
 
-  /** Near-duplicate pairs via MinHash + LSH banding.
-    *
-    * @param bands signature is split into `bands` bands of `k/bands` rows;
-    *              docs colliding on any band become candidates.
-    * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, filtered to
-    *         `threshold`. Candidate generation shuffles on (band, hash) —
-    *         at 1000 executors each bucket is a local join, never O(n²).
-    */
   /** Materialize the (small) pair result eagerly so the operator's internal
     * signature caches can be released before returning — disk-backed
     * persisted blocks are not LRU-evicted, so a lazy return would leak one
@@ -158,14 +150,21 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
-  /** @param signature overrides the signature function (e.g.
-    *        [[md5MinhashSignature]] for oracle replay); must produce a
-    *        k-long array<long>. Default: production [[minhashSignature]].
+  /** Near-duplicate pairs via MinHash + LSH banding.
     *
     * EAGER: the pair set is computed and checkpointed before this returns
     * (pairs are tiny next to the corpus), so the internal signature cache
     * is released immediately — repeated calls in a long-lived session do
     * not accumulate persisted blocks.
+    *
+    * @param bands signature is split into `bands` bands of `k/bands` rows;
+    *              docs colliding on any band become candidates.
+    * @param signature overrides the signature function (e.g.
+    *        [[md5MinhashSignature]] for oracle replay); must produce a
+    *        k-long array<long>. Default: production [[minhashSignature]].
+    * @return (doc_a, doc_b, est_jaccard) with doc_a < doc_b, filtered to
+    *         `threshold`. Candidate generation shuffles on (band, hash) —
+    *         at 1000 executors each bucket is a local join, never O(n²).
     */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
