@@ -891,6 +891,29 @@ object SparkEntry {
            FROM samp)
          SELECT source, doc_id FROM r WHERE rn <= 5"""),
 
+    // sequence packing (concat-and-chunk into fixed token budgets, the
+    // step between dedup and the trainer): hash-sharded deterministic
+    // layout, each doc assigned its starting (shard, seq_no, seq_offset).
+    // Oracle replays the window arithmetic over the md5 order hash; all
+    // integral math, so the replay is bit-exact
+    "x04_pack_sequences" -> entry(
+      (s, d) => graft.operators.PackOps.packSequences(
+        t(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 8,
+        orderHash = graft.operators.SampleOps.md5OrderHash),
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS oh,
+             COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, CAST(oh % 8 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY oh % 8 ORDER BY oh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM t)
+         SELECT doc_id, shard, off // 512 AS seq_no, off % 512 AS seq_offset,
+                CAST(n_tokens AS INT) AS n_tokens
+         FROM o"""),
+
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(
       (s, d) => t(s, d, "events")

@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),
-    "x03_sample_cap" -> (1, 0)) // one window shuffle on the stratum key
+    "x03_sample_cap" -> (1, 0), // one window shuffle on the stratum key
+    "x04_pack_sequences" -> (1, 0)) // one window shuffle on the shard key
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
