@@ -721,6 +721,32 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id ASC) AS rk
            FROM documents) WHERE rk <= 3"""),
 
+    // within-doc repetition fractions (Gopher-style quality rules): the
+    // duplicate share of the 1/2/3-gram streams. 1.0 - a/b over small
+    // exact integers — one correctly-rounded fp op each, bit-identical in
+    // both engines
+    "t06_repetition" -> entry(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id") +: TextOps.repetitionColumns(col("text")): _*),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, w AS g1,
+             CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)),
+               i -> concat_ws(' ', w[i], w[i+1])) END AS g2,
+             CASE WHEN len(w) < 3 THEN [] ELSE list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS g3
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN g1 IS NULL THEN NULL WHEN len(g1) > 0
+                THEN 1.0 - CAST(len(list_distinct(g1)) AS DOUBLE) / len(g1) ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN g2 IS NULL THEN NULL WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN g3 IS NULL THEN NULL WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_3gram_frac
+         FROM g"""),
+
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "t03_token_count" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),

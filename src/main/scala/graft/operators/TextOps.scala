@@ -55,6 +55,33 @@ object TextOps {
       (nStop.cast("double") / nTok).as("stopword_ratio"))
   }
 
+  /** Within-document repetition signals (the Gopher-family quality rules
+    * every corpus filter applies): the fraction of duplicate n-grams for
+    * n = 1, 2, 3 — `1 − distinct/total` over the doc's n-gram stream.
+    * Highly repetitive (boilerplate, scraped-menu, degenerate-generation)
+    * docs score near 1. Pure column algebra, single codegen'd pass; NULL
+    * text scores NULL (absent content is not "zero repetition"); a doc
+    * with fewer than n tokens scores 0.0 for that n.
+    */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    def ngrams(n: Int): Column =
+      if (n == 1) toks
+      else when(size(toks) < n, array()).otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    def dupFrac(n: Int): Column = {
+      val g = ngrams(n)
+      when(text.isNull, lit(null).cast("double"))
+        .when(size(g) > 0,
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+        .otherwise(0.0)
+    }
+    Seq(dupFrac(1).as("dup_token_frac"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, and single
     * non-alphanumeric marks — the standard pre-tokenizer regex shape.
     */

@@ -89,6 +89,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t02_quality" -> (0, 0),
     "t03_token_count" -> (0, 0),
     "t04_rolling_fingerprint" -> (0, 0),
+    "t06_repetition" -> (0, 0),
     "t07_rolling_native" -> (0, 0),
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),

@@ -42,6 +42,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(3L).getInt(2) == 1 && !rows(3L).isNullAt(3))
   }
 
+  test("repetitionColumns: exact duplicate n-gram fractions, NULL/short-doc discipline") {
+    val df = Seq(
+      (1L, "a a a b"),        // 1grams 4/2 dup -> .5; 2grams [aa,aa,ab] -> 1/3; 3grams [aaa,aab] -> 0
+      (2L, "x"),              // single token: no duplicates, no higher grams
+      (3L, ""),               // token-less: 0.0 everywhere, never divide-by-zero
+      (4L, null)              // absent content scores NULL, not "no repetition"
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id") +: TextOps.repetitionColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 to 2).map(i => if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))).toMap
+    assert(rows(1L) == Seq(Some(0.5), Some(1.0 - 2.0 / 3), Some(0.0)), rows(1L))
+    assert(rows(2L) == Seq(Some(0.0), Some(0.0), Some(0.0)))
+    assert(rows(3L) == Seq(Some(0.0), Some(0.0), Some(0.0)))
+    assert(rows(4L) == Seq(None, None, None))
+  }
+
   test("tokenCounts: whitespace vs BPE-ish") {
     val df = Seq((1L, "hello world42 x-y")).toDF("id", "text")
     val r = df.select(col("id") +: TextOps.tokenCounts(col("text")): _*).collect()(0)
