@@ -949,6 +949,28 @@ object SparkEntry {
       // driver's hash stringifies through float64 ("2266.0" vs "2266")
       "SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum, COUNT(*) AS n FROM events GROUP BY user_id"),
 
+    // ordered-funnel progression: per-user depth through signup → click →
+    // purchase, first occurrences required in strict time order. One
+    // conditional-aggregation shuffle; oracle replays the same min-per-step
+    // + chained CASE
+    "s04_funnel" -> entry(
+      (s, d) => graft.operators.EventOps.funnel(
+        t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase")),
+      """WITH m AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t0,
+             MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t1,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t2
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+                     AND t0 < t1 AND t1 < t2 THEN 3
+                WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 2
+                WHEN t0 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+         FROM m"""),
+
     // gap-based sessionization (30-min inactivity) — window functions, the
     // batch twin of flatMapGroupsWithState
     "s03_events_sessionize" -> entry(

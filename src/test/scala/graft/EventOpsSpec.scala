@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("funnel depth counts ordered prefixes only") {
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, "signup", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE first click — signup→click completes
+      // (depth 2) but the purchase step fails the order check
+      (2L, "signup", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(3)),
+      // user 3: signup only (plus funnel-irrelevant noise)
+      (3L, "signup", ts(5)), (3L, "error", ts(6)),
+      // user 4: active but never signed up
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)),
+      // user 5: simultaneous signup/click — strict order rejects the tie
+      (5L, "signup", ts(7)), (5L, "click", ts(7))
+    ).toDF("user_id", "event_type", "ts")
+    val depths = EventOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1), depths)
+  }
+
+  test("funnel: later re-occurrences cannot fake order (min per step is what counts)") {
+    // user repeats click after purchase; first click is still before first
+    // purchase, so the funnel completes
+    val events = Seq(
+      (1L, "signup", ts(1)), (1L, "click", ts(2)),
+      (1L, "purchase", ts(3)), (1L, "click", ts(4))
+    ).toDF("user_id", "event_type", "ts")
+    val d = EventOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase")).collect().head.getInt(1)
+    assert(d == 3)
+  }
+
+  test("funnel rejects empty or duplicated step lists") {
+    val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException](
+      EventOps.funnel(events, "user_id", "event_type", "ts", Nil))
+    intercept[IllegalArgumentException](
+      EventOps.funnel(events, "user_id", "event_type", "ts", Seq("a", "a")))
+  }
+}

@@ -85,6 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s01_events_hourly" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
+    "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
     "t01_lang_id" -> (0, 0),
     "t02_quality" -> (0, 0),
     "t03_token_count" -> (0, 0),
