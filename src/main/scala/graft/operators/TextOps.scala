@@ -71,10 +71,13 @@ object TextOps {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     def dupFrac(n: Int): Column = {
-      val g = ngrams(n)
+      // the n-gram TOTAL is arithmetic (|toks| − n + 1), so the n-gram
+      // array is constructed exactly once per n (for the distinct count) —
+      // a size(g)-based guard would build it three times per row
+      val total = size(toks) - n + 1
       when(text.isNull, lit(null).cast("double"))
-        .when(size(g) > 0,
-          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+        .when(total > 0,
+          lit(1.0) - size(array_distinct(ngrams(n))).cast("double") / total)
         .otherwise(0.0)
     }
     Seq(dupFrac(1).as("dup_token_frac"),
