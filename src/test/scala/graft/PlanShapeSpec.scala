@@ -32,6 +32,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("l_returnflag"), "unprojected column must not be read")
   }
 
+  test("round-9 entries prune their scans: x04 reads 2 of 5 doc columns, s04 3 of 6 event columns") {
+    val pack = executedPlanString("x04_pack_sequences")
+    assert(!pack.contains("source") && !pack.contains("lang"),
+      "packSequences must read only (doc_id, text)")
+    val funnel = executedPlanString("s04_funnel")
+    assert(!funnel.contains("props") && !funnel.contains("event_id"),
+      "funnel must read only (user_id, event_type, ts)")
+  }
+
   test("q10: sort+limit fuses to TakeOrderedAndProject (top-k)") {
     val p = executedPlanString("q10_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
