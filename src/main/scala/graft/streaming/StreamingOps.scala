@@ -96,6 +96,81 @@ object StreamingOps {
     }
   }
 
+  case class TypedEvent(user_id: Long, event_type: String, tsUs: Long)
+  case class FunnelState(minTsUs: Seq[Long])
+  case class UserFunnel(user_id: Long, funnel_depth: Int)
+
+  /** Sentinel for "step not yet seen" in [[FunnelState]]. */
+  private val Unseen = Long.MaxValue
+
+  /** Pure fold: lower the per-step first-occurrence timestamps with one
+    * batch of events. Extracted (like [[foldEvents]]) so cross-batch
+    * out-of-order semantics are unit-testable without streaming machinery.
+    */
+  private[graft] def foldFunnel(prev: Option[FunnelState], evs: Seq[TypedEvent],
+      steps: Seq[String]): FunnelState = {
+    val mins = prev.map(_.minTsUs.toArray).getOrElse(Array.fill(steps.length)(Unseen))
+    evs.foreach { e =>
+      val i = steps.indexOf(e.event_type)
+      if (i >= 0 && e.tsUs < mins(i)) mins(i) = e.tsUs
+    }
+    FunnelState(mins.toSeq)
+  }
+
+  /** Depth = longest prefix of steps whose first occurrences are strictly
+    * time-ordered — the same rule as the batch [[graft.operators.EventOps
+    * .funnel]].
+    */
+  private[graft] def depthOf(s: FunnelState): Int = {
+    var d = 0
+    var i = 0
+    var ok = true
+    while (i < s.minTsUs.length && ok) {
+      ok = s.minTsUs(i) != Unseen && (i == 0 || s.minTsUs(i - 1) < s.minTsUs(i))
+      if (ok) d = i + 1
+      i += 1
+    }
+    d
+  }
+
+  /** Stateful streaming funnel — the streaming twin of the batch
+    * [[graft.operators.EventOps.funnel]] (SparkEntry s04). State per user
+    * is exactly `steps.length` timestamps (bounded regardless of event
+    * volume), and because the state tracks MIN-per-step rather than
+    * "current stage", an out-of-order arrival (the click that happened
+    * before the purchase but arrived after it) lowers its step's minimum
+    * and the emitted depth converges to the batch answer — a
+    * progressed-stage state machine would get this wrong permanently.
+    * Update-mode output: one running (user, depth) row per user per
+    * trigger.
+    *
+    * @param stateTtl as in [[sessionCounts]]: expire idle users'
+    *        state (processing-time) for unbounded key populations; the
+    *        expiry row repeats the user's final depth.
+    */
+  def funnelDepths(events: Dataset[TypedEvent], steps: Seq[String],
+      stateTtl: Option[String] = None): Dataset[UserFunnel] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id).mapGroupsWithState(timeoutConf) {
+      (user: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+        if (stateTtl.isDefined && state.hasTimedOut) {
+          val depth = depthOf(state.get)
+          state.remove()
+          UserFunnel(user, depth)
+        } else {
+          val next = foldFunnel(state.getOption, evs.toSeq, steps)
+          state.update(next)
+          stateTtl.foreach(state.setTimeoutDuration)
+          UserFunnel(user, depthOf(next))
+        }
+    }
+  }
+
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
     * event pipeline needs): duplicates arriving within the watermark window
     * are dropped with bounded state.

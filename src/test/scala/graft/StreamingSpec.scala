@@ -95,6 +95,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.lastTsUs == 10 * H + 300L * 1000000L)
   }
 
+  test("streaming funnel depths converge to the batch funnel answer") {
+    import spark.implicits._
+    val steps = Seq("signup", "click", "purchase")
+    val stream = StreamingOps.eventsStream(spark, streamDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .as[StreamingOps.TypedEvent]
+    // update-mode emits a running depth per trigger; the LAST row per user
+    // is the converged answer — min-per-step state makes it equal batch
+    val got = StreamingOps.runToMemory(
+      StreamingOps.funnelDepths(stream, steps).toDF(), "funnel_stream", OutputMode.Update())
+      .groupBy(col("user_id")).agg(max(col("funnel_depth")).as("funnel_depth"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = graft.operators.EventOps.funnel(
+        graft.engine.GraftSession.table(spark, TestSpark.sfDir, "events"),
+        "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("out-of-order arrival heals the funnel (min-per-step state, not a stage machine)") {
+    import StreamingOps.{TypedEvent, foldFunnel, depthOf}
+    val steps = Seq("signup", "click", "purchase")
+    // batch 1: signup@1, purchase@2 arrive — depth 1 (no click yet)
+    val s1 = foldFunnel(None, Seq(TypedEvent(1, "signup", 1), TypedEvent(1, "purchase", 3)), steps)
+    assert(depthOf(s1) == 1)
+    // batch 2: the click that HAPPENED at t=2 arrives late — the depth
+    // must heal to 3; a progressed-stage machine would be stuck at 1
+    val s2 = foldFunnel(Some(s1), Seq(TypedEvent(1, "click", 2)), steps)
+    assert(depthOf(s2) == 3)
+  }
+
   test("stateful session counts match batch sessionization totals") {
     import spark.implicits._
     val stream = StreamingOps.eventsStream(spark, streamDir)
