@@ -829,12 +829,26 @@ object SparkEntry {
     // the PRODUCTION rolling fingerprint: native O(n)/doc Rabin-Karp
     // rolling minimum ([[graft.functions.RollingMinHashExpr]], codegen'd).
     // Its 64-bit wrapping polynomial hash has no DuckDB twin (BIGINT
-    // overflow throws there), so this is a rows-only driver entry; value
-    // correctness is FunctionsSpec's (windows, wrap-around, min selection)
-    // and t04's md5 twin proves the surrounding pipeline shape end-to-end.
-    "t07_rolling_native" -> noOracle(
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
-        graft.functions.RollingMinHashExpr.rollingMinHash(col("text"), 16).as("roll_fp"))),
+    // overflow throws there), so the driver check is Spark-vs-Spark: run
+    // the optimized recurrence AND its direct-definition twin
+    // ([[graft.functions.RollingMinHashNaiveExpr]]: every window hashed
+    // from scratch — independent power/update/min logic) over the full
+    // corpus and select the rows where they DISAGREE; the oracle is the
+    // empty result. A bug in the rolling update, the precomputed B^(w-1),
+    // or the min seed surfaces as a hash-mismatching non-empty dump.
+    // (t04's md5 twin separately proves the min-over-windows pipeline
+    // shape against DuckDB; FunctionsSpec pins the native values.)
+    "t07_rolling_native" -> entry(
+      (s, d) => {
+        val nat = graft.functions.RollingMinHashExpr.rollingMinHash(col("text"), 16)
+        val ref = graft.functions.RollingMinHashExpr.rollingMinHashNaive(col("text"), 16)
+        t(s, d, "documents")
+          .select(col("doc_id"), nat.as("roll_fp"), ref.as("roll_fp_ref"))
+          .filter(col("roll_fp") =!= col("roll_fp_ref") ||
+            (col("roll_fp").isNull =!= col("roll_fp_ref").isNull))
+      },
+      """SELECT doc_id, CAST(NULL AS BIGINT) AS roll_fp, CAST(NULL AS BIGINT) AS roll_fp_ref
+         FROM documents WHERE 1 = 0"""),
 
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
@@ -939,6 +953,43 @@ object SparkEntry {
          SELECT doc_id, shard, off // 512 AS seq_no, off % 512 AS seq_offset,
                 CAST(n_tokens AS INT) AS n_tokens
          FROM o"""),
+
+    // materialized packed sequences: the token payloads x04's layout
+    // describes — docs cut at budget boundaries, pieces reassembled per
+    // (shard, seq_no) by in-sequence offset. Oracle replays the window
+    // arithmetic, DuckDB list-slices each doc's token array at the same
+    // boundaries, and string_aggs pieces in offset order; all integral
+    // math + exact strings, so the replay is bit-exact
+    "x05_pack_materialize" -> entry(
+      (s, d) => graft.operators.PackOps.materializeSequences(
+        t(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 8,
+        orderHash = graft.operators.SampleOps.md5OrderHash),
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS oh,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         t2 AS (SELECT doc_id, oh, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM t WHERE len(toks) > 0),
+         o AS (
+           SELECT CAST(oh % 8 AS INT) AS shard, toks, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY oh % 8 ORDER BY oh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM t2),
+         p AS (
+           SELECT shard, off, n, toks,
+             unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS seq_no
+           FROM o),
+         p2 AS (
+           SELECT shard, seq_no,
+             GREATEST(off - seq_no * 512, 0) AS seq_offset,
+             list_slice(toks, GREATEST(seq_no * 512 - off, 0) + 1,
+                        LEAST(n, (seq_no + 1) * 512 - off)) AS piece
+           FROM p)
+         SELECT shard, seq_no, COUNT(*) AS n_docs,
+           CAST(SUM(len(piece)) AS BIGINT) AS seq_len,
+           string_agg(array_to_string(piece, ' '), ' ' ORDER BY seq_offset) AS seq_text
+         FROM p2 GROUP BY shard, seq_no"""),
 
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(

@@ -36,11 +36,12 @@ object PackOps {
     *                    layouts)
     * @return (idCol, shard, seq_no, seq_offset, n_tokens)
     */
-  def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      tokenBudget: Int, shards: Int = 256,
-      orderHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+  /** Shared layout pass: every doc with its `__oh` order key, `shard`,
+    * `n_tokens`, and cumulative starting offset `__off` in its shard's
+    * token stream (one window per shard — the only shuffle).
+    */
+  private def withLayout(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int, orderHash: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__oh").asc, col(idCol).asc)
@@ -51,11 +52,63 @@ object PackOps {
       .withColumn("n_tokens",
         when(col(textCol).isNotNull, size(TextOps.tokens(col(textCol)))).otherwise(0))
       .withColumn("__off", coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+  }
+
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, shards: Int = 256,
+      orderHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    withLayout(docs, idCol, textCol, shards, orderHash)
       // integral div/mod, never double division: shard offsets at 100 TB
       // exceed the 2^53 range where a double quotient silently rounds
       .select(col(idCol), col("shard"),
         expr(s"__off div $tokenBudget").as("seq_no"),
         pmod(col("__off"), lit(tokenBudget.toLong)).as("seq_offset"),
         col("n_tokens"))
+  }
+
+  /** Materialize the packed layout: one row per training sequence
+    * `(shard, seq_no)` carrying its actual token payload (`seq_text`,
+    * space-joined), its fill (`seq_len` — `tokenBudget` for every sequence
+    * but possibly the last of each shard), and the number of contributing
+    * docs. The step [[packSequences]] plans and the trainer consumes.
+    *
+    * Scale design: a doc spanning a budget boundary is CUT there, exactly
+    * like the layout says — each doc slices its own token array into the
+    * 1–2 (rarely more) sequence pieces it touches, so the shuffle moving
+    * tokens to their sequence carries one row per (doc, spanned sequence),
+    * never one per token, and the groupBy reassembles pieces by their
+    * in-sequence offset. Zero-token docs occupy no budget and are skipped
+    * here (they keep their slot in [[packSequences]]'s layout).
+    */
+  def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, shards: Int = 256,
+      orderHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val b = lit(tokenBudget.toLong)
+    val pieces = withLayout(docs, idCol, textCol, shards, orderHash)
+      .filter(col("n_tokens") > 0)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      // the sequences this doc's token range [__off, __off + n) spans
+      .select(col("shard"), col("__off"), col("n_tokens").cast("long").as("__n"),
+        col("__toks"),
+        explode(sequence(expr(s"__off div $tokenBudget"),
+          expr(s"(__off + n_tokens - 1) div $tokenBudget"))).as("seq_no"))
+      .withColumn("seq_offset", greatest(col("__off") - col("seq_no") * b, lit(0L)))
+      .withColumn("__from", greatest(col("seq_no") * b - col("__off"), lit(0L)))
+      .withColumn("__upto", least(col("__n"), (col("seq_no") + 1) * b - col("__off")))
+      .withColumn("piece", slice(col("__toks"),
+        (col("__from") + 1).cast("int"), (col("__upto") - col("__from")).cast("int")))
+    pieces.groupBy(col("shard"), col("seq_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("piece")).cast("long")).as("seq_len"),
+        // collect_list order is nondeterministic; the in-sequence offset
+        // (unique per piece) is the sort key that makes reassembly exact
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("seq_offset"), col("piece")))),
+          s => s.getField("piece"))), " ").as("seq_text"))
   }
 }

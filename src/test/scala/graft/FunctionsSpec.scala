@@ -56,6 +56,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps.length == 2)
   }
 
+  test("rolling min-hash: optimized recurrence equals the direct-definition twin") {
+    // edge shapes the rolling update could get wrong: empty, shorter than
+    // the window (w clamps to n), exactly the window, window+1 (first
+    // rolling step), multi-byte UTF-8 (byte- not char-windows), long text
+    // with 64-bit wrap-around, and NULL (both null-intolerant)
+    val texts = Seq("", "ab", "0123456789abcdef", "0123456789abcdefg",
+      "äöü €𝄞 мир 漢字", "spark catalyst tungsten " * 40, null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(
+        RollingMinHashExpr.rollingMinHash(col("text"), 16).as("opt"),
+        RollingMinHashExpr.rollingMinHashNaive(col("text"), 16).as("ref"))
+      .collect()
+    rows.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getLong(0) == r.getLong(1)), s"mismatch: $r") }
+  }
+
   test("SimHashTextExpr matches the explode/groupBy column-algebra form bit-for-bit") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "spark catalyst tungsten adaptive"), (3L, "one"), (4L, "  padded   tokens  "))

@@ -52,5 +52,47 @@ class PackOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PackOps.packSequences(docs, "doc_id", "text", 0))
     intercept[IllegalArgumentException](
       PackOps.packSequences(docs, "doc_id", "text", 16, shards = 0))
+    intercept[IllegalArgumentException](
+      PackOps.materializeSequences(docs, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](
+      PackOps.materializeSequences(docs, "doc_id", "text", 16, shards = 0))
+  }
+
+  test("materialized sequences reconstruct each shard's exact token stream") {
+    val budget = 16
+    val seqs = PackOps.materializeSequences(docs, "doc_id", "text", budget, shards = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // 1. each sequence's text carries exactly seq_len tokens
+    seqs.foreach { case (sh, sq, _, len, text) =>
+      assert(text.split(" ").count(_.nonEmpty) == len, s"seq ($sh,$sq) len mismatch")
+    }
+    // 2. within a shard: seq_nos are 0..max with no gaps, all full except
+    //    possibly the last
+    seqs.groupBy(_._1).foreach { case (sh, ss) =>
+      val byNo = ss.sortBy(_._2)
+      assert(byNo.map(_._2).sameElements(byNo.indices.map(_.toLong)), s"shard $sh gaps")
+      byNo.dropRight(1).foreach { case (_, sq, _, len, _) =>
+        assert(len == budget, s"shard $sh seq $sq not full: $len") }
+    }
+    // 3. concatenating a shard's sequences in order reproduces the shard's
+    //    token stream in (xxhash64(id), id) doc order — the layout contract
+    val expected = docs.na.drop(Seq("text"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("doc_id")).as("oh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy { case (_, _, oh) => java.lang.Math.floorMod(oh, 4L).toInt }
+      .view.mapValues(_.sortBy { case (id, _, oh) => (oh, id) }
+        .flatMap(_._2.split(" ").filter(_.nonEmpty)).mkString(" ")).toMap
+    seqs.groupBy(_._1).foreach { case (sh, ss) =>
+      val got = ss.sortBy(_._2).map(_._5).mkString(" ")
+      assert(got == expected(sh), s"shard $sh stream mismatch")
+    }
+    // 4. cross-check against the planned layout: total tokens agree
+    val planned = PackOps.packSequences(docs, "doc_id", "text", budget, shards = 4)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    assert(seqs.map(_._4).sum == planned)
   }
 }

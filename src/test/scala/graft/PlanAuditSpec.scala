@@ -96,7 +96,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),
     "x03_sample_cap" -> (1, 0), // one window shuffle on the stratum key
-    "x04_pack_sequences" -> (1, 0)) // one window shuffle on the shard key
+    "x04_pack_sequences" -> (1, 0), // one window shuffle on the shard key
+    // layout window on the shard key + the piece->sequence reassembly agg
+    "x05_pack_materialize" -> (2, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
