@@ -415,7 +415,32 @@ object SparkEntry {
 
     // 4-table join + DISTINCT + computed sort key (≙ test_complex_queries.sql:5)
     "q34_four_join_distinct" -> shared(
-      "SELECT DISTINCT r_name, n_name, c_mktsegment, year(o_orderdate) AS yr FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey ORDER BY yr DESC, r_name, n_name, c_mktsegment")
+      "SELECT DISTINCT r_name, n_name, c_mktsegment, year(o_orderdate) AS yr FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey ORDER BY yr DESC, r_name, n_name, c_mktsegment"),
+
+    // ----- OLAP surface beyond the reference's parser (analytics an engine
+    // at this tier is expected to answer; all shared-SQL, one text both
+    // engines) -----
+
+    // ROLLUP: hierarchical subtotals + grand total in one pass — Spark
+    // plans an Expand (one row per grouping set) into the ordinary
+    // partial/final hash aggregate, so the rollup costs one shuffle, not
+    // one scan per level. GROUPING() disambiguates "subtotal row" from a
+    // genuinely NULL group key
+    "q35_rollup" -> shared(
+      "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+    // GROUPING SETS: the general form (CUBE/ROLLUP are sugar over it) —
+    // two independent single-column aggregations plus the grand total
+    // answered in one Expand + one shuffle instead of three scans
+    "q36_grouping_sets" -> shared(
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+
+    // SQL window functions: ranking + lag in one partition pass. Both
+    // windows share the o_custkey partitioning, so Catalyst plans ONE
+    // exchange with two sorts; determinism: RANK compares exact decimals,
+    // LAG rides a unique (date, orderkey) total order
+    "q37_window_sql" -> shared(
+      "SELECT o_orderkey, o_custkey, RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS price_rank, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey FROM orders WHERE o_custkey < 500")
   )
 
   // ------------------------------------------------------------------
@@ -624,6 +649,38 @@ object SparkEntry {
          SELECT t.doc_id AS train_id, e.doc_id AS eval_id
          FROM sig t JOIN sig e ON t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
          WHERE len(list_filter(range(1, 9), i -> t.sig[i] = e.sig[i])) >= 4"""),
+
+    // EXACT n-gram decontamination — the "13-gram eval overlap" check, the
+    // exact sibling of d12's probabilistic MinHash variant: every verbatim
+    // shared n-gram between a train and an eval doc is found via the
+    // inverted-index join on the gram itself (distinct grams per side, so
+    // the shuffle is bounded by token count). n = 8 on this fixture so
+    // partially-overlapping near-dups hit alongside exact copies; docs
+    // shorter than n contribute their whole token sequence as one gram
+    "d14_exact_decontam" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.exactNgramContamination(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", n = 8)
+      },
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 6),
+                           i -> array_to_string(list_slice(w, i, i + 7), ' '))
+               END)) AS gram
+             FROM toks)
+           WHERE gram <> '')
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+         FROM g t JOIN g e ON t.gram = e.gram
+         WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+         GROUP BY 1, 2"""),
 
     // embedding-cosine near-duplicate pairs, blocked by label.
     // Oracle-safe despite float math: output is the pair SET only, and the
@@ -893,6 +950,51 @@ object SparkEntry {
                COUNT(DISTINCT o_orderdate),
                CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
         FROM orders"""),
+
+    // exact rank-selected quantiles over the value DISTRIBUTION (one
+    // groupBy shuffle + a window over the distinct-value histogram, never
+    // a global data sort; approx_percentile is the near-unique-column
+    // path). Type-1 quantile = an actual data value → bit-exact replay;
+    // the rank arithmetic ceil(p·n) is the same double expression on both
+    // engines
+    "p02_quantiles" -> entry(
+      (s, d) => graft.operators.Profile.quantiles(
+        t(s, d, "lineitem"), "l_quantity", Seq(0.25, 0.5, 0.75, 0.95)),
+      """WITH dist AS (
+           SELECT l_quantity AS v, COUNT(*) AS cnt FROM lineitem
+           WHERE l_quantity IS NOT NULL GROUP BY 1),
+         cum AS (
+           SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM dist),
+         n AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity IS NOT NULL),
+         p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p)
+         SELECT p.p, cum.v AS quantile
+         FROM cum, n, p
+         WHERE cum.cum >= GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT))
+           AND cum.cum - cum.cnt < GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT))"""),
+
+    // equi-width histogram: min/max broadcast onto the scan, one
+    // aggregation shuffle on the bucket id; bounds re-derived from the
+    // same fp expression as the assignment. trunc() mirrors Spark floor's
+    // toward-zero on the non-negative operand; all other math is the
+    // identical double expression on both engines
+    "p03_histogram" -> entry(
+      (s, d) => graft.operators.Profile.histogram(
+        t(s, d, "orders"), "o_totalprice", 10),
+      """WITH st AS (
+           SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS vmin,
+                  MAX(CAST(o_totalprice AS DOUBLE)) AS vmax
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         b AS (
+           SELECT CASE WHEN st.vmax > st.vmin
+                       THEN LEAST(9, CAST(trunc((CAST(o_totalprice AS DOUBLE) - st.vmin)
+                                                / (st.vmax - st.vmin) * 10) AS BIGINT))
+                       ELSE 0 END AS bucket,
+                  st.vmin AS vmin, st.vmax AS vmax
+           FROM orders, st WHERE o_totalprice IS NOT NULL)
+         SELECT bucket, vmin + bucket * (vmax - vmin) / 10 AS lo, COUNT(*) AS n
+         FROM b GROUP BY bucket, vmin, vmax"""),
 
     // deterministic id-hash train/test split — reproducible, repartition-
     // stable, never rand(). Oracle via the md5Bucket twin (the xxhash64

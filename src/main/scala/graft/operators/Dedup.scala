@@ -271,6 +271,42 @@ object Dedup {
     train.join(dirty, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram contamination — the GPT-style "13-gram eval overlap"
+    * decontamination check, the exact sibling of the probabilistic
+    * [[crossCorpusContamination]]: a (train, eval) pair is reported iff the
+    * two docs share at least `minShared` verbatim whitespace-token n-grams,
+    * with the shared count. Docs shorter than `n` tokens contribute their
+    * whole token sequence as a single gram (an eval doc must not become
+    * un-checkable by being short).
+    *
+    * Scale design: each side explodes to its DISTINCT n-grams (≤ one per
+    * token, duplicates collapsed before the shuffle) and the join key is
+    * the n-gram itself — a hash-bucketed inverted-index join, never
+    * all-pairs; the count aggregation rides the same shuffle's map-side
+    * partials. At 100 TB the gram strings can be xxhash64-compressed
+    * before the shuffle (collision risk 2^-64 per pair); the entry keeps
+    * raw grams so the DuckDB oracle replays verbatim.
+    */
+  def exactNgramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      minShared: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def grams(df: DataFrame, outId: String): DataFrame = {
+      val toks = TextOps.tokens(col(textCol))
+      val gs = when(size(toks) <= n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as(outId), explode(array_distinct(gs)).as("gram"))
+        .filter(col("gram") =!= "") // token-less docs share nothing
+    }
+    grams(train, "train_id").join(grams(eval, "eval_id"), "gram")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,

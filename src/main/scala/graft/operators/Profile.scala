@@ -56,4 +56,67 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
+
+  /** Exact rank-selected quantiles: for each requested p, the value at row
+    * `max(1, ceil(p·n))` of the ascending sort (type-1 / lower-value
+    * quantile — an actual data value, never an interpolation, so the
+    * result is engine-replayable bit-for-bit).
+    *
+    * Scale design: NOT a global sort of the data. One shuffle builds the
+    * value DISTRIBUTION (`groupBy(value).count`, map-side partials), and
+    * the running-total window then walks the distinct-value histogram —
+    * whose size is the column's cardinality, not the row count. For the
+    * bounded-cardinality columns quantile profiling targets (quantities,
+    * prices, scores, lengths) that histogram is KB-scale at any corpus
+    * size. For a near-unique column, use `approxQuantiles` instead: a
+    * t-digest-style mergeable sketch is the honest 100 TB answer there,
+    * and Spark ships it as `approx_percentile`.
+    */
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "quantiles needs at least one probability")
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(s"`$valueCol`")
+    val dist = df.filter(v.isNotNull).groupBy(v.as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // total row count broadcast onto every histogram row (one-row frame)
+    val withN = cum.crossJoin(
+      broadcast(df.filter(v.isNotNull).agg(count(lit(1)).as("n"))))
+    withN.select(col("v"), col("cnt"), col("cum"), col("n"),
+        explode(lit(ps.toArray)).as("p"))
+      // ceil(p·n) in doubles: exact for any n < 2^52, same bits as the
+      // DuckDB replay's identical expression
+      .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .filter(col("cum") >= col("rank") && (col("cum") - col("cnt")) < col("rank"))
+      .select(col("p"), col("v").as("quantile"))
+  }
+
+  /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row
+    * counted into `least(nBuckets-1, floor((v-min)/(max-min)·nBuckets))`
+    * (the max value folds into the last bucket; a constant column lands
+    * entirely in bucket 0). One stats pass + one aggregation shuffle on the
+    * bucket id — the scan dominates at any scale. Bucket bounds are derived
+    * from (bucket, min, width) with the same fp expression the assignment
+    * used, so bounds and counts can never disagree.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val v = col(s"`$valueCol`").cast("double")
+    val stats = df.filter(v.isNotNull)
+      .agg(min(v).as("vmin"), max(v).as("vmax"))
+    df.filter(v.isNotNull).crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("vmax") > col("vmin"),
+          least(lit(nBuckets - 1),
+            floor((v - col("vmin")) / (col("vmax") - col("vmin")) * nBuckets)))
+          .otherwise(0L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"))
+      .select(col("bucket"),
+        (col("vmin") + col("bucket") * (col("vmax") - col("vmin")) / nBuckets).as("lo"),
+        col("n"))
+  }
 }

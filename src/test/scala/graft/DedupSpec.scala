@@ -89,6 +89,38 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set((3L, "completely different text about spark sql engines and optimizers")), kept)
   }
 
+  test("exactNgramContamination: shared-gram counts match the set-intersection definition") {
+    val train = Seq(
+      (1L, "a b c d e f"),   // shares 4-grams with eval 11
+      (2L, "z y x w v u"),   // clean
+      (3L, "a b c"),         // short doc: single whole-sequence gram, matches eval 13
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (11L, "x a b c d e q"), // grams "a b c d"/"b c d e" shared with train 1
+      (12L, "entirely novel eval prompt"),
+      (13L, "a b c"))         // exact short-doc collision with train 3
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .exactNgramContamination(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 11L) -> 2L, (3L, 13L) -> 1L), got)
+  }
+
+  test("exactNgramContamination: minShared filters weak overlaps; duplicate grams count once") {
+    // "a b a b a b" has 3 occurrences of gram "a b" but only ONE distinct
+    // 2-gram of each kind — sharing must count distinct grams, not sites
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val eval = Seq((11L, "b a b a")).toDF("doc_id", "text")
+    val weak = graft.operators.Dedup
+      .exactNgramContamination(train, eval, "doc_id", "text", n = 2, minShared = 3)
+    assert(weak.count() == 0)
+    val got = graft.operators.Dedup
+      .exactNgramContamination(train, eval, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(2))
+    assert(got.sameElements(Array(2L))) // distinct shared grams: "a b", "b a"
+  }
+
   test("shingles: short-text fallback hashes the canonical single-space form") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")

@@ -44,10 +44,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "d11_dedup_components" -> (0, 0),
     "d12_contamination" -> (0, 0), // eager pairs checkpoint, as d03
     "d13_dedup_transitive" -> (2, 1), // as d10; drops come from checkpointed CC labels
+    // gram-join: AQE broadcasts the distinct-gram eval side at this SF;
+    // one shuffle for the pair-count agg (at production SF the join goes
+    // shuffle-hash on the gram key — still no all-pairs)
+    "d14_exact_decontam" -> (1, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
     "p01_profile" -> (2, 0),
+    // distribution groupBy + histogram window + total-count agg; the
+    // one-row total broadcast-joins onto the histogram
+    "p02_quantiles" -> (3, 1),
+    "p03_histogram" -> (2, 1), // stats agg + bucket agg; stats broadcast
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -82,6 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q32_any_all" -> (0, 0),
     "q33_kitchen_sink" -> (1, 0),
     "q34_four_join_distinct" -> (2, 3),
+    "q35_rollup" -> (1, 0), // Expand feeds the ordinary partial/final agg
+    "q36_grouping_sets" -> (1, 0),
+    "q37_window_sql" -> (1, 0), // both windows share one custkey exchange
     "s01_events_hourly" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),

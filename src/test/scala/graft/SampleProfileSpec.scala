@@ -56,6 +56,42 @@ class SampleProfileSpec extends AnyFunSuite {
       c2.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("Profile.quantiles: rank-selected values match the sorted-array definition") {
+    val values = Seq.tabulate(1000)(i => ((i * 37) % 101).toDouble) ++ Seq.fill(5)(50.0)
+    val vdf = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .union(Seq((9999L, Option.empty[Double])).toDF("id", "v")) // NULL ignored
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val got = Profile.quantiles(vdf, "v", ps).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = values.sorted
+    ps.foreach { p =>
+      val expect = sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+      assert(got(p) == expect, s"p=$p: got ${got(p)}, want $expect")
+    }
+  }
+
+  test("Profile.quantiles rejects out-of-range probabilities") {
+    intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(0.0)))
+    intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(1.5)))
+    intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq.empty))
+  }
+
+  test("Profile.histogram: counts and bounds match manual binning; max folds into last bucket") {
+    val vdf = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val rows = Profile.histogram(vdf, "v", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0L to 9L))
+    // buckets 0..8 carry 10 values each, bucket 9 carries 10 + the max
+    assert(rows.dropRight(1).forall(_._3 == 10) && rows.last._3 == 11)
+    rows.foreach { case (b, lo, _) => assert(lo == b * 10.0) }
+  }
+
+  test("Profile.histogram: constant column lands in bucket 0") {
+    val vdf = Seq.fill(7)(42.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rows = Profile.histogram(vdf, "v", 5).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 0 && rows(0).getLong(2) == 7)
+  }
+
   test("Profile.describe matches hand-computed stats, nulls counted") {
     val rows = Profile.describe(df, Seq("id", "cat", "v"))
       .collect().map(r => r.getString(0) -> r).toMap
