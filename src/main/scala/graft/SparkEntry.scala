@@ -804,6 +804,41 @@ object SparkEntry {
                 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_3gram_frac
          FROM g"""),
 
+    // composite quality gate (C4/Gopher-style rule filter): reasons
+    // bitmask + keep verdict per doc, rejected rows kept WITH their
+    // reasons (the drop report is a product too). Bits: 1 = too few
+    // tokens, 2 = too many, 4 = mean token length out of range,
+    // 8 = stopword ratio too low, 16 = token repetition too high.
+    // Ratio comparisons replay bit-exact: both engines compare the same
+    // exact-integer divisions against the same literals
+    "t08_quality_gate" -> entry(
+      (s, d) => TextOps.qualityFilter(t(s, d, "documents"), "text",
+          minTokens = 20, maxTokens = 90, minMeanTokLen = 2.0, maxMeanTokLen = 12.0,
+          minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
+        .select(col("doc_id"), col("n_tokens"), col("reasons"), col("keep")),
+      """WITH w AS (
+           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         q AS (
+           SELECT doc_id, len(w) AS nt,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / NULLIF(len(w), 0) AS mtl,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
+               / NULLIF(len(w), 0) AS sr,
+             CASE WHEN w IS NULL THEN NULL WHEN len(w) > 0
+                  THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                  ELSE 0.0 END AS dtf
+           FROM w),
+         r AS (
+           SELECT doc_id, nt,
+             CASE WHEN COALESCE(nt, 0) < 20 THEN 1 ELSE 0 END
+             + CASE WHEN COALESCE(nt > 90, FALSE) THEN 2 ELSE 0 END
+             + CASE WHEN COALESCE(mtl < 2.0 OR mtl > 12.0, FALSE) THEN 4 ELSE 0 END
+             + CASE WHEN COALESCE(sr < 0.01, FALSE) THEN 8 ELSE 0 END
+             + CASE WHEN COALESCE(dtf > 0.6, FALSE) THEN 16 ELSE 0 END AS reasons
+           FROM q)
+         SELECT doc_id, CAST(nt AS INT) AS n_tokens, reasons, reasons = 0 AS keep FROM r"""),
+
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "t03_token_count" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.tokenCounts(col("text")): _*),
@@ -1092,6 +1127,65 @@ object SparkEntry {
            CAST(SUM(len(piece)) AS BIGINT) AS seq_len,
            string_agg(array_to_string(piece, ' '), ' ' ORDER BY seq_offset) AS seq_text
          FROM p2 GROUP BY shard, seq_no"""),
+
+    // the END-TO-END curation pipeline in one declarative plan: quality
+    // gate (t08's exact rules) → exact-fingerprint dedup keeping each
+    // cluster's min id → packed training-sequence layout. What a
+    // production corpus build actually runs between ingestion and the
+    // trainer — Catalyst sees the whole composition and plans it as 3
+    // shuffles (fingerprint agg, survivor semi-join broadcast at this SF,
+    // layout window)
+    "x06_curate_pipeline" -> entry(
+      (s, d) => {
+        val kept = TextOps.qualityFilter(t(s, d, "documents"), "text",
+            minTokens = 20, maxTokens = 90, minMeanTokLen = 2.0, maxMeanTokLen = 12.0,
+            minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
+          .filter(col("keep")).select(col("doc_id"), col("text"))
+        val reps = Dedup.fingerprintClusters(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        graft.operators.PackOps.packSequences(
+          kept.join(reps, Seq("doc_id"), "left_semi"), "doc_id", "text",
+          tokenBudget = 256, shards = 4,
+          orderHash = graft.operators.SampleOps.md5OrderHash)
+      },
+      """WITH w AS (
+           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         q AS (
+           SELECT doc_id, text, w, len(w) AS nt,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / NULLIF(len(w), 0) AS mtl,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
+               / NULLIF(len(w), 0) AS sr,
+             CASE WHEN w IS NULL THEN NULL WHEN len(w) > 0
+                  THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                  ELSE 0.0 END AS dtf
+           FROM w),
+         kept AS (
+           SELECT doc_id, text, w FROM q
+           WHERE CASE WHEN COALESCE(nt, 0) < 20 THEN 1 ELSE 0 END
+             + CASE WHEN COALESCE(nt > 90, FALSE) THEN 2 ELSE 0 END
+             + CASE WHEN COALESCE(mtl < 2.0 OR mtl > 12.0, FALSE) THEN 4 ELSE 0 END
+             + CASE WHEN COALESCE(sr < 0.01, FALSE) THEN 8 ELSE 0 END
+             + CASE WHEN COALESCE(dtf > 0.6, FALSE) THEN 16 ELSE 0 END = 0),
+         cl AS (
+           SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                  MIN(doc_id) AS keep_id
+           FROM kept GROUP BY 1),
+         surv AS (SELECT k.doc_id, k.w FROM kept k JOIN cl ON cl.keep_id = k.doc_id),
+         t AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS oh,
+             CAST(len(w) AS BIGINT) AS n_tokens
+           FROM surv),
+         o AS (
+           SELECT doc_id, CAST(oh % 4 AS INT) AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY oh % 4 ORDER BY oh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM t)
+         SELECT doc_id, shard, off // 256 AS seq_no, off % 256 AS seq_offset,
+                CAST(n_tokens AS INT) AS n_tokens
+         FROM o"""),
 
     // semi-structured props: JSON field extraction + aggregation
     "s02_events_json" -> entry(

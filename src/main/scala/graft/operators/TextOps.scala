@@ -92,6 +92,44 @@ object TextOps {
     size(tokens(text)).as("ws_tokens"),
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"))
 
+  /** Composite quality gate — the C4/Gopher-style rule filter every corpus
+    * pipeline runs between ingestion and dedup: each document gets its
+    * signal columns, a `reasons` bitmask of the rules it violates, and a
+    * `keep` verdict (`reasons == 0`). Keeping the rejected rows WITH their
+    * reasons (instead of filtering them away) is deliberate: at 100 TB the
+    * drop report is as much a product as the kept corpus, and the caller
+    * chooses `filter($"keep")` or the audit view from one pass.
+    *
+    * Bits: 0 = fewer than `minTokens` tokens (NULL text lands here),
+    * 1 = more than `maxTokens`, 2 = mean token length outside
+    * [`minMeanTokLen`, `maxMeanTokLen`], 3 = stopword ratio below
+    * `minStopwordRatio` (gibberish / non-language), 4 = duplicate-token
+    * fraction above `maxDupTokenFrac` (repetition). Signals a token-less
+    * doc cannot have (mean length, ratios) never fire their bits — bit 0
+    * already owns that rejection.
+    *
+    * Pure column algebra over [[qualityColumns]] + [[repetitionColumns]]:
+    * one codegen'd pass, no shuffle, no UDF.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0, maxDupTokenFrac: Double = 1.0): DataFrame = {
+    val signals = df.select(
+      (col("*") +: (qualityColumns(col(textCol)) ++ repetitionColumns(col(textCol)))): _*)
+    val flags: Seq[(Int, Column)] = Seq(
+      0 -> (coalesce(col("n_tokens"), lit(0)) < minTokens),
+      1 -> (col("n_tokens") > maxTokens),
+      2 -> (col("mean_tok_len") < minMeanTokLen || col("mean_tok_len") > maxMeanTokLen),
+      3 -> (col("stopword_ratio") < minStopwordRatio),
+      4 -> (col("dup_token_frac") > maxDupTokenFrac))
+    val reasons = flags.map { case (bit, c) =>
+      when(coalesce(c, lit(false)), lit(1 << bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+    signals.withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === 0)
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
     * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or

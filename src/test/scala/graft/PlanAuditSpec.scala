@@ -103,13 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "t04_rolling_fingerprint" -> (0, 0),
     "t06_repetition" -> (0, 0),
     "t07_rolling_native" -> (0, 0),
+    "t08_quality_gate" -> (0, 0), // pure column algebra, zero shuffle
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),
     "x03_sample_cap" -> (1, 0), // one window shuffle on the stratum key
     "x04_pack_sequences" -> (1, 0), // one window shuffle on the shard key
     // layout window on the shard key + the piece->sequence reassembly agg
-    "x05_pack_materialize" -> (2, 0))
+    "x05_pack_materialize" -> (2, 0),
+    // fingerprint agg + layout window; the survivor semi-join broadcasts
+    "x06_curate_pipeline" -> (2, 1))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -31,6 +31,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 2.0 / 6.0) < 1e-12) // the, a
   }
 
+  test("qualityFilter: reasons bitmask matches hand-derived rules, multi-violation docs sum bits") {
+    val ok = ("the " + (1 to 24).map(i => f"word$i%03d").mkString(" "))  // 25 toks, 1 stopword
+    val short = "the abc def ghi jkl mno pqr stu vwx yza"                // 10 toks -> bit 0
+    val long = ("the " + (1 to 94).map(i => f"tok$i%03d").mkString(" ")) // 95 toks -> bit 1
+    val junk = Seq.fill(30)("x").mkString(" ")  // mean len 1 (bit 2), no stopword (bit 3), dup (bit 4)
+    val df = Seq((1L, ok), (2L, short), (3L, long), (4L, junk), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityFilter(df, "text", minTokens = 20, maxTokens = 90,
+        minMeanTokLen = 2.0, maxMeanTokLen = 12.0,
+        minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
+      .select(col("doc_id"), col("reasons"), col("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((0, true)),
+      2L -> ((1, false)),
+      3L -> ((2, false)),
+      4L -> ((4 + 8 + 16, false)),
+      5L -> ((1, false))), got) // NULL text: bit 0 only — absent signals never fire
+  }
+
+  test("qualityFilter keeps original columns and the signal columns in one pass") {
+    val df = Seq((1L, "src", "the plain words here keep flowing along nicely")).toDF("doc_id", "source", "text")
+    val row = TextOps.qualityFilter(df, "text", minTokens = 3).collect()(0)
+    val fields = row.schema.fieldNames.toSeq
+    assert(Seq("doc_id", "source", "text", "n_tokens", "mean_tok_len",
+      "stopword_ratio", "dup_token_frac", "reasons", "keep").forall(fields.contains), fields)
+    assert(row.getAs[Boolean]("keep"))
+  }
+
   test("quality columns: token-less docs score NULL ratios, never ANSI divide-by-zero") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "ok")).toDF("id", "text")
     val rows = df.select(col("id") +: TextOps.qualityColumns(col("text")): _*)
