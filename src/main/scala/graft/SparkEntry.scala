@@ -440,7 +440,13 @@ object SparkEntry {
     // exchange with two sorts; determinism: RANK compares exact decimals,
     // LAG rides a unique (date, orderkey) total order
     "q37_window_sql" -> shared(
-      "SELECT o_orderkey, o_custkey, RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS price_rank, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey FROM orders WHERE o_custkey < 500")
+      "SELECT o_orderkey, o_custkey, RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS price_rank, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey FROM orders WHERE o_custkey < 500"),
+
+    // set operators (UNION dedups, INTERSECT, EXCEPT) — parenthesized so
+    // both parsers associate identically; Spark plans INTERSECT/EXCEPT as
+    // left-semi/left-anti aggregates, never materializing the cross
+    "q38_set_ops" -> shared(
+      "(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION (SELECT c_custkey FROM customer WHERE c_acctbal < -900 EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')")
   )
 
   // ------------------------------------------------------------------
@@ -1127,6 +1133,48 @@ object SparkEntry {
            CAST(SUM(len(piece)) AS BIGINT) AS seq_len,
            string_agg(array_to_string(piece, ' '), ' ' ORDER BY seq_offset) AS seq_text
          FROM p2 GROUP BY shard, seq_no"""),
+
+    // AS-OF join (backward, inclusive): every purchase event picks the
+    // user's LATEST click at or before it — the time-series join Spark
+    // has no type for, realized as union + per-key running last() (one
+    // shuffle + sort, no per-row probe). Right side pre-aggregated to
+    // unique (user, ts) so tie resolution is engine-independent; oracle is
+    // DuckDB's native ASOF LEFT JOIN
+    "j01_asof" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("value")).as("click_value"))
+        JoinOps.asofJoin(purchases, clicks, "user_id", "ts")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+      },
+      """WITH p AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+
+    // point-in-interval range join, bucketized: intervals explode to the
+    // fixed-width buckets they overlap, points land in one bucket, and
+    // the match is an EQUI-join + exact BETWEEN — never the nested loop a
+    // raw inequality join plans. Oracle is that raw inequality join
+    "j02_range" -> entry(
+      (s, d) => {
+        val pts = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val iv = t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_acctbal") - 10).as("lo"), (col("s_acctbal") + 10).as("hi"))
+        JoinOps.rangeJoin(pts, iv, "c_acctbal", "lo", "hi", bucketWidth = 64)
+          .select(col("c_custkey"), col("s_suppkey"))
+      },
+      """SELECT c_custkey, s_suppkey FROM customer JOIN supplier
+         ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10"""),
 
     // the END-TO-END curation pipeline in one declarative plan: quality
     // gate (t08's exact rules) → exact-fingerprint dedup keeping each

@@ -31,6 +31,85 @@ object JoinOps {
     * old withColumn padding silently OVERWROTE the left side's values with
     * NULL for shared names such as a common join key).
     */
+  /** AS-OF join (backward, inclusive): each left row picks the LATEST right
+    * row with the same key whose timestamp is at or before the left row's —
+    * the time-series primitive (trades→quotes, purchases→latest click)
+    * Spark has no join type for.
+    *
+    * Spark-first realization: NOT a per-row probe and not an inequality
+    * join (which Spark would plan as a nested loop). Both sides union into
+    * one frame tagged by side; one window per key, ordered by
+    * (ts, side, right-payload) with a running `last(right, ignoreNulls)`,
+    * gives every left row its match in a single shuffle + sort — the same
+    * merge a hand-written ASOF operator performs, expressed declaratively
+    * so Catalyst handles spill/codegen. Cost at 100 TB: one exchange on
+    * the key, one sort — identical to any windowed analytic over the
+    * stream.
+    *
+    * Matched right columns (timestamp + payload) come back prefixed with
+    * `rightPrefix`; unmatched left rows keep them NULL (left-outer
+    * semantics, like DuckDB's `ASOF LEFT JOIN`). Right rows with NULL key
+    * or NULL timestamp can never match (SQL equality/inequality
+    * semantics) and are dropped before the union. Ties: right rows sort
+    * before left rows at the same timestamp (inclusive "at or before");
+    * duplicate right rows on the same (key, ts) resolve to the full-row
+    * maximum — deterministic under repartitioning.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    val rFields = right.schema.fields.filterNot(_.name == keyCol)
+    val rStruct = StructType(rFields)
+    val lStruct = StructType(left.schema.fields)
+    val l2 = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val r2 = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__l"),
+        struct(rFields.map(f => col(f.name)): _*).as("__r"))
+    // __r in the order: at equal (ts, side), the running last() must pick a
+    // deterministic duplicate — the struct-ordered maximum
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +:
+        rFields.map(f => col(s"__m.${f.name}").as(rightPrefix + f.name)): _*)
+  }
+
+  /** Point-in-interval range join: left rows (a point) joined to right rows
+    * (an interval `[lo, hi]`, inclusive) — without the O(|L|·|R|) nested
+    * loop Spark plans for a raw inequality join.
+    *
+    * Bucketization: intervals explode to the fixed-width buckets they
+    * overlap, points land in exactly one bucket, and the match becomes an
+    * EQUI-join on the bucket id followed by the exact BETWEEN filter.
+    * Because a point occupies one bucket, each qualifying (point,
+    * interval) pair meets exactly once — no dedup needed. Choose
+    * `bucketWidth` near the typical interval width: shuffle volume is
+    * |points| + |intervals|·(width/bucketWidth + 1), all hash-partitioned.
+    * NULL points/bounds never match (SQL BETWEEN semantics) — they drop at
+    * the equi-join on a NULL bucket.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val pb = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+    val ib = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("__b", explode(sequence(
+        floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+    pb.join(ib, "__b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
     // every rename target must be globally fresh: not a left column, not a
     // right column, and not a target already assigned to an earlier right

@@ -75,4 +75,53 @@ class JoinOpsSpec extends AnyFunSuite {
       s"duplicate output columns: ${got.columns.toSeq}")
     assert(got.count() == 2)
   }
+
+  test("asofJoin: backward inclusive match, ties to right, unmatched stays NULL") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 10L, "t1"), // latest quote <= 10 is q@10 (inclusive tie)
+      ("A", 15L, "t2"), // latest is q@12
+      ("A", 1L, "t3"),  // before any quote -> NULL
+      ("B", 50L, "t4"), // B has quotes at 40
+      ("C", 5L, "t5"))  // no quotes for C -> NULL
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(
+      ("A", 5L, 1.0), ("A", 10L, 2.0), ("A", 12L, 3.0), ("A", 99L, 9.9),
+      ("B", 40L, 4.0),
+      (null.asInstanceOf[String], 1L, 8.8)) // NULL key: never matches
+      .toDF("key", "ts", "px")
+    val got = JoinOps.asofJoin(trades, quotes, "key", "ts")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got == Map("t1" -> Some(2.0), "t2" -> Some(3.0), "t3" -> None,
+      "t4" -> Some(4.0), "t5" -> None), got)
+  }
+
+  test("asofJoin: duplicate right rows at one (key, ts) resolve deterministically, repartition-stable") {
+    import spark.implicits._
+    val l = Seq(("A", 10L)).toDF("key", "ts")
+    val r = Seq(("A", 5L, 1.0), ("A", 5L, 7.0), ("A", 5L, 3.0)).toDF("key", "ts", "px")
+    def run(lf: org.apache.spark.sql.DataFrame, rf: org.apache.spark.sql.DataFrame) =
+      JoinOps.asofJoin(lf, rf, "key", "ts").collect().map(_.getDouble(3)).toSeq
+    val a = run(l, r)
+    val b = run(l.repartition(5), r.repartition(7))
+    assert(a == Seq(7.0) && a == b, s"$a vs $b") // struct-max: largest (ts, px)
+  }
+
+  test("rangeJoin equals the raw inequality join, intervals spanning many buckets included") {
+    import spark.implicits._
+    val pts = (0 until 200).map(i => (i.toLong, (i * 7 % 101).toDouble)).toDF("pid", "p")
+    val iv = Seq(
+      (1L, Some(3.0), Some(9.0)),    // narrow
+      (2L, Some(0.0), Some(100.0)),  // spans every bucket
+      (3L, Some(50.0), Some(50.0)),  // degenerate point interval
+      (4L, Some(80.0), Some(20.0)),  // inverted: matches nothing
+      (5L, None, Some(10.0)))        // NULL lo: matches nothing
+      .toDF("iid", "lo", "hi")
+    val got = JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", bucketWidth = 8.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty, s"got ${got.size}, want ${want.size}")
+  }
 }

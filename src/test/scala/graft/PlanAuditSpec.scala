@@ -48,6 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // one shuffle for the pair-count agg (at production SF the join goes
     // shuffle-hash on the gram key — still no all-pairs)
     "d14_exact_decontam" -> (1, 1),
+    // click pre-agg + the one union-window exchange on the key — the
+    // whole ASOF join costs what any windowed analytic costs
+    "j01_asof" -> (2, 0),
+    "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -93,6 +97,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q35_rollup" -> (1, 0), // Expand feeds the ordinary partial/final agg
     "q36_grouping_sets" -> (1, 0),
     "q37_window_sql" -> (1, 0), // both windows share one custkey exchange
+    // INTERSECT/EXCEPT plan as semi/anti joins under one distinct agg;
+    // the small branches broadcast
+    "q38_set_ops" -> (1, 1),
     "s01_events_hourly" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
