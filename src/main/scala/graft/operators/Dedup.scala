@@ -293,12 +293,18 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     def grams(df: DataFrame, outId: String): DataFrame = {
-      val toks = TextOps.tokens(col(textCol))
+      // tokenization in its own projection: the gram expression references
+      // the token array once per window, and inlining the filter(split())
+      // tree there would re-tokenize the doc per window (the t06 lesson —
+      // CollapseProject leaves a multiply-referenced non-cheap expression
+      // in its own stage)
+      val toks = col("__toks")
       val gs = when(size(toks) <= n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       df.filter(col(textCol).isNotNull)
-        .select(col(idCol).as(outId), explode(array_distinct(gs)).as("gram"))
+        .select(col(idCol).as(outId), TextOps.tokens(col(textCol)).as("__toks"))
+        .select(col(outId), explode(array_distinct(gs)).as("gram"))
         .filter(col("gram") =!= "") // token-less docs share nothing
     }
     grams(train, "train_id").join(grams(eval, "eval_id"), "gram")
