@@ -764,7 +764,10 @@ object SparkEntry {
 
     // quality-signal scoring
     "t02_quality" -> entry(
-      (s, d) => t(s, d, "documents").select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id") +:
+          TextOps.qualityColumnsFromTokens(col("text"), col("__toks")): _*),
       "SELECT doc_id, length(text) AS n_chars, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS mean_tok_len, length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS stopword_ratio FROM documents"),
 
     // per-group top-k curation: keep the 3 longest docs per source
@@ -789,8 +792,10 @@ object SparkEntry {
     // exact integers — one correctly-rounded fp op each, bit-identical in
     // both engines
     "t06_repetition" -> entry(
-      (s, d) => t(s, d, "documents").select(
-        col("doc_id") +: TextOps.repetitionColumns(col("text")): _*),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id") +:
+          TextOps.repetitionColumnsFromTokens(col("__toks")): _*),
       """WITH w AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
            FROM documents),

@@ -37,6 +37,7 @@ object PackOps {
     * @return (idCol, shard, seq_no, seq_offset, n_tokens)
     */
   /** Shared layout pass: every doc with its `__oh` order key, `shard`,
+    * token array `__toks` (tokenized exactly once, NULL text → NULL),
     * `n_tokens`, and cumulative starting offset `__off` in its shard's
     * token stream (one window per shard — the only shuffle).
     */
@@ -47,10 +48,10 @@ object PackOps {
       .orderBy(col("__oh").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol), col(textCol))
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
       .withColumn("__oh", orderHash(col(idCol)))
       .withColumn("shard", pmod(col("__oh"), lit(shards.toLong)).cast("int"))
-      .withColumn("n_tokens",
-        when(col(textCol).isNotNull, size(TextOps.tokens(col(textCol)))).otherwise(0))
+      .withColumn("n_tokens", coalesce(size(col("__toks")), lit(0)))
       .withColumn("__off", coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
   }
 
@@ -90,7 +91,6 @@ object PackOps {
     val b = lit(tokenBudget.toLong)
     val pieces = withLayout(docs, idCol, textCol, shards, orderHash)
       .filter(col("n_tokens") > 0)
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
       // the sequences this doc's token range [__off, __off + n) spans
       .select(col("shard"), col("__off"), col("n_tokens").cast("long").as("__n"),
         col("__toks"),

@@ -39,9 +39,22 @@ object TextOps {
   /** Quality-signal columns: length, token count, mean token length,
     * punctuation count, stopword ratio. Ratios are single fp divisions of
     * exact integers → bit-identical across engines.
+    *
+    * Inline form — every signal re-derives the token array from `text`.
+    * Fine for a one-signal projection; for the full signal set, tokenize
+    * ONCE into a column in your own projection and use
+    * [[qualityColumnsFromTokens]] (32× on the t06-shaped repetition pass:
+    * CollapseProject keeps a multiply-referenced non-cheap expression in
+    * its own stage, so the split runs once per doc instead of per signal).
     */
-  def qualityColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+  def qualityColumns(text: Column): Seq[Column] =
+    qualityColumnsFromTokens(text, tokens(text))
+
+  /** [[qualityColumns]] over a pre-tokenized array column. `toks` must be
+    * `tokens(text)` (NULL for NULL text) — pass a bound column reference,
+    * not an expression, to get the tokenize-once plan.
+    */
+  def qualityColumnsFromTokens(text: Column, toks: Column): Seq[Column] = {
     // nullif: a token-less (empty/whitespace-only) doc must score NULL
     // ratios — under Spark 4's default ANSI mode a bare x/0 THROWS and
     // would kill the whole scoring job on one empty document
@@ -63,8 +76,14 @@ object TextOps {
     * text scores NULL (absent content is not "zero repetition"); a doc
     * with fewer than n tokens scores 0.0 for that n.
     */
-  def repetitionColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+  def repetitionColumns(text: Column): Seq[Column] =
+    repetitionColumnsFromTokens(tokens(text))
+
+  /** [[repetitionColumns]] over a pre-tokenized array column (see
+    * [[qualityColumnsFromTokens]] for why: tokenize once, reference many
+    * times). NULL tokens (= NULL text) score NULL fractions.
+    */
+  def repetitionColumnsFromTokens(toks: Column): Seq[Column] = {
     def ngrams(n: Int): Column =
       if (n == 1) toks
       else when(size(toks) < n, array()).otherwise(
@@ -75,7 +94,7 @@ object TextOps {
       // array is constructed exactly once per n (for the distinct count) —
       // a size(g)-based guard would build it three times per row
       val total = size(toks) - n + 1
-      when(text.isNull, lit(null).cast("double"))
+      when(toks.isNull, lit(null).cast("double"))
         .when(total > 0,
           lit(1.0) - size(array_distinct(ngrams(n))).cast("double") / total)
         .otherwise(0.0)
@@ -115,8 +134,12 @@ object TextOps {
       minTokens: Int = 20, maxTokens: Int = 100000,
       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
       minStopwordRatio: Double = 0.0, maxDupTokenFrac: Double = 1.0): DataFrame = {
-    val signals = df.select(
-      (col("*") +: (qualityColumns(col(textCol)) ++ repetitionColumns(col(textCol)))): _*)
+    // tokenize ONCE in its own projection; the 8 signal columns reference
+    // the bound array column, not the split expression
+    val signals = df.withColumn("__toks", tokens(col(textCol)))
+      .select((col("*") +: (qualityColumnsFromTokens(col(textCol), col("__toks"))
+        ++ repetitionColumnsFromTokens(col("__toks")))): _*)
+      .drop("__toks")
     val flags: Seq[(Int, Column)] = Seq(
       0 -> (coalesce(col("n_tokens"), lit(0)) < minTokens),
       1 -> (col("n_tokens") > maxTokens),
