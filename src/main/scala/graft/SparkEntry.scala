@@ -1010,15 +1010,17 @@ object SparkEntry {
            SELECT l_quantity AS v, COUNT(*) AS cnt FROM lineitem
            WHERE l_quantity IS NOT NULL GROUP BY 1),
          cum AS (
-           SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
            FROM dist),
-         n AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity IS NOT NULL),
          p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p)
          SELECT p.p, cum.v AS quantile
-         FROM cum, n, p
-         WHERE cum.cum >= GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT))
-           AND cum.cum - cum.cnt < GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT))"""),
+         FROM cum, p
+         WHERE cum.cum >= GREATEST(1, CAST(ceil(p.p * cum.n) AS BIGINT))
+           AND cum.cum - cum.cnt < GREATEST(1, CAST(ceil(p.p * cum.n) AS BIGINT))"""),
 
     // equi-width histogram: min/max broadcast onto the scan, one
     // aggregation shuffle on the bucket id; bounds re-derived from the

@@ -78,12 +78,14 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val v = col(s"`$valueCol`")
     val dist = df.filter(v.isNotNull).groupBy(v.as("v")).agg(count(lit(1)).as("cnt"))
-    val cum = dist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // total row count broadcast onto every histogram row (one-row frame)
-    val withN = cum.crossJoin(
-      broadcast(df.filter(v.isNotNull).agg(count(lit(1)).as("n"))))
+    // running total AND grand total in ONE WindowExec (same ordering, two
+    // frames) — no second scan of the data, no count-aggregate join
+    val ord = Window.orderBy(col("v"))
+    val withN = dist
+      .withColumn("cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     withN.select(col("v"), col("cnt"), col("cum"), col("n"),
         explode(lit(ps.toArray)).as("p"))
       // ceil(p·n) in doubles: exact for any n < 2^52, same bits as the

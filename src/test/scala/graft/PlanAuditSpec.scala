@@ -56,9 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
     "p01_profile" -> (2, 0),
-    // distribution groupBy + histogram window + total-count agg; the
-    // one-row total broadcast-joins onto the histogram
-    "p02_quantiles" -> (3, 1),
+    // distribution groupBy + the one histogram window exchange (running
+    // and grand totals share a single WindowExec)
+    "p02_quantiles" -> (2, 0),
     "p03_histogram" -> (2, 1), // stats agg + bucket agg; stats broadcast
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),

@@ -46,6 +46,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == nDistinct, s"${got.count()} vs $nDistinct")
   }
 
+  test("quality gate is streaming-safe: stateless pass gives batch-identical verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the plain words here keep flowing along nicely through this document stream today"),
+      (2L, "x x x x x"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-docs-quality-stream")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.qualityFilter(df, "text", minTokens = 6)
+        .select(col("doc_id"), col("reasons"), col("keep"))
+    val got = StreamingOps.runToMemory(gate(stream), "quality_stream", OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val want = gate(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == want && got(1L)._2 && !got(2L)._2 && !got(3L)._2, s"$got vs $want")
+  }
+
   test("stream-static near-dup gate flags arrivals already in the corpus, once") {
     import spark.implicits._
     val corpus = Seq(
