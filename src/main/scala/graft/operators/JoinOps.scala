@@ -60,6 +60,10 @@ object JoinOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StructType
     val rFields = right.schema.fields.filterNot(_.name == keyCol)
+    // fail at plan time, not with an ambiguous-column frame downstream
+    val clash = left.columns.toSet.intersect(rFields.map(rightPrefix + _.name).toSet)
+    require(clash.isEmpty,
+      s"rightPrefix '$rightPrefix' makes matched columns collide with left columns: $clash")
     val rStruct = StructType(rFields)
     val lStruct = StructType(left.schema.fields)
     val l2 = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
@@ -101,6 +105,9 @@ object JoinOps {
       pointCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names (ambiguous output), got: $shared")
     val pb = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
     val ib = intervals.filter(col(loCol) <= col(hiCol))
       .withColumn("__b", explode(sequence(

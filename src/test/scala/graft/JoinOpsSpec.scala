@@ -108,6 +108,16 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(a == Seq(7.0) && a == b, s"$a vs $b") // struct-max: largest (ts, px)
   }
 
+  test("asofJoin/rangeJoin reject colliding column names at plan time") {
+    import spark.implicits._
+    val l = Seq(("A", 10L, 1.0)).toDF("key", "ts", "asof_px") // owns the prefixed name
+    val r = Seq(("A", 5L, 2.0)).toDF("key", "ts", "px")
+    intercept[IllegalArgumentException](JoinOps.asofJoin(l, r, "key", "ts"))
+    val p = Seq((1L, 5.0)).toDF("id", "p")
+    val iv = Seq((1L, 0.0, 9.0)).toDF("id", "lo", "hi") // shares "id"
+    intercept[IllegalArgumentException](JoinOps.rangeJoin(p, iv, "p", "lo", "hi", 8.0))
+  }
+
   test("rangeJoin equals the raw inequality join, intervals spanning many buckets included") {
     import spark.implicits._
     val pts = (0 until 200).map(i => (i.toLong, (i * 7 % 101).toDouble)).toDF("pid", "p")
