@@ -823,7 +823,10 @@ object SparkEntry {
     // Ratio comparisons replay bit-exact: both engines compare the same
     // exact-integer divisions against the same literals
     "t08_quality_gate" -> entry(
-      (s, d) => TextOps.qualityFilter(t(s, d, "documents"), "text",
+      (s, d) => TextOps.qualityFilter(
+          // project first: the fixture carries its own n_chars column, which
+          // would collide with the emitted signal (and column-prunes the scan)
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text",
           minTokens = 20, maxTokens = 90, minMeanTokLen = 2.0, maxMeanTokLen = 12.0,
           minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
         .select(col("doc_id"), col("n_tokens"), col("reasons"), col("keep")),
@@ -1192,7 +1195,8 @@ object SparkEntry {
     // layout window)
     "x06_curate_pipeline" -> entry(
       (s, d) => {
-        val kept = TextOps.qualityFilter(t(s, d, "documents"), "text",
+        val kept = TextOps.qualityFilter(
+            t(s, d, "documents").select(col("doc_id"), col("text")), "text",
             minTokens = 20, maxTokens = 90, minMeanTokLen = 2.0, maxMeanTokLen = 12.0,
             minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
           .filter(col("keep")).select(col("doc_id"), col("text"))

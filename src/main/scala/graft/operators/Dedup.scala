@@ -53,12 +53,18 @@ object Dedup {
     * runs must produce the same shingle set, consistent with
     * [[graft.functions.MinHashTextExpr]]'s canonical-form hashing.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = TextOps.tokens(text)
-    when(size(words) < n, array(concat_ws(" ", words))).otherwise(
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(text), n)
+
+  /** The n-gram constructor behind [[shingles]] and
+    * [[exactNgramContamination]]: whole token sequence as one gram when
+    * shorter than `n`. Pass a BOUND token column (not the tokens(...)
+    * expression) when referencing it from a multi-signal projection.
+    */
+  private[operators] def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** MinHash signature: fully fused native expression
     * ([[graft.functions.MinHashTextExpr]]) — tokenize, shingle-as-byte-span,
@@ -292,21 +298,17 @@ object Dedup {
       minShared: Int = 1): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    def grams(df: DataFrame, outId: String): DataFrame = {
-      // tokenization in its own projection: the gram expression references
+    def grams(df: DataFrame, outId: String): DataFrame =
+      // tokenization in its own projection: [[shinglesFromTokens]] references
       // the token array once per window, and inlining the filter(split())
       // tree there would re-tokenize the doc per window (the t06 lesson —
       // CollapseProject leaves a multiply-referenced non-cheap expression
       // in its own stage)
-      val toks = col("__toks")
-      val gs = when(size(toks) <= n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as(outId), TextOps.tokens(col(textCol)).as("__toks"))
-        .select(col(outId), explode(array_distinct(gs)).as("gram"))
+        .select(col(outId),
+          explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("gram"))
         .filter(col("gram") =!= "") // token-less docs share nothing
-    }
     grams(train, "train_id").join(grams(eval, "eval_id"), "gram")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))

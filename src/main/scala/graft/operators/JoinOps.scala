@@ -31,6 +31,28 @@ object JoinOps {
     * old withColumn padding silently OVERWROTE the left side's values with
     * NULL for shared names such as a common join key).
     */
+  def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
+    // every rename target must be globally fresh: not a left column, not a
+    // right column, and not a target already assigned to an earlier right
+    // column (left (x, x_r) with right (x, x_r) would otherwise map BOTH
+    // right columns to x_r_r and fail the union as ambiguous)
+    val taken = scala.collection.mutable.Set[String](left.columns: _*)
+    val assigned = right.columns.map { n =>
+      var out = n
+      while (taken(out)) out += "_r"
+      taken += out
+      n -> out
+    }.toMap
+    def rName(n: String): String = assigned(n)
+    val leftOnly = left.join(right, cond, "left_anti").select(
+      left.columns.map(col) ++
+        right.schema.fields.map(f => lit(null).cast(f.dataType).as(rName(f.name))): _*)
+    val rightOnly = right.join(left, cond, "left_anti").select(
+      left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        right.schema.fields.map(f => col(f.name).as(rName(f.name))): _*)
+    leftOnly.unionByName(rightOnly)
+  }
+
   /** AS-OF join (backward, inclusive): each left row picks the LATEST right
     * row with the same key whose timestamp is at or before the left row's —
     * the time-series primitive (trades→quotes, purchases→latest click)
@@ -53,7 +75,10 @@ object JoinOps {
     * semantics) and are dropped before the union. Ties: right rows sort
     * before left rows at the same timestamp (inclusive "at or before");
     * duplicate right rows on the same (key, ts) resolve to the full-row
-    * maximum — deterministic under repartitioning.
+    * maximum — deterministic under repartitioning. (If the right payload
+    * carries an unorderable type such as a map, that tie-break is
+    * skipped — matches are then deterministic only when (key, ts) is
+    * unique on the right, which is the shape callers should feed anyway.)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightPrefix: String = "asof_"): DataFrame = {
@@ -76,9 +101,14 @@ object JoinOps {
         lit(null).cast(lStruct).as("__l"),
         struct(rFields.map(f => col(f.name)): _*).as("__r"))
     // __r in the order: at equal (ts, side), the running last() must pick a
-    // deterministic duplicate — the struct-ordered maximum
+    // deterministic duplicate — the struct-ordered maximum. Unorderable
+    // payload types (maps) can't join that tie-break; see scaladoc
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct))
+        Seq(col("__r").asc)
+      else Seq.empty
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .orderBy(Seq(col("__ts").asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -108,6 +138,8 @@ object JoinOps {
     val shared = points.columns.toSet.intersect(intervals.columns.toSet)
     require(shared.isEmpty,
       s"points and intervals must not share column names (ambiguous output), got: $shared")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "'__b' is reserved by rangeJoin — rename that input column first")
     val pb = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
     val ib = intervals.filter(col(loCol) <= col(hiCol))
       .withColumn("__b", explode(sequence(
@@ -115,27 +147,5 @@ object JoinOps {
     pb.join(ib, "__b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
-  }
-
-  def fullOuterAnti(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
-    // every rename target must be globally fresh: not a left column, not a
-    // right column, and not a target already assigned to an earlier right
-    // column (left (x, x_r) with right (x, x_r) would otherwise map BOTH
-    // right columns to x_r_r and fail the union as ambiguous)
-    val taken = scala.collection.mutable.Set[String](left.columns: _*)
-    val assigned = right.columns.map { n =>
-      var out = n
-      while (taken(out)) out += "_r"
-      taken += out
-      n -> out
-    }.toMap
-    def rName(n: String): String = assigned(n)
-    val leftOnly = left.join(right, cond, "left_anti").select(
-      left.columns.map(col) ++
-        right.schema.fields.map(f => lit(null).cast(f.dataType).as(rName(f.name))): _*)
-    val rightOnly = right.join(left, cond, "left_anti").select(
-      left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        right.schema.fields.map(f => col(f.name).as(rName(f.name))): _*)
-    leftOnly.unionByName(rightOnly)
   }
 }

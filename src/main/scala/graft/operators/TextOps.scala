@@ -134,6 +134,15 @@ object TextOps {
       minTokens: Int = 20, maxTokens: Int = 100000,
       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
       minStopwordRatio: Double = 0.0, maxDupTokenFrac: Double = 1.0): DataFrame = {
+    // emitted columns must not already exist: a duplicate signal name makes
+    // the flag references ambiguous, and a pre-existing reasons/keep would
+    // be silently overwritten — fail at plan time instead
+    val reserved = Seq("n_chars", "n_tokens", "mean_tok_len", "n_punct",
+      "stopword_ratio", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac",
+      "reasons", "keep", "__toks")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"qualityFilter emits columns the input already has: $clash — rename or drop them first")
     // tokenize ONCE in its own projection; the 8 signal columns reference
     // the bound array column, not the split expression
     val signals = df.withColumn("__toks", tokens(col(textCol)))

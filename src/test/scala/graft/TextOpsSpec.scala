@@ -51,6 +51,12 @@ class TextOpsSpec extends AnyFunSuite {
       5L -> ((1, false))), got) // NULL text: bit 0 only — absent signals never fire
   }
 
+  test("qualityFilter rejects inputs already carrying emitted column names") {
+    val df = Seq((1L, "some text", 5)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException](TextOps.qualityFilter(df, "text"))
+    assert(e.getMessage.contains("n_tokens"))
+  }
+
   test("qualityFilter keeps original columns and the signal columns in one pass") {
     val df = Seq((1L, "src", "the plain words here keep flowing along nicely")).toDF("doc_id", "source", "text")
     val row = TextOps.qualityFilter(df, "text", minTokens = 3).collect()(0)
