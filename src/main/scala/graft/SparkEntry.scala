@@ -1171,6 +1171,30 @@ object SparkEntry {
          SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""),
 
+    // the forward direction of j01: every purchase picks the user's
+    // EARLIEST click at or after it — the same one-window merge over the
+    // reversed timeline
+    "j03_asof_forward" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("value")).as("click_value"))
+        JoinOps.asofJoin(purchases, clicks, "user_id", "ts", direction = "forward")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+      },
+      """WITH p AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"""),
+
     // point-in-interval range join, bucketized: intervals explode to the
     // fixed-width buckets they overlap, points land in one bucket, and
     // the match is an EQUI-join + exact BETWEEN — never the nested loop a

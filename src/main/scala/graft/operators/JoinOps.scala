@@ -53,10 +53,12 @@ object JoinOps {
     leftOnly.unionByName(rightOnly)
   }
 
-  /** AS-OF join (backward, inclusive): each left row picks the LATEST right
-    * row with the same key whose timestamp is at or before the left row's —
-    * the time-series primitive (trades→quotes, purchases→latest click)
-    * Spark has no join type for.
+  /** AS-OF join (inclusive): each left row picks the LATEST right row with
+    * the same key whose timestamp is at or before the left row's
+    * (`direction = "backward"`, default), or the EARLIEST at or after it
+    * (`direction = "forward"`) — the time-series primitive (trades→quotes,
+    * purchases→latest click, signup→next action) Spark has no join type
+    * for.
     *
     * Spark-first realization: NOT a per-row probe and not an inequality
     * join (which Spark would plan as a nested loop). Both sides union into
@@ -81,9 +83,11 @@ object JoinOps {
     * unique on the right, which is the shape callers should feed anyway.)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_", direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StructType
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val rFields = right.schema.fields.filterNot(_.name == keyCol)
     // fail at plan time, not with an ambiguous-column frame downstream
     val clash = left.columns.toSet.intersect(rFields.map(rightPrefix + _.name).toSet)
@@ -107,8 +111,14 @@ object JoinOps {
       if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct))
         Seq(col("__r").asc)
       else Seq.empty
+    // forward = the same running merge over the REVERSED timeline: in
+    // descending-ts order, "latest right seen so far" is the EARLIEST
+    // right at or after the left row. __side still ascends, so an
+    // equal-ts right row enters the frame before the left row — the
+    // inclusive bound, both directions
+    val tsOrd = if (direction == "forward") col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(Seq(col("__ts").asc, col("__side").asc) ++ tieBreak: _*)
+      .orderBy(Seq(tsOrd, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -108,6 +108,25 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(a == Seq(7.0) && a == b, s"$a vs $b") // struct-max: largest (ts, px)
   }
 
+  test("asofJoin forward: earliest at-or-after match, mirror of backward") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 10L, "t1"), // earliest quote >= 10 is q@10 (inclusive tie)
+      ("A", 11L, "t2"), // earliest is q@12
+      ("A", 100L, "t3"), // after every quote -> NULL
+      ("C", 5L, "t4"))   // no quotes -> NULL
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(("A", 5L, 1.0), ("A", 10L, 2.0), ("A", 12L, 3.0))
+      .toDF("key", "ts", "px")
+    val got = JoinOps.asofJoin(trades, quotes, "key", "ts", direction = "forward")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got == Map("t1" -> Some(2.0), "t2" -> Some(3.0),
+      "t3" -> None, "t4" -> None), got)
+    intercept[IllegalArgumentException](
+      JoinOps.asofJoin(trades, quotes, "key", "ts", direction = "sideways"))
+  }
+
   test("asofJoin/rangeJoin reject colliding column names at plan time") {
     import spark.implicits._
     val l = Seq(("A", 10L, 1.0)).toDF("key", "ts", "asof_px") // owns the prefixed name

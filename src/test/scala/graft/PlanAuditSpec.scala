@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // whole ASOF join costs what any windowed analytic costs
     "j01_asof" -> (2, 0),
     "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
+    "j03_asof_forward" -> (2, 0), // same shape as j01, reversed timeline
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
