@@ -289,13 +289,15 @@ object Dedup {
     * token, duplicates collapsed before the shuffle) and the join key is
     * the n-gram itself — a hash-bucketed inverted-index join, never
     * all-pairs; the count aggregation rides the same shuffle's map-side
-    * partials. At 100 TB the gram strings can be xxhash64-compressed
-    * before the shuffle (collision risk 2^-64 per pair); the entry keeps
-    * raw grams so the DuckDB oracle replays verbatim.
+    * partials. `compressGrams = true` (the 100 TB setting) replaces each
+    * gram string with its xxhash64 before the shuffle — a 13-gram of
+    * ~80 bytes becomes 8, cutting shuffle volume ~10×, at a 2^-64
+    * per-comparison false-collision risk; the driver entry keeps raw
+    * grams so the DuckDB oracle replays verbatim.
     */
   def exactNgramContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1, compressGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     def grams(df: DataFrame, outId: String): DataFrame =
@@ -309,7 +311,9 @@ object Dedup {
         .select(col(outId),
           explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("gram"))
         .filter(col("gram") =!= "") // token-less docs share nothing
-    grams(train, "train_id").join(grams(eval, "eval_id"), "gram")
+    def keyed(df: DataFrame): DataFrame =
+      if (compressGrams) df.withColumn("gram", xxhash64(col("gram"))) else df
+    keyed(grams(train, "train_id")).join(keyed(grams(eval, "eval_id")), "gram")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -107,6 +107,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map((1L, 11L) -> 2L, (3L, 13L) -> 1L), got)
   }
 
+  test("exactNgramContamination: compressed-gram join gives identical pairs and counts") {
+    val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+    val train = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(10)) =!= 0)
+    val eval = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(10)) === 0)
+    def run(compress: Boolean) = graft.operators.Dedup
+      .exactNgramContamination(train, eval, "doc_id", "text", n = 8,
+        compressGrams = compress)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = run(false)
+    assert(run(true) == raw && raw.nonEmpty)
+  }
+
   test("exactNgramContamination: minShared filters weak overlaps; duplicate grams count once") {
     // "a b a b a b" has 3 occurrences of gram "a b" but only ONE distinct
     // 2-gram of each kind — sharing must count distinct grams, not sites
