@@ -41,6 +41,30 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "funnel must read only (user_id, event_type, ts)")
   }
 
+  test("round-10 entries prune their scans") {
+    Seq(
+      // documents-table entries: only (doc_id, text) of 5 columns
+      "d14_exact_decontam", "t08_quality_gate", "x05_pack_materialize",
+      "x06_curate_pipeline").foreach { name =>
+      val p = executedPlanString(name)
+      assert(!p.contains("source") && !p.contains("lang"),
+        s"$name must read only (doc_id, text) from documents")
+    }
+    // profile passes: exactly their one value column
+    val q = executedPlanString("p02_quantiles")
+    assert(!q.contains("l_extendedprice") && !q.contains("l_orderkey"),
+      "quantiles must read only l_quantity")
+    val h = executedPlanString("p03_histogram")
+    assert(!h.contains("o_orderdate") && !h.contains("o_custkey"),
+      "histogram must read only o_totalprice")
+    // asof entries: (user_id, ts, value, event_type) of 6 event columns
+    Seq("j01_asof", "j03_asof_forward").foreach { name =>
+      val p = executedPlanString(name)
+      assert(!p.contains("props") && !p.contains("event_id"),
+        s"$name must not read props/event_id")
+    }
+  }
+
   test("q10: sort+limit fuses to TakeOrderedAndProject (top-k)") {
     val p = executedPlanString("q10_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
