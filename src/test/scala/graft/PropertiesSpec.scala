@@ -122,4 +122,36 @@ class PropertiesSpec extends AnyFunSuite {
       assertSameResult(fast, brute, s"ppjoin exactness seed=$seed")
     }
   }
+
+  test("asofJoin ≡ per-row brute-force reference on random data, both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { seed =>
+      // small ts range (0..19) over few keys → dense duplicate/tie coverage
+      val left = (0 until 80).map(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(20).toLong, i.toLong))
+      val right = (0 until 60).map(i =>
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(20).toLong, i.toLong * 10))
+      // unique (key, ts) on the right — the deterministic-contract shape
+      val rightU = right.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+        (k, t, rs.map(_._3).max) }.toSeq
+      val lDf = left.toDF("key", "ts", "lid")
+      val rDf = rightU.toDF("key", "ts", "payload")
+      Seq("backward", "forward").foreach { dir =>
+        val got = graft.operators.JoinOps
+          .asofJoin(lDf, rDf, "key", "ts", direction = dir)
+          .collect().map(r => r.getLong(2) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        left.foreach { case (k, ts, lid) =>
+          val cands = rightU.filter(r => r._1 == k &&
+            (if (dir == "backward") r._2 <= ts else r._2 >= ts))
+          val want =
+            if (cands.isEmpty) None
+            else if (dir == "backward") Some(cands.maxBy(_._2)._3)
+            else Some(cands.minBy(_._2)._3)
+          assert(got(lid) == want, s"seed=$seed dir=$dir left=($k,$ts,$lid)")
+        }
+      }
+    }
+  }
 }
