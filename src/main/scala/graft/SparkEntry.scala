@@ -1301,6 +1301,29 @@ object SparkEntry {
                 ELSE 0 END AS funnel_depth
          FROM m"""),
 
+    // cohort retention matrix: users cohorted by first-signup week,
+    // counted once per (cohort, week-offset) they show ANY activity in —
+    // two user-key aggregation passes, integral day-div-7 offsets. Weeks
+    // truncate Monday-start in both engines
+    "s05_retention" -> entry(
+      (s, d) => graft.operators.EventOps.retention(
+        t(s, d, "events"), "user_id", "event_type", "ts", "signup"),
+      """WITH c AS (
+           SELECT user_id,
+             date_trunc('week', MIN(CASE WHEN event_type = 'signup'
+               THEN CAST(ts AS TIMESTAMP) END)) AS cohort
+           FROM events GROUP BY user_id),
+         c2 AS (SELECT user_id, cohort FROM c WHERE cohort IS NOT NULL),
+         a AS (
+           SELECT DISTINCT c2.cohort,
+             CAST(date_diff('day', c2.cohort,
+                    date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS INT) AS week_offset,
+             e.user_id
+           FROM events e JOIN c2 ON e.user_id = c2.user_id
+           WHERE date_trunc('week', CAST(e.ts AS TIMESTAMP)) >= c2.cohort)
+         SELECT CAST(cohort AS DATE) AS cohort_week, week_offset, COUNT(*) AS n_users
+         FROM a GROUP BY 1, 2"""),
+
     // gap-based sessionization (30-min inactivity) — window functions, the
     // batch twin of flatMapGroupsWithState
     "s03_events_sessionize" -> entry(

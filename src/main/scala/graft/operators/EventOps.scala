@@ -38,4 +38,37 @@ object EventOps {
     }
     perUser.select(col(userCol), depth.as("funnel_depth"))
   }
+
+  /** Cohort retention matrix: users are cohorted by the week of their
+    * FIRST `cohortStep` event, and counted as retained in week offset k if
+    * they have ANY event in the k-th week after that — the standard
+    * "week-0 signup, week-k activity" product-analytics table.
+    *
+    * Two aggregation passes, both on the user key (one shuffle each, the
+    * second on the already-small distinct (cohort, offset, user) set):
+    * cohort assignment is a conditional min like [[funnel]]'s, activity
+    * weeks dedupe per user before counting, and offsets are integral
+    * day-diffs `div` 7 — never fp. Users with no cohort event are
+    * excluded (they belong to no cohort), and pre-cohort activity
+    * (negative offsets) is dropped.
+    *
+    * @return (cohort_week DATE, week_offset INT, n_users BIGINT)
+    */
+  def retention(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, cohortStep: String): DataFrame = {
+    val cohorts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(when(col(typeCol) === cohortStep, col(tsCol))))
+        .as("__cohort"))
+      .filter(col("__cohort").isNotNull)
+    events.select(col(userCol), date_trunc("week", col(tsCol)).as("__week"))
+      .join(cohorts, userCol)
+      .withColumn("week_offset",
+        expr("CAST(datediff(__week, __cohort) div 7 AS INT)"))
+      .filter(col("week_offset") >= 0)
+      .select(col("__cohort").cast("date").as("cohort_week"),
+        col("week_offset"), col(userCol))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

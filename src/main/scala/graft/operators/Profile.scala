@@ -95,6 +95,26 @@ object Profile {
       .select(col("p"), col("v").as("quantile"))
   }
 
+  /** Sketch-based quantiles — the near-unique-column path [[quantiles]]'s
+    * scaladoc points at: `approx_percentile` (Greenwald-Khanna) is
+    * partial-mergeable, so the whole pass is one scan + a one-row
+    * exchange, with NO per-value histogram — the shape for a 100 TB
+    * high-cardinality column. Error bound: rank error ≤ n/`accuracy`.
+    * Same (p, quantile) output contract as [[quantiles]]; on a
+    * bounded-cardinality column the two agree exactly (spec-asserted).
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "approxQuantiles needs at least one probability")
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val v = col(s"`$valueCol`")
+    df.filter(v.isNotNull)
+      .agg(percentile_approx(v, lit(ps.toArray), lit(accuracy)).as("__q"))
+      .select(explode(arrays_zip(lit(ps.toArray).as("p"), col("__q").as("quantile"))).as("z"))
+      .select(col("z.p"), col("z.quantile"))
+  }
+
   /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row
     * counted into `least(nBuckets-1, floor((v-min)/(max-min)·nBuckets))`
     * (the max value folds into the last bucket; a constant column lands

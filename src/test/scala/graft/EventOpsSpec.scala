@@ -44,6 +44,28 @@ class EventOpsSpec extends AnyFunSuite {
     assert(d == 3)
   }
 
+  test("retention: cohort by first signup week, distinct users per offset, pre-cohort dropped") {
+    def day(d: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // weeks (Monday-start): W1 = Jan 1-7, W2 = Jan 8-14, W3 = Jan 15-21
+    val events = Seq(
+      // user 1: signs up W1, active W1 (twice — counts once) and W3
+      (1L, "signup", day(2)), (1L, "click", day(3)), (1L, "click", day(4)),
+      (1L, "purchase", day(16)),
+      // user 2: signs up W2, active W2 only; has PRE-cohort activity in W1
+      (2L, "click", day(5)), (2L, "signup", day(9)),
+      // user 3: never signs up — no cohort, excluded entirely
+      (3L, "click", day(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.retention(events, "user_id", "event_type", "ts", "signup")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 1L, // user 1 in their signup week
+      ("2024-01-01", 2) -> 1L, // user 1 again two weeks later
+      ("2024-01-08", 0) -> 1L  // user 2; their W1 click is pre-cohort
+    ), got)
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

@@ -105,6 +105,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
+    // cohort agg + distinct + final count, all on the user/cohort keys;
+    // the cohort frame broadcast-joins back onto events at this SF
+    "s05_retention" -> (3, 1),
     "t01_lang_id" -> (0, 0),
     "t02_quality" -> (0, 0),
     "t03_token_count" -> (0, 0),

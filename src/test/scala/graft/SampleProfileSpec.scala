@@ -70,6 +70,17 @@ class SampleProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("Profile.approxQuantiles agrees with exact quantiles on a bounded-cardinality column") {
+    val vdf = Seq.tabulate(2000)(i => (i.toLong, ((i * 13) % 50).toDouble)).toDF("id", "v")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exact = Profile.quantiles(vdf, "v", ps).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val approx = Profile.approxQuantiles(vdf, "v", ps).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(approx == exact, s"$approx vs $exact")
+    intercept[IllegalArgumentException](Profile.approxQuantiles(vdf, "v", Seq(2.0)))
+  }
+
   test("Profile.quantiles rejects out-of-range probabilities") {
     intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(0.0)))
     intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(1.5)))
