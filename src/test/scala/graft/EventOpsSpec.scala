@@ -66,6 +66,12 @@ class EventOpsSpec extends AnyFunSuite {
     ), got)
   }
 
+  test("retention: no cohort events anywhere yields an empty matrix, not a failure") {
+    val events = Seq((1L, "click", ts(1)), (2L, "view", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    assert(EventOps.retention(events, "user_id", "event_type", "ts", "signup").count() == 0)
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

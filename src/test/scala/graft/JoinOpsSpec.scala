@@ -127,6 +127,14 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.asofJoin(trades, quotes, "key", "ts", direction = "sideways"))
   }
 
+  test("asofJoin with an empty right side: every left row survives, unmatched") {
+    import spark.implicits._
+    val l = Seq(("A", 10L)).toDF("key", "ts")
+    val r = Seq.empty[(String, Long, Double)].toDF("key", "ts", "px")
+    val rows = JoinOps.asofJoin(l, r, "key", "ts").collect()
+    assert(rows.length == 1 && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+  }
+
   test("asofJoin/rangeJoin reject colliding column names at plan time") {
     import spark.implicits._
     val l = Seq(("A", 10L, 1.0)).toDF("key", "ts", "asof_px") // owns the prefixed name

@@ -58,6 +58,12 @@ class PackOpsSpec extends AnyFunSuite {
       PackOps.materializeSequences(docs, "doc_id", "text", 16, shards = 0))
   }
 
+  test("materializeSequences on an all-NULL/empty-text corpus: no sequences, no failure") {
+    val degenerate = Seq((1L, null.asInstanceOf[String]), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(PackOps.materializeSequences(degenerate, "doc_id", "text", 16).count() == 0)
+  }
+
   test("materialized sequences reconstruct each shard's exact token stream") {
     val budget = 16
     val seqs = PackOps.materializeSequences(docs, "doc_id", "text", budget, shards = 4)

@@ -81,6 +81,21 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.approxQuantiles(vdf, "v", Seq(2.0)))
   }
 
+  test("quantiles/histogram/approxQuantiles on empty or all-NULL input: zero rows, no failure") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    val allNull = Seq(Option.empty[Double], Option.empty[Double]).toDF("v")
+    Seq(empty, allNull).foreach { in =>
+      assert(Profile.quantiles(in, "v", Seq(0.5)).count() == 0)
+      assert(Profile.histogram(in, "v", 5).count() == 0)
+      // NULL sketch array -> arrays_zip NULL -> explode drops the agg row
+      assert(Profile.approxQuantiles(in, "v", Seq(0.5)).count() == 0)
+    }
+  }
+
   test("Profile.quantiles rejects out-of-range probabilities") {
     intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(0.0)))
     intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq(1.5)))
