@@ -145,6 +145,22 @@ object SparkEntry {
        ${annOracleTail(k)}"""
   }
 
+  /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
+    * pre-aggregated to unique (user, ts) so tie resolution is
+    * engine-independent; only the direction differs between the twins.
+    */
+  private def asofEntry(s: SparkSession, d: String, direction: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("click_value"))
+    JoinOps.asofJoin(purchases, clicks, "user_id", "ts", direction = direction)
+      .select(col("user_id"), col("ts"), col("value"),
+        col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+  }
+
   /** Data-dependent oracle context: d09's replay embeds centroids trained
     * on the ACTUAL dump dir, so its SQL exists only once that dir is
     * known. Verify sets this before reading [[oracleSql]]; a consumer that
@@ -1151,17 +1167,7 @@ object SparkEntry {
     // unique (user, ts) so tie resolution is engine-independent; oracle is
     // DuckDB's native ASOF LEFT JOIN
     "j01_asof" -> entry(
-      (s, d) => {
-        val ev = t(s, d, "events")
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(min(col("value")).as("click_value"))
-        JoinOps.asofJoin(purchases, clicks, "user_id", "ts")
-          .select(col("user_id"), col("ts"), col("value"),
-            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
-      },
+      (s, d) => asofEntry(s, d, direction = "backward"),
       """WITH p AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
            WHERE event_type = 'purchase'),
@@ -1173,19 +1179,9 @@ object SparkEntry {
 
     // the forward direction of j01: every purchase picks the user's
     // EARLIEST click at or after it — the same one-window merge over the
-    // reversed timeline
+    // reversed timeline (shared prep: [[asofEntry]])
     "j03_asof_forward" -> entry(
-      (s, d) => {
-        val ev = t(s, d, "events")
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(min(col("value")).as("click_value"))
-        JoinOps.asofJoin(purchases, clicks, "user_id", "ts", direction = "forward")
-          .select(col("user_id"), col("ts"), col("value"),
-            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
-      },
+      (s, d) => asofEntry(s, d, direction = "forward"),
       """WITH p AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
            WHERE event_type = 'purchase'),

@@ -115,8 +115,11 @@ object JoinOps {
     // descending-ts order, "latest right seen so far" is the EARLIEST
     // right at or after the left row. __side still ascends, so an
     // equal-ts right row enters the frame before the left row — the
-    // inclusive bound, both directions
-    val tsOrd = if (direction == "forward") col("__ts").desc else col("__ts").asc
+    // inclusive bound, both directions. desc_nulls_first: a NULL-ts left
+    // row must head its partition (as asc's NULLS FIRST gives backward)
+    // so its frame holds no right row — plain desc would sort it LAST and
+    // hand it the key's earliest right row as a spurious match
+    val tsOrd = if (direction == "forward") col("__ts").desc_nulls_first else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
       .orderBy(Seq(tsOrd, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -127,6 +127,19 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.asofJoin(trades, quotes, "key", "ts", direction = "sideways"))
   }
 
+  test("asofJoin: NULL left timestamps match nothing in either direction") {
+    import spark.implicits._
+    val l = Seq(("A", Some(10L), "t1"), ("A", Option.empty[Long], "t2"))
+      .toDF("key", "ts", "trade")
+    val r = Seq(("A", 5L, 1.0)).toDF("key", "ts", "px")
+    Seq("backward", "forward").foreach { dir =>
+      val got = JoinOps.asofJoin(l, r, "key", "ts", direction = dir)
+        .collect().map(row => row.getString(2) -> row.isNullAt(4)).toMap
+      assert(got("t2"), s"direction=$dir: NULL-ts left row must stay unmatched")
+      assert(got("t1") == (dir == "forward"), s"direction=$dir t1") // 10 >= 5 matches backward only
+    }
+  }
+
   test("asofJoin with an empty right side: every left row survives, unmatched") {
     import spark.implicits._
     val l = Seq(("A", 10L)).toDF("key", "ts")
