@@ -127,9 +127,14 @@ class PropertiesSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
     (0 until 3).foreach { seed =>
-      // small ts range (0..19) over few keys → dense duplicate/tie coverage
+      // small ts range (0..19) over few keys → dense duplicate/tie
+      // coverage; 1-in-8 NULL left timestamps (SQL: can never match —
+      // exactly the case the forward direction's desc NULLS LAST once got
+      // wrong)
       val left = (0 until 80).map(i =>
-        (s"k${rnd.nextInt(5)}", rnd.nextInt(20).toLong, i.toLong))
+        (s"k${rnd.nextInt(5)}",
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(20).toLong),
+          i.toLong))
       val right = (0 until 60).map(i =>
         (s"k${rnd.nextInt(6)}", rnd.nextInt(20).toLong, i.toLong * 10))
       // unique (key, ts) on the right — the deterministic-contract shape
@@ -142,14 +147,15 @@ class PropertiesSpec extends AnyFunSuite {
           .asofJoin(lDf, rDf, "key", "ts", direction = dir)
           .collect().map(r => r.getLong(2) ->
             (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
-        left.foreach { case (k, ts, lid) =>
-          val cands = rightU.filter(r => r._1 == k &&
-            (if (dir == "backward") r._2 <= ts else r._2 >= ts))
-          val want =
+        left.foreach { case (k, tsOpt, lid) =>
+          val want = tsOpt.flatMap { ts =>
+            val cands = rightU.filter(r => r._1 == k &&
+              (if (dir == "backward") r._2 <= ts else r._2 >= ts))
             if (cands.isEmpty) None
             else if (dir == "backward") Some(cands.maxBy(_._2)._3)
             else Some(cands.minBy(_._2)._3)
-          assert(got(lid) == want, s"seed=$seed dir=$dir left=($k,$ts,$lid)")
+          }
+          assert(got(lid) == want, s"seed=$seed dir=$dir left=($k,$tsOpt,$lid)")
         }
       }
     }
