@@ -972,6 +972,25 @@ object SparkEntry {
       """SELECT doc_id, CAST(NULL AS BIGINT) AS roll_fp, CAST(NULL AS BIGINT) AS roll_fp_ref
          FROM documents WHERE 1 = 0"""),
 
+    // overlapping document chunking (the RAG/long-context splitter):
+    // chunks of <= 32 tokens, consecutive chunks sharing 8 — per-row
+    // column algebra, zero shuffle; oracle list-slices the same windows
+    "t09_chunk" -> entry(
+      (s, d) => graft.operators.PackOps.chunkDocuments(
+        t(s, d, "documents"), "doc_id", "text", maxTokens = 32, overlap = 8),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         t AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+         c AS (SELECT doc_id, w, n,
+                 CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+               FROM t),
+         e AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS k FROM c)
+         SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           array_to_string(list_slice(w, k * 24 + 1, LEAST(n, k * 24 + 32)), ' ') AS chunk_text,
+           CAST(LEAST(32, n - k * 24) AS INT) AS n_tokens
+         FROM e"""),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

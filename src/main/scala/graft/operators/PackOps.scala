@@ -69,6 +69,44 @@ object PackOps {
         col("n_tokens"))
   }
 
+  /** Per-document overlapping chunking — the RAG / long-context-pretraining
+    * splitter: each doc yields chunks of at most `maxTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens. Chunk k starts at
+    * token `k·(maxTokens−overlap)`; the last chunk is the one whose window
+    * reaches the doc's end (shorter chunks fully contained in their
+    * predecessor are never emitted). Docs at or under `maxTokens` yield
+    * exactly themselves as chunk 0; NULL/token-less docs yield nothing.
+    *
+    * Pure per-row column algebra (tokenize once, slice per chunk) —
+    * zero shuffle, scales with input splits. Unlike [[packSequences]]
+    * (which cuts a concatenated stream at budget boundaries for the
+    * trainer), chunking preserves document identity per piece.
+    *
+    * @return (idCol, chunk_id, chunk_text, n_tokens)
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val n = size(col("__toks"))
+    // integral ceil((n - maxTokens) / stride); one chunk when n <= maxTokens
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(lit(1) + expr(s"(size(__toks) - $maxTokens + $stride - 1) div $stride"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), nChunks.cast("long") - 1),
+        k => struct(
+          k.cast("int").as("chunk_id"),
+          concat_ws(" ", slice(col("__toks"),
+            (k * stride + 1).cast("int"), lit(maxTokens))).as("chunk_text"),
+          least(lit(maxTokens), n - (k * stride).cast("int")).as("n_tokens")))).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk_text"), col("c.n_tokens"))
+  }
+
   /** Materialize the packed layout: one row per training sequence
     * `(shard, seq_no)` carrying its actual token payload (`seq_text`,
     * space-joined), its fill (`seq_len` — `tokenBudget` for every sequence

@@ -58,6 +58,30 @@ class PackOpsSpec extends AnyFunSuite {
       PackOps.materializeSequences(docs, "doc_id", "text", 16, shards = 0))
   }
 
+  test("chunkDocuments: exact overlapping windows, tail covered, short docs whole") {
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, null.asInstanceOf[String]), (4L, " "))
+      .toDF("doc_id", "text")
+    val got = PackOps.chunkDocuments(df, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // stride 3: chunks at 0,3,6 — the last window reaches token 10
+    assert(got == Map(
+      (1L, 0) -> (("w1 w2 w3 w4", 4)),
+      (1L, 1) -> (("w4 w5 w6 w7", 4)),
+      (1L, 2) -> (("w7 w8 w9 w10", 4)),
+      (2L, 0) -> (("a b c", 3))), got) // docs 3/4: nothing
+    // reconstruction: chunk 0 + each later chunk minus its overlap prefix
+    val parts = got.collect { case ((1L, k), (txt, _)) => k -> txt.split(" ").toSeq }
+      .toSeq.sortBy(_._1).map { case (k, ws) => if (k == 0) ws else ws.drop(1) }
+    assert(parts.flatten == (1 to 10).map(i => s"w$i"))
+    intercept[IllegalArgumentException](
+      PackOps.chunkDocuments(df, "doc_id", "text", maxTokens = 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      PackOps.chunkDocuments(df, "doc_id", "text", maxTokens = 0))
+  }
+
   test("materializeSequences on an all-NULL/empty-text corpus: no sequences, no failure") {
     val degenerate = Seq((1L, null.asInstanceOf[String]), (2L, "   "), (3L, ""))
       .toDF("doc_id", "text")

@@ -115,6 +115,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t06_repetition" -> (0, 0),
     "t07_rolling_native" -> (0, 0),
     "t08_quality_gate" -> (0, 0), // pure column algebra, zero shuffle
+    "t09_chunk" -> (0, 0), // per-row slicing, zero shuffle
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),
