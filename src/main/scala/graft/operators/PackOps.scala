@@ -90,15 +90,18 @@ object PackOps {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
-    val n = size(col("__toks"))
+    // token count computed once, bound to one column — every window
+    // formula references __n, never a second size(__toks)
+    val n = col("__n")
     // integral ceil((n - maxTokens) / stride); one chunk when n <= maxTokens
-    val nChunks = when(n <= maxTokens, lit(1))
-      .otherwise(lit(1) + expr(s"(size(__toks) - $maxTokens + $stride - 1) div $stride"))
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(lit(1L) + expr(s"(__n - $maxTokens + ${stride - 1}) div $stride"))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+      .filter(n > 0)
       .select(col(idCol), explode(transform(
-        sequence(lit(0L), nChunks.cast("long") - 1),
+        sequence(lit(0L), nChunks - 1),
         k => struct(
           k.cast("int").as("chunk_id"),
           concat_ws(" ", slice(col("__toks"),
