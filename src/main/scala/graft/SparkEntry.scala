@@ -716,6 +716,31 @@ object SparkEntry {
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""),
 
+    // SemDeDup-style semantic dedup: d06's cosine near-dup pairs closed
+    // transitively (d11's component semantics), keep each component's min
+    // id — the embedding-modality sibling of d13's text pipeline. Oracle
+    // composes d06's pair SQL with the recursive-CTE reachability closure
+    "d15_semantic_dedup" -> entry(
+      (s, d) => Similarity.semanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.4),
+      """WITH RECURSIVE n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+                  FROM reach GROUP BY src)
+         SELECT vec_id FROM n
+         WHERE vec_id NOT IN (SELECT id FROM comp WHERE component <> id)"""),
+
     // brute-force cosine top-k (exact ANN baseline). Oracle-safe: smallest
     // adjacent cosine gap in any query's top-7 is 1.9e-5 (measured) — rank
     // order cannot flip between Spark's dot-of-units and DuckDB's

@@ -104,6 +104,30 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    * pairs ([[cosineNearDupPairs]]) closed transitively
+    * ([[Dedup.connectedComponents]]), keeping each component's minimum id —
+    * the embedding-modality sibling of [[Dedup.dedupCorpus]]'s
+    * `transitive = true` text path. Vectors with a NULL embedding cannot
+    * be compared and are excluded from the survivor set (decide their fate
+    * upstream). Returns the surviving ids as a single `idCol` column.
+    *
+    * Scale shape: the pair generation is the blocked/sub-bucketed join
+    * (never all-pairs), the closure is checkpointed label propagation, and
+    * the final drop is an anti join against the (small) non-representative
+    * set — no step materializes more than the near-dup pair graph.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val pairs = cosineNearDupPairs(emb, idCol, vecCol, blockCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    emb.filter(col(vecCol).isNotNull).select(col(idCol))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic random hyperplanes (seeded, plan-time constants).
     * `private[graft]` so SparkEntry can embed the SAME constants into the
     * generated DuckDB oracle SQL for d08 — the oracle replays the exact

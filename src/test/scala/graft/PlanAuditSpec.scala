@@ -53,6 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "j01_asof" -> (2, 0),
     "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
     "j03_asof_forward" -> (2, 0), // same shape as j01, reversed timeline
+    // pair-gen blocked join + survivor anti join; CC labels come back
+    // checkpointed (lineage truncated, as d11)
+    "d15_semantic_dedup" -> (2, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),

@@ -37,6 +37,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((0L, 1L))) // 0~1 cos≈0.994 same label; 3,4 orthogonal
   }
 
+  test("semanticDedup: transitive chains collapse to one survivor; isolated and NULL vectors handled") {
+    // angle chain at threshold 0.9: cos(0,1)≈0.906, cos(1,2)≈0.906 but
+    // cos(0,2)≈0.64 — only the TRANSITIVE closure drops vector 2
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq(
+      (0L, rot(0), 0), (1L, rot(25), 0), (2L, rot(50), 0),
+      (3L, rot(180), 0),                         // isolated: survives
+      (4L, null.asInstanceOf[Array[Float]], 0))  // NULL: excluded
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L), kept)
+  }
+
   test("ivfTopK finds high-overlap neighbors vs brute force on real embeddings") {
     val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 20)
