@@ -174,4 +174,19 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want && want.nonEmpty, s"got ${got.size}, want ${want.size}")
   }
+
+  test("rangeJoin: negative domains bucket correctly (floor, not truncation)") {
+    import spark.implicits._
+    // floor(-0.5) = -1 while a toward-zero truncation gives 0 — points just
+    // below zero must land in the -1 bucket with the intervals they match
+    val pts = Seq((1L, -3.0), (2L, -0.5), (3L, 0.5), (4L, -100.0)).toDF("pid", "p")
+    val iv = Seq((10L, -4.0, -0.25), (11L, -1.0, 1.0), (12L, -101.0, -99.0))
+      .toDF("iid", "lo", "hi")
+    val got = JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", bucketWidth = 8.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 12L)),
+      s"got $got")
+  }
 }

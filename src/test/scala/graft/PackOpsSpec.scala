@@ -82,6 +82,35 @@ class PackOpsSpec extends AnyFunSuite {
       PackOps.chunkDocuments(df, "doc_id", "text", maxTokens = 0))
   }
 
+  test("chunkDocuments property: random docs/params reconstruct and respect window bounds") {
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { trial =>
+      val maxTokens = 2 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(maxTokens)
+      val stride = maxTokens - overlap
+      val docsR = (0 until 40).map(i => (i.toLong,
+        (1 to (1 + rnd.nextInt(60))).map(j => s"t$j").mkString(" ")))
+      val df = docsR.toDF("doc_id", "text")
+      val chunks = PackOps.chunkDocuments(df, "doc_id", "text", maxTokens, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      docsR.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val cs = chunks(id).sortBy(_._2)
+        // chunk ids dense from 0; every chunk holds its exact token window
+        assert(cs.map(_._2).sameElements(cs.indices))
+        cs.foreach { case (_, k, txt, n) =>
+          val want = toks.slice(k * stride, k * stride + maxTokens)
+          assert(txt.split(" ").toSeq == want && n == want.size,
+            s"trial=$trial doc=$id chunk=$k")
+        }
+        // last chunk reaches the end; no chunk fully inside its predecessor
+        assert(cs.last._2 * stride + maxTokens >= toks.size)
+        assert(cs.forall { case (_, k, _, _) => k == 0 || k * stride < toks.size })
+      }
+    }
+  }
+
   test("materializeSequences on an all-NULL/empty-text corpus: no sequences, no failure") {
     val degenerate = Seq((1L, null.asInstanceOf[String]), (2L, "   "), (3L, ""))
       .toDF("doc_id", "text")
