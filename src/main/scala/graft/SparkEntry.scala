@@ -1061,11 +1061,12 @@ object SparkEntry {
         FROM orders"""),
 
     // exact rank-selected quantiles over the value DISTRIBUTION (one
-    // groupBy shuffle + a window over the distinct-value histogram, never
-    // a global data sort; approx_percentile is the near-unique-column
-    // path). Type-1 quantile = an actual data value → bit-exact replay;
-    // the rank arithmetic ceil(p·n) is the same double expression on both
-    // engines
+    // groupBy shuffle + a DISTRIBUTED prefix sum over the distinct-value
+    // histogram — sketch-derived block bounds, per-block windows, tiny
+    // offset join — never a global data sort or a single-partition
+    // window; approx_percentile stays the cheap-sketch path). Type-1
+    // quantile = an actual data value → bit-exact replay; the rank
+    // arithmetic ceil(p·n) is the same double expression on both engines
     "p02_quantiles" -> entry(
       (s, d) => graft.operators.Profile.quantiles(
         t(s, d, "lineitem"), "l_quantity", Seq(0.25, 0.5, 0.75, 0.95)),

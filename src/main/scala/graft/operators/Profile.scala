@@ -60,39 +60,121 @@ object Profile {
   /** Exact rank-selected quantiles: for each requested p, the value at row
     * `max(1, ceil(p·n))` of the ascending sort (type-1 / lower-value
     * quantile — an actual data value, never an interpolation, so the
-    * result is engine-replayable bit-for-bit).
+    * result is engine-replayable bit-for-bit). Duplicate probabilities are
+    * deduplicated (each p answers once).
     *
-    * Scale design: NOT a global sort of the data. One shuffle builds the
-    * value DISTRIBUTION (`groupBy(value).count`, map-side partials), and
-    * the running-total window then walks the distinct-value histogram —
-    * whose size is the column's cardinality, not the row count. For the
-    * bounded-cardinality columns quantile profiling targets (quantities,
-    * prices, scores, lengths) that histogram is KB-scale at any corpus
-    * size. For a near-unique column, use `approxQuantiles` instead: a
-    * t-digest-style mergeable sketch is the honest 100 TB answer there,
-    * and Spark ships it as `approx_percentile`.
+    * Scale design: NOT a global sort of the data, and (since round 11)
+    * not a single-partition window either. One shuffle builds the value
+    * DISTRIBUTION (`groupBy(value).count`, map-side partials); the running
+    * total over that histogram is a DISTRIBUTED prefix sum — sketch-derived
+    * block bounds split the histogram into ~shuffle-partition blocks, each
+    * block's running sum is a partitioned window (parallel), and block
+    * offsets come from a broadcast-sized per-block-total join. Bound
+    * quality from the sketch affects only load balance, never the answer.
+    * So even a near-unique column (histogram ~ row count) stays parallel;
+    * `approxQuantiles` remains the cheaper one-pass sketch when rank error
+    * is acceptable.
+    *
+    * Non-rangeable value types (e.g. strings — `percentile_approx` cannot
+    * derive block bounds for them) fall back to the single-partition
+    * prefix sum, now guarded: an NDV probe fails loudly above
+    * `maxDistinctFallback` instead of silently sorting n rows in one task.
     */
-  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      maxDistinctFallback: Long = 1L << 20): DataFrame = {
     require(ps.nonEmpty, "quantiles needs at least one probability")
-    require(ps.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
-    import org.apache.spark.sql.expressions.Window
+    val psd = ps.distinct
+    require(psd.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
     val v = col(s"`$valueCol`")
     val dist = df.filter(v.isNotNull).groupBy(v.as("v")).agg(count(lit(1)).as("cnt"))
-    // running total AND grand total in ONE WindowExec (same ordering, two
-    // frames) — no second scan of the data, no count-aggregate join
-    val ord = Window.orderBy(col("v"))
-    val withN = dist
-      .withColumn("cum", sum(col("cnt")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    import org.apache.spark.sql.types._
+    val rangeable = dist.schema.head.dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val withN =
+      if (rangeable) distributedPrefixSum(dist)
+      else guardedSinglePartitionPrefixSum(dist, valueCol, maxDistinctFallback)
     withN.select(col("v"), col("cnt"), col("cum"), col("n"),
-        explode(lit(ps.toArray)).as("p"))
+        explode(lit(psd.toArray)).as("p"))
       // ceil(p·n) in doubles: exact for any n < 2^52, same bits as the
       // DuckDB replay's identical expression
       .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
       .filter(col("cum") >= col("rank") && (col("cum") - col("cnt")) < col("rank"))
       .select(col("p"), col("v").as("quantile"))
+  }
+
+  /** Distributed running total over the (v, cnt) histogram.
+    *
+    * Block bounds and the grand total come from ONE small eager aggregate
+    * at plan time — the same contract as `repartitionByRange`, whose
+    * RangePartitioner also runs a sampling job before the main plan
+    * exists. Keeping them lazy instead forks the scan: Catalyst prunes
+    * unused aggregate FUNCTIONS per consumer (grouping keys survive,
+    * functions don't), so every branch needing a different subset of
+    * (bounds, n) re-derives the groupBy from its own FileScan — measured
+    * as 2 full scans / 7 exchanges on the lazy formulation. Literals
+    * cannot fork.
+    *
+    * The main plan is then: per-block running sums under
+    * `Window.partitionBy(block)` (parallel — never the partition-less
+    * window WindowExec warns about), block totals as `max(running)` on the
+    * window's own partitioning (no exchange), and block offsets via an
+    * explode-based prefix (block j's total feeds every higher block's
+    * offset, ≤ blocks² tiny rows) — an explode consumes blockTotals ONCE,
+    * where a self-join's two differently-pruned references would fork the
+    * lineage. Bound quality affects only load balance, never the answer.
+    */
+  private def distributedPrefixSum(dist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = math.max(2, dist.sparkSession.sessionState.conf.numShufflePartitions)
+    val row = dist.agg(
+      percentile_approx(col("v"),
+        lit((1 until blocks).map(_.toDouble / blocks).toArray), lit(1000)).as("__bs"),
+      sum(col("cnt")).as("n")).head()
+    if (row.isNullAt(1)) // no non-null input rows: empty result, right schema
+      return dist.withColumn("cum", lit(0L)).withColumn("n", lit(0L))
+        .select(col("v"), col("cnt"), col("cum"), col("n")).limit(0)
+    val bounds = row.getSeq[Any](0).map(b => lit(b))
+    val n = row.getLong(1)
+    val blocked = dist.withColumn("__blk",
+      size(filter(array(bounds: _*), b => b < col("v"))))
+    val cumIn = blocked.withColumn("__cumIn",
+      sum(col("cnt")).over(Window.partitionBy(col("__blk")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val blockTotals = cumIn.groupBy(col("__blk")).agg(max(col("__cumIn")).as("__tot"))
+    val offs = blockTotals
+      .select(explode(filter(sequence(lit(0), lit(blocks - 1)),
+        b => b > col("__blk"))).as("__blk"), col("__tot"))
+      .groupBy(col("__blk")).agg(sum(col("__tot")).as("__off"))
+    cumIn.join(broadcast(offs), Seq("__blk"), "left")
+      .withColumn("cum", col("__cumIn") + coalesce(col("__off"), lit(0L)))
+      .withColumn("n", lit(n))
+      .select(col("v"), col("cnt"), col("cum"), col("n"))
+  }
+
+  /** The pre-round-11 shape, kept only for value types `percentile_approx`
+    * cannot bucket (strings and friends): running total AND grand total in
+    * one partition-less WindowExec. That funnels the whole histogram
+    * through ONE task, so it is now guarded — an `approx_count_distinct`
+    * probe (one cheap eager job) fails loudly past `maxDistinct` rather
+    * than letting an id-like column silently single-thread a global sort.
+    */
+  private def guardedSinglePartitionPrefixSum(dist: DataFrame, valueCol: String,
+      maxDistinct: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ndv = dist.agg(approx_count_distinct(col("v")).as("ndv")).head.getLong(0)
+    require(ndv <= maxDistinct,
+      s"quantiles over non-rangeable column `$valueCol`: ~$ndv distinct values exceed " +
+        s"maxDistinctFallback=$maxDistinct. This type's exact path runs a single-partition " +
+        "prefix sum; reduce cardinality, or encode the column to a numeric so the " +
+        "distributed exact path (or approxQuantiles) applies.")
+    val ord = Window.orderBy(col("v"))
+    dist
+      .withColumn("cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
   }
 
   /** Sketch-based quantiles — the near-unique-column path [[quantiles]]'s
@@ -106,12 +188,13 @@ object Profile {
   def approxQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
       accuracy: Int = 10000): DataFrame = {
     require(ps.nonEmpty, "approxQuantiles needs at least one probability")
-    require(ps.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
+    val psd = ps.distinct // duplicate ps must not emit duplicate rows
+    require(psd.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
     require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     val v = col(s"`$valueCol`")
     df.filter(v.isNotNull)
-      .agg(percentile_approx(v, lit(ps.toArray), lit(accuracy)).as("__q"))
-      .select(explode(arrays_zip(lit(ps.toArray).as("p"), col("__q").as("quantile"))).as("z"))
+      .agg(percentile_approx(v, lit(psd.toArray), lit(accuracy)).as("__q"))
+      .select(explode(arrays_zip(lit(psd.toArray).as("p"), col("__q").as("quantile"))).as("z"))
       .select(col("z.p"), col("z.quantile"))
   }
 

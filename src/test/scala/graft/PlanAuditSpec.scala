@@ -62,7 +62,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "p01_profile" -> (2, 0),
     // distribution groupBy + the one histogram window exchange (running
     // and grand totals share a single WindowExec)
-    "p02_quantiles" -> (2, 0),
+    // distributed prefix sum (round 11): histogram groupBy + the per-block
+    // window exchange (reused by the offsets branch) + the tiny explode-
+    // prefix offsets agg; offsets broadcast back. The plan-time bounds job
+    // (repartitionByRange-style) runs as its own tiny query, not audited
+    // here.
+    "p02_quantiles" -> (3, 1),
     "p03_histogram" -> (2, 1), // stats agg + bucket agg; stats broadcast
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),

@@ -102,6 +102,46 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.quantiles(df, "id", Seq.empty))
   }
 
+  test("Profile.quantiles on a near-unique column: exact, and every WindowExec is partitioned") {
+    // 20k distinct values — the shape that used to funnel through ONE
+    // partition-less window task; now a distributed prefix sum
+    val values = Seq.tabulate(20000)(i => ((i * 2654435761L) % 1000003L).toDouble)
+    val vdf = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(8)
+    val ps = Seq(0.001, 0.25, 0.5, 0.75, 0.999, 1.0)
+    val q = Profile.quantiles(vdf, "v", ps)
+    val got = q.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = values.sorted
+    ps.foreach { p =>
+      val expect = sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+      assert(got(p) == expect, s"p=$p: got ${got(p)}, want $expect")
+    }
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val windows = helper.collect(q.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-block running-sum window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "no window may be partition-less (single-task global sort)"))
+  }
+
+  test("Profile.quantiles/approxQuantiles dedupe duplicate probabilities") {
+    val vdf = Seq.tabulate(100)(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    assert(Profile.quantiles(vdf, "v", Seq(0.5, 0.5, 0.25)).count() == 2)
+    assert(Profile.approxQuantiles(vdf, "v", Seq(0.5, 0.5, 0.25)).count() == 2)
+  }
+
+  test("Profile.quantiles on strings: guarded single-partition fallback") {
+    val sdf = Seq.tabulate(100)(i => (i.toLong, f"s${i % 7}")).toDF("id", "s")
+    // median string via the fallback path (percentile_approx can't bucket strings)
+    val got = Profile.quantiles(sdf, "s", Seq(0.5)).collect()
+    assert(got.length == 1 && got(0).getString(1) == "s3", got.mkString(","))
+    // NDV guard: 7 distinct values over a cap of 3 must fail loudly
+    val e = intercept[IllegalArgumentException](
+      Profile.quantiles(sdf, "s", Seq(0.5), maxDistinctFallback = 3L))
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+  }
+
   test("Profile.histogram: counts and bounds match manual binning; max folds into last bucket") {
     val vdf = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val rows = Profile.histogram(vdf, "v", 10).collect()
