@@ -152,7 +152,7 @@ object Dedup {
     * checkpoint is reliable (DFS) when the session has a checkpoint dir,
     * local otherwise — the same rule as [[connectedComponents]].
     */
-  private def eagerPairs(df: DataFrame): DataFrame =
+  private[operators] def eagerPairs(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 

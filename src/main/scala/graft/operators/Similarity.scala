@@ -79,23 +79,49 @@ object Similarity {
     * MISSED — the documented approximation this operator trades for not
     * exploding. Near-duplicate vectors share sign patterns with high
     * probability, so recall inside oversized blocks stays high.
+    *
+    * EAGER (round 11): the pair set is computed and checkpointed before
+    * this returns, so the persisted keyed frame (both self-join sides
+    * read it) is released immediately — the same contract as
+    * [[Dedup.minhashNearDuplicates]].
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, maxBlockSize: Long = 1000000L): DataFrame = {
+    // persist the normalized+keyed frame: it feeds BOTH self-join sides,
+    // and uncached each side would re-scan the corpus and re-unit-normalize
+    // every vector (the dominant cost here). Same discipline as
+    // minhashNearDuplicates' signature cache: MEMORY_AND_DISK (spills,
+    // never recomputes), released in the finally once the (tiny,
+    // threshold-filtered) pair set is eagerly checkpointed.
+    val keyed = keyedBlocks(emb, idCol, vecCol, blockCol, maxBlockSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.eagerPairs(pairsOf(keyed, threshold))
+    finally keyed.unpersist(false)
+  }
+
+  /** The lazy keyed/sub-bucketed frame [[cosineNearDupPairs]] persists:
+    * (blk, sub, vec_id, unit). `private[graft]` so the plan-shape spec can
+    * pin the internal join shape that the public operator's checkpoint
+    * hides.
+    */
+  private[graft] def keyedBlocks(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, maxBlockSize: Long): DataFrame = {
     val n = emb.select(col(idCol).as("vec_id"), col(blockCol).as("blk"),
       unitNorm(col(vecCol)).as("unit"))
     // block cardinality from a PRUNED scan (block column only — no
     // unitNorm, no vector bytes): a tiny aggregate joined back, which AQE
-    // broadcasts; oversized blocks get a sub-bucket key. The self-join
-    // sides below still re-derive `n` (two corpus scans), same as the
-    // unguarded form — the counts branch must not add a third full one.
+    // broadcasts; oversized blocks get a sub-bucket key.
     val counts = emb.select(col(blockCol).as("blk"))
       .groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
-    val keyed = n.join(counts, Seq("blk"))
+    n.join(counts, Seq("blk"))
       .withColumn("sub",
         when(col("blk_n") <= maxBlockSize, lit(0))
           .otherwise(axisSignBits(col("unit"), 8)))
       .select(col("blk"), col("sub"), col("vec_id"), col("unit"))
+  }
+
+  /** The (blk, sub)-bucketed self-join over [[keyedBlocks]] output. */
+  private[graft] def pairsOf(keyed: DataFrame, threshold: Double): DataFrame = {
     val a = keyed.select(col("blk"), col("sub"), col("vec_id").as("id_a"), col("unit").as("u_a"))
     val b = keyed.select(col("blk"), col("sub"), col("vec_id").as("id_b"), col("unit").as("u_b"))
     a.join(b, Seq("blk", "sub"))

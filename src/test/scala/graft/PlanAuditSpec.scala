@@ -33,7 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "d03_dedup_minhash" -> (0, 0),
     "d04_dedup_simhash" -> (1, 1),
     "d05_ngram_jaccard" -> (2, 4),
-    "d06_embed_neardup" -> (1, 3),
+    // cosineNearDupPairs eagerly checkpoints its pair result (round 11,
+    // as d03): the audited plan is the checkpoint scan; the blocked-join
+    // shape is pinned by PlanShapeSpec's d06 internal-pipeline test
+    "d06_embed_neardup" -> (0, 0),
     "d07_ann_topk" -> (1, 1),
     "d08_ann_lsh" -> (3, 5),
     "d09_ann_ivf" -> (3, 5),
@@ -53,8 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "j01_asof" -> (2, 0),
     "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
     "j03_asof_forward" -> (2, 0), // same shape as j01, reversed timeline
-    // pair-gen blocked join + survivor anti join; CC labels come back
-    // checkpointed (lineage truncated, as d11)
+    // pair-gen is checkpointed inside cosineNearDupPairs (round 11) and CC
+    // labels come back checkpointed (as d11); the audited plan is the
+    // survivor anti join over the corpus (measured 2 exchanges at sf0.001,
+    // one broadcast join kept)
     "d15_semantic_dedup" -> (2, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),

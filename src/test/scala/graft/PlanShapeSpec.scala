@@ -77,10 +77,19 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("d06: block-count guard joins via broadcast, never a cartesian") {
-    val p = executedPlanString("d06_embed_neardup")
-    // the tiny one-row-per-label counts aggregate must broadcast back onto
-    // the normalized side — a shuffle join here would add a full-corpus
-    // exchange; a cartesian would mean the blocking key was lost
+    // cosineNearDupPairs eagerly checkpoints its pair result (round 11),
+    // so the public operator's executed plan is just the checkpoint scan;
+    // pin the INTERNAL lazy pipeline's shape instead (same split as d03's
+    // DedupSpec-pinned band join). The tiny one-row-per-label counts
+    // aggregate must broadcast back onto the normalized side — a shuffle
+    // join here would add a full-corpus exchange; a cartesian would mean
+    // the blocking key was lost.
+    import graft.operators.Similarity
+    val emb = GraftSession.table(spark, sf, "embeddings")
+    val lazyPairs = Similarity.pairsOf(
+      Similarity.keyedBlocks(emb, "vec_id", "embedding", "label", 1000000L), 0.4)
+    lazyPairs.collect()
+    val p = lazyPairs.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
