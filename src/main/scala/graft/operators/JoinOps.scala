@@ -143,20 +143,41 @@ object JoinOps {
     * |points| + |intervals|·(width/bucketWidth + 1), all hash-partitioned.
     * NULL points/bounds never match (SQL BETWEEN semantics) — they drop at
     * the equi-join on a NULL bucket.
+    *
+    * `maxBucketsPerInterval` guards the explode: one outlier-wide interval
+    * (or a bucketWidth sized for the typical interval but not the worst)
+    * would otherwise materialize a near-unbounded bucket array — blowing
+    * past Spark's array limits or an executor's memory with an opaque
+    * error deep in `sequence`. The check is evaluated in-plan per row, so
+    * a data-quality outlier fails FAST with the offending bounds in the
+    * message instead of failing the job minutes later.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double, maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
     val shared = points.columns.toSet.intersect(intervals.columns.toSet)
     require(shared.isEmpty,
       s"points and intervals must not share column names (ambiguous output), got: $shared")
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "'__b' is reserved by rangeJoin — rename that input column first")
     val pb = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+    // the guard lives INSIDE the exploded expression (a standalone
+    // assert_true projection column would be dead code and pruned away);
+    // raise_error's NullType coerces under the array branch
+    val nBuckets = floor(col(hiCol) / bucketWidth) - floor(col(loCol) / bucketWidth) + 1
     val ib = intervals.filter(col(loCol) <= col(hiCol))
-      .withColumn("__b", explode(sequence(
-        floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+      .withColumn("__b", explode(
+        when(nBuckets <= lit(maxBucketsPerInterval), sequence(
+          floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth)))
+          .otherwise(raise_error(concat(
+            lit("rangeJoin: interval ["), col(loCol).cast("string"), lit(", "),
+            col(hiCol).cast("string"),
+            lit(s"] spans more than maxBucketsPerInterval=$maxBucketsPerInterval buckets " +
+              s"at bucketWidth=$bucketWidth; raise bucketWidth, raise the cap, or filter " +
+              "outlier intervals"))))))
     pb.join(ib, "__b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")

@@ -192,6 +192,18 @@ object Similarity {
     * cells. The join shuffles on the cell id — at 100 TB the sample stays
     * bounded, the centroid set is tiny, and candidate comparison is
     * 1/nCentroids·nProbe of brute force.
+    *
+    * Sizing at scale (the defaults are FIXTURE-sized: 16 cells / 1024
+    * samples fit the ~500-vector test corpus): per-query work is
+    * `nCentroids` centroid dots + `nProbe·n/nCentroids` cell-candidate
+    * dots, so the standard balance point is `nCentroids ≈ sqrt(n)` — at
+    * n = 10⁹ vectors that is ~3·10⁴ cells, probing a few. The k-means
+    * training sample is COLLECTED to the driver (sampleSize × dim × 8
+    * bytes — 1M × 768-dim doubles ≈ 6 GB): keep `sampleSize` around
+    * 40·nCentroids (k-means stability rule of thumb) and never past the
+    * enforced 2²⁰ cap — centroid quality saturates long before the driver
+    * heap does. Both bounds are require()d below so a fixture-sized config
+    * cannot silently ship to a 100 TB corpus.
     */
   /** The deterministic IVF centroid set: bounded seeded-order sample →
     * local spherical k-means. Extracted (and `private[graft]`) so
@@ -235,6 +247,16 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
       iters: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
+    require(sampleSize >= 4 * nCentroids,
+      s"sampleSize=$sampleSize cannot train nCentroids=$nCentroids cells: k-means needs " +
+        "several samples per centroid (rule of thumb ~40x; 4x enforced). For a big corpus " +
+        "size nCentroids ~ sqrt(n) and sampleSize ~ 40*nCentroids.")
+    require(sampleSize <= (1 << 20),
+      s"sampleSize=$sampleSize: the training sample is collected to the driver " +
+        "(sampleSize x dim x 8 bytes); centroid quality saturates long before 2^20 samples")
     // null units skipped (as in [[ivfCentroids]]/[[lshTopK]]): a null unit
     // would otherwise fall through every null negSim to an arbitrary cell
     // and could surface as a fabricated NULL-cos neighbor

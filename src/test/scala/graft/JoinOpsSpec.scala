@@ -175,6 +175,65 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty, s"got ${got.size}, want ${want.size}")
   }
 
+  test("rangeJoin: outlier-wide interval fails fast with the offending bounds in the message") {
+    import spark.implicits._
+    val pts = Seq((1L, 3.0)).toDF("pid", "p")
+    val iv = Seq((10L, 0.0, 4.0), (11L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    // the wide interval would explode ~1e8 buckets at width 8 — the cap
+    // must surface a clear error, not an opaque sequence/memory failure
+    val e = intercept[Exception](
+      JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", bucketWidth = 8.0,
+        maxBucketsPerInterval = 1000L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("maxBucketsPerInterval") && m.contains("1.0E9")),
+      msgs(e).mkString(" | "))
+    // within the cap, same data still answers exactly
+    val ok = JoinOps.rangeJoin(pts, iv.filter(col("iid") === 10L), "p", "lo", "hi",
+      bucketWidth = 8.0, maxBucketsPerInterval = 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 10L)), ok)
+    intercept[IllegalArgumentException](
+      JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", 8.0, maxBucketsPerInterval = 0L))
+  }
+
+  test("fullOuterAnti: ScalaCheck-generated colliding schemas always freshen injectively") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    // name pool engineered for collision chains: x/x_r/x_r_r force the
+    // freshening loop to hop multiple times; both sides draw from the pool
+    val pool = List("x", "x_r", "x_r_r", "k", "k_r", "v")
+    val gen = for {
+      nl <- Gen.choose(1, 4); nr <- Gen.choose(1, 4)
+      ln <- Gen.pick(nl, pool); rn <- Gen.pick(nr, pool)
+    } yield (ln.toList, rn.toList)
+    def mk(names: List[String], keys: Seq[Int], base: Int) = {
+      val schema = StructType(names.map(n => StructField(n, IntegerType)))
+      val rows = keys.map(k => Row.fromSeq(k +: names.tail.indices.map(j => base + k * 10 + j)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    }
+    (0 until 40).foreach { i =>
+      val (ln, rn) = gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+      val l = mk(ln, Seq(0, 1, 2, 3), 100)
+      val r = mk(rn, Seq(2, 3, 4, 5), 500)
+      val out = JoinOps.fullOuterAnti(l, r, l(ln.head) === r(rn.head))
+      val cols = out.columns.toSeq
+      assert(cols.size == cols.distinct.size, s"seed=$i dup cols $cols (ln=$ln rn=$rn)")
+      assert(cols.take(ln.size) == ln, s"seed=$i left names must survive verbatim: $cols")
+      val rows = out.collect()
+      assert(rows.length == 4, s"seed=$i expect 2 left-only + 2 right-only, got ${rows.length}")
+      val (leftOnly, rightOnly) = rows.partition(row => !row.isNullAt(0))
+      assert(leftOnly.map(_.getInt(0)).toSet == Set(0, 1), s"seed=$i wrong left-anti keys")
+      assert(leftOnly.forall(row => (ln.size until cols.size).forall(row.isNullAt)),
+        s"seed=$i left-only rows must NULL-pad every right column")
+      assert(rightOnly.map(_.getInt(ln.size)).toSet == Set(4, 5),
+        s"seed=$i wrong right-anti keys (right key at position ${ln.size})")
+      assert(rightOnly.forall(row => (0 until ln.size).forall(row.isNullAt)),
+        s"seed=$i right-only rows must NULL-pad every left column")
+    }
+  }
+
   test("rangeJoin: negative domains bucket correctly (floor, not truncation)") {
     import spark.implicits._
     // floor(-0.5) = -1 while a toward-zero truncation gives 0 — points just

@@ -73,6 +73,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK rejects fixture-sized configs pointed at the wrong scale") {
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    // probe count cannot exceed the cell count
+    intercept[IllegalArgumentException](Similarity.ivfTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 5, k = 5, nCentroids = 4, nProbe = 5))
+    // sample too small to train the requested cells (sqrt(n)-sized
+    // nCentroids with a fixture-sized sample is exactly the 100 TB misuse)
+    intercept[IllegalArgumentException](Similarity.ivfTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+      nCentroids = 512, nProbe = 2, sampleSize = 1024))
+    // sample is driver-collected: the cap must hold
+    intercept[IllegalArgumentException](Similarity.ivfTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+      nCentroids = 1024, nProbe = 2, sampleSize = (1 << 20) + 1))
+  }
+
   test("lshBucket fails loudly on dimension mismatch (silent bucket-0 collapse is O(n^2))") {
     val e = intercept[Throwable] {
       Similarity.lshTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, k = 2,
