@@ -393,9 +393,21 @@ object QueryEngine {
   }
 
   /** Regenerated optimized SQL for the supported plan family:
-    * [Limit] [Sort] (Project | Aggregate) [Filter] join-tree. None (and the
-    * CLI says so) for shapes with no faithful SQL rendering — never a
-    * best-effort lie.
+    * [Limit] [Sort] (Project | Aggregate | Window stack | grouping-sets
+    * Aggregate-over-Expand | set-operation tree) [Filter] join-tree. None
+    * (and the CLI says so) for shapes with no faithful SQL rendering —
+    * never a best-effort lie.
+    *
+    * Round-11 additions mirror what the optimizer actually produces for
+    * the OLAP family (q35–q38): Window nodes un-parse to OVER clauses
+    * (staged `_w` projection columns are inlined back), Expand+Aggregate
+    * un-parses to GROUP BY GROUPING SETS with `shiftright(spark_grouping_id,
+    * k) & 1` bit extractions mapped back to GROUPING(col), and the
+    * semi/anti-join + distinct shapes Catalyst rewrites set operations
+    * into render back as INTERSECT / EXCEPT / UNION [ALL]. Set-op branches
+    * are independent SELECT scopes, so the ambiguity check applies per
+    * branch, not to the whole tree (q38 reads `orders` three times,
+    * legally).
     */
   def rewrittenSql(optimized: LogicalPlan): Option[String] = {
     // peel LIMIT
@@ -439,9 +451,175 @@ object QueryEngine {
         }.getOrElse("")
         s"SELECT ${selectAggs.map(exprSql).mkString(", ")} FROM $f$g$h"
       }
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BitwiseAnd,
+      Cast, EqualNullSafe, ExprId, Grouping, Lag, Lead, Literal, NTile, NamedExpression,
+      ShiftRight, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+
+    def isWindowStack(p: LogicalPlan): Boolean = p match {
+      case _: Window => true
+      case Project(_, c) => isWindowStack(c)
+      case _ => false
+    }
+
+    /** One OVER clause. Ranking/offset functions must NOT re-emit their
+      * implied frame (the parser rejects an explicit frame there), and
+      * Lag renders its user-facing `inputOffset` (the stored `offset` is
+      * the negated internal form — emitting it would silently flip LAG
+      * into LEAD on re-parse).
+      */
+    def overSql(we: WindowExpression): Option[String] = {
+      val spec = we.windowSpec
+      val part = if (spec.partitionSpec.isEmpty) ""
+        else s"PARTITION BY ${spec.partitionSpec.map(exprSql).mkString(", ")}"
+      val ord = if (spec.orderSpec.isEmpty) ""
+        else s"ORDER BY ${spec.orderSpec.map(o => exprSql(o)).mkString(", ")}"
+      def offsetArgs(in: Expression, off: Expression, dflt: Expression): Option[String] =
+        (off, dflt) match {
+          case (Literal(_, _), Literal(null, _)) => Some(s"${exprSql(in)}, ${exprSql(off)}")
+          case (Literal(_, _), d) => Some(s"${exprSql(in)}, ${exprSql(off)}, ${exprSql(d)}")
+          case _ => None
+        }
+      val (fnSql, withFrame) = we.windowFunction match {
+        case ae: AggregateExpression => (Some(exprSql(ae)), true)
+        case _: org.apache.spark.sql.catalyst.expressions.RowNumber => (Some("ROW_NUMBER()"), false)
+        case _: org.apache.spark.sql.catalyst.expressions.Rank => (Some("RANK()"), false)
+        case _: org.apache.spark.sql.catalyst.expressions.DenseRank => (Some("DENSE_RANK()"), false)
+        case _: org.apache.spark.sql.catalyst.expressions.PercentRank => (Some("PERCENT_RANK()"), false)
+        case _: org.apache.spark.sql.catalyst.expressions.CumeDist => (Some("CUME_DIST()"), false)
+        case nt: NTile => (Some(s"NTILE(${exprSql(nt.buckets)})"), false)
+        case l: Lag if !l.ignoreNulls =>
+          (offsetArgs(l.input, l.inputOffset, l.default).map(a => s"LAG($a)"), false)
+        case l: Lead if !l.ignoreNulls =>
+          (offsetArgs(l.input, l.offset, l.default).map(a => s"LEAD($a)"), false)
+        case _ => (None, false)
+      }
+      val frame = if (withFrame) spec.frameSpecification match {
+        case f: SpecifiedWindowFrame => " " + f.sql
+        case _ => ""
+      } else ""
+      fnSql.map(f => s"$f OVER (${Seq(part, ord).filter(_.nonEmpty).mkString(" ")}$frame)")
+    }
+
+    /** Window stack: [Project] (Window | Project)* FROM-able. Alias
+      * definitions (window columns AND the optimizer's staged `_w`
+      * projection columns) are collected downward and inlined into the
+      * final select list, so the rendered SQL is the single SELECT the
+      * user would write.
+      */
+    def windowSql(top: LogicalPlan): Option[String] = {
+      def peel(p: LogicalPlan): (Map[ExprId, Expression], LogicalPlan) = p match {
+        case w: Window =>
+          val (m, b) = peel(w.child)
+          (m ++ w.windowExpressions.collect {
+            case a: Alias => a.toAttribute.exprId -> a.child }, b)
+        case Project(cols, child) =>
+          val (m, b) = peel(child)
+          (m ++ cols.collect { case a: Alias => a.toAttribute.exprId -> a.child }, b)
+        case other => (Map.empty, other)
+      }
+      val (selectCols: Seq[NamedExpression], stack: LogicalPlan) = top match {
+        case Project(cols, child) if isWindowStack(child) => (cols, child)
+        case w: Window => (w.output, w)
+        case _ => return None
+      }
+      val (defs, bottom) = peel(stack)
+      def inline(e: Expression): Expression = {
+        val once = e.transformUp {
+          case ar: AttributeReference if defs.contains(ar.exprId) => defs(ar.exprId)
+        }
+        if (once.fastEquals(e)) e else inline(once)
+      }
+      def itemSql(e: Expression): Option[String] = inline(e) match {
+        case we: WindowExpression => overSql(we)
+        case Cast(we: WindowExpression, dt, _, _) => overSql(we).map(s => s"CAST($s AS ${dt.sql})")
+        case other if !other.exists(_.isInstanceOf[WindowExpression]) => Some(exprSql(other))
+        case _ => None // window nested deeper inside an expression
+      }
+      val rendered = selectCols.map {
+        case ar: AttributeReference if defs.contains(ar.exprId) =>
+          itemSql(ar).map(s => s"$s AS ${ar.name}")
+        case ar: AttributeReference => Some(exprSql(ar))
+        case a: Alias => itemSql(a.child).map(s => s"$s AS ${a.name}")
+        case _ => None
+      }
+      if (rendered.exists(_.isEmpty)) None
+      else selectFrom(bottom).map(f => s"SELECT ${rendered.flatten.mkString(", ")} FROM $f")
+    }
+
+    /** GROUP BY ROLLUP/CUBE/GROUPING SETS: the analyzer lowers all three to
+      * Aggregate-over-Expand with a `spark_grouping_id` bit vector; the
+      * Expand projections ARE the grouping sets (null literal = column not
+      * in that set), so GROUPING SETS is the faithful canonical rendering.
+      * GROUPING(col) comes back by recognizing the analyzer's own
+      * `cast(shiftright(gid, m-1-i) & 1 as tinyint)` lowering.
+      */
+    def groupingSetsSql(agg: Aggregate): Option[String] = agg.child match {
+      case ex: Expand =>
+        val gidIdx = ex.output.indexWhere(_.name == "spark_grouping_id")
+        if (gidIdx < 0) return None
+        val gid = ex.output(gidIdx)
+        val groupAttrs = agg.groupingExpressions.collect {
+          case ar: AttributeReference if ar.exprId != gid.exprId => ar
+        }
+        val posOf = ex.output.map(_.exprId).zipWithIndex.toMap
+        if (!groupAttrs.forall(ga => posOf.contains(ga.exprId))) return None
+        def isNullLit(e: Expression): Boolean = e match {
+          case Literal(null, _) => true
+          case _ => false
+        }
+        // each grouping column's source expression: any projection that
+        // keeps it (they all stage the same child expression)
+        val sources: Map[ExprId, Expression] = groupAttrs.flatMap { ga =>
+          ex.projections.flatMap { proj =>
+            val e = proj(posOf(ga.exprId))
+            if (isNullLit(e)) None else Some(e)
+          }.headOption.map(ga.exprId -> _)
+        }.toMap
+        if (sources.size != groupAttrs.size) return None
+        val sets = ex.projections.map(proj => groupAttrs.filter(ga =>
+          !isNullLit(proj(posOf(ga.exprId)))))
+        val m = groupAttrs.size
+        def groupingColForBit(sh: Long): Option[Expression] =
+          if (sh >= 0 && sh < m) sources.get(groupAttrs((m - 1 - sh).toInt).exprId) else None
+        val renderedAggs = agg.aggregateExpressions.map { ne =>
+          val replaced = (ne: Expression).transformUp {
+            case Cast(BitwiseAnd(ShiftRight(g: AttributeReference, Literal(sh, _)),
+                Literal(one, _)), org.apache.spark.sql.types.ByteType, _, _)
+                if g.exprId == gid.exprId && String.valueOf(one) == "1" =>
+              groupingColForBit(String.valueOf(sh).toLong) match {
+                case Some(src) => Grouping(src)
+                case None => g // left in place -> rejected below
+              }
+            case ar: AttributeReference if sources.contains(ar.exprId) => sources(ar.exprId)
+          }
+          val leaked = replaced.exists {
+            case ar: AttributeReference =>
+              ar.exprId == gid.exprId || groupAttrs.exists(_.exprId == ar.exprId)
+            case _ => false
+          }
+          if (leaked) None else Some(exprSql(replaced))
+        }
+        if (renderedAggs.exists(_.isEmpty)) None
+        else selectFrom(ex.child).map { f =>
+          val setsSql = sets.map(s =>
+            s"(${s.map(ga => exprSql(sources(ga.exprId))).mkString(", ")})").mkString(", ")
+          s"SELECT ${renderedAggs.flatten.mkString(", ")} FROM $f GROUP BY GROUPING SETS ($setsSql)"
+        }
+      case _ => None
+    }
+
+    def isGroupingSetsAgg(a: Aggregate): Boolean = a.groupingExpressions.exists {
+      case ar: AttributeReference => ar.name == "spark_grouping_id"
+      case _ => false
+    }
+
     // SELECT head: projection or aggregation, incl. the HAVING family
     // (Filter directly over Aggregate, optionally under a pruning Project)
     def body(n: LogicalPlan): Option[String] = n match {
+      case a: Aggregate if isGroupingSetsAgg(a) => groupingSetsSql(a)
+      case p @ Project(_, child) if isWindowStack(child) => windowSql(p)
+      case w: Window => windowSql(w)
       case Filter(cond, Aggregate(groups, aggs, child, _)) =>
         aggregateSql(groups, aggs, aggs, child, Some(cond))
       case Project(cols, Filter(cond, Aggregate(groups, aggs, child, _)))
@@ -471,8 +649,77 @@ object QueryEngine {
         selectFrom(child)
       case other => fromSql(other)
     }
-    if (!unambiguous(p2)) None
-    else body(p2).map(b => s"$b$orderSql$limitSql")
+    /** Set operations, as the optimizer leaves them: UNION [ALL] as
+      * [Distinct-]Union, INTERSECT/EXCEPT as distinct over a left-semi/
+      * left-anti join whose condition null-safe-pairs every output column
+      * (Catalyst's ReplaceIntersectWithSemiJoin / ReplaceExceptWithAntiJoin
+      * shapes). Branches are independent SELECT scopes: each re-enters
+      * setOpSql or the ambiguity-guarded body.
+      */
+    def setOpSql(p: LogicalPlan): Option[String] = {
+      object DistinctOf {
+        def unapply(pl: LogicalPlan): Option[LogicalPlan] = pl match {
+          case Aggregate(g, a, child, _)
+              if g.size == a.size && a.size == child.output.size &&
+                a.forall(_.isInstanceOf[AttributeReference]) &&
+                g.zip(a).forall { case (ge, ae) => ge.semanticEquals(ae) } &&
+                a.map(_.asInstanceOf[AttributeReference].exprId) == child.output.map(_.exprId) =>
+            Some(child)
+          case _ => None
+        }
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case x => Seq(x)
+      }
+      // INTERSECT/EXCEPT compare whole rows: every output column pair must
+      // appear as one null-safe equality
+      def pairsAllColumns(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = {
+        val cs = conjuncts(cond)
+        cs.size == l.output.size && l.output.zip(r.output).forall { case (lo, ro) =>
+          cs.exists {
+            case EqualNullSafe(a: AttributeReference, b: AttributeReference) =>
+              (a.exprId == lo.exprId && b.exprId == ro.exprId) ||
+                (a.exprId == ro.exprId && b.exprId == lo.exprId)
+            case _ => false
+          }
+        }
+      }
+      def branch(pl: LogicalPlan): Option[String] =
+        setOpSql(pl).orElse(if (unambiguous(pl)) body(pl) else None)
+      def setOp(l: LogicalPlan, r: LogicalPlan, kw: String): Option[String] =
+        for { ls <- branch(l); rs <- branch(r) } yield s"($ls) $kw ($rs)"
+      p match {
+        case DistinctOf(u: Union) if !u.byName =>
+          val bs = u.children.map(branch)
+          if (bs.exists(_.isEmpty)) None
+          else Some(bs.flatten.map(b => s"($b)").mkString(" UNION "))
+        case u: Union if !u.byName =>
+          val bs = u.children.map(branch)
+          if (bs.exists(_.isEmpty)) None
+          else Some(bs.flatten.map(b => s"($b)").mkString(" UNION ALL "))
+        case DistinctOf(Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi,
+            Some(cond), _)) if pairsAllColumns(cond, l, r) =>
+          setOp(l, r, "INTERSECT")
+        case DistinctOf(Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
+            Some(cond), _)) if pairsAllColumns(cond, l, r) =>
+          setOp(l, r, "EXCEPT")
+        // the branch-aliasing Project (e.g. `o_custkey AS k`) sits between
+        // the distinct and the join; re-apply it to the LEFT side, whose
+        // attributes it references
+        case DistinctOf(Project(cols, Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi,
+            Some(cond), _))) if pairsAllColumns(cond, l, r) =>
+          setOp(Project(cols, l), r, "INTERSECT")
+        case DistinctOf(Project(cols, Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
+            Some(cond), _))) if pairsAllColumns(cond, l, r) =>
+          setOp(Project(cols, l), r, "EXCEPT")
+        case _ => None
+      }
+    }
+
+    setOpSql(p2)
+      .orElse(if (unambiguous(p2)) body(p2) else None)
+      .map(b => s"$b$orderSql$limitSql")
   }
 
   // ------------------------------------------------------------------

@@ -196,9 +196,46 @@ class QueryEngineSpec extends AnyFunSuite {
   }
 
   test("rewritten SQL is None, never a lie, for unsupported plan shapes") {
+    // a Generate (lateral explode) node has no rendering in the supported
+    // family — must answer None, not a best-effort guess
     val rep = QueryEngine.run(spark,
-      "EXPLAIN SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn FROM orders")
+      "EXPLAIN SELECT o_orderkey, x FROM orders LATERAL VIEW explode(array(1, 2)) t AS x")
     assert(rep.rewrittenSql.isEmpty)
+  }
+
+  test("rewritten SQL round-trips the OLAP family: window, rollup, grouping sets, set ops") {
+    val queries = Seq(
+      // two OVER clauses, one with a staged _w cast column the renderer
+      // must inline; LAG must come back as LAG (offset sign!)
+      """SELECT o_orderkey, o_custkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS price_rank,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+         FROM orders WHERE o_custkey < 500""",
+      // ROLLUP with GROUPING() bit extractions mapped back
+      """SELECT o_orderstatus, o_orderpriority, CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+           COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+      // GROUPING SETS incl. the grand total
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+      // INTERSECT/EXCEPT/UNION over three reads of orders: per-branch
+      // scopes keep the rendering unambiguous
+      """(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION
+         (SELECT c_custkey FROM customer WHERE c_acctbal < -900
+          EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')""",
+      // UNION ALL keeps duplicates
+      "SELECT n_name FROM nation UNION ALL SELECT r_name FROM region",
+      // aggregate window function keeps its frame
+      """SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM orders WHERE o_custkey < 100""")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
   }
 
   test("rewritten SQL is None for self-joins (qualifier-stripped text would be ambiguous)") {
