@@ -1016,6 +1016,77 @@ object SparkEntry {
            CAST(LEAST(32, n - k * 24) AS INT) AS n_tokens
          FROM e"""),
 
+    // PII redaction (round 11): the fixture text carries no PII, so the
+    // entry APPENDS deterministic synthetic PII (email/IP/phone + SSN on
+    // every third doc) identically on both engines, then scrubs — positive
+    // matches are hash-checked, not just absence. Patterns stay inside the
+    // Java∩RE2 regex subset so the oracle replays them verbatim. Pure
+    // chained regexp_replace: zero shuffle, codegen'd.
+    "t10_pii_redact" -> entry(
+      (s, d) => {
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 call 555-867-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" ssn 123-45-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.TextOps.piiRedact(built, "doc_id", "text")
+      },
+      """WITH d AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.1 call 555-867-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone
+         FROM d"""),
+
+    // boilerplate line removal (round 11, RefinedWeb/CCNet-style): the
+    // fixture is single-line, so the entry builds multi-line docs — a
+    // header on EVERY doc (df = N) and a footer on every second (df =
+    // N/2), both over the 0.3 doc-frac threshold; unique bodies stay. One
+    // line-frequency shuffle + a bounded broadcast set; per-doc filtering
+    // preserves line order natively (no positional reassembly).
+    "t11_boilerplate" -> entry(
+      (s, d) => {
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("subscribe to our newsletter\n"), col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nvisit our sponsors"))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.TextOps.removeBoilerplateLines(
+          built, "doc_id", "text", maxDocFrac = 0.3, minDocs = 2)
+      },
+      """WITH d AS (SELECT doc_id,
+             'subscribe to our newsletter' || chr(10) || text ||
+             CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'visit our sponsors' ELSE '' END AS text
+           FROM documents),
+         n AS (SELECT COUNT(*) AS n FROM d),
+         l AS (SELECT doc_id, unnest(list_distinct(string_split(text, chr(10)))) AS line FROM d),
+         f AS (SELECT line, COUNT(*) AS df FROM l GROUP BY 1),
+         bp AS (SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS bp
+                FROM f, n WHERE df >= 2 AND df >= n.n * 0.3)
+         SELECT d.doc_id,
+           array_to_string(list_filter(string_split(d.text, chr(10)),
+             x -> NOT list_contains(bp.bp, x)), chr(10)) AS text,
+           CAST(len(string_split(d.text, chr(10))) -
+                len(list_filter(string_split(d.text, chr(10)),
+                  x -> NOT list_contains(bp.bp, x))) AS INT) AS n_removed
+         FROM d, bp"""),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

@@ -162,6 +162,76 @@ object TextOps {
       .withColumn("keep", col("reasons") === 0)
   }
 
+  /** PII classes redacted by [[redactPii]]/[[piiRedact]], in application
+    * order: (class name, pattern, replacement token). Patterns restrict
+    * themselves to the regex subset Java and RE2 implement identically
+    * (char classes, bounded repetition, \b word boundaries — NO
+    * lookarounds), so the DuckDB oracle replays them verbatim. Email must
+    * apply before IP (a domain's dots would otherwise be eligible once the
+    * local part is rewritten); SSN and phone shapes are disjoint
+    * (3-2-4 vs 3-3-4 digit groups).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Text with every [[piiPatterns]] class replaced by its token — a
+    * chained codegen'd regexp_replace, one pass, no shuffle, no UDF.
+    * The pre-training scrub every large corpus runs before anything else.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, re, tok)) => regexp_replace(t, re, tok) }
+
+  /** Per-class hit counts on the ORIGINAL text (counted before any
+    * replacement, so classes can't steal each other's matches).
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (name, re, _) =>
+      regexp_count(text, lit(re)).as(s"n_$name") }
+
+  /** (id, redacted text, per-class counts) — the DataFrame form of the
+    * scrub, keeping the audit trail (counts) a compliance pass needs.
+    * NULL text stays NULL with NULL counts (nothing to scrub ≠ clean).
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: (redactPii(col(textCol)).as("text") +:
+      piiCounts(col(textCol))): _*)
+
+  /** Boilerplate line removal, RefinedWeb/CCNet-style: a line appearing in
+    * more than `maxDocFrac` of documents (and at least `minDocs` of them)
+    * is template chrome — headers, nav, cookie banners — not content, and
+    * is dropped from every document. Returns (id, text, n_removed).
+    *
+    * Scale shape: ONE explode computes line → document-frequency
+    * (array_distinct first, so a line repeated inside one doc counts that
+    * doc once) with map-side partial aggregation; the boilerplate SET is
+    * then at most lines-per-doc / maxDocFrac distinct lines — bounded by
+    * construction, independent of corpus size — so it collects into a
+    * single broadcast row and each document filters its own line array in
+    * place (order preserved natively, no positional reassembly shuffle).
+    * NULL text stays NULL. At 100 TB: one aggregation shuffle of distinct
+    * (doc, line) pairs + a broadcast — no second pass over the corpus.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFrac: Double = 0.05, minDocs: Long = 2): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      s"maxDocFrac must be in (0, 1], got $maxDocFrac")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val lines = df.select(explode(array_distinct(split(col(textCol), "\n"))).as("__line"))
+    val nDocs = df.select(count(lit(1)).as("__n"))
+    val bp = lines.groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") >= minDocs && col("__df") >= col("__n") * maxDocFrac)
+      .agg(collect_set(col("__line")).as("__bp")) // bounded: <= linesPerDoc/maxDocFrac
+    df.crossJoin(broadcast(bp))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), l => !array_contains(col("__bp"), l)))
+      .select(col(idCol), array_join(col("__kept"), "\n").as("text"),
+        (size(col("__lines")) - size(col("__kept"))).as("n_removed"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
     * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or

@@ -129,6 +129,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t07_rolling_native" -> (0, 0),
     "t08_quality_gate" -> (0, 0), // pure column algebra, zero shuffle
     "t09_chunk" -> (0, 0), // per-row slicing, zero shuffle
+    "t10_pii_redact" -> (0, 0), // chained regexp_replace, zero shuffle
+    // line-frequency agg + the two tiny global aggs (doc count, broadcast
+    // boilerplate set); the per-doc filter join is broadcast
+    "t11_boilerplate" -> (3, 1),
     "t05_topk_per_source" -> (1, 0),
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),

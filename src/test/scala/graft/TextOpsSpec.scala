@@ -117,6 +117,58 @@ class TextOpsSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("redactPii: every class redacted, counts exact, NULL stays NULL") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some("mail a.b@x.co and c@y.org from 10.0.0.1 ssn 123-45-6789 call 555-867-5309")),
+      (2L, Some("clean text, no pii at all")),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiRedact(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) ==
+      "mail <EMAIL> and <EMAIL> from <IP> ssn <SSN> call <PHONE>", got(1L).getString(1))
+    assert((2 to 5).map(got(1L).getInt) == Seq(2, 1, 1, 1)) // email, ip, ssn, phone
+    assert(got(2L).getString(1) == "clean text, no pii at all" &&
+      (2 to 5).forall(got(2L).getInt(_) == 0))
+    assert(got(3L).isNullAt(1) && (2 to 5).forall(got(3L).isNullAt))
+  }
+
+  test("redactPii: SSN and phone shapes never steal each other's matches") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a 123-45-6789 b 123-456-7890 c")).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(df, "doc_id", "text").collect()(0)
+    assert(r.getString(1) == "a <SSN> b <PHONE> c", r.getString(1))
+    assert(r.getInt(4) == 1 && r.getInt(5) == 1)
+  }
+
+  test("removeBoilerplateLines: frequent lines drop, unique bodies and order survive") {
+    import org.apache.spark.sql.functions._
+    val header = "subscribe now"
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"$header\nbody line $i\nsecond body $i" +
+        (if (i % 2 == 0) "\npromo footer" else ""))) :+ (99L, null.asInstanceOf[String])
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.removeBoilerplateLines(df, "doc_id", "text",
+      maxDocFrac = 0.3, minDocs = 2).collect().map(r => r.getLong(0) -> r).toMap
+    (1 to 10).foreach { i =>
+      val r = got(i.toLong)
+      assert(r.getString(1) == s"body line $i\nsecond body $i", s"doc $i: ${r.getString(1)}")
+      assert(r.getInt(2) == (if (i % 2 == 0) 2 else 1), s"doc $i n_removed")
+    }
+    assert(got(99L).isNullAt(1) && got(99L).isNullAt(2), "NULL text stays NULL")
+  }
+
+  test("removeBoilerplateLines: minDocs floor keeps a 2-doc corpus's shared line when minDocs=3") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
+    val kept = TextOps.removeBoilerplateLines(df, "doc_id", "text",
+      maxDocFrac = 0.3, minDocs = 3).collect().map(r => r.getString(1)).toSet
+    assert(kept == Set("shared\na", "shared\nb"), kept)
+    intercept[IllegalArgumentException](
+      TextOps.removeBoilerplateLines(df, "doc_id", "text", maxDocFrac = 0.0))
+  }
+
   test("rollingFingerprintMd5 handles short and empty text like the algebra twin") {
     import org.apache.spark.sql.functions._
     val edge = Seq((1L, ""), (2L, "short"), (3L, "exactly sixteen!"), (4L, "x" * 17))
