@@ -145,11 +145,20 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val pairs = cosineNearDupPairs(emb, idCol, vecCol, blockCol, threshold)
-      .select(col("id_a"), col("id_b"))
-    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .filter(col("component") =!= col("id"))
-      .select(col("id").as(idCol))
+    // the LAZY pair pipeline, not cosineNearDupPairs: connectedComponents
+    // eagerly checkpoints its edge set as its first step, so the public
+    // operator's own pair checkpoint would materialize the same tiny frame
+    // twice back-to-back. The keyed cache is still held across the (one)
+    // edge materialization and released as soon as CC returns.
+    val keyed = keyedBlocks(emb, idCol, vecCol, blockCol, maxBlockSize = 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = try {
+      val pairs = pairsOf(keyed, threshold).select(col("id_a"), col("id_b"))
+      // ^ consumed once, by the edge checkpoint inside connectedComponents
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("component") =!= col("id"))
+        .select(col("id").as(idCol))
+    } finally keyed.unpersist(false)
     emb.filter(col(vecCol).isNotNull).select(col(idCol))
       .join(dropped, Seq(idCol), "left_anti")
   }
