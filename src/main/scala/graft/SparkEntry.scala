@@ -1087,6 +1087,28 @@ object SparkEntry {
                   x -> NOT list_contains(bp.bp, x))) AS INT) AS n_removed
          FROM d, bp"""),
 
+    // TF-IDF keyword extraction (round 11): per-doc top-5 by tf·ln(N/df),
+    // scores rounded to 9 decimals BEFORE ranking so libm ulp differences
+    // can't flip rank ties between engines (see scaladoc); token breaks
+    // residual ties identically on both
+    "t12_tfidf_keywords" -> entry(
+      (s, d) => graft.operators.TextOps.tfidfKeywords(
+        t(s, d, "documents"), "doc_id", "text", k = 5),
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.tok,
+                 round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 9) AS score
+               FROM tf JOIN dfq USING (tok), n),
+         r AS (SELECT doc_id, tok, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+               FROM s)
+         SELECT doc_id, CAST(rank AS INT) AS rank, tok AS keyword, score
+         FROM r WHERE rank <= 5"""),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

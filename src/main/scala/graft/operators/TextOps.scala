@@ -232,6 +232,49 @@ object TextOps {
         (size(col("__lines")) - size(col("__kept"))).as("n_removed"))
   }
 
+  /** Per-document TF-IDF keyword extraction: top-`k` tokens by
+    * `tf · ln(N / df)`, rank ties broken by token — the corpus-analysis
+    * primitive behind keyword tagging, topic drift monitoring, and
+    * quality-by-vocabulary dashboards.
+    *
+    * Scale shape: (doc, token) term frequencies in one keyed aggregation
+    * (map-side partials), document frequency as a COUNT over that frame
+    * (one row per (doc, token), so no second distinct pass over the
+    * corpus), the scalar N broadcast, a vocabulary-keyed join (shuffle on
+    * token — vocabulary-sized, never corpus²), and a per-document top-k
+    * window. Every shuffle is keyed; nothing is all-pairs.
+    *
+    * Cross-engine determinism: the score is ROUNDED to 9 decimals before
+    * ranking and output. Mathematically-equal scores reached by different
+    * ln() routes (e.g. 2·ln(N/a) vs ln(N²/a²)) can differ in their last
+    * bits between libm implementations; rounding collapses them so the
+    * token tie-break decides identically on every engine, and genuinely
+    * different scores (gap ≥ 1e-9) keep their order.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // NOT count(lit(1)): Catalyst prunes aggregate functions per consumer,
+    // and a docFreq branch that ignores the tf column strips partial_count
+    // from the (doc, tok) aggregate — forking its exchange into a SECOND
+    // corpus scan (measured: 5 exchanges instead of 4). count(col("tf"))
+    // alone doesn't survive either (CountOfNonNullableChild folds it back
+    // to count(1)); the always-true `when` keeps the reference nullable so
+    // both branches need the same aggregate and ReuseExchange applies.
+    // tf >= 1 by construction, so the value is exactly the document count.
+    val docFreq = tf.groupBy(col("tok"))
+      .agg(count(when(col("tf") >= 1, col("tf"))).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("score").desc, col("tok").asc)
+    tf.join(docFreq, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("tok").as("keyword"), col("score"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
     * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or

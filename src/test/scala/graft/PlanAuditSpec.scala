@@ -130,6 +130,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t08_quality_gate" -> (0, 0), // pure column algebra, zero shuffle
     "t09_chunk" -> (0, 0), // per-row slicing, zero shuffle
     "t10_pii_redact" -> (0, 0), // chained regexp_replace, zero shuffle
+    // (doc,tok) tf agg + vocab df agg + tiny N agg + tf⋈df join (AQE
+    // broadcasts the vocab side at this SF) + the per-doc top-k window
+    "t12_tfidf_keywords" -> (4, 1),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),

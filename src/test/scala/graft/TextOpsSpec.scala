@@ -169,6 +169,29 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.removeBoilerplateLines(df, "doc_id", "text", maxDocFrac = 0.0))
   }
 
+  test("tfidfKeywords: hand-computed scores, rare tokens outrank stopwords, ties by token") {
+    import org.apache.spark.sql.functions._
+    // 4 docs; "the" in all (idf = ln(1) = 0), "rare" in one
+    val df = Seq(
+      (1L, "the rare rare word"),
+      (2L, "the common word"),
+      (3L, "the common thing"),
+      (4L, "the thing")).toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywords(df, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    def sc(tf: Int, dfq: Int): Double =
+      BigDecimal(tf * math.log(4.0 / dfq)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: rare tf=2 df=1 -> 2ln4; word tf=1 df=2 -> ln2; the -> 0
+    assert(got((1L, 1)) == ("rare", sc(2, 1)), got((1L, 1)))
+    assert(got((1L, 2)) == ("word", sc(1, 2)), got((1L, 2)))
+    // doc 4: thing ln2 top; "the" scores 0 but still ranks 2nd of its 2 tokens
+    assert(got((4L, 1)) == ("thing", sc(1, 2)))
+    assert(got((4L, 2)) == ("the", 0.0))
+    // doc 2: common and word both tf=1 df=2 -> equal score, tie by token asc
+    assert(got((2L, 1))._1 == "common" && got((2L, 2))._1 == "word")
+    intercept[IllegalArgumentException](TextOps.tfidfKeywords(df, "doc_id", "text", 0))
+  }
+
   test("rollingFingerprintMd5 handles short and empty text like the algebra twin") {
     import org.apache.spark.sql.functions._
     val edge = Seq((1L, ""), (2L, "short"), (3L, "exactly sixteen!"), (4L, "x" * 17))
