@@ -716,6 +716,25 @@ object SparkEntry {
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""),
 
+    // embedding-space train/eval contamination (round 11): the semantic
+    // sibling of d12 — paraphrase-level leakage token methods miss. Cross-
+    // corpus pairs ONLY; cos dropped from the entry output as in d06 (the
+    // filter decision is margin-safe at this threshold, the raw double is
+    // not hash-safe)
+    "d16_semantic_contamination" -> entry(
+      (s, d) => Similarity.crossCorpusSemanticContamination(
+        t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", "label", 0.4)
+        .select(col("train_id"), col("eval_id")),
+      """WITH tr AS (SELECT vec_id AS train_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id % 10 <> 0 AND embedding IS NOT NULL),
+         ev AS (SELECT vec_id AS eval_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL)
+         SELECT tr.train_id, ev.eval_id
+         FROM tr JOIN ev ON tr.label = ev.label
+         WHERE list_cosine_similarity(tr.v, ev.v) >= 0.4"""),
+
     // SemDeDup-style semantic dedup: d06's cosine near-dup pairs closed
     // transitively (d11's component semantics), keep each component's min
     // id — the embedding-modality sibling of d13's text pipeline. Oracle

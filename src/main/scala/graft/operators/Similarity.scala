@@ -163,6 +163,47 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space train/eval contamination: cosine near-duplicates
+    * ACROSS two corpora, never within one — the semantic sibling of
+    * [[Dedup.crossCorpusContamination]]'s MinHash text path ("is a
+    * paraphrase of my benchmark in my training set?", which token-level
+    * methods miss). Returns (train_id, eval_id, cos >= threshold).
+    *
+    * Same blocking discipline as [[cosineNearDupPairs]], with the
+    * sub-bucket rule driven by the COMBINED per-block population (both
+    * sides must split identically or cross-bucket pairs are lost): exact
+    * within blocks up to `maxBlockSize`, axis-sign-LSH subdivision above
+    * it (documented approximation). The join is train×eval only — shuffles
+    * on (block, sub), never an all-pairs product; both keyed frames
+    * persist across their two consumers (count derivation + join) and are
+    * released once the (tiny, threshold-filtered) pair set checkpoints.
+    */
+  def crossCorpusSemanticContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, blockCol: String, threshold: Double,
+      maxBlockSize: Long = 1000000L): DataFrame = {
+    val counts = train.select(col(blockCol).as("blk"))
+      .union(eval.select(col(blockCol).as("blk")))
+      .groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    def keyed(df: DataFrame, outId: String, outUnit: String): DataFrame =
+      df.select(col(idCol).as(outId), col(blockCol).as("blk"),
+          unitNorm(col(vecCol)).as(outUnit))
+        .filter(col(outUnit).isNotNull)
+        .join(counts, Seq("blk"))
+        .withColumn("sub",
+          when(col("blk_n") <= maxBlockSize, lit(0))
+            .otherwise(axisSignBits(col(outUnit), 8)))
+        .select(col("blk"), col("sub"), col(outId), col(outUnit))
+    val t = keyed(train, "train_id", "u_t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = keyed(eval, "eval_id", "u_e")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.eagerPairs(
+      t.join(e, Seq("blk", "sub"))
+        .select(col("train_id"), col("eval_id"), dot(col("u_t"), col("u_e")).as("cos"))
+        .filter(col("cos") >= threshold))
+    finally { t.unpersist(false); e.unpersist(false) }
+  }
+
   /** Deterministic random hyperplanes (seeded, plan-time constants).
     * `private[graft]` so SparkEntry can embed the SAME constants into the
     * generated DuckDB oracle SQL for d08 — the oracle replays the exact

@@ -61,6 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // survivor anti join over the corpus (measured 2 exchanges at sf0.001,
     // one broadcast join kept)
     "d15_semantic_dedup" -> (2, 1),
+    "d16_semantic_contamination" -> (0, 0), // eager pairs checkpoint, as d12
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),

@@ -73,6 +73,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("crossCorpusSemanticContamination: cross-corpus only, matches brute force") {
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.crossCorpusSemanticContamination(
+      train, eval, "vec_id", "embedding", "label", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // never train x train or eval x eval
+    assert(got.forall { case (t, e) => t % 10 != 0 && e % 10 == 0 }, "cross-corpus only")
+    // brute force within label across the split
+    def side(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(id), col("label"), Similarity.unitNorm(col("embedding")).as(v))
+    val brute = side(train, "t_id", "u_t").join(side(eval, "e_id", "u_e"), "label")
+      .filter(Similarity.dot(col("u_t"), col("u_e")) >= 0.4)
+      .select("t_id", "e_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(got.nonEmpty, "fixture must produce at least one contaminated pair")
+  }
+
   test("ivfTopK rejects fixture-sized configs pointed at the wrong scale") {
     val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
     // probe count cannot exceed the cell count
