@@ -1128,6 +1128,39 @@ object SparkEntry {
          SELECT doc_id, CAST(rank AS INT) AS rank, tok AS keyword, score
          FROM r WHERE rank <= 5"""),
 
+    // hourly spike detection (round 11): the fixture stream is ~3/hour
+    // uniform, so the entry injects a deterministic 16x burst (one click
+    // hour replicated 15 extra times, identical literals on both engines);
+    // the z-gate itself is exact integer algebra — see EventOps.spikes
+    "s06_event_spikes" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+        val burst = ev.filter(col("event_type") === "click" &&
+            col("ts") >= lit("2024-01-15 12:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-15 13:00:00").cast("timestamp"))
+          .withColumn("__r", explode(sequence(lit(1), lit(15))))
+          .drop("__r")
+        graft.operators.EventOps.spikes(ev.union(burst), "event_type", "ts")
+      },
+      """WITH base AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         spiked AS (
+           SELECT event_type, ts FROM base
+           UNION ALL
+           SELECT event_type, ts FROM base, range(15)
+           WHERE event_type = 'click'
+             AND ts >= TIMESTAMP '2024-01-15 12:00:00'
+             AND ts < TIMESTAMP '2024-01-15 13:00:00'),
+         h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+               FROM spiked GROUP BY 1, 2),
+         w AS (SELECT event_type, hour, n, SUM(n) OVER tw AS s,
+                 SUM(n * n) OVER tw AS ss, COUNT(n) OVER tw AS cnt
+               FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, n FROM w
+         WHERE cnt = 24 AND n * 24 - s > 0
+           AND (n * 24 - s) * (n * 24 - s) > 9 * (ss * 24 - s * s)""",
+    ),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Hourly volume spike detection: flag (type, hour) buckets whose count
+    * exceeds the trailing `window`-hour mean by more than `z` standard
+    * deviations — the monitoring primitive behind ingest anomaly alerts.
+    *
+    * The z-score gate is evaluated in EXACT INTEGER arithmetic:
+    * `n > μ + z·σ` over the trailing counts is algebraically
+    * `(W·n − S)² > z²·(W·SS − S²)` with S = Σx, SS = Σx² — no division,
+    * no sqrt, no floating point, so the flag decision is bit-identical on
+    * every engine (a fp σ puts boundary buckets at the mercy of libm).
+    * Zero trailing variance degenerates to "flag any increase", the
+    * correct z→∞ limit. Longs are exact here up to hourly counts of
+    * ~1.2e8 at W=24 (the squares stay under 2⁶³); past that, cast the
+    * factors to DECIMAL(38,0).
+    *
+    * Scale shape: one (type, hour) aggregation with map-side partials,
+    * then a per-type ordered window over the HOURLY frame — whose size is
+    * hours·types, not events — so the window cost is negligible at any
+    * event volume. Buckets with fewer than `window` trailing hours are
+    * not judged (partial baselines flag noise). Trailing hours are the
+    * previous `window` OBSERVED hours (rows), so gaps in a sparse stream
+    * stretch the baseline — the standard rows-frame caveat.
+    *
+    * @return (event_type, hour, n) for flagged buckets
+    */
+  def spikes(events: DataFrame, typeCol: String, tsCol: String,
+      window: Int = 24, z: Int = 3): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(z >= 1, s"z must be >= 1, got $z")
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-window, -1)
+    val dev = col("n") * window - col("s")
+    hourly
+      .withColumn("s", sum(col("n")).over(tw))
+      .withColumn("ss", sum(col("n") * col("n")).over(tw))
+      .withColumn("cnt", count(col("n")).over(tw))
+      .filter(col("cnt") === window)
+      .filter(dev > 0 && dev * dev > lit(z.toLong * z) * (col("ss") * window - col("s") * col("s")))
+      .select(col("event_type"), col("hour"), col("n"))
+  }
+
   /** Per-user funnel depth over an ordered step list: depth d means the
     * user's FIRST occurrences of steps 0..d-1 happen in strictly
     * increasing time order (a purchase before the first click does not

@@ -72,6 +72,34 @@ class EventOpsSpec extends AnyFunSuite {
     assert(EventOps.retention(events, "user_id", "event_type", "ts", "signup").count() == 0)
   }
 
+  test("spikes: integer z-gate flags the burst hour, zero-variance flags any increase") {
+    // UTC-pinned instants (Timestamp.valueOf would parse in the JVM's TZ)
+    def hourTs(h: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L))
+    // flat 3/hour for 30 hours, except hour 28 carries 30 events
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 28) 30 else 3
+      Seq.fill(n)(("a", Timestamp.from(hourTs(h).toInstant.plusSeconds(60))))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val got = EventOps.spikes(df, "event_type", "ts", window = 24, z = 3)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    // hours 0..23 lack a full trailing window; 24..27 and 29 are flat-vs-
+    // flat (zero deviation, not flagged); 28 is the spike. NOTE hour 29's
+    // baseline now contains the 30-count hour -> variance large, 3 is
+    // below mean anyway.
+    assert(got.length == 1 && got(0)._3 == 30L, got.mkString(","))
+    assert(got(0)._2 == hourTs(28), got(0)._2)
+    // zero-variance baseline: a single +1 bump IS a spike (z -> infinity limit)
+    val bump = (0 until 26).flatMap { h =>
+      Seq.fill(if (h == 25) 4 else 3)(("b", hourTs(h)))
+    }.toDF("event_type", "ts")
+    val gb = EventOps.spikes(bump, "event_type", "ts", window = 24, z = 3).collect()
+    assert(gb.length == 1 && gb(0).getLong(2) == 4L, gb.mkString(","))
+    intercept[IllegalArgumentException](EventOps.spikes(df, "event_type", "ts", window = 1))
+    intercept[IllegalArgumentException](EventOps.spikes(df, "event_type", "ts", z = 0))
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

@@ -122,6 +122,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // cohort agg + distinct + final count, all on the user/cohort keys;
     // the cohort frame broadcast-joins back onto events at this SF
     "s05_retention" -> (3, 1),
+    // hourly agg + the per-type trailing window over the HOURLY frame
+    "s06_event_spikes" -> (2, 0),
     "t01_lang_id" -> (0, 0),
     "t02_quality" -> (0, 0),
     "t03_token_count" -> (0, 0),
