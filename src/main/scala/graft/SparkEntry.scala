@@ -704,6 +704,34 @@ object SparkEntry {
          WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
          GROUP BY 1, 2"""),
 
+    // duplicate-passage spans (round 11): d14 counts shared n-grams, this
+    // locates them — each row is a MAXIMAL run of consecutive shared
+    // 8-grams (gap-and-island on the pair's alignment diagonal), i.e. one
+    // verbatim shared passage >= 12 tokens with its 1-based offsets.
+    // Integer-only output; the window is partitioned by (pair, diagonal)
+    "d17_duplicate_spans" -> entry(
+      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8, minSpanTokens = 12),
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         g0 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+             i -> struct_pack(pos := i, gram := array_to_string(list_slice(w, i, i + 7), ' ')))) AS pg
+           FROM toks WHERE len(w) >= 8),
+         g AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g0),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         r AS (
+           SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                  pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+           FROM m)
+         SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+                COUNT(*) + 7 AS span_tokens
+         FROM r GROUP BY doc_a, doc_b, diag, island
+         HAVING COUNT(*) + 7 >= 12"""),
+
     // embedding-cosine near-duplicate pairs, blocked by label.
     // Oracle-safe despite float math: output is the pair SET only, and the
     // closest same-label cosine to the 0.4 threshold at sf0.01 is >1e-3 away

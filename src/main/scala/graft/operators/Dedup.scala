@@ -319,6 +319,84 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Duplicate-passage detection: MAXIMAL verbatim token spans shared
+    * between document pairs — the substring-level dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") at
+    * whitespace-token granularity. Where [[exactNgramContamination]] counts
+    * how many n-grams two docs share, this reports WHERE: each output row
+    * is a maximal run of consecutive shared n-grams, i.e. one shared
+    * passage of `span_tokens` tokens (>= `minSpanTokens`) starting at
+    * 1-based token offsets `start_a` / `start_b`.
+    *
+    * Algorithm: positional n-grams meet in an inverted-index join on the
+    * gram (never all-pairs); a match at (pos_a, pos_b) lies on alignment
+    * diagonal pos_a - pos_b, and a shared passage of L tokens is exactly a
+    * run of L-n+1 consecutive matches on one diagonal — islands are found
+    * with the classic pos - row_number() gap-and-island key. The window is
+    * PARTITIONED by (pair, diagonal), bounded by document length — never a
+    * global sort. A shared passage of length L costs L-n+1 join rows:
+    * linear in the overlap, not quadratic in the documents.
+    *
+    * `maxGramDf` (the 100 TB knob) drops grams appearing in more than that
+    * many documents before the join — boilerplate grams are precisely the
+    * ones that explode an inverted index. Pruning is conservative for real
+    * passages: a run every gram of which survives is reported unchanged;
+    * spans consisting of above-cap boilerplate shrink or split (documented
+    * approximation). The positional frame feeds both self-join sides (and
+    * the df aggregate when capped), so it is persisted and released after
+    * the (tiny) span set is eagerly checkpointed — the
+    * [[minhashNearDuplicates]] cache discipline.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minSpanTokens: Int = 12,
+      maxGramDf: Option[Int] = None): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minSpanTokens >= n, s"minSpanTokens must be >= n ($n), got $minSpanTokens")
+    maxGramDf.foreach(c => require(c >= 2, s"maxGramDf must be >= 2, got $c"))
+    // tokenize in its own projection (the t06 lesson), 1-based positions to
+    // match the oracle's list_slice convention; docs shorter than n tokens
+    // have no n-gram and cannot share a span
+    val positional = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - n),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = maxGramDf match {
+        case None => positional
+        case Some(cap) =>
+          // inverted-index stopgram cut: grams above the doc-frequency cap
+          // never enter the join (the anti join's build side is only the
+          // hot grams — tiny, AQE broadcasts it)
+          val hot = positional.groupBy(col("gram"))
+            .agg(countDistinct(col("doc_id")).as("__df"))
+            .filter(col("__df") > cap).select(col("gram"))
+          positional.join(hot, Seq("gram"), "left_anti")
+      }
+      val a = g.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      val b = g.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      val matches = a.join(b, Seq("gram"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+      // (pos_a, diag) determines pos_b, so pos_a is unique per partition:
+      // pos_a - row_number() is constant exactly on a consecutive run
+      val spans = matches
+        .withColumn("island", col("pos_a") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+          (count(lit(1)) + lit(n - 1)).as("span_tokens"))
+        .filter(col("span_tokens") >= minSpanTokens)
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
+      eagerPairs(spans)
+    } finally positional.unpersist(false)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (frequency-weighted): per bit,

@@ -137,6 +137,92 @@ class DedupSpec extends AnyFunSuite {
     assert(got.sameElements(Array(2L))) // distinct shared grams: "a b", "b a"
   }
 
+  test("duplicateSpans: planted passage reported once, maximal, at exact offsets") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $passage x4"),       // passage at 1-based token 4
+      (2L, s"y1 $passage y2 y3"),          // passage at token 2
+      (3L, "entirely unrelated filler words only here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 8, minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal row — not one per constituent 8-gram run prefix
+    assert(got.toSeq == Seq((1L, 2L, 4L, 2L, 20L)), got.toSeq)
+  }
+
+  test("duplicateSpans: minSpanTokens gates; a passage repeated in one doc yields one row per site") {
+    val p = (1 to 11).map(i => s"q$i").mkString(" ") // 11-token passage
+    val docs = Seq(
+      (1L, s"$p z1 z2 z3 z4 z5 z6 z7 z8 $p"), // twice in doc 1 (offsets 1 and 20)
+      (2L, s"w1 w2 $p"))                       // once in doc 2 (offset 3)
+      .toDF("doc_id", "text")
+    val below = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 8, minSpanTokens = 12)
+    assert(below.count() == 0, "an 11-token passage must not pass minSpanTokens = 12")
+    val got = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 8, minSpanTokens = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // two alignment diagonals — one per occurrence site in doc 1
+    assert(got == Set((1L, 2L, 1L, 3L, 11L), (1L, 2L, 20L, 3L, 11L)), got)
+  }
+
+  test("duplicateSpans: maxGramDf prunes boilerplate passages, keeps rare ones intact") {
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 15).map(i => s"r$i").mkString(" ")
+    val docs = (Seq.tabulate(5)(k => (k + 1L, s"f$k $boiler")) ++
+      Seq((10L, s"g1 g2 $rare"), (11L, s"$rare h1")))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 8, minSpanTokens = 12, maxGramDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // boilerplate grams live in 5 docs > cap 3 — every boilerplate span is
+    // cut; the rare passage (df = 2) is untouched and still maximal
+    assert(capped == Set((10L, 11L, 3L, 1L, 15L)), capped)
+    val uncapped = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 8, minSpanTokens = 12)
+      .collect()
+    assert(uncapped.length == 11, s"all 10 boilerplate pairs + the rare pair: ${uncapped.length}")
+  }
+
+  test("duplicateSpans: brute-force equivalence on a low-entropy corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    val corpus = (1L to 12L).map(id =>
+      (id, Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val got = graft.operators.Dedup
+      .duplicateSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", n = 2, minSpanTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val expected = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      s <- bruteSpans(ta.split(" "), tb.split(" "), n = 2, minSpan = 3)
+    } yield (ia, ib, s._1, s._2, s._3)).toSet
+    assert(expected.nonEmpty, "fixture must actually contain shared spans")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  /** Direct-definition twin of duplicateSpans for one doc pair: all maximal
+    * diagonal runs of matching n-grams, as (start_a, start_b, span_tokens)
+    * with 1-based offsets.
+    */
+  private def bruteSpans(a: Array[String], b: Array[String],
+      n: Int, minSpan: Int): Seq[(Long, Long, Long)] = {
+    def gr(t: Array[String]) = t.sliding(n).map(_.mkString(" ")).toArray
+    val (ga, gb) = (gr(a), gr(b))
+    val matches = for { i <- ga.indices; j <- gb.indices if ga(i) == gb(j) } yield (i, j)
+    matches.groupBy { case (i, j) => i - j }.toSeq.flatMap { case (diag, ms) =>
+      val runs = scala.collection.mutable.ListBuffer.empty[scala.collection.mutable.ListBuffer[Int]]
+      for (i <- ms.map(_._1).sorted) {
+        if (runs.nonEmpty && runs.last.last == i - 1) runs.last += i
+        else runs += scala.collection.mutable.ListBuffer(i)
+      }
+      runs.toSeq.map(r => (r.head + 1L, (r.head - diag) + 1L, (r.size + n - 1).toLong))
+        .filter(_._3 >= minSpan)
+    }
+  }
+
   test("shingles: short-text fallback hashes the canonical single-space form") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")

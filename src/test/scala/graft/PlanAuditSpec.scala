@@ -62,6 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // one broadcast join kept)
     "d15_semantic_dedup" -> (2, 1),
     "d16_semantic_contamination" -> (0, 0), // eager pairs checkpoint, as d12
+    // duplicateSpans eagerly checkpoints its span set (the positional-gram
+    // cache must be released): audited plan is the checkpoint scan; the
+    // gram-join/window/island shape is pinned by DedupSpec's brute-force
+    // equivalence test
+    "d17_duplicate_spans" -> (0, 0),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
