@@ -462,7 +462,52 @@ object SparkEntry {
     // both parsers associate identically; Spark plans INTERSECT/EXCEPT as
     // left-semi/left-anti aggregates, never materializing the cross
     "q38_set_ops" -> shared(
-      "(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION (SELECT c_custkey FROM customer WHERE c_acctbal < -900 EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')")
+      "(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION (SELECT c_custkey FROM customer WHERE c_acctbal < -900 EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')"),
+
+    // PIVOT (round 11): wide-format rotation — one hash aggregate with the
+    // pivot values folded into conditional aggregates (Spark's
+    // RewritePivot does exactly the CASE WHEN lowering the oracle spells
+    // out; one shuffle, never one scan per pivot value). Spark's PIVOT
+    // SQL clause and DuckDB's disagree on grammar (implicit vs in-clause
+    // GROUP BY), so the entry pins the DataFrame API against the
+    // conditional-aggregation definition. Multi-agg pivot: sums are
+    // decimal-exact before the final double cast, counts are integer
+    "q39_pivot" -> entry(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("qty_f"), col("F_n").as("n_f"),
+          col("O_qty").as("qty_o"), col("O_n").as("n_o")),
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+         FROM lineitem GROUP BY l_returnflag"""),
+
+    // UNPIVOT / melt (round 11): long-format rotation of a pre-aggregated
+    // frame — Spark plans Expand (each input row fans to one row per
+    // unpivoted column, no shuffle, no re-scan); the oracle is the
+    // definitional UNION ALL. value keeps both metrics in one double
+    // column; sums are decimal-exact before the cast
+    "q40_unpivot" -> entry(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price")), "metric", "value"),
+      """WITH a AS (
+           SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'price' AS metric, price AS value FROM a""")
   )
 
   // ------------------------------------------------------------------

@@ -120,6 +120,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // INTERSECT/EXCEPT plan as semi/anti joins under one distinct agg;
     // the small branches broadcast
     "q38_set_ops" -> (1, 1),
+    // RewritePivot lowers to double aggregation: the wide first agg does
+    // the full reduction, the second (PivotFirst) shuffles only one row
+    // per (group, pivot-value) — scale-safe despite the second exchange
+    "q39_pivot" -> (2, 0),
+    "q40_unpivot" -> (1, 0), // agg shuffle; Expand fans rows map-side
     "s01_events_hourly" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),

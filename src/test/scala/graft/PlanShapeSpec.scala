@@ -115,6 +115,36 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(aggs.size >= 2, "expect partial and final HashAggregateExec")
   }
 
+  test("q39 pivot equals its conditional-aggregation definition; q40 unpivot preserves values") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val li = GraftSession.table(spark, sf, "lineitem")
+    def dec(c: Column) = c.cast(DecimalType(12, 2))
+    // pivot vs the direct CASE-WHEN lowering (independent single-agg plan)
+    val byFlag = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val piv = SparkEntry.queries("q39_pivot")(spark, sf).collect()
+    assert(piv.length == byFlag.keySet.map(_._1).size && piv.nonEmpty)
+    piv.foreach { r =>
+      val f = r.getString(0)
+      assert((r.getDouble(1), r.getLong(2)) == byFlag((f, "F")), s"F cell for $f")
+      assert((r.getDouble(3), r.getLong(4)) == byFlag((f, "O")), s"O cell for $f")
+    }
+    // unpivot: every (group, metric) cell survives the rotation bit-exact
+    val tot = li.groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("price"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val unp = SparkEntry.queries("q40_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(unp.size == 2 * tot.size)
+    tot.foreach { case (f, (q, p)) =>
+      assert(unp((f, "qty")) == q && unp((f, "price")) == p, s"cells for $f")
+    }
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
     df.collect()
