@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.GraftSession
-import graft.operators.{Dedup, JoinOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, JoinOps, LayoutOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per operator
   * from SURVEY.md §2. Implementation is DataFrame-API-first (Catalyst plans
@@ -1245,6 +1245,36 @@ object SparkEntry {
 
     // skew-resistant salted join — oracle is the PLAIN join, proving the
     // salting rewrite is semantics-preserving
+    // Z-order layout statistics (round 11): map each dimension onto the
+    // full 16-bit space from its ANALYZE-style [min,max] domain (integer-
+    // exact scale), Morton-interleave, bucket by the code's top 6 bits
+    // (fixed-width Z-ranges — deterministic, no sampled boundaries, no
+    // global sort), and report each bucket's per-dimension min/max — the
+    // 2-D min/max file-skipping bound a ZORDER BY write gives a 100 TB
+    // reader, as one hash aggregate of integer bit algebra. Domain
+    // literals are the sf0.01 column stats; in production they come from
+    // the catalog (a metadata lookup, not a data pass)
+    "z01_zorder_stats" -> entry(
+      (s, d) => LayoutOps.zorderStats(
+        t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), bits = 16, bucketBits = 6,
+        domains = Some(Seq((0L, 1999L), (0L, 99L)))),
+      """WITH sc AS (
+           SELECT l_partkey, l_suppkey,
+             (GREATEST(LEAST(l_partkey, 1999), 0) * 65535) // 1999 AS sp,
+             (GREATEST(LEAST(l_suppkey, 99), 0) * 65535) // 99 AS ss
+           FROM lineitem),
+         z AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               (((sp >> j) & 1) << (2*j)) +
+               (((ss >> j) & 1) << (2*j + 1)))) AS BIGINT) AS zc
+           FROM sc)
+         SELECT zc >> 26 AS zbucket, COUNT(*) AS n_rows,
+                MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+                MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
+         FROM z GROUP BY zbucket"""),
+
     "x01_salted_join" -> entry(
       (s, d) => {
         val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))

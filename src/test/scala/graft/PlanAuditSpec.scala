@@ -150,6 +150,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
     "t05_topk_per_source" -> (1, 0),
+    "z01_zorder_stats" -> (1, 0), // morton algebra rides the scan; one agg
     "x01_salted_join" -> (0, 1),
     "x02_split" -> (1, 0),
     "x03_sample_cap" -> (1, 0), // one window shuffle on the stratum key
