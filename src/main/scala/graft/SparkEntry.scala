@@ -1183,6 +1183,25 @@ object SparkEntry {
     // scores rounded to 9 decimals BEFORE ranking so libm ulp differences
     // can't flip rank ties between engines (see scaladoc); token breaks
     // residual ties identically on both
+    // deterministic canonicalization (round 11): accent-fold via an
+    // EXPLICIT shared character map, controls -> space, space runs
+    // collapsed, trim, lower — the normalize-before-hash pass ahead of
+    // exact dedup. The ASCII fixture would make this a case-only no-op,
+    // so the entry appends a constructed suffix with identical literals
+    // on both sides (the t10/t11 technique): accents, a tab (chr 9), a
+    // control byte (chr 1), double spaces
+    "t13_normalize" -> entry(
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextOps.normalizeText(concat(col("text"),
+          lit(" Él CAFÉ  über\tnaïve\u0001 mañana "))).as("norm")),
+      """SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(translate(
+             text || ' Él CAFÉ  über' || chr(9) || 'naïve' || chr(1) || ' mañana ',
+             'ÁÀÂÄáàâäÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÖóòôöÚÙÛÜúùûüÑñÇç',
+             'AAAAaaaaEEEEeeeeIIIIiiiiOOOOooooUUUUuuuuNnCc'),
+             '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
+         FROM documents"""),
+
     "t12_tfidf_keywords" -> entry(
       (s, d) => graft.operators.TextOps.tfidfKeywords(
         t(s, d, "documents"), "doc_id", "text", k = 5),
@@ -1506,6 +1525,27 @@ object SparkEntry {
     // trainer — Catalyst sees the whole composition and plans it as 3
     // shuffles (fingerprint agg, survivor semi-join broadcast at this SF,
     // layout window)
+    // embedding-space diversity sampling (round 11): axis-sign LSH cell
+    // (signs of the 4 leading components -> 16 buckets) + hash-ordered
+    // per-cell cap — over-dense regions downsampled, sparse ones kept
+    // whole; md5 order hash makes the pick engine-replayable. One
+    // window shuffle; the cluster-balanced subsample without k-means
+    "x07_diversity_sample" -> entry(
+      (s, d) => Similarity.diversitySample(
+        t(s, d, "embeddings"), "vec_id", "embedding", bits = 4, perBucket = 10),
+      """WITH b AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings WHERE embedding IS NOT NULL),
+         r AS (
+           SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket
+             ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS rn
+           FROM b)
+         SELECT vec_id, bucket FROM r WHERE rn <= 10"""),
+
     "x06_curate_pipeline" -> entry(
       (s, d) => {
         val kept = TextOps.qualityFilter(

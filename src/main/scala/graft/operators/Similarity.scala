@@ -178,6 +178,25 @@ object Similarity {
     * persist across their two consumers (count derivation + join) and are
     * released once the (tiny, threshold-filtered) pair set checkpoints.
     */
+  /** Embedding-space diversity sampling: cap the rows kept per
+    * axis-sign-LSH cell (2^bits buckets over the embedding's leading
+    * component signs), so over-represented regions of embedding space are
+    * downsampled while sparse regions survive intact — the
+    * cluster-balanced subsampling step of a curation pipeline, without a
+    * clustering pass. Within a cell the pick is hash-ordered
+    * ([[SampleOps.md5OrderHash]]): deterministic, replayable by any
+    * engine with md5(), and unbiased w.r.t. id assignment order. One
+    * shuffle (the per-bucket window); NULL vectors are dropped.
+    */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, perBucket: Int): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1, 30], got $bits")
+    require(perBucket >= 1, s"perBucket must be >= 1, got $perBucket")
+    val b = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), axisSignBits(col(vecCol), bits).as("bucket"))
+    SampleOps.stratifiedCap(b, "bucket", "vec_id", perBucket, SampleOps.md5OrderHash)
+  }
+
   def crossCorpusSemanticContamination(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, blockCol: String, threshold: Double,
       maxBlockSize: Long = 1000000L): DataFrame = {

@@ -177,6 +177,31 @@ object TextOps {
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
 
+  /** Accent-fold table: position i of `accentFrom` maps to position i of
+    * `accentTo` — an EXPLICIT character map (not a library NFD pass) so any
+    * replaying engine with a `translate()` applies the identical fold.
+    */
+  private[operators] val accentFrom =
+    "ÁÀÂÄáàâäÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÖóòôöÚÙÛÜúùûüÑñÇç"
+  private[operators] val accentTo =
+    "AAAAaaaaEEEEeeeeIIIIiiiiOOOOooooUUUUuuuuNnCc"
+
+  /** Deterministic text canonicalization — the normalize-before-hash pass
+    * a corpus pipeline runs ahead of exact dedup / fingerprinting:
+    * accent-fold (explicit map), control characters → space, whitespace
+    * runs collapsed, trimmed, lowercased. Pure codegen'd column algebra;
+    * engine-portable by construction (the control class is spelled
+    * `[\x00-\x1F\x7F]` rather than `\s` because RE2's `\s` excludes
+    * vertical tab while Java's includes it — the one place the two regex
+    * dialects disagree on whitespace). Idempotent: applying it twice is
+    * the identity on its own output. NULL stays NULL.
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(translate(text, accentFrom, accentTo),
+        "[\\x00-\\x1F\\x7F]", " "),
+      " +", " ")))
+
   /** Text with every [[piiPatterns]] class replaced by its token — a
     * chained codegen'd regexp_replace, one pass, no shuffle, no UDF.
     * The pre-training scrub every large corpus runs before anything else.

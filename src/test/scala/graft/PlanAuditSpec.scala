@@ -146,6 +146,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (doc,tok) tf agg + vocab df agg + tiny N agg + tf⋈df join (AQE
     // broadcasts the vocab side at this SF) + the per-doc top-k window
     "t12_tfidf_keywords" -> (4, 1),
+    "t13_normalize" -> (0, 0), // chained per-row string algebra, zero shuffle
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
@@ -158,7 +159,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // layout window on the shard key + the piece->sequence reassembly agg
     "x05_pack_materialize" -> (2, 0),
     // fingerprint agg + layout window; the survivor semi-join broadcasts
-    "x06_curate_pipeline" -> (2, 1))
+    "x06_curate_pipeline" -> (2, 1),
+    "x07_diversity_sample" -> (1, 0)) // the one per-bucket window exchange
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

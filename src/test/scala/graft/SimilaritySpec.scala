@@ -223,4 +223,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gaps.getDouble(0) > 1e-6, s"min rank-1/2 sim gap ${gaps.getDouble(0)}")
     assert(gaps.getDouble(1) > 1e-6, s"min rank-2/3 sim gap ${gaps.getDouble(1)}")
   }
+
+  test("diversitySample: every sign cell capped at perBucket, sparse cells kept whole") {
+    val emb = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val kept = Similarity.diversitySample(emb, "vec_id", "embedding", bits = 4, perBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // direct-definition twin: sign pattern of the 4 leading components
+    val full = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val bucket = (0 until 4).map(j =>
+          if (j < v.length && v(j) >= 0f) 1 << j else 0).sum
+        (r.getLong(0), bucket)
+      }
+    val cellSizes = full.groupBy(_._2).view.mapValues(_.size).toMap
+    val keptSizes = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(cellSizes.size > 1, "fixture must populate more than one cell")
+    cellSizes.foreach { case (b, n) =>
+      assert(keptSizes.getOrElse(b, 0) == math.min(n, 10), s"cell $b: $n rows")
+    }
+    val byId = full.toMap
+    kept.foreach { case (id, b) => assert(byId(id) == b, s"bucket of $id") }
+    // deterministic: a second run picks the identical sample
+    val again = Similarity.diversitySample(emb, "vec_id", "embedding", bits = 4, perBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.toSet == kept.toSet)
+  }
 }
