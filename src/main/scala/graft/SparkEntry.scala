@@ -1224,6 +1224,28 @@ object SparkEntry {
     // uniform, so the entry injects a deterministic 16x burst (one click
     // hour replicated 15 extra times, identical literals on both engines);
     // the z-gate itself is exact integer algebra — see EventOps.spikes
+    // time-series gap-fill / resampling (round 11): dense per-user hourly
+    // grid with forward-filled values — counts are integers, fills CARRY
+    // parquet doubles (max-per-hour, no order-dependent summation), so
+    // every output is hash-stable. Restricted to 30 users: the grid is
+    // keys x span-hours (~21k rows), enough to exercise multi-gap fills
+    "s07_gap_fill" -> entry(
+      (s, d) => graft.operators.EventOps.gapFillHourly(
+        t(s, d, "events").filter(col("user_id") < 30),
+        "user_id", "ts", "value"),
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                  COUNT(*) AS n, MAX(value) AS vh
+           FROM events WHERE ts IS NOT NULL AND user_id < 30 GROUP BY 1, 2),
+         spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans),
+         j AS (SELECT g.user_id, g.hour, h.n, h.vh
+               FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+         SELECT user_id, hour, COALESCE(n, 0) AS n_events,
+                last_value(vh IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+         FROM j"""),
+
     "s06_event_spikes" -> entry(
       (s, d) => {
         val ev = t(s, d, "events").select(col("event_type"), col("ts"))

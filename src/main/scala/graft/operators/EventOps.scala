@@ -65,6 +65,40 @@ object EventOps {
     *
     * @return (userCol, funnel_depth) — depth in 0..steps.length
     */
+  /** Time-series resampling with forward fill: per key, a dense hourly
+    * grid from the key's first to last observed hour, each grid hour
+    * carrying the hour's event count (0 in gaps) and the most recent
+    * observed hourly value (`last(_, ignoreNulls)` running forward) — the
+    * gap-fill step ahead of any fixed-step feature/training pipeline over
+    * irregular event streams.
+    *
+    * Determinism discipline: the per-hour value is `max(value)` (pure
+    * comparison — no order-dependent float summation) and fills are
+    * CARRIED, never recomputed, so every output double is bit-identical
+    * on any engine reading the same parquet. Scale shape: one (key, hour)
+    * aggregation over the events; everything after runs on the HOURLY
+    * frame (size = keys x span-hours, independent of event volume) — the
+    * span aggregate, the sequence-explode grid, the grid⋈hourly equi-join
+    * and the per-key fill window all live on that reduced frame.
+    */
+  def gapFillHourly(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("__n"), max(col(valueCol)).as("__vh"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
+      .select(col("user_id"),
+        explode(sequence(col("__h0"), col("__h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        last(col("__vh"), ignoreNulls = true).over(w).as("v_fill"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -12,6 +12,32 @@ class EventOpsSpec extends AnyFunSuite {
 
   private def ts(m: Int) = new Timestamp(m * 60000L)
 
+  test("gapFillHourly: dense grid, zero-count gaps, forward-filled values") {
+    def hr(h: Int) = new Timestamp(h * 3600000L)
+    val events = Seq(
+      (1L, hr(0), Some(1.0)),                       // hour 0
+      (1L, new Timestamp(3 * 3600000L + 1000), None: Option[Double]), // hour 3, NULL value
+      (1L, hr(5), Some(2.5)), (1L, hr(5), Some(2.0)), // hour 5 twice: max = 2.5
+      (2L, hr(7), Some(9.0)))                       // single-event user
+      .toDF("user_id", "ts", "value")
+    val got = EventOps.gapFillHourly(events, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      (1L, 0L, 1L, 1.0), // observed
+      (1L, 1L, 0L, 1.0), // gap: count 0, value carried forward
+      (1L, 2L, 0L, 1.0),
+      (1L, 3L, 1L, 1.0), // observed hour with NULL value: fill still carries
+      (1L, 4L, 0L, 1.0),
+      (1L, 5L, 2L, 2.5), // two events that hour: count 2, max value wins
+      (2L, 7L, 1L, 9.0))
+    assert(got.length == 7, got.toSeq)
+    assert(got.map(t => (t._1, t._2, t._4)).sameElements(expected.map(t => (t._1, t._2, t._4))),
+      got.toSeq)
+    assert(got.map(_._3).toSeq == Seq(1L, 0L, 0L, 1L, 0L, 2L, 1L), "per-hour event counts")
+  }
+
   test("funnel depth counts ordered prefixes only") {
     val events = Seq(
       // user 1: full funnel in order

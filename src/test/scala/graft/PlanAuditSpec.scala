@@ -134,6 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "s05_retention" -> (3, 1),
     // hourly agg + the per-type trailing window over the HOURLY frame
     "s06_event_spikes" -> (2, 0),
+    // (key, hour) agg + the shared hourly-frame exchange feeding span/
+    // grid/fill; the grid⋈hourly join broadcasts the hourly side at this
+    // SF (at production SF it stays an equi-join on (key, hour))
+    "s07_gap_fill" -> (2, 1),
     "t01_lang_id" -> (0, 0),
     "t02_quality" -> (0, 0),
     "t03_token_count" -> (0, 0),
