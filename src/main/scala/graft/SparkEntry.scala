@@ -507,7 +507,56 @@ object SparkEntry {
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
          UNION ALL
-         SELECT l_returnflag, 'price' AS metric, price AS value FROM a""")
+         SELECT l_returnflag, 'price' AS metric, price AS value FROM a"""),
+
+    // window-frame family (round 11): NTILE / FIRST_VALUE / CUME_DIST plus
+    // a RANGE value frame, all via a shared WINDOW clause so both parsers
+    // bind the same definitions. Both windows partition on o_orderpriority,
+    // so Catalyst plans ONE exchange; orders are unique on o_orderkey so
+    // every function is deterministic (CUME_DIST = row_number/n on a
+    // unique order — an exact int/int double division); the RANGE frame
+    // sums decimals, not doubles, so summation order can't leak
+    "q41_window_frames" -> shared(
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           CUME_DIST() OVER w AS cd,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_spend
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""),
+
+    // CTE reuse (round 11): one WITH block referenced twice (per-customer
+    // spend joined against its own global average) — Spark's WithCTE keeps
+    // a single definition; the avg is SUM/COUNT on exact decimals so the
+    // one fp division is bit-identical cross-engine
+    "q42_cte" -> shared(
+      """WITH spend AS (
+           SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         overall AS (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(DISTINCT o_custkey) AS avg_spend
+           FROM orders)
+         SELECT s.o_custkey, s.total, s.n_orders
+         FROM spend s, overall o WHERE s.total > o.avg_spend"""),
+
+    // bag-semantics set operators (round 11): INTERSECT ALL / EXCEPT ALL
+    // preserve multiplicities (min / truncated-difference of per-value
+    // counts) — Spark lowers both to a count-compare aggregate + generator
+    // replication, one shuffle each, never a join explosion; tagged UNION
+    // ALL so one entry pins both multisets
+    "q43_set_ops_all" -> shared(
+      """SELECT 'ia' AS op, k FROM (
+           SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+           INTERSECT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+         UNION ALL
+         SELECT 'ea' AS op, k FROM (
+           SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_shipdate < DATE '1994-06-01')""")
   )
 
   // ------------------------------------------------------------------

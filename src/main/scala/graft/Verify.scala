@@ -5,11 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // dev-only: an optional 3rd arg restricts the dump (and oracle_sql.json)
+    // to comma-separated entry-name prefixes for fast local iteration; the
+    // driver always invokes with exactly two args -> full dump
+    val keep: String => Boolean = args.lift(2) match {
+      case Some(pfx) =>
+        val ps = pfx.split(',').toSeq
+        (name: String) => ps.exists(name.startsWith)
+      case None => (_: String) => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.engine.GraftSession.build(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,7 +40,7 @@ object Verify {
     // data-dependent oracles (d09's centroids) can only be generated once
     // the dump dir is known
     SparkEntry.setOracleContext(spark, sfDir)
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // dynamic-generator failures become a visible artifact (the entry

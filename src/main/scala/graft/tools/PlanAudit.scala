@@ -16,7 +16,9 @@ import graft.engine.GraftSession
   * PlanAuditSpec (which pins these numbers as CI budgets) so the tool that
   * prints re-pin values and the spec that enforces them can never drift.
   *
-  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  * Usage: runMain graft.tools.PlanAudit [sfDir] [namePrefixes]
+  * (optional 2nd arg: comma-separated entry-name prefixes to audit a
+  * subset while iterating)
   */
 object PlanAudit extends AdaptiveSparkPlanHelper {
 
@@ -47,9 +49,15 @@ object PlanAudit extends AdaptiveSparkPlanHelper {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val keep: String => Boolean = args.lift(1) match {
+      case Some(pfx) =>
+        val ps = pfx.split(',').toSeq
+        (name: String) => ps.exists(name.startsWith)
+      case None => (_: String) => true
+    }
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "plan-audit")
     println(f"${"query"}%-28s shuffles bcasts cartesian rows")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
       try {
         val (shuffles, bcasts, cart, n) = counts(fn(spark, sfDir))
         val flag = if (cart > 0) "  <-- CARTESIAN" else ""

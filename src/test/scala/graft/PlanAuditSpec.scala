@@ -125,6 +125,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // per (group, pivot-value) — scale-safe despite the second exchange
     "q39_pivot" -> (2, 0),
     "q40_unpivot" -> (1, 0), // agg shuffle; Expand fans rows map-side
+    // NTILE/FIRST_VALUE/CUME_DIST + the RANGE frame all share the single
+    // o_orderpriority partition exchange
+    "q41_window_frames" -> (1, 0),
+    // per-cust agg + the single-row global avg agg + its final stage; the
+    // one-row `overall` side joins back as a broadcast, never a shuffle
+    "q42_cte" -> (3, 1),
+    // INTERSECT ALL / EXCEPT ALL each lower to one count-compare
+    // aggregate + generator replication (map-side) — one shuffle per leg
+    "q43_set_ops_all" -> (2, 0),
     "s01_events_hourly" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
