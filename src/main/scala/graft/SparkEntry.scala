@@ -1295,6 +1295,26 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM j"""),
 
+    // rolling 7-day volume (round 11): daily counts then a RANGE frame
+    // over integer day numbers — calendar-correct under gaps (missing
+    // days age out; a ROWS frame would stretch across them); the window
+    // runs on the keys x days frame, never the event stream
+    "s08_rolling_daily" -> entry(
+      (s, d) => graft.operators.EventOps.rollingDaily(
+        t(s, d, "events"), "event_type", "ts", windowDays = 7),
+      """WITH daily AS (
+           SELECT event_type AS key,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                  COUNT(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         d AS (SELECT key, day, n,
+                 date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS dn
+               FROM daily)
+         SELECT key, day, n,
+           SUM(n) OVER (PARTITION BY key ORDER BY dn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_window
+         FROM d"""),
+
     "s06_event_spikes" -> entry(
       (s, d) => {
         val ev = t(s, d, "events").select(col("event_type"), col("ts"))

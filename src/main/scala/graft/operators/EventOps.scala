@@ -99,6 +99,34 @@ object EventOps {
         last(col("__vh"), ignoreNulls = true).over(w).as("v_fill"))
   }
 
+  /** Rolling `windowDays`-day event volume per key: daily counts, then a
+    * RANGE value frame over the integer day number — `RANGE BETWEEN d-1
+    * PRECEDING AND CURRENT ROW` on day numbers is calendar-correct under
+    * gaps (a missing day contributes nothing but still ages out of the
+    * frame), where a ROWS frame would silently stretch across them.
+    *
+    * Scale shape: one (key, day) aggregation with map-side partials
+    * reduces the event stream to the keys×days frame; the window runs on
+    * that reduced frame (independent of event volume), partitioned by
+    * key so no global sort exists. Counts are integers — the rolling sum
+    * is exact, no fp summation order to pin.
+    *
+    * @return (key, day, n, n_window) one row per observed (key, day)
+    */
+  def rollingDaily(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__daynum", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("key")).orderBy(col("__daynum"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily.select(col("key"), col("day"), col("n"),
+      sum(col("n")).over(w).as("n_window"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

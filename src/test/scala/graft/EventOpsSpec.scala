@@ -126,6 +126,35 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventOps.spikes(df, "event_type", "ts", z = 0))
   }
 
+  test("rollingDaily: RANGE frame ages gap days out where a ROWS frame would not") {
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val events = Seq(
+      ("a", day(0)), ("a", day(0)), // day 0: n=2
+      ("a", day(1)),                // day 1: n=1
+      ("a", day(9)),                // 8-day gap: days 0-1 must have aged out
+      ("b", day(4)))                // single-day key
+      .toDF("event_type", "ts")
+    val got = EventOps.rollingDaily(events, "event_type", "ts", windowDays = 7)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L,
+        r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 2L, 2L),
+      ("a", 1L, 1L, 3L),  // day 0 still inside the 7-day frame
+      ("a", 9L, 1L, 1L),  // gap aged everything out — a ROWS frame would report 4
+      ("b", 4L, 1L, 1L)), got.toSeq)
+  }
+
+  test("rollingDaily: windowDays=1 degenerates to the daily count; bad window rejected") {
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val events = Seq(("a", day(0)), ("a", day(0)), ("a", day(1))).toDF("event_type", "ts")
+    val got = EventOps.rollingDaily(events, "event_type", "ts", windowDays = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.forall { case (n, w) => n == w }, got.toSeq)
+    intercept[IllegalArgumentException] {
+      EventOps.rollingDaily(events, "event_type", "ts", windowDays = 0)
+    }
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

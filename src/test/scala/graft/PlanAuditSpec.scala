@@ -135,6 +135,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregate + generator replication (map-side) — one shuffle per leg
     "q43_set_ops_all" -> (2, 0),
     "s01_events_hourly" -> (1, 0),
+    // daily agg shuffles on (key, day); the key-partitioned RANGE window
+    // re-shuffles only the keys x days frame, not the event stream
+    "s08_rolling_daily" -> (2, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
