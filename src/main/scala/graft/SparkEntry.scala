@@ -1251,6 +1251,50 @@ object SparkEntry {
              '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
          FROM documents"""),
 
+    // top-2-gram share (round 11): the other half of Gopher's repetition
+    // family (dup fractions are t06) — most frequent 2-gram per doc and
+    // its share of the gram stream. Spark side never shuffles (per-row
+    // fold over distinct grams); the oracle is the definitional
+    // unnest+count+rank. share = int/int — one correctly-rounded fp
+    // division, bit-identical cross-engine
+    "t14_top_ngram" -> entry(
+      (s, d) => TextOps.topNgramShare(t(s, d, "documents"), "doc_id", "text", n = 2),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)),
+               i -> concat_ws(' ', w[i], w[i+1])) END AS g2
+           FROM w),
+         tot AS (SELECT doc_id, len(g2) AS n FROM g),
+         e AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         b AS (SELECT doc_id, gram, c FROM (
+                 SELECT doc_id, gram, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+                 FROM c) WHERE rn = 1)
+         SELECT t.doc_id, b.gram AS top_gram, b.c AS top_n,
+                CAST(b.c AS DOUBLE) / t.n AS top_share
+         FROM tot t LEFT JOIN b ON b.doc_id = t.doc_id"""),
+
+    // corpus top-k n-grams (round 11): vocabulary audit — one explode,
+    // one map-side-partial aggregate, then a DISTRIBUTED top-k
+    // (TakeOrderedAndProject, never a global sort); (count DESC, gram
+    // ASC) total order pins the boundary of k
+    "t15_top_ngrams_corpus" -> entry(
+      (s, d) => TextOps.topKNgrams(t(s, d, "documents"), "text", n = 3, k = 20),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT CASE WHEN len(w) < 3 THEN [] ELSE list_transform(range(1, len(w) - 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS g3
+           FROM w),
+         e AS (SELECT unnest(g3) AS gram FROM g)
+         SELECT gram, COUNT(*) AS n FROM e GROUP BY gram
+         ORDER BY n DESC, gram ASC LIMIT 20"""),
+
     "t12_tfidf_keywords" -> entry(
       (s, d) => graft.operators.TextOps.tfidfKeywords(
         t(s, d, "documents"), "doc_id", "text", k = 5),

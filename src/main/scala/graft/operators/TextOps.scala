@@ -300,6 +300,67 @@ object TextOps {
       .select(col("__id").as(idCol), col("rank"), col("tok").as("keyword"), col("score"))
   }
 
+  /** Most-frequent word n-gram per document and the share of the doc's
+    * n-gram stream it occupies — the "top n-gram character share" family
+    * of Gopher's repetition rules (the dup-fraction family is
+    * [[repetitionColumnsFromTokens]]). Ties break toward the
+    * lexicographically smallest gram, so the winner is deterministic.
+    *
+    * Runs ENTIRELY per-row (higher-order functions over the token array):
+    * an `aggregate` fold over the distinct grams counts each candidate
+    * with a nested `filter` — O(distinct·total) comparisons per doc,
+    * bounded by document length, ZERO shuffles at any corpus size. The
+    * explode→groupBy alternative shuffles one row per gram occurrence
+    * (i.e. the whole tokenized corpus); this never leaves the row.
+    *
+    * @return (idCol, top_gram, top_n, top_share); NULL text or a doc
+    *         shorter than n tokens yields NULL gram/count/share
+    */
+  def topNgramShare(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        aggregate(array_distinct(col("__g")),
+          struct(lit(-1).as("c"), lit("").as("g")),
+          (acc, x) => {
+            val cnt = size(filter(col("__g"), y => y === x))
+            when(cnt > acc.getField("c") ||
+                (cnt === acc.getField("c") && x < acc.getField("g")),
+              struct(cnt.as("c"), x.as("g"))).otherwise(acc)
+          }).as("__best"),
+        size(col("__g")).as("__tot"))
+      .select(col(idCol),
+        when(col("__tot") > 0, col("__best.g")).as("top_gram"),
+        when(col("__tot") > 0, col("__best.c").cast("long")).as("top_n"),
+        when(col("__tot") > 0,
+          col("__best.c").cast("double") / col("__tot")).as("top_share"))
+  }
+
+  /** Corpus-level top-k word n-grams by occurrence count (the vocabulary
+    * audit ahead of tokenizer training / contamination triage). One
+    * explode → one hash aggregate with map-side partials → a distributed
+    * top-k (`TakeOrderedAndProject`: each partition keeps k, the driver
+    * merges k·partitions rows — never a global sort). Total order
+    * (count DESC, gram ASC) makes the boundary of k deterministic.
+    */
+  def topKNgrams(df: DataFrame, textCol: String, n: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    df.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
     * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or

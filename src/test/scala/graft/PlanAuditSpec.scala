@@ -163,6 +163,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcasts the vocab side at this SF) + the per-doc top-k window
     "t12_tfidf_keywords" -> (4, 1),
     "t13_normalize" -> (0, 0), // chained per-row string algebra, zero shuffle
+    "t14_top_ngram" -> (0, 0), // per-row fold over distinct grams, zero shuffle
+    // one gram aggregate; top-k is TakeOrderedAndProject, not a sort
+    "t15_top_ngrams_corpus" -> (1, 0),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
