@@ -803,6 +803,27 @@ object SparkEntry {
     // 8-grams (gap-and-island on the pair's alignment diagonal), i.e. one
     // verbatim shared passage >= 12 tokens with its 1-based offsets.
     // Integer-only output; the window is partitioned by (pair, diagonal)
+    // incremental dedup (round 11): the continuously-fed-corpus ingest
+    // shape — collapse the incoming batch on fingerprint, then LEFT ANTI
+    // against the existing corpus' DISTINCT fingerprints; text never
+    // crosses the wire, both shuffles co-partition on fp
+    "d18_incremental_dedup" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 >= 3),
+          docs.filter(col("doc_id") % 10 < 3), "doc_id", "text")
+      },
+      """WITH ex AS (
+           SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents WHERE doc_id % 10 >= 3 AND text IS NOT NULL),
+         inc AS (
+           SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+           FROM documents WHERE doc_id % 10 < 3 AND text IS NOT NULL GROUP BY 1)
+         SELECT inc.fp, inc.keep_id, inc.n_copies FROM inc
+         WHERE inc.fp NOT IN (SELECT fp FROM ex)"""),
+
     "d17_duplicate_spans" -> entry(
       (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, minSpanTokens = 12),
@@ -1662,6 +1683,42 @@ object SparkEntry {
     // layout window)
     // embedding-space diversity sampling (round 11): axis-sign LSH cell
     // (signs of the 4 leading components -> 16 buckets) + hash-ordered
+    // corpus snapshot diff (round 11): content-level added/removed/changed
+    // between two releases — each side reduces to (id, fingerprint) before
+    // ONE full-outer shuffle; the unchanged majority is never emitted. The
+    // fixture derives snapshot B from A with identical literals on both
+    // engines (deletes: %11, edits: %13 append, adds: %17 re-keyed)
+    "x08_snapshot_diff" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val edited = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text"))
+        val added = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text"))
+        graft.operators.VersionOps.snapshotDiff(docs, edited.union(added), "doc_id", "text")
+      },
+      """WITH a AS (SELECT doc_id, text FROM documents),
+         b AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'added ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 17 = 0),
+         af AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM a),
+         bf AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM b),
+         j AS (SELECT af.doc_id AS ida, bf.doc_id AS idb, af.fp AS fa, bf.fp AS fb
+               FROM af FULL OUTER JOIN bf ON af.doc_id = bf.doc_id)
+         SELECT doc_id, status FROM (
+           SELECT COALESCE(ida, idb) AS doc_id,
+             CASE WHEN ida IS NULL THEN 'added'
+                  WHEN idb IS NULL THEN 'removed'
+                  WHEN fa IS DISTINCT FROM fb THEN 'changed' END AS status
+           FROM j) WHERE status IS NOT NULL"""),
+
     // per-cell cap — over-dense regions downsampled, sparse ones kept
     // whole; md5 order hash makes the pick engine-replayable. One
     // window shuffle; the cluster-balanced subsample without k-means

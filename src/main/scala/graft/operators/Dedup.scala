@@ -45,6 +45,32 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental dedup: which documents of an INCOMING batch carry content
+    * the EXISTING corpus has never seen — the shape every continuously-fed
+    * training corpus runs on ingest (dedup the delta against the lake
+    * without re-clustering the lake).
+    *
+    * Two steps, both on the 32-byte fingerprint — the raw text never
+    * crosses the wire: (1) within-batch collapse ([[fingerprintClusters]]
+    * on the batch: min-id representative + copy count); (2) LEFT ANTI
+    * join against the existing corpus' DISTINCT fingerprints. Both
+    * shuffles hash-partition on `fp`, so step 2 co-locates with step 1's
+    * output; the existing side reduces to one row per distinct content
+    * before the join. At 100 TB the anti-join's existing side is the
+    * content catalog (|distinct contents|, not |rows|) — if even that is
+    * too hot, a bloom-filter pre-pass can cheaply pre-drop obvious
+    * non-members, but the exact anti join must remain the final word.
+    *
+    * @return (fp, keep_id, n_copies) for content NEW to the corpus
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val exFp = existing.select(TextOps.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+    fingerprintClusters(incoming, idCol, textCol)
+      .join(exFp, Seq("fp"), "left_anti")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Word n-gram shingles of the text (whole text if shorter). The

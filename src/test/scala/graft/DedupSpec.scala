@@ -479,6 +479,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L), kept.toString)
   }
 
+  test("incrementalDedup: only content the existing corpus has never seen survives") {
+    import org.apache.spark.sql.functions.col
+    val existing = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA   text"),  // normalizes to existing content -> dropped
+      (11L, "gamma text"), (12L, "gamma text"), // new, within-batch dup -> one row
+      (13L, "delta text"),
+      (14L, null.asInstanceOf[String]))         // NULL content never clusters
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((11L, 2L), (13L, 1L)), got.toSeq)
+  }
+
   test("md5-60 family: NULL text propagates to NULL in native, algebra, and hash forms") {
     import org.apache.spark.sql.functions._
     // concat_ws would silently hash the seed alone on NULL input; the fused

@@ -67,6 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // gram-join/window/island shape is pinned by DedupSpec's brute-force
     // equivalence test
     "d17_duplicate_spans" -> (0, 0),
+    // batch fingerprint agg + existing-side distinct; the anti join
+    // broadcasts the reduced side at this SF (both co-partition on fp)
+    "d18_incremental_dedup" -> (2, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -179,7 +182,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "x05_pack_materialize" -> (2, 0),
     // fingerprint agg + layout window; the survivor semi-join broadcasts
     "x06_curate_pipeline" -> (2, 1),
-    "x07_diversity_sample" -> (1, 0)) // the one per-bucket window exchange
+    "x07_diversity_sample" -> (1, 0), // the one per-bucket window exchange
+    // one id-hash exchange per side of the full-outer merge join; each
+    // side is pre-reduced to (id, fingerprint) so the shuffle is slim
+    "x08_snapshot_diff" -> (2, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
