@@ -1514,6 +1514,26 @@ object SparkEntry {
     // same fp expression as the assignment. trunc() mirrors Spark floor's
     // toward-zero on the non-negative operand; all other math is the
     // identical double expression on both engines
+    // per-group rank-exact quantiles (round 11): type-1 (value at
+    // ceil(p·n) of the group's sort — an actual data value, so the result
+    // hash-matches any engine); groups ride a partitioned window in
+    // parallel, per-task unit is one group's HISTOGRAM, never its rows
+    "p04_group_quantiles" -> entry(
+      (s, d) => graft.operators.Profile.groupedQuantiles(
+        t(s, d, "documents"), Seq("lang"), "n_chars", Seq(0.5, 0.9)),
+      """WITH dist AS (
+           SELECT lang, n_chars AS v, COUNT(*) AS cnt
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         w AS (
+           SELECT lang, v, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+           FROM dist),
+         p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)
+         SELECT lang, p, v AS quantile FROM w, p
+         WHERE cum >= GREATEST(1, CAST(ceil(p * n) AS BIGINT))
+           AND cum - cnt < GREATEST(1, CAST(ceil(p * n) AS BIGINT))"""),
+
     "p03_histogram" -> entry(
       (s, d) => graft.operators.Profile.histogram(
         t(s, d, "orders"), "o_totalprice", 10),

@@ -177,6 +177,45 @@ object Profile {
         ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
   }
 
+  /** Per-group exact rank-selected quantiles — [[quantiles]]'s GROUP BY
+    * form, same type-1 semantics (value at row `max(1, ceil(p·n))` of the
+    * group's ascending sort; an actual data value, engine-replayable).
+    *
+    * Scale shape: one (group, value) aggregation builds each group's value
+    * distribution, then the running sum rides `Window.partitionBy(group)`
+    * — groups proceed in PARALLEL, and no global sort or single-partition
+    * window exists anywhere. The per-task unit is one group's HISTOGRAM
+    * (its distinct values, not its rows), the right contract for
+    * per-language / per-source length profiling where group NDV is
+    * bounded. For a group whose distinct-value count itself explodes,
+    * fall back to `percentile_approx` over `groupBy` (one-pass mergeable
+    * sketch per group).
+    *
+    * @return one row per (group, p): (groupCols..., p, quantile)
+    */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "groupedQuantiles needs at least one group column")
+    require(ps.nonEmpty, "groupedQuantiles needs at least one probability")
+    val psd = ps.distinct
+    require(psd.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(c => col(s"`$c`"))
+    val v = col(s"`$valueCol`")
+    val dist = df.filter(v.isNotNull)
+      .groupBy((g :+ v.as("__v")): _*).agg(count(lit(1)).as("__cnt"))
+    val byGroup = Window.partitionBy(g: _*)
+    val cum = dist
+      .withColumn("__cum", sum(col("__cnt")).over(byGroup.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(byGroup))
+    val rank = greatest(lit(1L), ceil(col("p") * col("__n")).cast("long"))
+    cum.select((g :+ col("__v") :+ col("__cnt") :+ col("__cum") :+ col("__n")
+        :+ explode(lit(psd.toArray)).as("p")): _*)
+      .filter(col("__cum") >= rank && (col("__cum") - col("__cnt")) < rank)
+      .select((g :+ col("p") :+ col("__v").as("quantile")): _*)
+  }
+
   /** Sketch-based quantiles — the near-unique-column path [[quantiles]]'s
     * scaladoc points at: `approx_percentile` (Greenwald-Khanna) is
     * partial-mergeable, so the whole pass is one scan + a one-row

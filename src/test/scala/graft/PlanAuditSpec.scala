@@ -83,6 +83,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // here.
     "p02_quantiles" -> (3, 1),
     "p03_histogram" -> (2, 1), // stats agg + bucket agg; stats broadcast
+    // (group, value) distribution agg + the group-partitioned prefix-sum
+    // window — groups in parallel, per-task unit is a group's histogram
+    "p04_group_quantiles" -> (2, 0),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),

@@ -70,6 +70,29 @@ class SampleProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("Profile.groupedQuantiles: per-group sorted-array definition, groups independent") {
+    val a = Seq.tabulate(100)(i => ("a", ((i * 13) % 41).toDouble))
+    val b = Seq.tabulate(7)(i => ("b", (i * 10).toDouble)) // small group, with dups below
+    val rows = (a ++ b ++ Seq(("b", 30.0), ("b", 30.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = (rows :+ ((9999L, "a", Double.NaN))).toDF("id", "g", "v")
+      .filter(!org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("v")))
+    val ps = Seq(0.5, 0.9, 1.0)
+    val got = Profile.groupedQuantiles(df, Seq("g"), "v", ps).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    def expect(vs: Seq[Double], p: Double) = {
+      val s = vs.sorted; s(math.max(1, math.ceil(p * s.length).toInt) - 1)
+    }
+    val va = a.map(_._2); val vb = b.map(_._2) ++ Seq(30.0, 30.0)
+    ps.foreach { p =>
+      assert(got(("a", p)) == expect(va, p), s"a p=$p")
+      assert(got(("b", p)) == expect(vb, p), s"b p=$p")
+    }
+    assert(got.size == ps.size * 2, "exactly one row per (group, p)")
+    intercept[IllegalArgumentException](Profile.groupedQuantiles(df, Seq(), "v", ps))
+    intercept[IllegalArgumentException](Profile.groupedQuantiles(df, Seq("g"), "v", Seq(1.5)))
+  }
+
   test("Profile.approxQuantiles agrees with exact quantiles on a bounded-cardinality column") {
     val vdf = Seq.tabulate(2000)(i => (i.toLong, ((i * 13) % 50).toDouble)).toDF("id", "v")
     val ps = Seq(0.25, 0.5, 0.75)
