@@ -1570,6 +1570,33 @@ object SparkEntry {
     // md5 bucket/order-hash twins (the xxhash64 production pair has no
     // DuckDB twin; SampleProfileSpec asserts both families agree on
     // determinism and cap semantics)
+    // domain-mixing resampler (round 11): largest without-replacement
+    // subsample matching the target language mix — T = floor(min
+    // available/weight), quota = floor(weight·T), id-hash-order pick.
+    // Quotas live on the |targets|-row frame and broadcast back; es has
+    // no target -> dropped. md5 order hash makes the pick replayable
+    "x09_mix_resample" -> entry(
+      (s, d) => graft.operators.SampleOps.resampleToMix(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("en" -> 0.5, "de" -> 0.2, "zh" -> 0.2, "fr" -> 0.1),
+        orderHash = graft.operators.SampleOps.md5OrderHash),
+      """WITH t AS (
+           SELECT * FROM (VALUES
+             ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+             ('zh', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS t(lang, w)),
+         c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+         j AS (SELECT t.lang, t.w, COALESCE(c.c, 0) AS c FROM t LEFT JOIN c USING (lang)),
+         tt AS (SELECT floor(MIN(c / w)) AS tot FROM j),
+         q AS (SELECT lang, CAST(floor(w * tot) AS BIGINT) AS quota FROM j, tt),
+         r AS (
+           SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                        d.doc_id ASC) AS rn
+           FROM documents d JOIN q USING (lang))
+         SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota"""),
+
     "x03_sample_cap" -> entry(
       (s, d) => {
         val samp = graft.operators.SampleOps.hashSample(

@@ -80,4 +80,53 @@ object SampleOps {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Resample to a target stratum mix (domain/language mixing weights):
+    * return the LARGEST without-replacement subsample whose stratum
+    * proportions are `targets` — total T = floor(min over strata of
+    * available/weight), per-stratum quota = floor(weight·T), rows picked
+    * in id-hash order (deterministic, see [[stratifiedCap]]'s id-
+    * uniqueness contract). Strata absent from `targets` are dropped; a
+    * target stratum with no rows forces T = 0 (a mix you cannot honor is
+    * an empty sample, not a silently skewed one). Weights are relative —
+    * quota proportions are w/Σw by construction, so no explicit
+    * normalization happens (and none should: dividing by a fp Σw would
+    * perturb every weight by an ulp and move floor boundaries).
+    *
+    * Scale shape: stratum counts are one tiny aggregate; T and the
+    * quotas live on the strata-count frame (rows = |targets|) and
+    * broadcast back onto the corpus; the pick is [[stratifiedCap]]'s
+    * one stratum-partitioned window. Nothing driver-side, nothing
+    * proportional to corpus size but the scan and the window shuffle.
+    *
+    * Quota arithmetic is replayable: available/weight and weight·T are
+    * single correctly-rounded double ops on integer counts and literal
+    * weights, so any engine computes identical quotas.
+    */
+  def resampleToMix(df: DataFrame, stratumCol: String, idCol: String,
+      targets: Seq[(String, Double)],
+      orderHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(targets.nonEmpty, "resampleToMix needs at least one target stratum")
+    require(targets.forall(_._2 > 0.0), s"weights must be > 0, got $targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate target strata in $targets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("__stratum", "__w")
+    val counts = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__c"))
+    val joined = tgt.join(counts, Seq("__stratum"), "left")
+      .select(col("__stratum"), col("__w"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val total = joined.agg(min(col("__c") / col("__w")).as("__t"))
+    val quotas = joined.crossJoin(broadcast(total))
+      .select(col("__stratum"), floor(col("__w") * floor(col("__t"))).as("__quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+    df.join(broadcast(quotas), col(stratumCol) === col("__stratum"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__stratum", "__quota", "__rn")
+  }
 }

@@ -186,6 +186,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // fingerprint agg + layout window; the survivor semi-join broadcasts
     "x06_curate_pipeline" -> (2, 1),
     "x07_diversity_sample" -> (1, 0), // the one per-bucket window exchange
+    // stratum-count agg + its final stage + the stratum window; targets,
+    // the 1-row total, and the quota frame all broadcast
+    "x09_mix_resample" -> (3, 3),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

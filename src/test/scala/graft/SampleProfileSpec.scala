@@ -56,6 +56,30 @@ class SampleProfileSpec extends AnyFunSuite {
       c2.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("resampleToMix: quota proportions, binding stratum kept whole, non-targets dropped") {
+    // a:60 b:30 c:10 rows; targets a:0.5 b:0.4 -> T = floor(min(60/.5, 30/.4)) = 75
+    // quotas: a floor(.5*75)=37, b floor(.4*75)=30 (binding stratum fully kept); c dropped
+    val rows = (1 to 60).map(i => (i.toLong, "a")) ++
+      (61 to 90).map(i => (i.toLong, "b")) ++ (91 to 100).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "s")
+    val got = SampleOps.resampleToMix(df, "s", "id", Seq("a" -> 0.5, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byS = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS == Map("a" -> 37, "b" -> 30), byS)
+    // deterministic: same pick on re-run over a repartitioned frame
+    val again = SampleOps.resampleToMix(df.repartition(7), "s", "id",
+      Seq("a" -> 0.5, "b" -> 0.4)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.sameElements(again.sorted))
+    // a target stratum with zero rows forces an empty sample
+    assert(SampleOps.resampleToMix(df, "s", "id",
+      Seq("a" -> 0.5, "zz" -> 0.5)).count() == 0)
+    intercept[IllegalArgumentException](SampleOps.resampleToMix(df, "s", "id", Seq()))
+    intercept[IllegalArgumentException](
+      SampleOps.resampleToMix(df, "s", "id", Seq("a" -> 0.0)))
+    intercept[IllegalArgumentException](
+      SampleOps.resampleToMix(df, "s", "id", Seq("a" -> 0.5, "a" -> 0.4)))
+  }
+
   test("Profile.quantiles: rank-selected values match the sorted-array definition") {
     val values = Seq.tabulate(1000)(i => ((i * 37) % 101).toDouble) ++ Seq.fill(5)(50.0)
     val vdf = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
