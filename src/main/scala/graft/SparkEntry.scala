@@ -1721,6 +1721,39 @@ object SparkEntry {
       """SELECT c_custkey, s_suppkey FROM customer JOIN supplier
          ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10"""),
 
+    // interval-OVERLAP join (round 11): both sides bucketized, candidates
+    // meet on bucket equality, exact predicate filters, first-overlap-
+    // bucket ownership dedups in-plan — never the |A|·|B| inequality
+    // nested loop the oracle spells out. Intervals derived from order
+    // dates with key-dependent widths, identical literals on both engines
+    "j04_interval_overlap" -> entry(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_custkey") < 60).select(
+          col("o_orderkey").as("a_key"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("a_lo"),
+          (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            + col("o_orderkey") % 30).as("a_hi"))
+        val b = o.filter(col("o_custkey") >= 60 && col("o_custkey") < 120).select(
+          col("o_orderkey").as("b_key"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("b_lo"),
+          (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            + col("o_orderkey") % 20).as("b_hi"))
+        JoinOps.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 32.0)
+          .select(col("a_key"), col("b_key"))
+      },
+      """WITH a AS (
+           SELECT o_orderkey AS a_key,
+                  date_diff('day', DATE '1970-01-01', o_orderdate) AS a_lo,
+                  date_diff('day', DATE '1970-01-01', o_orderdate) + o_orderkey % 30 AS a_hi
+           FROM orders WHERE o_custkey < 60),
+         b AS (
+           SELECT o_orderkey AS b_key,
+                  date_diff('day', DATE '1970-01-01', o_orderdate) AS b_lo,
+                  date_diff('day', DATE '1970-01-01', o_orderdate) + o_orderkey % 20 AS b_hi
+           FROM orders WHERE o_custkey >= 60 AND o_custkey < 120)
+         SELECT a_key, b_key FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi"""),
+
     // the END-TO-END curation pipeline in one declarative plan: quality
     // gate (t08's exact rules) → exact-fingerprint dedup keeping each
     // cluster's min id → packed training-sequence layout. What a

@@ -182,4 +182,51 @@ object JoinOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval-OVERLAP equi-join analog: pairs (a, b) whose closed numeric
+    * intervals intersect (`loA <= hiB AND loB <= hiA`) — the temporal/
+    * genomic overlap shape that a naive formulation makes a nested-loop
+    * inequality join over |A|·|B|.
+    *
+    * Same bucketization as [[rangeJoin]], on BOTH sides: each interval
+    * explodes to the `bucketWidth`-buckets it covers, candidates meet on
+    * bucket equality, the exact overlap predicate filters. An overlapping
+    * pair co-occurs in every bucket of its intersection, so the join
+    * emits it once per shared bucket — the FIRST-OVERLAP-BUCKET ownership
+    * rule (keep only `bucket == floor(greatest(loA, loB) / width)`, the
+    * intersection's first bucket) dedups in-plan, no distinct shuffle.
+    * Shuffle volume is Σ per-interval bucket counts, hash-partitioned —
+    * scale-safe for bounded interval-to-bucketWidth ratios, guarded by
+    * `maxBucketsPerInterval` exactly as [[rangeJoin]]. NULL bounds never
+    * match (NULL bucket arrays explode to nothing / NULL ownership fails).
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      bucketWidth: Double, maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"the two sides must not share column names (ambiguous output), got: $shared")
+    require(!a.columns.contains("__b") && !b.columns.contains("__b"),
+      "'__b' is reserved by intervalJoin — rename that input column first")
+    def buckets(df: DataFrame, lo: String, hi: String) = {
+      val n = floor(col(hi) / bucketWidth) - floor(col(lo) / bucketWidth) + 1
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__b", explode(
+          when(n <= lit(maxBucketsPerInterval), sequence(
+            floor(col(lo) / bucketWidth), floor(col(hi) / bucketWidth)))
+            .otherwise(raise_error(concat(
+              lit("intervalJoin: interval ["), col(lo).cast("string"), lit(", "),
+              col(hi).cast("string"),
+              lit(s"] spans more than maxBucketsPerInterval=$maxBucketsPerInterval " +
+                s"buckets at bucketWidth=$bucketWidth; raise bucketWidth, raise the " +
+                "cap, or filter outlier intervals"))))))
+    }
+    buckets(a, loA, hiA).join(buckets(b, loB, hiB), "__b")
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("__b") === floor(greatest(col(loA), col(loB)) / bucketWidth))
+      .drop("__b")
+  }
 }

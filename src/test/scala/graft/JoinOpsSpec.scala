@@ -234,6 +234,41 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin equals the raw overlap join, each pair exactly once") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals, widths 0..40 across buckets
+    // (bucketWidth 16), negative domain included
+    val a = (0 until 120).map { i =>
+      val lo = (i * 37 % 300) - 50; (i.toLong, lo, lo + (i * 13 % 41))
+    }.toSeq.toDF("aid", "alo", "ahi")
+    val b = (0 until 90).map { i =>
+      val lo = (i * 53 % 280) - 40; (i.toLong, lo, lo + (i * 7 % 31))
+    }.toSeq.toDF("bid", "blo", "bhi")
+    val gotAll = JoinOps.intervalJoin(a, b, "alo", "ahi", "blo", "bhi", 16.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAll.size == gotAll.distinct.size, "ownership rule must emit each pair once")
+    assert(gotAll.toSet == want, s"missing=${want -- gotAll.toSet} extra=${gotAll.toSet -- want}")
+    assert(want.nonEmpty)
+  }
+
+  test("intervalJoin: NULL bounds never match; inverted intervals dropped; guard trips") {
+    import spark.implicits._
+    val a = Seq((1L, Some(0), Some(10)), (2L, None, Some(5)), (3L, Some(8), Some(2)))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 0, 100)).toDF("bid", "blo", "bhi")
+    val got = JoinOps.intervalJoin(a, b, "alo", "ahi", "blo", "bhi", 8.0)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), got)
+    val wide = Seq((9L, 0, 1000000)).toDF("aid", "alo", "ahi")
+    val e = intercept[Exception] {
+      JoinOps.intervalJoin(wide, b, "alo", "ahi", "blo", "bhi", 1.0,
+        maxBucketsPerInterval = 64).collect()
+    }
+    assert(e.getMessage.contains("maxBucketsPerInterval"), e.getMessage)
+  }
+
   test("rangeJoin: negative domains bucket correctly (floor, not truncation)") {
     import spark.implicits._
     // floor(-0.5) = -1 while a toward-zero truncation gives 0 — points just

@@ -55,6 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // whole ASOF join costs what any windowed analytic costs
     "j01_asof" -> (2, 0),
     "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
+    // both sides bucketized map-side; the bucket equi-join broadcasts at
+    // this SF, ownership dedup is a filter (no distinct shuffle)
+    "j04_interval_overlap" -> (0, 1),
     "j03_asof_forward" -> (2, 0), // same shape as j01, reversed timeline
     // pair-gen is checkpointed inside cosineNearDupPairs (round 11) and CC
     // labels come back checkpointed (as d11); the audited plan is the
