@@ -803,6 +803,43 @@ object SparkEntry {
     // 8-grams (gap-and-island on the pair's alignment diagonal), i.e. one
     // verbatim shared passage >= 12 tokens with its 1-based offsets.
     // Integer-only output; the window is partitioned by (pair, diagonal)
+    // cross-source duplication matrix (round 11): which sources copy from
+    // each other — per-fingerprint SOURCE COUNTS pair up (n1·n2 cross,
+    // n(n−1)/2 within), document pairs never materialize; a megacluster
+    // costs its source count squared, not its document count squared
+    // the fixture has no exact duplicates (d02: all singleton clusters),
+    // so the entry plants them with identical literals on both engines
+    // (t10/t11 technique): %7 docs mirrored to a 'mirror' source
+    // (cross-source pairs), %13 docs re-keyed within their own source
+    // (within-source pairs) — moduli coprime with the fixture's
+    // source = id%20 assignment, so every source participates
+    "d19_dup_matrix" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        val mirrored = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id") + 500000L, lit("mirror").as("source"), col("text"))
+        val rekeyed = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id") + 600000L, col("source"), col("text"))
+        Dedup.crossSourceDupMatrix(docs.union(mirrored).union(rekeyed), "source", "text")
+      },
+      """WITH d AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 500000, 'mirror', text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 600000, source, text FROM documents WHERE doc_id % 13 = 0),
+         fps AS (
+           SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                  source, COUNT(*) AS n
+           FROM d WHERE text IS NOT NULL GROUP BY 1, 2),
+         pairs AS (
+           SELECT l.source AS source_a, r.source AS source_b,
+             CASE WHEN l.source = r.source THEN l.n * (l.n - 1) // 2
+                  ELSE l.n * r.n END AS p
+           FROM fps l JOIN fps r ON l.fp = r.fp AND l.source <= r.source)
+         SELECT source_a, source_b, SUM(p) AS n_dup_pairs
+         FROM pairs GROUP BY 1, 2 HAVING SUM(p) > 0"""),
+
     // incremental dedup (round 11): the continuously-fed-corpus ingest
     // shape — collapse the incoming batch on fingerprint, then LEFT ANTI
     // against the existing corpus' DISTINCT fingerprints; text never
@@ -1359,6 +1396,25 @@ object SparkEntry {
                 last_value(vh IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM j"""),
+
+    // sliding 7-day distinct active users (round 11): each distinct
+    // (user, day) contributes itself to the windowDays days it keeps the
+    // user active — bounded x7 explode + distinct, never an inequality
+    // self-join; the event stream reduces to (user, day) before anything
+    // fans out. Oracle is the definitional lateral-range replay
+    "s09_sliding_wau" -> entry(
+      (s, d) => graft.operators.EventOps.slidingActiveUsers(
+        t(s, d, "events"), "user_id", "ts", windowDays = 7),
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d
+           FROM events WHERE ts IS NOT NULL),
+         b AS (SELECT MAX(d) AS dmax FROM ud),
+         g AS (SELECT DISTINCT user_id, ud.d + t.i AS day
+               FROM ud, range(7) t(i), b WHERE ud.d + t.i <= b.dmax)
+         SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day, COUNT(*) AS n_active
+         FROM g GROUP BY 1"""),
 
     // rolling 7-day volume (round 11): daily counts then a RANGE frame
     // over integer day numbers — calendar-correct under gaps (missing

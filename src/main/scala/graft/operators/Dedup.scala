@@ -71,6 +71,43 @@ object Dedup {
       .join(exFp, Seq("fp"), "left_anti")
   }
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * exact-content duplicate pairs span them — the corpus-forensics view
+    * ("which feeds copy from each other") that prioritizes dedup work and
+    * catches a scraper re-ingesting another pipeline's output.
+    *
+    * Never materializes document pairs: one (fingerprint, source)
+    * aggregation, then the PER-FINGERPRINT SOURCE COUNTS pair up
+    * (`n₁·n₂` cross-source, `n·(n−1)/2` within-source) — the self-join
+    * runs on the fp×sources frame (rows = distinct contents × sources
+    * sharing them, tiny), co-partitioned on fp, so a pathological
+    * megacluster (empty strings, boilerplate) costs its source count
+    * squared, not its document count squared.
+    *
+    * @return (source_a, source_b, n_dup_pairs), source_a <= source_b,
+    *         only pairs with at least one duplicate
+    */
+  def crossSourceDupMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val fps = docs.filter(col(textCol).isNotNull)
+      .groupBy(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val l = fps.select(col("fp"), col("__src").as("source_a"), col("__n").as("__na"))
+    val r = fps.select(col("fp"), col("__src").as("source_b"), col("__n").as("__nb"))
+    l.join(r, Seq("fp"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("__pairs",
+        // n·(n−1) is even; shiftright keeps the arithmetic integral end
+        // to end (a fp `/ 2` would make the final sum a double fold)
+        when(col("source_a") === col("source_b"),
+          shiftright(col("__na") * (col("__na") - 1), 1))
+          .otherwise(col("__na") * col("__nb")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__pairs")).as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Word n-gram shingles of the text (whole text if shorter). The

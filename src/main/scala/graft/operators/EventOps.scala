@@ -127,6 +127,41 @@ object EventOps {
       sum(col("n")).over(w).as("n_window"))
   }
 
+  /** Sliding `windowDays`-day distinct active users per day (the WAU/MAU
+    * curve, exactly). Distinct-over-a-sliding-frame has no window-function
+    * form, and per-day COUNT(DISTINCT) over a self-joined range is an
+    * inequality join; instead each (user, active-day) CONTRIBUTES itself
+    * to the `windowDays` days it keeps the user active — a bounded
+    * explode (×windowDays), then distinct + count.
+    *
+    * Scale shape: the event stream reduces to distinct (user, day) FIRST
+    * (one shuffle, map-side partials); everything after runs on that
+    * frame × windowDays. Exact, not a sketch; for very large windows
+    * (365-day MAU at daily grain) the ×window expansion is the cost to
+    * weigh against an approx_count_distinct-per-day two-pass.
+    *
+    * @return (day, n_active) for every day in the stream's [min, max] span
+    */
+  def slidingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        datediff(date_trunc("day", col(tsCol)), to_date(lit("1970-01-01"))).as("__d"))
+      .distinct()
+    val bounds = userDays.agg(min(col("__d")).as("__dmin"), max(col("__d")).as("__dmax"))
+    userDays
+      .select(col("__u"), explode(sequence(col("__d"),
+        col("__d") + (windowDays - 1))).as("__day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("__day") <= col("__dmax"))
+      .select(col("__u"), col("__day")).distinct()
+      .groupBy(col("__day"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_add(to_date(lit("1970-01-01")), col("__day").cast("int")).as("day"),
+        col("n_active"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

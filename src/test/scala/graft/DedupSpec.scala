@@ -495,6 +495,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((11L, 2L), (13L, 1L)), got.toSeq)
   }
 
+  test("crossSourceDupMatrix: source-count combinatorics, no pair materialization needed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // content X: 3 copies in a, 2 in b -> aa C(3,2)=3, ab 3*2=6, bb C(2,2)=1
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "X "), // fingerprint-equal
+      (4L, "b", "x"), (5L, "b", "x"),
+      // content Y: 1 in a, 1 in c -> ac 1
+      (6L, "a", "y"), (7L, "c", "y"),
+      // unique content and NULLs contribute nothing
+      (8L, "a", "solo"), (9L, "b", null.asInstanceOf[String]),
+      (10L, "c", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceDupMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "a") -> 3L, ("a", "b") -> 6L, ("b", "b") -> 1L,
+      ("a", "c") -> 1L), got)
+  }
+
   test("md5-60 family: NULL text propagates to NULL in native, algebra, and hash forms") {
     import org.apache.spark.sql.functions._
     // concat_ws would silently hash the seed alone on NULL input; the fused

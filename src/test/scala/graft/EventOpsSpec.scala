@@ -155,6 +155,27 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("slidingActiveUsers: exact distinct over the sliding span, clamped to the stream") {
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val events = Seq(
+      (1L, day(0)), (1L, day(0)), // same user same day: counted once
+      (2L, day(1)),
+      (1L, day(3)),               // u1 again inside its own window
+      (3L, day(9)))               // lonely late user; also sets dmax=9
+      .toDF("user_id", "ts")
+    val got = EventOps.slidingActiveUsers(events, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getDate(0).getTime / 86400000L -> r.getLong(1)).toMap
+    // day: active users within [d-2, d]
+    assert(got == Map(
+      0L -> 1L,           // u1
+      1L -> 2L, 2L -> 2L, // u1, u2
+      3L -> 2L,           // u1 (day 3), u2 (day 1)
+      4L -> 1L, 5L -> 1L, // u1's day-3 activity
+      9L -> 1L), got)     // u3; days 6-8 have no active users and no row
+    intercept[IllegalArgumentException](
+      EventOps.slidingActiveUsers(events, "user_id", "ts", windowDays = 0))
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

@@ -73,6 +73,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // batch fingerprint agg + existing-side distinct; the anti join
     // broadcasts the reduced side at this SF (both co-partition on fp)
     "d18_incremental_dedup" -> (2, 1),
+    // (fp, source) agg + the final matrix agg; the fp-keyed count
+    // self-join broadcasts its tiny side at this SF
+    "d19_dup_matrix" -> (2, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -147,6 +150,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // daily agg shuffles on (key, day); the key-partitioned RANGE window
     // re-shuffles only the keys x days frame, not the event stream
     "s08_rolling_daily" -> (2, 0),
+    // (user, day) distinct + the post-explode (user, day) distinct + the
+    // per-day count + its final stage; bounds broadcast back. Every
+    // shuffle is on the user-days frame, never the event stream
+    "s09_sliding_wau" -> (4, 1),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
