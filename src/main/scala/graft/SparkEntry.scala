@@ -509,6 +509,25 @@ object SparkEntry {
          UNION ALL
          SELECT l_returnflag, 'price' AS metric, price AS value FROM a"""),
 
+    // date/time function family (round 11): EXTRACT parts, date+int
+    // arithmetic, month truncation — the SQL-surface breadth a reporting
+    // user leans on; all parts integral, session TZ pinned UTC, so every
+    // value is hash-stable. (DOW is EXCLUDED deliberately: Spark counts
+    // Sunday=1, DuckDB Sunday=0 — an entry would pin one convention
+    // arbitrarily and document nothing)
+    "q44_date_functions" -> shared(
+      """WITH o AS (
+           SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+           FROM orders WHERE o_custkey < 100)
+         SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM od) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM od) AS INT) AS mo,
+           CAST(EXTRACT(DAY FROM od) AS INT) AS dy,
+           CAST(EXTRACT(QUARTER FROM od) AS INT) AS qtr,
+           od + 30 AS due_date,
+           CAST(date_trunc('month', od) AS DATE) AS month_start
+         FROM o"""),
+
     // window-frame family (round 11): NTILE / FIRST_VALUE / CUME_DIST plus
     // a RANGE value frame, all via a shared WINDOW clause so both parsers
     // bind the same definitions. Both windows partition on o_orderpriority,
@@ -1570,6 +1589,32 @@ object SparkEntry {
     // same fp expression as the assignment. trunc() mirrors Spark floor's
     // toward-zero on the non-negative operand; all other math is the
     // identical double expression on both engines
+    // per-group Pearson correlation (round 11): ONE map-side-partial
+    // aggregation of exact decimal sufficient statistics (n, Σx, Σy, Σxy,
+    // Σx², Σy²), then a fixed tree of correctly-rounded fp ops — bit-
+    // deterministic where a double corr() fold is partition-order noise
+    "p05_correlation" -> entry(
+      (s, d) => graft.operators.Profile.correlation(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS syy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1)
+         SELECT l_returnflag, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS r
+         FROM s"""),
+
     // per-group rank-exact quantiles (round 11): type-1 (value at
     // ceil(p·n) of the group's sort — an actual data value, so the result
     // hash-matches any engine); groups ride a partitioned window in

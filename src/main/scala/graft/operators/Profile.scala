@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Column profiling — the user-facing twin of the reference's startup
   * statistics harvest (`engine/src/statistics_manager.cpp:9-142`: COUNT(*),
@@ -235,6 +236,42 @@ object Profile {
       .agg(percentile_approx(v, lit(psd.toArray), lit(accuracy)).as("__q"))
       .select(explode(arrays_zip(lit(psd.toArray).as("p"), col("__q").as("quantile"))).as("z"))
       .select(col("z.p"), col("z.quantile"))
+  }
+
+  /** Per-group Pearson correlation from EXACT sufficient statistics: one
+    * aggregation computes n, Σx, Σy, Σxy, Σx², Σy² over DECIMAL-cast
+    * inputs — every sum is exact and order-independent (a double `corr()`
+    * folds in partition order, so its last bits vary run to run and
+    * engine to engine) — then one fixed expression tree of correctly-
+    * rounded fp ops (·, −, /, sqrt are all IEEE-exact) turns them into r.
+    * Deterministic to the bit on any engine that computes the same tree.
+    *
+    * Scale shape: ONE map-side-partial aggregation over the scan, one
+    * row per group out — the canonical sufficient-statistics pattern
+    * (extends to covariance/regression slopes from the same six sums).
+    * Zero-variance groups (r undefined) yield NULL, matching SQL corr().
+    *
+    * @param scale DECIMAL(precision=38, scale) cast applied to both
+    *              inputs; pick the input's true decimal scale (money = 2)
+    */
+  def correlation(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "correlation needs at least one group column")
+    val x = col(s"`$xCol`").cast(DecimalType(19, scale))
+    val y = col(s"`$yCol`").cast(DecimalType(19, scale))
+    val g = groupCols.map(c => col(s"`$c`"))
+    val stats = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    stats.select((g :+ col("n") :+
+      when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("r")): _*)
   }
 
   /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row

@@ -92,6 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (group, value) distribution agg + the group-partitioned prefix-sum
     // window — groups in parallel, per-task unit is a group's histogram
     "p04_group_quantiles" -> (2, 0),
+    // ONE sufficient-statistics aggregation; r is arithmetic on the
+    // groups-row frame
+    "p05_correlation" -> (1, 0),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -140,6 +143,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // NTILE/FIRST_VALUE/CUME_DIST + the RANGE frame all share the single
     // o_orderpriority partition exchange
     "q41_window_frames" -> (1, 0),
+    "q44_date_functions" -> (0, 0), // per-row date algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
     "q42_cte" -> (3, 1),

@@ -189,6 +189,32 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct"), e.getMessage)
   }
 
+  test("Profile.correlation: matches the closed form, zero-variance group NULL, partition-stable") {
+    val pts = Seq( // group a: y = 2x + noise-free shift -> r = 1
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      // group b: hand-checkable mixed cloud
+      ("b", 1.0, 1.0), ("b", 2.0, 5.0), ("b", 3.0, 2.0), ("b", 4.0, 8.0),
+      // group c: x constant -> vx = 0 -> NULL r
+      ("c", 5.0, 1.0), ("c", 5.0, 9.0))
+    val df = pts.zipWithIndex.map { case ((g, x, y), i) => (i.toLong, g, x, y) }
+      .toDF("id", "g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.correlation(d, Seq("g"), "x", "y", scale = 1).collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val got = run(df)
+    assert(got("a") == Some(1.0), got("a"))
+    val bx = Seq(1.0, 2.0, 3.0, 4.0); val by = Seq(1.0, 5.0, 2.0, 8.0)
+    val n = 4.0
+    val (sx, sy) = (bx.sum, by.sum)
+    val sxy = bx.zip(by).map { case (p, q) => p * q }.sum
+    val (sxx, syy) = (bx.map(v => v * v).sum, by.map(v => v * v).sum)
+    val want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got("b").get - want) < 1e-12, s"${got("b")} vs $want")
+    assert(got("c").isEmpty, "zero x-variance must be NULL, not NaN")
+    assert(run(df.repartition(5)) == got, "partition-order independent")
+    intercept[IllegalArgumentException](Profile.correlation(df, Seq(), "x", "y"))
+  }
+
   test("Profile.histogram: counts and bounds match manual binning; max folds into last bucket") {
     val vdf = (0 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val rows = Profile.histogram(vdf, "v", 10).collect()
