@@ -126,8 +126,7 @@ object Dedup {
     */
   private[operators] def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      TextOps.wordNgrams(toks, n))
 
   /** MinHash signature: fully fused native expression
     * ([[graft.functions.MinHashTextExpr]]) — tokenize, shingle-as-byte-span,
@@ -423,8 +422,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("__toks")) - n),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as(Seq("pos0", "gram")))
+        posexplode(TextOps.wordNgrams(col("__toks"), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

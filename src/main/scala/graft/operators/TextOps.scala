@@ -84,11 +84,7 @@ object TextOps {
     * times). NULL tokens (= NULL text) score NULL fractions.
     */
   def repetitionColumnsFromTokens(toks: Column): Seq[Column] = {
-    def ngrams(n: Int): Column =
-      if (n == 1) toks
-      else when(size(toks) < n, array()).otherwise(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    def ngrams(n: Int): Column = wordNgrams(toks, n)
     def dupFrac(n: Int): Column = {
       // the n-gram TOTAL is arithmetic (|toks| − n + 1), so the n-gram
       // array is constructed exactly once per n (for the distinct count) —
@@ -310,7 +306,7 @@ object TextOps {
     * one final linear filter drops them — a doc with fewer than n tokens
     * ends as []; a NULL token array stays NULL throughout.
     */
-  private def wordNgrams(toks: Column, n: Int): Column = {
+  private[operators] def wordNgrams(toks: Column, n: Int): Column = {
     val chained = (1 until n).foldLeft(toks)((g, j) =>
       zip_with(g, slice(toks, lit(j + 1), size(toks)),
         (a, b) => concat(a, lit(" "), b)))
