@@ -528,6 +528,22 @@ object SparkEntry {
            CAST(date_trunc('month', od) AS DATE) AS month_start
          FROM o"""),
 
+    // string-function family (round 11): the scalar-function breadth of
+    // the ANSI intersection both engines implement identically (UPPER /
+    // LOWER / SUBSTR / REPLACE / LENGTH / LPAD / TRIM / SPLIT_PART /
+    // CONCAT_WS); all codegen'd per-row algebra on the scan
+    "q45_string_functions" -> shared(
+      """SELECT c_custkey,
+           UPPER(c_name) AS up_name,
+           LOWER(c_mktsegment) AS lo_seg,
+           SUBSTR(c_name, 10, 8) AS name_digits,
+           REPLACE(c_name, 'Customer#', '') AS bare_name,
+           LENGTH(c_name) AS name_len,
+           LPAD(CAST(c_custkey AS STRING), 10, '0') AS padded_key,
+           TRIM(CONCAT_WS(' ', c_mktsegment, c_name)) AS seg_name,
+           SPLIT_PART(c_name, '#', 2) AS name_tail
+         FROM customer WHERE c_custkey < 500"""),
+
     // window-frame family (round 11): NTILE / FIRST_VALUE / CUME_DIST plus
     // a RANGE value frame, all via a shared WINDOW clause so both parsers
     // bind the same definitions. Both windows partition on o_orderpriority,
@@ -1415,6 +1431,21 @@ object SparkEntry {
                 last_value(vh IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM j"""),
+
+    // event-type transition matrix (round 11): per-user consecutive-pair
+    // counts via one LAG window on a (ts, event_id) total order — the
+    // unique tiebreaker makes simultaneous events deterministic on both
+    // engines — then one (from, to) aggregation
+    "s10_transition_matrix" -> entry(
+      (s, d) => graft.operators.EventOps.transitionMatrix(
+        t(s, d, "events"), "user_id", "event_type", "ts", "event_id"),
+      """WITH o AS (
+           SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+           FROM events WHERE ts IS NOT NULL)
+         SELECT from_type, to_type, COUNT(*) AS n
+         FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2"""),
 
     // sliding 7-day distinct active users (round 11): each distinct
     // (user, day) contributes itself to the windowDays days it keeps the

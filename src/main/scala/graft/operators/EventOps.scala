@@ -53,6 +53,31 @@ object EventOps {
       .select(col("event_type"), col("hour"), col("n"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): how often
+    * each user's stream moves type A → type B between CONSECUTIVE events
+    * — the navigation/behavior fingerprint behind session-flow analysis
+    * and anomaly detection (a transition that never occurred before is a
+    * bot signature).
+    *
+    * One per-user LAG window (ordered by (ts, idCol) — the unique
+    * tiebreaker makes simultaneous events deterministic), then one count
+    * aggregation on (from, to). The window partitions on the user key, so
+    * both shuffles are ordinary hash exchanges; output is |types|² rows.
+    *
+    * @return (from_type, to_type, n) for transitions that occurred
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.filter(col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("to_type"), col(tsCol), col(idCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-user funnel depth over an ordered step list: depth d means the
     * user's FIRST occurrences of steps 0..d-1 happen in strictly
     * increasing time order (a purchase before the first click does not

@@ -176,6 +176,28 @@ class EventOpsSpec extends AnyFunSuite {
       EventOps.slidingActiveUsers(events, "user_id", "ts", windowDays = 0))
   }
 
+  test("transitionMatrix: per-user consecutive pairs, cross-user gaps never pair") {
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(1)), (3L, 1L, "a", ts(2)), // u1: a->b, b->a
+      (4L, 2L, "a", ts(0)), (5L, 2L, "b", ts(5)),                       // u2: a->b
+      (6L, 3L, "c", ts(9)))                                             // single event: none
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.transitionMatrix(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L), got)
+  }
+
+  test("transitionMatrix: simultaneous events order by the id tiebreaker, repartition-stable") {
+    val events = Seq( // same ts: order must follow event_id 1,2,3 -> a->b, b->c
+      (1L, 1L, "a", ts(5)), (2L, 1L, "b", ts(5)), (3L, 1L, "c", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.transitionMatrix(df, "user_id", "event_type", "ts", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(run(events) == Set(("a", "b"), ("b", "c")))
+    assert(run(events.repartition(5)) == Set(("a", "b"), ("b", "c")))
+  }
+
   test("funnel rejects empty or duplicated step lists") {
     val events = Seq((1L, "signup", ts(1))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](

@@ -144,6 +144,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // o_orderpriority partition exchange
     "q41_window_frames" -> (1, 0),
     "q44_date_functions" -> (0, 0), // per-row date algebra on the scan
+    "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
     "q42_cte" -> (3, 1),
@@ -158,6 +159,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-day count + its final stage; bounds broadcast back. Every
     // shuffle is on the user-days frame, never the event stream
     "s09_sliding_wau" -> (4, 1),
+    // per-user LAG window + the (from, to) count agg
+    "s10_transition_matrix" -> (2, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
