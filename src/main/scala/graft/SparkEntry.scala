@@ -544,6 +544,21 @@ object SparkEntry {
            SPLIT_PART(c_name, '#', 2) AS name_tail
          FROM customer WHERE c_custkey < 500"""),
 
+    // LATERAL VIEW explode (round 11): the table-generating-function SQL
+    // surface (HiveQL lateral views parse natively in Spark SQL; DuckDB
+    // spells the identical relation unnest-in-SELECT). Tokens are unique
+    // within the group row, so (n DESC, token ASC) totally orders LIMIT
+    "q46_lateral_explode" -> entry(
+      (s, d) => {
+        val q = """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+                   FROM documents LATERAL VIEW explode(split(text, ' ')) t AS token
+                   WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"""
+        GraftSession.registerFor(s, d, q); s.sql(q)
+      },
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"""),
+
     // window-frame family (round 11): NTILE / FIRST_VALUE / CUME_DIST plus
     // a RANGE value frame, all via a shared WINDOW clause so both parsers
     // bind the same definitions. Both windows partition on o_orderpriority,
@@ -1387,6 +1402,131 @@ object SparkEntry {
          e AS (SELECT unnest(g3) AS gram FROM g)
          SELECT gram, COUNT(*) AS n FROM e GROUP BY gram
          ORDER BY n DESC, gram ASC LIMIT 20"""),
+
+    // sentence segmentation stats (round 11): split on [.!?]+ (Java ≡ RE2
+    // on this subset), per-doc integer counts, ONE fp division of exact
+    // integer sums at the group level — bit-identical cross-engine
+    "t16_sentence_stats" -> entry(
+      (s, d) => TextOps.sentenceStats(t(s, d, "documents"), "lang", "text"),
+      """WITH sp AS (
+           SELECT lang, list_filter(list_transform(
+             string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS sents
+           FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT lang, CAST(len(sents) AS INT) AS ns,
+                 COALESCE(CAST(list_sum(list_transform(sents, x -> len(x))) AS BIGINT), 0) AS chars
+               FROM sp)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ns) AS BIGINT) AS n_sentences,
+           CAST(MAX(ns) AS INT) AS max_doc_sentences,
+           CASE WHEN SUM(ns) > 0
+                THEN CAST(SUM(chars) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) END
+             AS mean_sentence_chars
+         FROM p GROUP BY lang"""),
+
+    // URL/domain extraction (round 11): the fixture has no URLs, so the
+    // entry appends deterministic ones (identical literals both engines —
+    // the t10 pattern); mixed-case host + www prefix exercise the
+    // lower/strip normalization
+    "t17_url_domains" -> entry(
+      (s, d) => TextOps.urlDomainStats(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://Ex"), pmod(col("doc_id"), lit(20)).cast("string"),
+            lit(".com/a and http://www.site"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".org/b")).as("text")),
+        "doc_id", "text"),
+      """WITH d AS (SELECT doc_id,
+             text || ' see https://Ex' || CAST(doc_id % 20 AS VARCHAR) ||
+             '.com/a and http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.org/b' AS text
+           FROM documents),
+         u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+               FROM d WHERE text IS NOT NULL),
+         dom AS (SELECT doc_id, regexp_replace(lower(host), '^www\.', '') AS domain FROM u),
+         pd AS (SELECT domain, doc_id, COUNT(*) AS n FROM dom GROUP BY 1, 2)
+         SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls, COUNT(*) AS n_docs
+         FROM pd GROUP BY domain"""),
+
+    // code-vs-prose detection (round 11): integer structural-signal gate
+    // (braces + semicolons), synthetic code appended to every 7th doc with
+    // identical literals on both engines
+    "t18_code_detect" -> entry(
+      (s, d) => TextOps.codeDetect(
+        t(s, d, "documents").select(col("source"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" if (x > 0) { y = x; } else { y = -x; } print(y);"))
+              .otherwise(lit(""))).as("text")),
+        "source", "text"),
+      """WITH d AS (SELECT source,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' if (x > 0) { y = x; } else { y = -x; } print(y);'
+               ELSE '' END AS text
+           FROM documents),
+         c AS (SELECT source,
+             (len(text) - len(replace(text, '{', ''))) +
+             (len(text) - len(replace(text, '}', ''))) AS b,
+             len(text) - len(replace(text, ';', '')) AS sm,
+             len(text) - len(replace(text, '=', '')) AS a
+           FROM d WHERE text IS NOT NULL)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b >= 2 AND sm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_code_docs,
+           CAST(SUM(b) AS BIGINT) AS n_braces,
+           CAST(SUM(sm) AS BIGINT) AS n_semis,
+           CAST(SUM(a) AS BIGINT) AS n_assigns
+         FROM c GROUP BY source"""),
+
+    // categorical diversity profile (round 11): Gini–Simpson + effective
+    // values — rational functions of exact integer counts (deliberately
+    // NOT Shannon entropy: no libm at the boundary, see Profile.diversity)
+    "p06_diversity" -> entry(
+      (s, d) => graft.operators.Profile.diversity(
+        t(s, d, "documents"), Seq("source"), "lang"),
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c
+                    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_values,
+                 CAST(SUM(c * c) AS BIGINT) AS ss
+               FROM c GROUP BY 1)
+         SELECT source, n, n_values,
+           (CAST(n AS DOUBLE) * n - ss) / (CAST(n AS DOUBLE) * n) AS simpson,
+           (CAST(n AS DOUBLE) * n) / ss AS effective_values
+         FROM m"""),
+
+    // inter-arrival distribution (round 11): whole-second gaps on a
+    // (ts, event_id) total order, fixed integer CASE bands — no fp
+    // anywhere; unix_timestamp floor ≡ DuckDB's second-boundary date_diff
+    "s11_interarrival" -> entry(
+      (s, d) => graft.operators.EventOps.interArrivalBuckets(
+        t(s, d, "events"), "user_id", "ts", "event_id"),
+      """WITH g AS (
+           SELECT user_id,
+             date_diff('second',
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               CAST(ts AS TIMESTAMP)) AS gap
+           FROM events WHERE ts IS NOT NULL),
+         b AS (SELECT user_id,
+                 CASE WHEN gap < 1 THEN '0_lt_1s' WHEN gap < 10 THEN '1_1s_10s'
+                      WHEN gap < 60 THEN '2_10s_1m' WHEN gap < 600 THEN '3_1m_10m'
+                      WHEN gap < 3600 THEN '4_10m_1h' ELSE '5_ge_1h' END AS bucket
+               FROM g WHERE gap IS NOT NULL),
+         p AS (SELECT bucket, user_id, COUNT(*) AS n FROM b GROUP BY 1, 2)
+         SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_gaps, COUNT(*) AS n_users
+         FROM p GROUP BY bucket"""),
+
+    // leakage-safe grouped split (round 11): the bucket hashes the GROUP
+    // key (source), so a whole domain lands in one split — the output
+    // groups by (split, source) to make the zero-cross-split property the
+    // thing the oracle hashes. md5 twin, as x02
+    "x10_grouped_split" -> entry(
+      (s, d) => graft.operators.SampleOps
+        .groupedSplit(t(s, d, "documents"), "source", 60,
+          bucket = graft.operators.SampleOps.md5Bucket)
+        .groupBy(col("split"), col("source")).agg(count(lit(1)).as("n")),
+      """SELECT CASE WHEN CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 100 < 60
+                     THEN 'train' ELSE 'test' END AS split,
+              source, COUNT(*) AS n
+         FROM documents GROUP BY 1, 2"""),
 
     "t12_tfidf_keywords" -> entry(
       (s, d) => graft.operators.TextOps.tfidfKeywords(

@@ -237,4 +237,43 @@ object EventOps {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Inter-arrival time distribution: the gap in WHOLE SECONDS between a
+    * user's consecutive events, bucketed into fixed human-scale bands —
+    * the latency histogram behind bot detection (sub-second bursts),
+    * session-timeout calibration, and engagement profiling.
+    *
+    * Determinism: gaps are `unix_timestamp` floor-of-seconds differences
+    * (≡ any engine's second-boundary-crossing datediff), the ordering
+    * within a user breaks ts ties on the unique event id, and buckets are
+    * integer CASE bands — no floating point anywhere, so the whole result
+    * is bit-identical across engines.
+    *
+    * Scale shape: one hash-partitioned window per user (the same shuffle
+    * a sessionize needs — users are independent, the window parallelizes
+    * across them), then one small aggregate over at most six bucket rows
+    * with map-side partials. No global sort, no self-join.
+    *
+    * @return (bucket, n_gaps, n_users) — n_users = distinct users with a
+    *         gap in that band, deduped via a two-level aggregate
+    */
+  def interArrivalBuckets(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    val bucket = when(col("__gap") < 1, "0_lt_1s")
+      .when(col("__gap") < 10, "1_1s_10s")
+      .when(col("__gap") < 60, "2_10s_1m")
+      .when(col("__gap") < 600, "3_1m_10m")
+      .when(col("__gap") < 3600, "4_10m_1h")
+      .otherwise("5_ge_1h")
+    events.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), gap.as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .select(col("__u"), bucket.as("bucket"))
+      .groupBy(col("bucket"), col("__u")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__n")).as("n_gaps"), count(lit(1)).as("n_users"))
+  }
 }

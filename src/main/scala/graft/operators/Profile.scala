@@ -274,6 +274,41 @@ object Profile {
       when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("r")): _*)
   }
 
+  /** Categorical diversity profile per group: distinct-value count,
+    * Gini–Simpson index `1 − Σ(c/n)²` and effective number of values
+    * `n²/Σc²` (inverse Simpson) — the corpus-mix concentration metrics a
+    * training-data pipeline tracks per source/shard (a source whose
+    * language mix collapses to one value shows up as effective_values→1
+    * long before a count dashboard moves).
+    *
+    * Chosen over Shannon entropy DELIBERATELY: both indices are rational
+    * functions of exact integer counts, so the only fp ops are IEEE
+    * multiply/divide on exactly-represented integers — bit-identical on
+    * every engine. Entropy needs a per-value `ln`, whose last-ulp
+    * differences across libms make cross-engine hashes unstable. Exact
+    * while n ≤ 2²⁶ per group (n² stays inside double's 2⁵³); past that,
+    * lift the factors to DECIMAL(38,0).
+    *
+    * Two stacked hash aggregates (value counts, then group moments), both
+    * with map-side partials — the (group, value) frame the second pass
+    * runs on is NDV-sized, not corpus-sized.
+    *
+    * @return (group, n, n_values, simpson, effective_values)
+    */
+  def diversity(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "diversity needs at least one group column")
+    val g = groupCols.map(c => col(s"`$c`"))
+    val counts = df.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy((g :+ col(s"`$valueCol`")): _*).agg(count(lit(1)).as("__c"))
+    val n2 = col("n").cast("double") * col("n")
+    counts.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_values"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .select((g :+ col("n") :+ col("n_values") :+
+        ((n2 - col("__ss")) / n2).as("simpson") :+
+        (n2 / col("__ss")).as("effective_values")): _*)
+  }
+
   /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row
     * counted into `least(nBuckets-1, floor((v-min)/(max-min)·nBuckets))`
     * (the max value folds into the last bucket; a constant column lands

@@ -47,6 +47,22 @@ object SampleOps {
     df.withColumn("split",
       when(bucket(col(idCol)) < trainPct, "train").otherwise("test"))
 
+  /** Leakage-safe split: the bucket is hashed from a GROUP key (domain,
+    * source, author), so every row of a group lands in the same split —
+    * the discipline that keeps near-duplicate documents from one site out
+    * of both train and test (a row-level split leaks them across). Split
+    * fractions are approximate at group granularity by construction:
+    * that is the price of zero cross-split groups, and the reason this is
+    * a separate operator rather than a [[deterministicSplit]] call site.
+    * A NULL group key buckets NULL → "test", same as the row-level split.
+    * Pure projection — no shuffle; group co-location is a property of the
+    * hash, not of any physical partitioning.
+    */
+  def groupedSplit(df: DataFrame, groupCol: String, trainPct: Int,
+      bucket: Column => Column = hashBucket): DataFrame =
+    df.withColumn("split",
+      when(bucket(col(groupCol)) < trainPct, "train").otherwise("test"))
+
   /** Keep ~`pct`% of rows, deterministically by id hash. NULL ids give a
     * NULL bucket and are dropped (filter on NULL is false) — the one
     * deterministic reading of "sample by id" for an absent id.

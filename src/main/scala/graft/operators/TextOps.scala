@@ -402,4 +402,96 @@ object TextOps {
     array_min(transform(
       sequence(lit(1), greatest(lit(1), length(text) - (window - 1))),
       i => graft.operators.Dedup.md5Hash60(text.substr(i, lit(window)), 0)))
+
+  /** Trimmed, non-empty sentences: text split on terminal-punctuation runs
+    * `[.!?]+` (a regex subset Java and RE2 treat identically — char class
+    * plus `+`, no boundaries). Punctuation-free text is one sentence.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => length(s) > 0)
+
+  /** Per-group sentence statistics — the length-profile half of a corpus
+    * readability audit (C4 drops lines under 3 words; sentence-length
+    * distributions are how that threshold gets picked). Per row: sentence
+    * count and total trimmed-sentence chars, both integers; the group
+    * mean is ONE fp division of exact integer sums at the very end
+    * (IEEE-identical on any engine — the p05/s01 discipline). A group
+    * whose docs are all sentence-free gets a NULL mean, not a 0/0.
+    *
+    * Scale shape: sentence splitting is per-row column algebra on the
+    * scan; the only shuffle is the final group aggregate with map-side
+    * partials. Group cardinality (languages) is tiny at any corpus size.
+    */
+  def sentenceStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val sents = sentences(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(sents).as("__ns"),
+        coalesce(aggregate(sents, lit(0L), (a, s) => a + length(s)), lit(0L)).as("__chars"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ns")).as("n_sentences"),
+        max(col("__ns")).as("max_doc_sentences"),
+        when(sum(col("__ns")) > 0,
+          sum(col("__chars")).cast("double") / sum(col("__ns")))
+          .as("mean_sentence_chars"))
+  }
+
+  /** URL hosts extracted from free text: every `http(s)://host` match,
+    * lowercased, leading `www.` stripped — the provenance signal behind
+    * per-domain corpus curation (domain blocklists, source weighting,
+    * citation density). One capture-group extract-all (identical in Java
+    * and RE2: char classes only), one explode, one count aggregate with
+    * map-side partials; n_docs dedupes per document via a two-level
+    * aggregate, never a distinct over the exploded stream.
+    *
+    * @return (domain, n_urls, n_docs)
+    */
+  def urlDomainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("__host"))
+      .select(col("__id"), regexp_replace(lower(col("__host")), "^www\\.", "").as("domain"))
+      .groupBy(col("domain"), col("__id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__n")).as("n_urls"), count(lit(1)).as("n_docs"))
+
+  /** Occurrences of the single character `ch` in `text`, by length
+    * difference against a translate-erase — pure codegen'd string algebra
+    * any engine replays as `len(t) - len(replace(t, ch, ''))`.
+    */
+  def charCount(text: Column, ch: String): Column = {
+    require(ch.length == 1, s"charCount wants one character, got '$ch'")
+    length(text) - length(translate(text, ch, ""))
+  }
+
+  /** Code-vs-prose detection on structural signals — brace, semicolon and
+    * assignment density (the fastText-free heuristic a corpus pipeline
+    * runs to route code into its own pile before prose-quality gating;
+    * same family as the Gopher symbol-ratio rules). The flag is a pure
+    * INTEGER gate (`n_braces >= minBraces AND n_semis >= minSemis`), so
+    * the decision is bit-identical on every engine. Per-row column
+    * algebra on the scan + one group aggregate with map-side partials.
+    *
+    * @return (group, n_docs, n_code_docs, n_braces, n_semis, n_assigns)
+    */
+  def codeDetect(df: DataFrame, groupCol: String, textCol: String,
+      minBraces: Int = 2, minSemis: Int = 2): DataFrame = {
+    require(minBraces >= 1 && minSemis >= 1,
+      s"thresholds must be >= 1, got minBraces=$minBraces minSemis=$minSemis")
+    val t = col(textCol)
+    val braces = charCount(t, "{") + charCount(t, "}")
+    val semis = charCount(t, ";")
+    val assigns = charCount(t, "=")
+    df.filter(t.isNotNull)
+      .select(col(groupCol), braces.as("__b"), semis.as("__s"), assigns.as("__a"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__b") >= minBraces && col("__s") >= minSemis, 1L)
+          .otherwise(0L)).as("n_code_docs"),
+        sum(col("__b")).cast("long").as("n_braces"),
+        sum(col("__s")).cast("long").as("n_semis"),
+        sum(col("__a")).cast("long").as("n_assigns"))
+  }
 }

@@ -205,4 +205,30 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EventOps.funnel(events, "user_id", "event_type", "ts", Seq("a", "a")))
   }
+
+  test("interArrivalBuckets: band edges, per-user ordering, singleton users") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: gaps 0s (tie, ordered by id), 9s, 59s, 3600s
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:00:00")),
+      (3L, 1L, ts("2024-01-01 00:00:09")),
+      (4L, 1L, ts("2024-01-01 00:01:08")),
+      (5L, 1L, ts("2024-01-01 01:01:08")),
+      // user 2: one event, contributes no gap
+      (6L, 2L, ts("2024-01-01 00:00:00")),
+      // user 3: gap 599s (just inside 1-10m)
+      (7L, 3L, ts("2024-01-01 00:00:00")),
+      (8L, 3L, ts("2024-01-01 00:09:59")))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.interArrivalBuckets(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("0_lt_1s") == ((1L, 1L)), got.toString)
+    assert(got("1_1s_10s") == ((1L, 1L)), got.toString)
+    assert(got("2_10s_1m") == ((1L, 1L)), got.toString)
+    assert(got("3_1m_10m") == ((1L, 1L)), "599s gap: " + got)
+    assert(got("5_ge_1h") == ((1L, 1L)), "3600s is >= 1h, exclusive band edge: " + got)
+    assert(!got.contains("4_10m_1h"))
+    assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
+  }
 }

@@ -95,6 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // ONE sufficient-statistics aggregation; r is arithmetic on the
     // groups-row frame
     "p05_correlation" -> (1, 0),
+    // stacked value-count + group-moment aggregates, both map-side-partial
+    "p06_diversity" -> (2, 0),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -144,6 +146,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // o_orderpriority partition exchange
     "q41_window_frames" -> (1, 0),
     "q44_date_functions" -> (0, 0), // per-row date algebra on the scan
+    // explode is map-side; token agg + the count-distinct expansion stage
+    "q46_lateral_explode" -> (2, 0),
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
@@ -161,6 +165,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s09_sliding_wau" -> (4, 1),
     // per-user LAG window + the (from, to) count agg
     "s10_transition_matrix" -> (2, 0),
+    // per-user LAG window + the (bucket, user) agg (map-side partials
+    // bound the shuffle at 6·users rows) + the six-row bucket rollup
+    "s11_interarrival" -> (3, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
@@ -189,6 +196,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t14_top_ngram" -> (0, 0), // per-row fold over distinct grams, zero shuffle
     // one gram aggregate; top-k is TakeOrderedAndProject, not a sort
     "t15_top_ngrams_corpus" -> (1, 0),
+    "t16_sentence_stats" -> (1, 0), // per-row sentence algebra + lang agg
+    // explode map-side; (domain, doc) dedup agg + domain rollup
+    "t17_url_domains" -> (2, 0),
+    "t18_code_detect" -> (1, 0), // per-row char counts + source agg
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
@@ -206,6 +217,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // stratum-count agg + its final stage + the stratum window; targets,
     // the 1-row total, and the quota frame all broadcast
     "x09_mix_resample" -> (3, 3),
+    "x10_grouped_split" -> (1, 0), // split is a projection; one count agg
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

@@ -282,4 +282,36 @@ class SampleProfileSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows("id") == ((0L, 0L, 0L)) && rows("v") == ((0L, 0L, 0L)))
   }
+
+  test("groupedSplit: every row of a group lands in one split; NULL group -> test") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"site${i % 17}")) :+ (300L, null)
+    val split = SampleOps.groupedSplit(
+      docs.toDF("doc_id", "source"), "source", 60, bucket = SampleOps.md5Bucket)
+    val perGroup = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("k"), first(col("split")).as("s"))
+      .collect()
+    perGroup.foreach { r =>
+      assert(r.getLong(1) == 1L, s"group ${r.get(0)} crosses splits")
+      if (r.isNullAt(0)) assert(r.getString(2) == "test", "NULL group key must land in test")
+    }
+    // both splits are populated and the same hash decides row- and
+    // group-level identically (17 sites, 60% target)
+    val splits = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "test"))
+  }
+
+  test("diversity: exact Simpson / effective values from integer counts") {
+    val df = (Seq.fill(6)(("a", "en")) ++ Seq.fill(2)(("a", "de")) ++
+      Seq.fill(5)(("b", "zh")) ++ Seq(("c", null)))
+      .toDF("source", "lang")
+    val got = Profile.diversity(df, Seq("source"), "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a") // n=8, counts 6,2 -> ss=40; simpson=(64-40)/64, eff=64/40
+    assert(a.getLong(1) == 8L && a.getLong(2) == 2L, a.toString)
+    assert(a.getDouble(3) == (64.0 - 40.0) / 64.0, a.toString)
+    assert(a.getDouble(4) == 64.0 / 40.0, a.toString)
+    val b = got("b") // single value: zero diversity, effective 1
+    assert(b.getLong(2) == 1L && b.getDouble(3) == 0.0 && b.getDouble(4) == 1.0, b.toString)
+    assert(!got.contains("c"), "all-NULL-value group has no diversity row")
+  }
 }
