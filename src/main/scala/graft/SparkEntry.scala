@@ -559,6 +559,15 @@ object SparkEntry {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"""),
 
+    // inline VALUES table (round 11): the literal-relation surface — a
+    // probe list LEFT-joined against the catalog (COUNT(col) gives the
+    // missing segment its 0). One shared text, both parsers
+    "q47_values_inline" -> shared(
+      """SELECT t.seg, COUNT(c.c_custkey) AS n
+         FROM (VALUES ('BUILDING'), ('MACHINERY'), ('NOSEGMENT')) AS t(seg)
+         LEFT JOIN customer c ON c.c_mktsegment = t.seg
+         GROUP BY t.seg"""),
+
     // window-frame family (round 11): NTILE / FIRST_VALUE / CUME_DIST plus
     // a RANGE value frame, all via a shared WINDOW clause so both parsers
     // bind the same definitions. Both windows partition on o_orderpriority,
@@ -1476,6 +1485,40 @@ object SparkEntry {
            CAST(SUM(a) AS BIGINT) AS n_assigns
          FROM c GROUP BY source"""),
 
+    // Flesch readability (round 11): vowel-run syllable proxy; integers
+    // from engine-identical regex splits, then a fixed left-associated
+    // IEEE tree — decimal literals CAST to DOUBLE on the DuckDB side
+    // (its bare decimals are DECIMAL-typed)
+    "t19_readability" -> entry(
+      (s, d) => TextOps.readability(t(s, d, "documents"), "doc_id", "text"),
+      """WITH d AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+             GREATEST(1, len(list_filter(list_transform(
+               string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0))) AS sct,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(w AS INT) AS n_words, CAST(sct AS INT) AS n_sentences,
+           CAST(syl AS INT) AS n_syllables,
+           CASE WHEN w > 0 THEN
+             CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / sct)
+               - CAST(84.6 AS DOUBLE) * (CAST(syl AS DOUBLE) / w) END AS flesch
+         FROM d"""),
+
+    // per-source duplication report (round 11): dedup ROI — two stacked
+    // fingerprint aggregates, inflation is one fp division of exact counts
+    "d20_dup_stats" -> entry(
+      (s, d) => graft.operators.Dedup.dupStats(
+        t(s, d, "documents"), "source", "text"),
+      """WITH f AS (
+           SELECT source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT source, fp, COUNT(*) AS c FROM f GROUP BY 1, 2)
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS inflation
+         FROM c GROUP BY source"""),
+
     // categorical diversity profile (round 11): Gini–Simpson + effective
     // values — rational functions of exact integer counts (deliberately
     // NOT Shannon entropy: no libm at the boundary, see Profile.diversity)
@@ -1977,6 +2020,37 @@ object SparkEntry {
            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts"""),
+
+    // as-of with freshness horizon (round 11): the j01 merge plus a
+    // whole-second gap null-out — "last click, but only if within 30
+    // minutes". Integer boundary decision; one extra projection, no
+    // second join
+    "j05_asof_tolerance" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("value")).as("click_value"))
+        JoinOps.asofJoinTolerance(purchases, clicks, "user_id", "ts",
+            toleranceSeconds = 1800)
+          .select(col("user_id"), col("ts"), col("value"),
+            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+      },
+      """WITH p AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         a AS (
+           SELECT p.user_id, p.ts, p.value, c.ts AS mts, c.click_value AS mval
+           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT user_id, ts, value,
+           CASE WHEN date_diff('second', mts, ts) <= 1800 THEN mts END AS click_ts,
+           CASE WHEN date_diff('second', mts, ts) <= 1800 THEN mval END AS click_value
+         FROM a"""),
 
     // point-in-interval range join, bucketized: intervals explode to the
     // fixed-width buckets they overlap, points land in one bucket, and

@@ -45,6 +45,29 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-group duplication report — the dedup ROI dashboard: how many
+    * documents each source contributes, how many distinct contents that
+    * is, and the inflation factor (docs per distinct content) a dedup
+    * pass would collapse. The number that decides whether a source is
+    * worth re-crawling versus deduping harder.
+    *
+    * Two stacked aggregates on the 32-byte fingerprint (text never
+    * crosses the wire), both with map-side partials; the second pass runs
+    * on the (group, fp) distinct frame, not the corpus. Inflation is ONE
+    * fp division of exact integer counts — bit-identical cross-engine.
+    * NULL texts are excluded (see [[exactClusters]]).
+    *
+    * @return (group, n_docs, n_unique, n_dup_docs, inflation)
+    */
+  def dupStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.select(col(groupCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .groupBy(col(groupCol), col("__fp")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_docs"), count(lit(1)).as("n_unique"),
+        (sum(col("__c")) - count(lit(1))).as("n_dup_docs"),
+        (sum(col("__c")).cast("double") / count(lit(1))).as("inflation"))
+
   /** Incremental dedup: which documents of an INCOMING batch carry content
     * the EXISTING corpus has never seen — the shape every continuously-fed
     * training corpus runs on ingest (dedup the delta against the lake

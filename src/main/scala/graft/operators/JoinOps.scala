@@ -130,6 +130,39 @@ object JoinOps {
         rFields.map(f => col(s"__m.${f.name}").as(rightPrefix + f.name)): _*)
   }
 
+  /** [[asofJoin]] bounded by a freshness horizon: a match farther than
+    * `toleranceSeconds` from the left timestamp is nulled out (the left
+    * row survives, unmatched) — the financial-tick semantics of "last
+    * quote, but only if recent". `tsCol` must be timestamp-typed on both
+    * sides.
+    *
+    * A post-window null-out, NOT a second join: the as-of pick is already
+    * the nearest right row in the direction searched, so whenever any
+    * in-tolerance match exists the as-of match IS it — nulling the
+    * out-of-tolerance pick is exactly the bounded join. The gap test is
+    * a whole-second integer difference (`unix_timestamp` floors ≡ any
+    * engine's second-boundary datediff), so the boundary decision is
+    * bit-identical cross-engine. Costs nothing beyond [[asofJoin]]'s one
+    * shuffle+sort: the null-out is a per-row projection.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, toleranceSeconds: Long, rightPrefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(toleranceSeconds >= 0,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
+    val joined = asofJoin(left, right, keyCol, tsCol, rightPrefix, direction)
+    val mTs = col(rightPrefix + tsCol)
+    val gap =
+      if (direction == "backward") unix_timestamp(col(tsCol)) - unix_timestamp(mTs)
+      else unix_timestamp(mTs) - unix_timestamp(col(tsCol))
+    val within = gap <= toleranceSeconds
+    val rNames = right.schema.fields.filterNot(_.name == keyCol)
+      .map(rightPrefix + _.name).toSet
+    joined.select(joined.columns.map { c =>
+      if (rNames.contains(c)) when(within, col(c)).as(c) else col(c)
+    }: _*)
+  }
+
   /** Point-in-interval range join: left rows (a point) joined to right rows
     * (an interval `[lo, hi]`, inclusive) — without the O(|L|·|R|) nested
     * loop Spark plans for a raw inequality join.

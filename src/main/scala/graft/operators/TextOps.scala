@@ -466,6 +466,35 @@ object TextOps {
     length(text) - length(translate(text, ch, ""))
   }
 
+  /** Per-document Flesch reading-ease: `206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words)` with vowel-run count (`[aeiouy]+`) as the
+    * syllable proxy — the readability gate a corpus pipeline uses to
+    * route text by audience level (and the classic quality co-signal:
+    * machine-generated spam scores implausibly high or low).
+    *
+    * Deterministic by construction: words/sentences/syllable-runs are
+    * integers from engine-identical regex splits, the constants are
+    * decimal literals (both engines parse them to the same double), and
+    * the formula is a fixed left-associated tree of IEEE ops on exact
+    * operands — no libm, so the score hashes identically everywhere.
+    * Sentence count is floored at 1 (punctuation-free text is one
+    * sentence); wordless text gets a NULL score, not a division blow-up.
+    * Pure per-row column algebra on the scan — zero shuffles.
+    *
+    * @return (id, n_words, n_sentences, n_syllables, flesch)
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = size(toks)
+    val sct = greatest(lit(1), size(sentences(col(textCol))))
+    val syl = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), w.as("n_words"), sct.as("n_sentences"), syl.as("n_syllables"),
+        when(w > 0,
+          lit(206.835) - lit(1.015) * (w.cast("double") / sct) -
+            lit(84.6) * (syl.cast("double") / w)).as("flesch"))
+  }
+
   /** Code-vs-prose detection on structural signals — brace, semicolon and
     * assignment density (the fastText-free heuristic a corpus pipeline
     * runs to route code into its own pile before prose-quality gating;

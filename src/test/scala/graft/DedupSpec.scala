@@ -530,4 +530,22 @@ class DedupSpec extends AnyFunSuite {
     (1 to 5).foreach(i => assert(!r(1L).isNullAt(i), s"col $i null on real text"))
     (1 to 5).foreach(i => assert(r(2L).isNullAt(i), s"col $i not null on NULL text"))
   }
+
+  test("dupStats: per-source counts, normalization-aware dedup, NULL text excluded") {
+    val docs = Seq(
+      ("a", "hello world"),
+      ("a", "Hello   WORLD"),   // same fingerprint after normalization
+      ("a", "something else"),
+      ("b", "unique one"),
+      ("b", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val got = Dedup.dupStats(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L && a.getLong(3) == 1L, a.toString)
+    assert(a.getDouble(4) == 3.0 / 2, a.toString)
+    val b = got("b")
+    assert(b.getLong(1) == 1L && b.getLong(3) == 0L && b.getDouble(4) == 1.0,
+      "NULL text must not count: " + b)
+  }
 }

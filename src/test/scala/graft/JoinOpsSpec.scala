@@ -97,6 +97,37 @@ class JoinOpsSpec extends AnyFunSuite {
       "t4" -> Some(4.0), "t5" -> None), got)
   }
 
+  test("asofJoinTolerance: in-horizon kept, stale nulled, left rows survive, forward mirror") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), "t1"), // quote 30s before -> kept at tol=60
+      ("A", ts("2024-01-01 12:00:00"), "t2"), // nearest quote ~2h old -> nulled
+      ("C", ts("2024-01-01 10:00:00"), "t3")) // no quotes -> NULL either way
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:59:30"), 1.0),
+      ("A", ts("2024-01-01 12:00:45"), 2.0))
+      .toDF("key", "ts", "px")
+    def collectPx(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+      df.collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val back = collectPx(
+      JoinOps.asofJoinTolerance(trades, quotes, "key", "ts", toleranceSeconds = 60))
+    assert(back == Map("t1" -> Some(1.0), "t2" -> None, "t3" -> None), back)
+    // same rows, forward: t2's next quote is 45s ahead -> kept; t1's next
+    // quote is 2h ahead -> nulled
+    val fwd = collectPx(JoinOps.asofJoinTolerance(
+      trades, quotes, "key", "ts", toleranceSeconds = 60, direction = "forward"))
+    assert(fwd == Map("t1" -> None, "t2" -> Some(2.0), "t3" -> None), fwd)
+    // the matched-ts column obeys the same null-out as the payload
+    val tsNulls = JoinOps.asofJoinTolerance(trades, quotes, "key", "ts", 60)
+      .collect().map(r => r.getString(2) -> r.isNullAt(3)).toMap
+    assert(tsNulls == Map("t1" -> false, "t2" -> true, "t3" -> true), tsNulls.toString)
+    intercept[IllegalArgumentException](
+      JoinOps.asofJoinTolerance(trades, quotes, "key", "ts", -1))
+  }
+
   test("asofJoin: duplicate right rows at one (key, ts) resolve deterministically, repartition-stable") {
     import spark.implicits._
     val l = Seq(("A", 10L)).toDF("key", "ts")

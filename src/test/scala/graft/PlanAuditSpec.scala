@@ -59,6 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // this SF, ownership dedup is a filter (no distinct shuffle)
     "j04_interval_overlap" -> (0, 1),
     "j03_asof_forward" -> (2, 0), // same shape as j01, reversed timeline
+    // the j01 merge + a per-row null-out projection — tolerance is free
+    "j05_asof_tolerance" -> (2, 0),
     // pair-gen is checkpointed inside cosineNearDupPairs (round 11) and CC
     // labels come back checkpointed (as d11); the audited plan is the
     // survivor anti join over the corpus (measured 2 exchanges at sf0.001,
@@ -76,6 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (fp, source) agg + the final matrix agg; the fp-keyed count
     // self-join broadcasts its tiny side at this SF
     "d19_dup_matrix" -> (2, 1),
+    // (group, fp) agg + the group rollup on the distinct frame
+    "d20_dup_stats" -> (2, 0),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -148,6 +152,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q44_date_functions" -> (0, 0), // per-row date algebra on the scan
     // explode is map-side; token agg + the count-distinct expansion stage
     "q46_lateral_explode" -> (2, 0),
+    // VALUES probe list broadcast onto customer; one count-agg shuffle
+    "q47_values_inline" -> (1, 1),
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
@@ -200,6 +206,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // explode map-side; (domain, doc) dedup agg + domain rollup
     "t17_url_domains" -> (2, 0),
     "t18_code_detect" -> (1, 0), // per-row char counts + source agg
+    "t19_readability" -> (0, 0), // per-row regex/arith algebra, zero shuffle
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
