@@ -74,24 +74,37 @@ object GraftSession {
   /** Read one testdata table. Filters/projections compose lazily on top, so
     * Catalyst pushes them into the parquet scan (PushedFilters/ReadSchema).
     *
-    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects; read it as a long and truncate to microseconds — the
-    * same ns→us truncation DuckDB applies when casting to TIMESTAMP.
+    * `events.ts` has shipped as two physical types across driver testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects; `nanosAsLong` surfaces it as a raw ns long) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). [[eventsTsToMicros]] normalizes EITHER to a
+    * session-zone (UTC) microsecond timestamp, so every consumer sees one
+    * ts type regardless of which generation is on disk.
     */
-  /** events.parquet schema as read under `nanosAsLong` (ts = raw ns long).
-    * Shared with the streaming source (file streams need an explicit
-    * schema) so batch and stream cannot drift apart.
+  /** Normalize `ts` to a microsecond TIMESTAMP, branching on the type the
+    * scan produced:
+    *  - ns-since-epoch LONG (nanos parquet under `nanosAsLong`): integral
+    *    `div` 1000, NOT `/` — ns-since-epoch exceeds 2^53, so double
+    *    division would round the microsecond (off-by-1µs vs DuckDB);
+    *  - TIMESTAMP_NTZ (micros parquet, isAdjustedToUTC=false): cast to the
+    *    session zone, which is pinned UTC in [[build]] — the same instant
+    *    DuckDB's naive TIMESTAMP read yields;
+    *  - TIMESTAMP: already normalized.
+    * The single definition both the batch reader and
+    * [[graft.streaming.StreamingOps.eventsStream]] apply, so batch and
+    * stream cannot drift apart.
     */
-  private[graft] val eventsSchemaDdl =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-
-  /** ns-since-epoch `ts` → microsecond timestamp. Integral `div`, NOT `/`:
-    * ns-since-epoch exceeds 2^53, so double division would round the
-    * microsecond (off-by-1µs vs DuckDB). The single definition both the
-    * batch reader and [[graft.streaming.StreamingOps.eventsStream]] apply.
-    */
-  private[graft] def eventsTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  private[graft] def eventsTsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -12,14 +12,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingOps {
 
   /** File-stream source over an events parquet directory. Schema must be
-    * explicit for file streams; `ts` arrives as ns-since-epoch (see
-    * GraftSession.table) and is truncated to a microsecond timestamp.
+    * explicit for file streams; it is taken from a batch footer read of the
+    * same directory (driver testdata generations have shipped `ts` as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — see GraftSession.table), then
+    * `ts` is normalized to a microsecond timestamp exactly as batch reads
+    * are, so stream and batch schemas cannot drift apart.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.engine.GraftSession.eventsTsToMicros(
       spark.readStream
-        .schema(graft.engine.GraftSession.eventsSchemaDdl)
+        .schema(spark.read.parquet(dir).schema)
         .parquet(dir))
   }
 
