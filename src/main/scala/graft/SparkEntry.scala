@@ -615,7 +615,51 @@ object SparkEntry {
          SELECT 'ea' AS op, k FROM (
            SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
            EXCEPT ALL
-           SELECT l_suppkey FROM lineitem WHERE l_shipdate < DATE '1994-06-01')""")
+           SELECT l_suppkey FROM lineitem WHERE l_shipdate < DATE '1994-06-01')"""),
+
+    // aggregate FILTER clause (round 11): per-aggregate predicates without
+    // CASE-WHEN contortions — one hash aggregate, each filter evaluated
+    // map-side; SUM over a filtered-empty group is NULL on both engines
+    "q48_filter_clause" -> shared(
+      """SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+             FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_spend,
+           MIN(CAST(l_shipdate AS DATE)) FILTER (WHERE l_linestatus = 'F') AS first_f_ship
+         FROM lineitem GROUP BY l_returnflag"""),
+
+    // regex-function family (round 11): extract / global replace / match
+    // / count. NOT a shared text: Spark's regexp_replace is global by
+    // default where DuckDB needs the 'g' flag, and match/count spell
+    // differently (rlike+regexp_count vs regexp_matches+extract_all) —
+    // the PATTERNS stay in the dialect-portable subset (char classes,
+    // anchors, groups; no backslash classes) so RE2 and java.util.regex
+    // agree on every row
+    "q49_regexp" -> entry(
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          col("c_mktsegment").rlike("^[AEIOU]").as("seg_vowel"),
+          regexp_count(col("c_name"), lit("[0-9]")).as("n_digits")),
+      """SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           regexp_matches(c_mktsegment, '^[AEIOU]') AS seg_vowel,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
+         FROM customer WHERE c_custkey < 300"""),
+
+    // NULL-handling scalar family (round 11): COALESCE / NULLIF /
+    // GREATEST / LEAST — one shared text; both engines skip NULLs in
+    // GREATEST/LEAST (Postgres semantics) and unify BIGINT/INT to BIGINT
+    "q50_null_funcs" -> shared(
+      """SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_or_redacted,
+           GREATEST(c_acctbal, 0.0) AS bal_floor,
+           LEAST(c_custkey, c_nationkey) AS min_key,
+           NULLIF(c_nationkey, 0) AS nation_nz
+         FROM customer WHERE c_custkey < 400""")
   )
 
   // ------------------------------------------------------------------
@@ -1519,6 +1563,33 @@ object SparkEntry {
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS inflation
          FROM c GROUP BY source"""),
 
+    // generic hamming near-dup over caller-supplied signatures (round 11):
+    // the corpus has no natural near-pairs, so the entry injects 2-bit-
+    // flipped twin signatures (doc_id % 25, XOR 5 — the shape a perceptual
+    // image hash emits for a re-encoded copy) on BOTH engines; pigeonhole
+    // block join + exact bit_count verify, all-pairs only in the oracle
+    "d21_hamming_neardup" -> entry(
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.operators.Dedup.md5Hash60(col("text"), 0).as("sig"))
+        val twins = base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("sig").bitwiseXOR(lit(5L)).as("sig"))
+        graft.operators.Dedup.hammingNearDuplicates(
+          base.unionAll(twins), "doc_id", "sig", maxHamming = 3, blockBits = 15)
+      },
+      """WITH s0 AS (SELECT doc_id,
+             CAST(('0x' || substr(md5('0|' || text), 1, 15)) AS BIGINT) AS sig
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, sig FROM s0
+               UNION ALL
+               SELECT doc_id + 100000, xor(sig, 5) FROM s0 WHERE doc_id % 25 = 0)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""),
+
     // categorical diversity profile (round 11): Gini–Simpson + effective
     // values — rational functions of exact integer counts (deliberately
     // NOT Shannon entropy: no libm at the boundary, see Profile.diversity)
@@ -2289,7 +2360,105 @@ object SparkEntry {
       },
       // CAST(session_id AS BIGINT): DuckDB's windowed SUM(INTEGER) is
       // HUGEINT → float64 in the driver's hash ("1.0" vs "1")
-      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) > 1800000000 OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end FROM s GROUP BY user_id, session_id""")
+      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) > 1800000000 OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end FROM s GROUP BY user_id, session_id"""),
+
+    // per-group OLS regression (round 11): slope/intercept from the same
+    // exact-sufficient-statistics recipe as p05 — decimal sums, one fixed
+    // IEEE tree, staged so intercept consumes the rounded slope COLUMN
+    // identically on both engines
+    "p07_regression" -> entry(
+      (s, d) => graft.operators.Profile.regression(
+        t(s, d, "orders").withColumn("x_day",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))),
+        Seq("o_orderpriority"), "x_day", "o_totalprice"),
+      """WITH b AS (
+           SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+             o_totalprice AS y
+           FROM orders),
+         s AS (SELECT o_orderpriority, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(19,2))) AS sx, SUM(CAST(y AS DECIMAL(19,2))) AS sy,
+                 SUM(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS sxy,
+                 SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS sxx
+               FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+         sl AS (SELECT o_orderpriority, n,
+                  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  END AS slope,
+                  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
+                FROM s)
+         SELECT o_orderpriority, n, slope,
+           CASE WHEN slope IS NOT NULL THEN (syd - slope * sxd) / nd END AS intercept
+         FROM sl"""),
+
+    // encoding-health profile (round 11): the fixture corpus is clean
+    // ASCII, so the entry injects deterministic artifacts (U+FFFD, a
+    // Latin-1 mojibake pair, a BEL) on doc_id % 7 = 3 — identical
+    // codepoints via Scala escapes / DuckDB chr(); all counts are
+    // length-difference string algebra, the ratio one fp division
+    "t20_encoding" -> entry(
+      (s, d) => graft.operators.TextOps.encodingProfile(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 7 === 3,
+            lit(" caf\uFFFD caf\u00C3\u00A9\u0007")).otherwise(lit("")))),
+        "doc_id", "text"),
+      """WITH d AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 3
+               THEN ' caf' || chr(65533) || ' caf' || chr(195) || chr(169) || chr(7)
+               ELSE '' END AS text
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(text) AS INT) AS n_chars,
+             CAST(len(text) - len(replace(text, chr(65533), '')) AS INT) AS n_replacement,
+             CAST(len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS INT) AS n_ctrl,
+             CAST(len(text) - len(replace(text, chr(195), '')) AS INT) AS n_moji_lead,
+             CAST(len(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS INT) AS n_non_ascii
+           FROM d WHERE text IS NOT NULL)
+         SELECT doc_id, n_chars, n_replacement, n_ctrl, n_moji_lead, n_non_ascii,
+           CAST(n_non_ascii AS DOUBLE) / NULLIF(n_chars, 0) AS non_ascii_ratio,
+           (n_replacement + n_ctrl + n_moji_lead) > 0 AS is_suspect
+         FROM c"""),
+
+    // daily peak concurrency (round 11): sweep line partitioned BY DAY
+    // (intervals clamp at midnight), ROWS frame + (t, delta) tie order
+    // pinned on both engines — see EventOps.peakConcurrency
+    "s12_peak_concurrency" -> entry(
+      (s, d) => graft.operators.EventOps.peakConcurrency(
+        t(s, d, "events"), "ts", ttlSec = 300),
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t0 FROM events WHERE ts IS NOT NULL),
+         p AS (
+           SELECT CAST(t0 AS DATE) AS day, t0 AS t, 1 AS delta FROM e
+           UNION ALL
+           SELECT CAST(t0 AS DATE) AS day,
+             LEAST(t0 + INTERVAL 300 SECONDS, CAST(CAST(t0 AS DATE) + 1 AS TIMESTAMP)) AS t,
+             -1 AS delta FROM e),
+         r AS (SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+               FROM p)
+         SELECT day, CAST(COUNT(*) // 2 AS BIGINT) AS n_events, CAST(MAX(c) AS BIGINT) AS peak
+         FROM r GROUP BY day"""),
+
+    // global token-budget curation cut (round 11): quality-ordered prefix
+    // under an integer budget with NO global sort — two-level running sum
+    // (level histogram through the distributed prefix sum, within-level
+    // partitioned windows); the oracle is the definitional single window
+    "x11_budget_select" -> entry(
+      (s, d) => graft.operators.SampleOps.budgetSelect(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_chars", "n_tokens", budget = 12000L),
+      """WITH dd AS (SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+         c AS (SELECT doc_id, n_chars, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+           FROM dd)
+         SELECT doc_id, n_chars, n_tokens, cum_weight FROM c WHERE cum_weight <= 12000""")
   )
 
   private lazy val all: Vector[(String, (QFn, Option[String]))] = relational ++ extensions

@@ -567,6 +567,31 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simhashPairs(md5SimhashSignatures(docs, idCol, textCol), blockBits = 15, maxHamming)
 
+  /** Generic hamming near-duplicate pairs over ANY precomputed ≤64-bit
+    * signature column — the shared near-match engine behind SimHash text
+    * dedup AND perceptual-hash image dedup (aHash/dHash/pHash from a
+    * multimodal featurization stage are exactly such signatures; run them
+    * through this instead of writing a second pigeonhole join).
+    *
+    * Same pigeonhole-block machinery as [[simhashNearDuplicates]]
+    * (4 blocks of `blockBits`; a pair within hamming ≤ 3 must agree on at
+    * least one block, shuffle carries (block id, block value) only, exact
+    * `bit_count` verify) — generalized to caller-supplied signatures.
+    * `blockBits` must cover the signature width: 16 for full 64-bit
+    * hashes, 15 for the md5-derived 60-bit family.
+    *
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b
+    */
+  def hammingNearDuplicates(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, blockBits: Int = 16): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 16,
+      s"blockBits must be in [1, 16] (4 blocks cover <= 64 bits), got $blockBits")
+    simhashPairs(
+      sigs.filter(col(s"`$idCol`").isNotNull && col(s"`$sigCol`").isNotNull)
+        .select(col(s"`$idCol`").as("doc_id"), col(s"`$sigCol`").cast("long").as("simhash")),
+      blockBits, maxHamming)
+  }
+
   /** Connected components over near-duplicate pairs — the transitive
     * closure every production corpus dedup needs (a~b and b~c put a, b, c
     * in ONE cluster; pairwise greedy resolution can't see that).

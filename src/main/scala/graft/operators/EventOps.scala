@@ -257,6 +257,49 @@ object EventOps {
     * @return (bucket, n_gaps, n_users) — n_users = distinct users with a
     *         gap in that band, deduped via a two-level aggregate
     */
+  /** Daily peak concurrency: the maximum number of simultaneously-active
+    * presence intervals per day, where each event opens [ts, ts+ttlSec) —
+    * the "how many users were on at once" capacity metric. Classic sweep
+    * line: every interval contributes a +1 point at its start and a −1 at
+    * its end, and peak = max running sum over the points in time order.
+    *
+    * Scale shape: the sweep is partitioned BY DAY — intervals are clamped
+    * to the midnight following their start (an event's presence is
+    * attributed to the day it happened), so each day's running sum rides
+    * `Window.partitionBy(day)` and days proceed in parallel; no global
+    * ordered window exists. Per-task unit is one day's points (2× that
+    * day's events). For a day whose event count itself overwhelms a task,
+    * the same construction nests: split days into fixed sub-ranges,
+    * sweep each, and stitch with the block-offset prefix trick
+    * (`Profile.distributedPrefixSum`).
+    *
+    * Determinism: ties at the same instant order −1 before +1 (interval
+    * ends are exclusive, so a departure at t and an arrival at t never
+    * overlap), pinned by ORDER BY (t, delta) with a ROWS frame — under a
+    * RANGE frame (some engines' default) tied rows would collapse into
+    * one step and under-report the peak. Equal (t, delta) rows commute:
+    * any order yields the same set of partial sums, so max is stable.
+    *
+    * @return (day, n_events, peak)
+    */
+  def peakConcurrency(events: DataFrame, tsCol: String, ttlSec: Int = 300): DataFrame = {
+    require(ttlSec >= 1, s"ttlSec must be >= 1, got $ttlSec")
+    import org.apache.spark.sql.expressions.Window
+    val ts = col(s"`$tsCol`")
+    val e = events.filter(ts.isNotNull)
+      .select(to_date(ts).as("day"), ts.as("t0"))
+    val nextMidnight = date_add(col("day"), 1).cast("timestamp")
+    val pts = e.select(col("day"), col("t0").as("t"), lit(1).as("delta"))
+      .unionAll(e.select(col("day"),
+        least(col("t0") + expr(s"INTERVAL $ttlSec SECONDS"), nextMidnight).as("t"),
+        lit(-1).as("delta")))
+    val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("c", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_events"), max(col("c")).cast("long").as("peak"))
+  }
+
   def interArrivalBuckets(events: DataFrame, userCol: String, tsCol: String,
       idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

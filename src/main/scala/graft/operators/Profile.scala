@@ -126,7 +126,7 @@ object Profile {
     * where a self-join's two differently-pruned references would fork the
     * lineage. Bound quality affects only load balance, never the answer.
     */
-  private def distributedPrefixSum(dist: DataFrame): DataFrame = {
+  private[operators] def distributedPrefixSum(dist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blocks = math.max(2, dist.sparkSession.sessionState.conf.numShufflePartitions)
     val row = dist.agg(
@@ -272,6 +272,48 @@ object Profile {
     val vy = nD * d("syy") - d("sy") * d("sy")
     stats.select((g :+ col("n") :+
       when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).as("r")): _*)
+  }
+
+  /** Per-group simple linear regression (OLS y = intercept + slope·x) from
+    * the same exact-sufficient-statistics recipe as [[correlation]]: one
+    * aggregation computes n, Σx, Σy, Σxy, Σx² over DECIMAL-cast inputs
+    * (exact, order-independent), then a fixed IEEE expression tree turns
+    * them into slope and intercept — bit-identical on any engine computing
+    * the same tree. Zero-x-variance groups yield NULL slope/intercept
+    * (the line is undefined), matching SQL regr_slope.
+    *
+    * Scale shape: ONE map-side-partial aggregation over the scan, one row
+    * per group out — nothing downstream ever sees data rows. This is the
+    * trend-per-segment primitive (corpus growth per source, spend drift
+    * per segment) that a naive per-group collect-and-fit gets wrong at
+    * scale.
+    *
+    * @param scale DECIMAL(precision=19, scale) cast applied to both inputs
+    */
+  def regression(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "regression needs at least one group column")
+    val x = col(s"`$xCol`").cast(DecimalType(19, scale))
+    val y = col(s"`$yCol`").cast(DecimalType(19, scale))
+    val g = groupCols.map(c => col(s"`$c`"))
+    val stats = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val denom = nD * d("sxx") - d("sx") * d("sx")
+    // two stages so intercept references the slope COLUMN — the oracle's
+    // staged CTE computes the identical tree (slope rounds once, then
+    // feeds intercept; re-inlining the slope expression would too, but
+    // staging keeps both engines' trees textually parallel)
+    stats.select((g :+ col("n") :+
+        when(denom > 0, (nD * d("sxy") - d("sx") * d("sy")) / denom).as("slope") :+
+        d("sy").as("__syd") :+ d("sx").as("__sxd") :+ nD.as("__nd")): _*)
+      .select((g :+ col("n") :+ col("slope") :+
+        when(col("slope").isNotNull,
+          (col("__syd") - col("slope") * col("__sxd")) / col("__nd")).as("intercept")): _*)
   }
 
   /** Categorical diversity profile per group: distinct-value count,

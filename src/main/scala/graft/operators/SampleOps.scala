@@ -119,6 +119,59 @@ object SampleOps {
     * single correctly-rounded double ops on integer counts and literal
     * weights, so any engine computes identical quotas.
     */
+  /** Quality-ordered selection under a global weight budget: walk rows in
+    * (quality DESC, id ASC) order and keep the prefix whose running weight
+    * stays ≤ `budget` — the "best N tokens" curation cut (greedy knapsack
+    * on a total order) every training-mix recipe ends with.
+    *
+    * Scale shape: NO global sort and NO single-partition window. The
+    * running sum is two-level: (1) a quality-level histogram (one hash
+    * aggregate, NDV-sized) is prefix-summed in level order by
+    * [[Profile.distributedPrefixSum]] — sketch-derived block bounds keep
+    * that parallel even when quality is near-unique; (2) each level's rows
+    * take a within-level running sum under `Window.partitionBy(quality)`
+    * (levels proceed in parallel), offset by the level's prefix. The cut
+    * `offset + within ≤ budget` is then a per-row integer comparison.
+    * Weights and the budget are integers, so every cumulative value is
+    * exact and the selected SET is bit-identical on any engine replaying
+    * the same (quality DESC, id) order.
+    *
+    * Weights must be non-negative (a negative weight would un-spend budget
+    * and break the prefix-cut semantics — enforced). A first row already
+    * wider than the budget selects nothing, the honest greedy answer.
+    *
+    * @return (id, quality, weight, cum_weight) for the selected prefix
+    */
+  def budgetSelect(df: DataFrame, idCol: String, qualityCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`")
+    val q = col(s"`$qualityCol`")
+    val w = col(s"`$weightCol`").cast("long")
+    // the guard lives INSIDE the weight expression (rangeJoin's idiom):
+    // every pass that touches a weight validates it in-plan — no extra
+    // scan, and a bad row fails fast with its id in the message
+    val wChecked = when(w >= 0, w).otherwise(raise_error(concat(
+      lit(s"budgetSelect: weight column `$weightCol` is negative ("), w.cast("string"),
+      lit(s") at `$idCol`="), id.cast("string"),
+      lit(") — the prefix cut is undefined; filter or clamp negative weights first"))))
+    val rows = df.filter(id.isNotNull && q.isNotNull && w.isNotNull)
+      .select(id.as("__id"), q.as("__q"), wChecked.as("__w"))
+    // negated key: ascending prefix order over -q IS descending quality
+    val lvl = rows.groupBy((-col("__q")).as("v")).agg(sum(col("__w")).as("cnt"))
+    val levelCum = Profile.distributedPrefixSum(lvl)
+      .select(col("v"), (col("cum") - col("cnt")).as("__before"))
+    val byLevel = Window.partitionBy(col("__q")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(levelCum, (-col("__q")) === levelCum("v"))
+      .withColumn("__within", sum(col("__w")).over(byLevel))
+      .withColumn("cum_weight", col("__before") + col("__within"))
+      .filter(col("cum_weight") <= budget)
+      .select(col("__id").as(idCol), col("__q").as(qualityCol),
+        col("__w").as(weightCol), col("cum_weight"))
+  }
+
   def resampleToMix(df: DataFrame, stratumCol: String, idCol: String,
       targets: Seq[(String, Double)],
       orderHash: Column => Column = xxhash64(_)): DataFrame = {

@@ -495,6 +495,42 @@ object TextOps {
             lit(84.6) * (syl.cast("double") / w)).as("flesch"))
   }
 
+  /** Per-document encoding-health signals — the mojibake/corruption gate a
+    * web-scrape pipeline runs before any text model sees a byte:
+    *  - `n_replacement`: U+FFFD replacement characters (a decoder already
+    *    gave up on those bytes — the strongest corruption signal);
+    *  - `n_ctrl`: C0 control characters excluding tab/newline/CR (binary
+    *    junk that leaked through text extraction);
+    *  - `n_moji_lead`: 'Ã' (U+00C3) occurrences — the classic
+    *    UTF-8-read-as-Latin-1 double-encoding artifact (é→Ã©, ü→Ã¼: the
+    *    lead byte 0xC3 of most Latin-1-range UTF-8 sequences surfaces as
+    *    this exact character);
+    *  - `n_non_ascii` and `non_ascii_ratio`: volume context so the flags
+    *    read differently for an English corpus vs a naturally non-ASCII
+    *    one.
+    * `is_suspect` is a pure integer gate (any hard-artifact count > 0) —
+    * bit-identical on every engine. All counts are length-difference /
+    * regex-erase string algebra (no UDF), one codegen'd pass on the scan,
+    * zero shuffles; the ratio is one fp division of exact integers.
+    *
+    * @return (id, n_chars, n_replacement, n_ctrl, n_moji_lead,
+    *         n_non_ascii, non_ascii_ratio, is_suspect)
+    */
+  def encodingProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nRepl = charCount(t, "�")
+    val nCtrl = length(t) - length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nMoji = charCount(t, "Ã")
+    val nNonAscii = length(regexp_replace(t, "[\\x00-\\x7F]", ""))
+    df.filter(t.isNotNull)
+      .select(col(idCol), length(t).as("n_chars"), nRepl.as("n_replacement"),
+        nCtrl.as("n_ctrl"), nMoji.as("n_moji_lead"), nNonAscii.as("n_non_ascii"))
+      .withColumn("non_ascii_ratio",
+        col("n_non_ascii").cast("double") / nullif(col("n_chars"), lit(0)))
+      .withColumn("is_suspect",
+        (col("n_replacement") + col("n_ctrl") + col("n_moji_lead")) > 0)
+  }
+
   /** Code-vs-prose detection on structural signals — brace, semicolon and
     * assignment density (the fastText-free heuristic a corpus pipeline
     * runs to route code into its own pile before prose-quality gating;

@@ -548,4 +548,28 @@ class DedupSpec extends AnyFunSuite {
     assert(b.getLong(1) == 1L && b.getLong(3) == 0L && b.getDouble(4) == 1.0,
       "NULL text must not count: " + b)
   }
+
+  test("hammingNearDuplicates: generic signatures, block coverage, exact verify") {
+    // base sig + twins at hamming 1, 3, 4 and a far row; bits spread
+    // across pigeonhole blocks so agreement happens on a NON-zero block
+    val s0 = 0x0123456789ABCDL // 56 bits, fits 4x15-bit blocks
+    val sigs = Seq(
+      (1L, s0),
+      (2L, s0 ^ 1L),                       // hamming 1 (block 0 differs)
+      (3L, s0 ^ ((1L << 59) | (1L << 30) | (1L << 15))), // hamming 3, only block 0 agrees
+      (4L, s0 ^ ((1L << 59) | (1L << 30) | (1L << 15) | 1L)), // hamming 4 from 1: dropped
+      (5L, ~s0 & ((1L << 60) - 1)))        // far away
+      .toDF("id", "sig")
+    val got = Dedup.hammingNearDuplicates(sigs, "id", "sig", maxHamming = 3, blockBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1, got.toString)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 3, got.toString)
+    assert(!got.contains((1L, 4L)), "hamming 4 must not survive the verify: " + got)
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L), got.toString)
+    // pairs whose only agreement is a middle block still meet: 3 vs 4
+    // differ in bit 0 only (blocks 1-3 all differ from base equally)
+    assert(got.contains((3L, 4L)) && got((3L, 4L)) == 1, got.toString)
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDuplicates(sigs, "id", "sig", blockBits = 17))
+  }
 }

@@ -231,4 +231,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(!got.contains("4_10m_1h"))
     assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
   }
+
+  test("peakConcurrency: sweep-line peaks per day, exclusive ends, midnight clamp") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // day 1: three overlapping 300s presences -> peak 3
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:01:00")),
+      (3L, ts("2024-01-01 10:02:00")),
+      // exactly at 1's end (10:05:00): ends are exclusive, so 4 never
+      // overlaps 1 — with +1 ordered before -1 at the tie, the sweep
+      // would see a phantom 4-way overlap at this instant
+      (4L, ts("2024-01-01 10:05:00")),
+      // day 2: isolated events -> peak 1; 23:59 clamps at midnight and
+      // must NOT leak a -1 into day 3
+      (5L, ts("2024-01-02 08:00:00")),
+      (6L, ts("2024-01-02 23:59:00")))
+      .toDF("event_id", "ts")
+    val got = EventOps.peakConcurrency(ev, "ts", ttlSec = 300)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("2024-01-01" -> ((4L, 3L)), "2024-01-02" -> ((2L, 1L))), got.toString)
+    // repartition-stable (window order is total within a day's points)
+    val again = EventOps.peakConcurrency(ev.repartition(5), "ts", ttlSec = 300)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](EventOps.peakConcurrency(ev, "ts", ttlSec = 0))
+  }
 }

@@ -101,6 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "p05_correlation" -> (1, 0),
     // stacked value-count + group-moment aggregates, both map-side-partial
     "p06_diversity" -> (2, 0),
+    // one sufficient-stats aggregate (map-side partials), one row per group
+    "p07_regression" -> (1, 0),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -174,6 +176,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-user LAG window + the (bucket, user) agg (map-side partials
     // bound the shuffle at 6·users rows) + the six-row bucket rollup
     "s11_interarrival" -> (3, 0),
+    // day-partitioned sweep window + the per-day peak agg share one day
+    // exchange; the union of +1/-1 points is map-side
+    "s12_peak_concurrency" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
@@ -207,6 +212,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t17_url_domains" -> (2, 0),
     "t18_code_detect" -> (1, 0), // per-row char counts + source agg
     "t19_readability" -> (0, 0), // per-row regex/arith algebra, zero shuffle
+    "t20_encoding" -> (0, 0), // per-row string algebra, zero shuffle
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
@@ -225,6 +231,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 1-row total, and the quota frame all broadcast
     "x09_mix_resample" -> (3, 3),
     "x10_grouped_split" -> (1, 0), // split is a projection; one count agg
+    // two-level budget prefix: level-histogram agg, within-level window
+    // exchange, level-cum machinery (tiny NDV-sized frames) — the
+    // level-offset join and block-offset join broadcast
+    "x11_budget_select" -> (4, 2),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

@@ -314,4 +314,51 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(b.getLong(2) == 1L && b.getDouble(3) == 0.0 && b.getDouble(4) == 1.0, b.toString)
     assert(!got.contains("c"), "all-NULL-value group has no diversity row")
   }
+
+  test("regression: exact line recovered; zero-x-variance group is NULL") {
+    // group a: y = 2x + 1 exactly; group b: constant x (undefined line);
+    // group c: one row (n*sxx - sx^2 = 0 -> NULL, not a crash)
+    val df = (Seq.tabulate(5)(i => ("a", Option(i.toDouble), 2.0 * i + 1.0)) ++
+      Seq(("b", Some(3.0), 1.0), ("b", Some(3.0), 9.0), ("c", Some(2.0), 5.0),
+        ("a", None, 99.0))) // null x drops
+      .toDF("g", "x", "y")
+    val got = Profile.regression(df, Seq("g"), "x", "y", scale = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 5L, a.toString)
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 1.0,
+      s"exact sufficient stats must recover the exact line: $a")
+    assert(got("b").isNullAt(2) && got("b").isNullAt(3), got("b").toString)
+    assert(got("c").isNullAt(2) && got("c").isNullAt(3), got("c").toString)
+  }
+
+  test("budgetSelect: exact prefix cut, repartition-stable, within-level id order") {
+    // quality levels 9,9,5,5,5,1 with weights; budget 10 selects in
+    // (quality DESC, id ASC) order: (1,9,w4)+(2,9,w3)=7, then (3,5,w2)=9,
+    // then (4,5,w2) would hit 11 > 10 -> cut
+    val df = Seq((1L, 9L, 4L), (2L, 9L, 3L), (3L, 5L, 2L), (4L, 5L, 2L),
+      (5L, 5L, 8L), (6L, 1L, 1L)).toDF("id", "q", "w")
+    val got = SampleOps.budgetSelect(df, "id", "q", "w", budget = 10L)
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), got.collect().mkString(", "))
+    val cums = got.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cums == Map(1L -> 4L, 2L -> 7L, 3L -> 9L), cums.toString)
+    val again = SampleOps.budgetSelect(df.repartition(7), "id", "q", "w", budget = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids, "selection must be partitioning-invariant")
+  }
+
+  test("budgetSelect: oversized first row selects nothing; negative weight fails loudly") {
+    val big = Seq((1L, 9L, 100L), (2L, 5L, 1L)).toDF("id", "q", "w")
+    assert(SampleOps.budgetSelect(big, "id", "q", "w", budget = 50L).count() == 0L,
+      "greedy prefix: a first row wider than the budget blocks the cut")
+    val neg = Seq((1L, 9L, 4L), (2L, 5L, -1L)).toDF("id", "q", "w")
+    val ex = intercept[Exception] {
+      SampleOps.budgetSelect(neg, "id", "q", "w", budget = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("budgetSelect") && m.contains("`id`=2")),
+      msgs(ex).mkString(" | "))
+  }
 }
