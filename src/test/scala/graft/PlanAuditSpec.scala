@@ -80,6 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d19_dup_matrix" -> (2, 1),
     // (group, fp) agg + the group rollup on the distinct frame
     "d20_dup_stats" -> (2, 0),
+    // pigeonhole block join (broadcast at this SF; shuffle-hash on
+    // (blk, blkval) at scale) + the pair-dedup agg
+    "d21_hamming_neardup" -> (1, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -156,6 +159,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q46_lateral_explode" -> (2, 0),
     // VALUES probe list broadcast onto customer; one count-agg shuffle
     "q47_values_inline" -> (1, 1),
+    "q48_filter_clause" -> (1, 0), // one hash agg, filters map-side
+    "q49_regexp" -> (0, 0), // per-row regex algebra on the scan
+    "q50_null_funcs" -> (0, 0), // per-row scalar algebra on the scan
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
