@@ -1563,6 +1563,70 @@ object SparkEntry {
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS inflation
          FROM c GROUP BY source"""),
 
+    // per-doc lexical richness (round 11): type-token ratio — vocabulary
+    // collapse the n-gram repetition signals can miss; per-row array
+    // algebra, one fp division of exact integers
+    "t21_lexical_richness" -> entry(
+      (s, d) => TextOps.lexicalRichness(t(s, d, "documents"), "doc_id", "text"),
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_types,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS ttr
+         FROM d"""),
+
+    // categorical drift between splits (round 11): per-value chi-square
+    // contributions over the md5 train/test split — deliberately NOT
+    // PSI/KL (per-value ln = libm at the engine boundary; see
+    // Profile.categoricalDrift); rational functions of exact counts
+    "p08_drift" -> entry(
+      (s, d) => graft.operators.Profile.categoricalDrift(
+        t(s, d, "documents").withColumn("split",
+          when(graft.operators.SampleOps.md5Bucket(col("doc_id")) < 60, "train")
+            .otherwise("test")),
+        "lang", "split", "train", "test"),
+      """WITH s AS (SELECT lang,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 60
+                  THEN 'train' ELSE 'test' END AS split
+           FROM documents),
+         c AS (SELECT lang AS value,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM s WHERE lang IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb FROM c),
+         e AS (SELECT c.value, c.n_a, c.n_b, t.na, t.nb,
+                 (CAST(c.n_a + c.n_b AS DOUBLE) * t.na) / (t.na + t.nb) AS ea,
+                 (CAST(c.n_a + c.n_b AS DOUBLE) * t.nb) / (t.na + t.nb) AS eb
+               FROM c, t)
+         SELECT value, n_a, n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             (n_a - ea) * (n_a - ea) / ea + (n_b - eb) * (n_b - eb) / eb END AS chi2
+         FROM e"""),
+
+    // conversion-latency bands (round 11): first signup -> first
+    // at-or-after purchase per user, integer-second latency, fixed CASE
+    // bands; agg + key join + agg, no window
+    "s13_conversion_latency" -> entry(
+      (s, d) => graft.operators.EventOps.conversionLatency(
+        t(s, d, "events"), "user_id", "event_type", "ts", "signup", "purchase"),
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0
+           FROM events
+           WHERE event_type = 'signup' AND ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1),
+         cnv AS (SELECT e.user_id,
+             date_diff('second', f.t0, MIN(CAST(e.ts AS TIMESTAMP))) AS lat
+           FROM events e JOIN f ON e.user_id = f.user_id
+           WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+             AND CAST(e.ts AS TIMESTAMP) >= f.t0
+           GROUP BY e.user_id, f.t0)
+         SELECT CASE WHEN lat < 3600 THEN '0_lt_1h'
+                     WHEN lat < 86400 THEN '1_1h_24h'
+                     WHEN lat < 604800 THEN '2_1d_7d'
+                     ELSE '3_ge_7d' END AS band,
+           COUNT(*) AS n_users
+         FROM cnv GROUP BY 1"""),
+
     // generic hamming near-dup over caller-supplied signatures (round 11):
     // the corpus has no natural near-pairs, so the entry injects 2-bit-
     // flipped twin signatures (doc_id % 25, XOR 5 — the shape a perceptual
@@ -2122,6 +2186,39 @@ object SparkEntry {
            CASE WHEN date_diff('second', mts, ts) <= 1800 THEN mts END AS click_ts,
            CASE WHEN date_diff('second', mts, ts) <= 1800 THEN mval END AS click_value
          FROM a"""),
+
+    // nearest-event join (round 11): closest right row in EITHER
+    // direction, ties prefer backward — two as-of window merges + an
+    // integer-microsecond pick; the oracle composes DuckDB's native ASOF
+    // both ways. Both sides pre-deduped on (user, ts) so the oracle's
+    // backward x forward stitch join is key-safe
+    "j06_nearest" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("click_value"))
+        JoinOps.nearestJoin(purchases, clicks, "user_id", "ts")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("near_ts").as("click_ts"), col("near_click_value").as("click_value"))
+      },
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         b AS (SELECT p.user_id, p.ts, p.value, c.ts AS bts, c.click_value AS bval
+               FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+         fj AS (SELECT p.user_id, p.ts, c.ts AS fts, c.click_value AS fval
+               FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+         SELECT b.user_id, b.ts, b.value,
+           CASE WHEN fts IS NULL OR (bts IS NOT NULL
+                     AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bts ELSE fts END AS click_ts,
+           CASE WHEN fts IS NULL OR (bts IS NOT NULL
+                     AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bval ELSE fval END AS click_value
+         FROM b JOIN fj ON b.user_id = fj.user_id AND b.ts = fj.ts"""),
 
     // point-in-interval range join, bucketized: intervals explode to the
     // fixed-width buckets they overlap, points land in one bucket, and

@@ -257,6 +257,47 @@ object EventOps {
     * @return (bucket, n_gaps, n_users) — n_users = distinct users with a
     *         gap in that band, deduped via a two-level aggregate
     */
+  /** Conversion-latency distribution: for each user whose first `fromType`
+    * event is followed (at or after it) by a `toType` event, the
+    * whole-second latency between the first `fromType` and the first
+    * qualifying `toType`, bucketed into fixed bands — the time-to-convert
+    * histogram behind activation dashboards. "First purchase at-or-after
+    * first signup" is computed honestly: a purchase BEFORE the signup
+    * neither converts the user nor blocks a later purchase from counting.
+    *
+    * Scale shape: one per-user aggregate for the first `fromType`, one
+    * key-hash join of `toType` events against that (user-count-sized)
+    * frame, one per-user min, one band aggregate — all map-side-partial,
+    * no window. Latency is integer seconds (`unix_timestamp` floors ≡
+    * second-boundary datediff), bands are integer CASE cuts: every
+    * boundary decision is bit-identical cross-engine.
+    *
+    * @return (band, n_users)
+    */
+  def conversionLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    require(fromType != toType, s"fromType and toType must differ, got '$fromType'")
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val origin = events.filter(col(s"`$typeCol`") === fromType && ts.isNotNull && u.isNotNull)
+      .groupBy(u.as("__u")).agg(min(ts).as("__t0"))
+    val conv = events.filter(col(s"`$typeCol`") === toType && ts.isNotNull && u.isNotNull)
+      .select(u.as("__u"), ts.as("__t1"))
+      .join(origin, "__u")
+      .filter(col("__t1") >= col("__t0"))
+      // __t0 is functionally dependent on the group key __u, so first()
+      // is deterministic here
+      .groupBy(col("__u"))
+      .agg((unix_timestamp(min(col("__t1"))) - unix_timestamp(first(col("__t0"))))
+        .as("__lat"))
+    conv.select(
+      when(col("__lat") < 3600L, "0_lt_1h")
+        .when(col("__lat") < 86400L, "1_1h_24h")
+        .when(col("__lat") < 604800L, "2_1d_7d")
+        .otherwise("3_ge_7d").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Daily peak concurrency: the maximum number of simultaneously-active
     * presence intervals per day, where each event opens [ts, ts+ttlSec) —
     * the "how many users were on at once" capacity metric. Classic sweep

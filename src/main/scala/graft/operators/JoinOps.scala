@@ -130,6 +130,51 @@ object JoinOps {
         rFields.map(f => col(s"__m.${f.name}").as(rightPrefix + f.name)): _*)
   }
 
+  /** Nearest-event join: each left row matches the right row CLOSEST in
+    * time, searching both directions — the sensor-alignment semantics
+    * ("the reading nearest this event, before or after") that neither
+    * as-of direction alone gives. Ties (equidistant matches) prefer the
+    * BACKWARD match, the convention that favors information already
+    * available at the left timestamp.
+    *
+    * Composed from the two [[asofJoin]] passes (backward + forward) and a
+    * per-row pick: the backward pick is the nearest right row at-or-before
+    * and the forward pick the nearest at-or-after, so the closer of the
+    * two IS the global nearest — no inequality join, no per-left-row
+    * candidate explosion. Cost: two key-partitioned window merges (the
+    * second reuses the first's key partitioning: same `__k` exchange
+    * contract). The distance comparison is whole-MICROSECOND integer
+    * arithmetic (`unix_micros`), so the boundary decision is bit-identical
+    * on any engine with microsecond timestamps. `tsCol` must be
+    * timestamp-typed on both sides.
+    *
+    * @return left columns + `rightPrefix`-prefixed right columns from the
+    *         winning side (all NULL when the key has no right rows)
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightPrefix: String = "near_"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    Seq(left, right).foreach { df =>
+      val t = df.schema(tsCol).dataType
+      require(t == TimestampType || t == TimestampNTZType,
+        s"nearestJoin needs a timestamp `$tsCol`, got $t")
+    }
+    val rNames = right.schema.fields.filterNot(_.name == keyCol).map(_.name)
+    val bwd = asofJoin(left, right, keyCol, tsCol, "__b_", "backward")
+    val both = asofJoin(bwd, right, keyCol, tsCol, "__f_", "forward")
+    // cast through TIMESTAMP so NTZ inputs also take the integer-μs path
+    // (session zone is pinned UTC: the NTZ→LTZ cast is value-preserving)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast(TimestampType))
+    val ts = us(col(tsCol))
+    val bTs = col(s"__b_$tsCol")
+    val fTs = col(s"__f_$tsCol")
+    val useBwd = fTs.isNull ||
+      (bTs.isNotNull && (ts - us(bTs)) <= (us(fTs) - ts))
+    both.select(left.columns.map(col) ++
+      rNames.map(f => when(useBwd, col(s"__b_$f")).otherwise(col(s"__f_$f"))
+        .as(rightPrefix + f)): _*)
+  }
+
   /** [[asofJoin]] bounded by a freshness horizon: a match farther than
     * `toleranceSeconds` from the left timestamp is nulled out (the left
     * row survives, unmatched) — the financial-tick semantics of "last

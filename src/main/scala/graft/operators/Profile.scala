@@ -351,6 +351,54 @@ object Profile {
         (n2 / col("__ss")).as("effective_values")): _*)
   }
 
+  /** Categorical drift between two labeled sub-populations: per value, the
+    * Pearson chi-square contribution of the 2×1 contingency cell pair —
+    * the "did the language/source/format mix move between snapshots (or
+    * between train and eval splits)" monitor. Summing `chi2` over the
+    * output rows gives the full chi-square statistic; the per-value rows
+    * ARE the diagnosis (which categories drifted, and by how much).
+    *
+    * Chosen over PSI/KL DELIBERATELY (the [[diversity]] argument): those
+    * need a per-value `ln`, whose last-ulp libm differences make
+    * cross-engine results unstable. The chi-square contribution
+    * `(n−E)²/E` is a rational function of exact integer counts — the only
+    * fp ops are IEEE multiply/divide/subtract on exactly-represented
+    * integers and their quotients, bit-identical on every engine
+    * computing the same tree.
+    *
+    * Scale shape: ONE value-level aggregate with conditional counts
+    * (map-side partials; the output frame is NDV-sized), grand totals from
+    * one eager one-row aggregate embedded as literals (the
+    * [[distributedPrefixSum]] contract — literals cannot fork the scan
+    * the way a lazy crossJoin of a derived aggregate can).
+    *
+    * @return (value, n_a, n_b, chi2) — chi2 NULL when either side is
+    *         empty (expected counts undefined)
+    */
+  def categoricalDrift(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ, got '$labelA'")
+    val v = col(s"`$valueCol`")
+    val l = col(s"`$labelCol`")
+    val cnt = df.filter(v.isNotNull && (l === labelA || l === labelB))
+      .groupBy(v.as("value"))
+      .agg(sum(when(l === labelA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(l === labelB, 1L).otherwise(0L)).as("n_b"))
+    val tot = cnt.agg(sum(col("n_a")), sum(col("n_b"))).head
+    if (tot.isNullAt(0))
+      return cnt.withColumn("chi2", lit(null).cast("double")).limit(0)
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    val n = (na + nb).toDouble
+    val rowTot = (col("n_a") + col("n_b")).cast("double")
+    val ea = rowTot * lit(na) / n
+    val eb = rowTot * lit(nb) / n
+    val contrib =
+      (col("n_a") - ea) * (col("n_a") - ea) / ea +
+      (col("n_b") - eb) * (col("n_b") - eb) / eb
+    cnt.withColumn("chi2",
+      when(lit(na > 0L && nb > 0L), contrib).otherwise(lit(null).cast("double")))
+  }
+
   /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row
     * counted into `least(nBuckets-1, floor((v-min)/(max-min)·nBuckets))`
     * (the max value folds into the last bucket; a constant column lands

@@ -495,6 +495,29 @@ object TextOps {
             lit(84.6) * (syl.cast("double") / w)).as("flesch"))
   }
 
+  /** Per-document lexical richness: token count, distinct-token (type)
+    * count, and type-token ratio — the vocabulary-collapse signal that
+    * catches template spam and degenerate generation loops (a 400-token
+    * doc cycling 12 words scores TTR 0.03 while its n-gram repetition can
+    * still look moderate). Complements [[repetitionColumns]]: TTR sees
+    * global vocabulary reuse, n-gram dup-fraction sees local structure.
+    *
+    * Pure per-row array algebra (`array_distinct` inside the projection),
+    * zero shuffles; the ratio is one fp division of exact integers.
+    * Token-less docs get NULL ttr (no vocabulary to judge), NULL text is
+    * dropped.
+    *
+    * @return (id, n_tokens, n_types, ttr)
+    */
+  def lexicalRichness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / nullif(col("n_tokens"), lit(0)))
+  }
+
   /** Per-document encoding-health signals — the mojibake/corruption gate a
     * web-scrape pipeline runs before any text model sees a byte:
     *  - `n_replacement`: U+FFFD replacement characters (a decoder already

@@ -232,6 +232,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
   }
 
+  test("conversionLatency: first-after-first semantics, pre-signup purchases ignored") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: signup 10:00, purchases at 09:00 (BEFORE: ignored) and
+      // 10:30 -> converts at 1800s (0_lt_1h)
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 09:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:30:00")),
+      // user 2: two signups (first wins), purchase 2 days after -> 2_1d_7d
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "signup", ts("2024-01-02 00:00:00")),
+      (2L, "purchase", ts("2024-01-03 00:00:00")),
+      // user 3: purchase only before signup -> never converts
+      (3L, "signup", ts("2024-01-05 00:00:00")),
+      (3L, "purchase", ts("2024-01-04 00:00:00")),
+      // user 4: purchase, no signup -> not counted
+      (4L, "purchase", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.conversionLatency(ev, "user_id", "event_type", "ts",
+        "signup", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("0_lt_1h" -> 1L, "2_1d_7d" -> 1L), got.toString)
+    intercept[IllegalArgumentException](
+      EventOps.conversionLatency(ev, "user_id", "event_type", "ts", "signup", "signup"))
+  }
+
   test("peakConcurrency: sweep-line peaks per day, exclusive ends, midnight clamp") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(

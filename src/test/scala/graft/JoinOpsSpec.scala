@@ -228,6 +228,35 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", 8.0, maxBucketsPerInterval = 0L))
   }
 
+  test("nearestJoin: closest either direction, tie prefers backward, keyless rows null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // bwd at -60s, fwd at +10s -> fwd
+      (1L, ts("2024-01-01 12:00:00")), // only bwd exists
+      (2L, ts("2024-01-01 10:00:00")), // equidistant +-30s -> backward wins
+      (3L, ts("2024-01-01 10:00:00"))) // no right rows at all
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:59:00"), "a"),
+      (1L, ts("2024-01-01 10:00:10"), "b"),
+      (2L, ts("2024-01-01 09:59:30"), "c"),
+      (2L, ts("2024-01-01 10:00:30"), "d"))
+      .toDF("k", "ts", "tag")
+    val got = JoinOps.nearestJoin(left, right, "k", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        Option(r.getString(3))).toMap
+    assert(got((1L, "2024-01-01 10:00:00.0")) == Some("b"), got.toString)
+    assert(got((1L, "2024-01-01 12:00:00.0")) == Some("b"),
+      "only-backward case picks the latest right: " + got)
+    assert(got((2L, "2024-01-01 10:00:00.0")) == Some("c"),
+      "equidistant tie must prefer backward: " + got)
+    assert(got((3L, "2024-01-01 10:00:00.0")) == None, got.toString)
+    intercept[IllegalArgumentException](
+      JoinOps.nearestJoin(left.withColumn("ts", col("ts").cast("long")), right, "k", "ts"))
+  }
+
   test("fullOuterAnti: ScalaCheck-generated colliding schemas always freshen injectively") {
     import org.scalacheck.Gen
     import org.apache.spark.sql.Row

@@ -55,6 +55,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // whole ASOF join costs what any windowed analytic costs
     "j01_asof" -> (2, 0),
     "j02_range" -> (0, 1), // bucket equi-join broadcasts the interval side
+    // two (user, ts) pre-dedup aggs + the backward and forward as-of
+    // window merges — each one key exchange; the nearest pick is a
+    // projection
+    "j06_nearest" -> (4, 0),
     // both sides bucketized map-side; the bucket equi-join broadcasts at
     // this SF, ownership dedup is a filter (no distinct shuffle)
     "j04_interval_overlap" -> (0, 1),
@@ -106,6 +110,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "p06_diversity" -> (2, 0),
     // one sufficient-stats aggregate (map-side partials), one row per group
     "p07_regression" -> (1, 0),
+    // one conditional-count value aggregate; totals are eager literals
+    "p08_drift" -> (1, 0),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -185,6 +191,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // day-partitioned sweep window + the per-day peak agg share one day
     // exchange; the union of +1/-1 points is map-side
     "s12_peak_concurrency" -> (1, 0),
+    // first-event agg + key join (broadcast at this SF, shuffle-hash at
+    // scale) + per-user min + band agg
+    "s13_conversion_latency" -> (3, 1),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
@@ -219,6 +228,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t18_code_detect" -> (1, 0), // per-row char counts + source agg
     "t19_readability" -> (0, 0), // per-row regex/arith algebra, zero shuffle
     "t20_encoding" -> (0, 0), // per-row string algebra, zero shuffle
+    "t21_lexical_richness" -> (0, 0), // per-row array algebra, zero shuffle
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),

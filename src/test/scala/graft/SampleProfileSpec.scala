@@ -348,6 +348,31 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(again == ids, "selection must be partitioning-invariant")
   }
 
+  test("categoricalDrift: hand-computed chi2, one-sided population, other labels excluded") {
+    val df = (Seq.fill(30)(("en", "train")) ++ Seq.fill(10)(("en", "test")) ++
+      Seq.fill(10)(("de", "train")) ++ Seq.fill(10)(("de", "test")) ++
+      Seq.fill(3)(("fr", "validation")) ++ Seq(((null: String), "train")))
+      .toDF("lang", "split")
+    val got = Profile.categoricalDrift(df, "lang", "split", "train", "test")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2, "validation label and NULL value excluded: " + got.keySet)
+    // na=40 nb=20 n=60; en: row 40, ea=40*40/60, eb=40*20/60
+    val (na, nb, n) = (40.0, 20.0, 60.0)
+    def chi(a: Long, b: Long): Double = {
+      val (ea, eb) = ((a + b) * na / n, (a + b) * nb / n)
+      (a - ea) * (a - ea) / ea + (b - eb) * (b - eb) / eb
+    }
+    assert(got("en").getLong(1) == 30L && got("en").getLong(2) == 10L)
+    assert(got("en").getDouble(3) == chi(30L, 10L), got("en").toString)
+    assert(got("de").getDouble(3) == chi(10L, 10L), got("de").toString)
+    // one empty side: counts survive, chi2 is NULL (expected undefined)
+    val oneSided = Seq(("en", "train"), ("de", "train")).toDF("lang", "split")
+    val os = Profile.categoricalDrift(oneSided, "lang", "split", "train", "test").collect()
+    assert(os.length == 2 && os.forall(_.isNullAt(3)), os.mkString(", "))
+    // both sides empty: empty frame with the right schema
+    assert(Profile.categoricalDrift(oneSided, "lang", "split", "x", "y").count() == 0L)
+  }
+
   test("budgetSelect: oversized first row selects nothing; negative weight fails loudly") {
     val big = Seq((1L, 9L, 100L), (2L, 5L, 1L)).toDF("id", "q", "w")
     assert(SampleOps.budgetSelect(big, "id", "q", "w", budget = 50L).count() == 0L,
