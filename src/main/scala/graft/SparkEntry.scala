@@ -1563,6 +1563,80 @@ object SparkEntry {
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS inflation
          FROM c GROUP BY source"""),
 
+    // perceptual-hash image dedup (round 11): the m-series capstone —
+    // signatures from Multimodal.perceptualHash's per-partition seam
+    // (real 8x8 aHash for decodable images; the synthetic fake/rgb8
+    // payloads take the documented md5-60 deterministic stand-in, which
+    // is what DuckDB replays), then the d21 engine: twin injection
+    // (XOR 9: bits 0 and 3), pigeonhole block join, exact verify
+    "m04_phash_dedup" -> entry(
+      (s, d) => {
+        val withBin = Multimodal.attachBinary(
+          t(s, d, "documents").filter(col("text").isNotNull), "doc_id", "text")
+        val sigs = Multimodal.perceptualHash(withBin)
+          .select(col("doc_id"), col("phash").as("sig"))
+        val twins = sigs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("sig").bitwiseXOR(lit(9L)).as("sig"))
+        Dedup.hammingNearDuplicates(
+          sigs.unionAll(twins), "doc_id", "sig", maxHamming = 3, blockBits = 15)
+      },
+      """WITH s0 AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, sig FROM s0
+               UNION ALL
+               SELECT doc_id + 100000, xor(sig, 9) FROM s0 WHERE doc_id % 25 = 0)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""),
+
+    // longest activity streak (round 11): gaps-and-islands — the
+    // day-minus-row_number anchor; (user, day) distinct collapses event
+    // volume before the window, integer date arithmetic throughout
+    "s14_longest_streak" -> entry(
+      (s, d) => graft.operators.EventOps.longestStreak(
+        t(s, d, "events"), "user_id", "ts"),
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         isl AS (SELECT user_id,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+           FROM days),
+         runs AS (SELECT user_id, anchor, COUNT(*) AS len
+                  FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+         FROM runs GROUP BY user_id"""),
+
+    // median absolute deviation (round 11): robust dispersion via two
+    // rank-exact medians (p02's machinery twice, stitched by an eager
+    // 1-row literal) — both an actual data value / exact |difference|
+    "p09_mad" -> entry(
+      (s, d) => graft.operators.Profile.mad(t(s, d, "lineitem"), "l_quantity"),
+      """WITH dist AS (
+           SELECT l_quantity AS v, COUNT(*) AS cnt FROM lineitem
+           WHERE l_quantity IS NOT NULL GROUP BY 1),
+         cum AS (SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
+           FROM dist),
+         med AS (SELECT v AS m FROM cum
+           WHERE cum >= GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+             AND cum - cnt < GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))),
+         dev AS (SELECT abs(l_quantity - med.m) AS v FROM lineitem, med
+                 WHERE l_quantity IS NOT NULL),
+         dist2 AS (SELECT v, COUNT(*) AS cnt FROM dev GROUP BY 1),
+         cum2 AS (SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
+           FROM dist2),
+         mad AS (SELECT v AS md FROM cum2
+           WHERE cum >= GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+             AND cum - cnt < GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)))
+         SELECT med.m AS median, mad.md AS mad FROM med, mad"""),
+
     // per-doc lexical richness (round 11): type-token ratio — vocabulary
     // collapse the n-gram repetition signals can miss; per-row array
     // algebra, one fp division of exact integers

@@ -257,6 +257,36 @@ object EventOps {
     * @return (bucket, n_gaps, n_users) — n_users = distinct users with a
     *         gap in that band, deduped via a two-level aggregate
     */
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands pattern: distinct active days, then `day −
+    * row_number` as the island anchor (consecutive days share an anchor,
+    * a gap starts a new one), then max island size. The engagement metric
+    * behind every retention dashboard.
+    *
+    * Scale shape: one (user, day) distinct aggregate (map-side partials
+    * collapse the per-day event volume FIRST, so the window frame is
+    * active-days-sized, never event-sized), a per-user ordered window
+    * (users in parallel), and two stacked aggregates. All integer date
+    * arithmetic — bit-identical on any engine.
+    *
+    * @return (user, n_active_days, longest_streak)
+    */
+  def longestStreak(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = col(s"`$userCol`")
+    val ts = col(s"`$tsCol`")
+    val days = events.filter(u.isNotNull && ts.isNotNull)
+      .select(u.as("__u"), to_date(ts).as("__day")).distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__day"))
+    days
+      .withColumn("__anchor", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col("__u"), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("__u").as(userCol))
+      .agg(sum(col("__len")).cast("long").as("n_active_days"),
+        max(col("__len")).cast("long").as("longest_streak"))
+  }
+
   /** Conversion-latency distribution: for each user whose first `fromType`
     * event is followed (at or after it) by a `toType` event, the
     * whole-second latency between the first `fromType` and the first

@@ -215,6 +215,82 @@ object Multimodal {
   def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame =
     resize(withBinary, targetW, targetH)
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType),
+    StructField("decoded", BooleanType)))
+
+  /** Perceptual hash per payload — the signature feeding
+    * [[Dedup.hammingNearDuplicates]] for image near-dup at corpus scale
+    * (a re-encoded/resized copy keeps a close aHash while its bytes, and
+    * so its md5, change completely).
+    *
+    * REAL aHash for `javax.imageio` formats: bilinear-scale to 8×8, gray =
+    * mean across bands per pixel, bit i (row-major) set iff gray_i is
+    * STRICTLY above the 64-cell mean — a constant image hashes to 0, and
+    * the threshold convention is pinned so the same image always produces
+    * the same 64-bit signature. Non-decodable payloads (including the
+    * synthetic `fake/rgb8` ones) take a clearly-labeled deterministic
+    * stand-in: the md5-hex-prefix 60-bit hash of the payload bytes — NOT
+    * perceptual (md5 is anti-perceptual by design), but engine-replayable
+    * (`('0x' || substr(md5(payload), 1, 15))::BIGINT` over the same
+    * bytes), which is what the correctness gate needs; a real pipeline
+    * swaps a pHash/dHash codec into this same per-partition seam.
+    *
+    * Same scale shape as [[decode]]: one per-partition pass, zero
+    * shuffles, `decoded` marking which path produced each signature.
+    */
+  def perceptualHash(withBinary: DataFrame): DataFrame = {
+    val spark = withBinary.sparkSession
+    val rdd = withBinary
+      .select(col("doc_id"), col("payload"), lower(col("meta.format")).as("format"))
+      .rdd.mapPartitions { iter =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.map { row =>
+          val id = if (row.isNullAt(0)) null else Long.box(row.getLong(0))
+          val fmt = if (row.isNullAt(2)) "" else row.getString(2)
+          val bytes = row.getAs[Array[Byte]](1)
+          if (bytes == null) Row(id, null, null)
+          else {
+            val decoded =
+              if (!imageFormats(fmt) || bytes.isEmpty) None
+              else try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            decoded match {
+              case Some(img) =>
+                val small = new java.awt.image.BufferedImage(8, 8,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = small.createGraphics()
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, 8, 8, null)
+                g.dispose()
+                val raster = small.getRaster
+                val bands = raster.getNumBands
+                val gray = Array.tabulate(64) { i =>
+                  var s = 0.0
+                  var b = 0
+                  while (b < bands) { s += raster.getSampleDouble(i % 8, i / 8, b); b += 1 }
+                  s / bands
+                }
+                val mean = gray.sum / 64
+                var h = 0L
+                var i = 0
+                while (i < 64) { if (gray(i) > mean) h |= 1L << i; i += 1 }
+                Row(id, h, true)
+              case None =>
+                md.reset()
+                val hex = md.digest(bytes).take(8).map(b => f"${b & 0xff}%02x").mkString
+                Row(id, java.lang.Long.parseLong(hex.substring(0, 15), 16), false)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   /** Frame sampling for video-like payloads: treat the binary as fixed-size
     * frames, keep every `everyN`-th — pure column algebra (posexplode +
     * binary substring), one output row per kept frame, no shuffle. A real

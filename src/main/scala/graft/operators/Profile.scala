@@ -238,6 +238,34 @@ object Profile {
       .select(col("z.p"), col("z.quantile"))
   }
 
+  /** Median absolute deviation — the robust dispersion statistic
+    * (outlier-immune where stddev is not, the right spread measure for
+    * heavy-tailed doc-length / latency columns): `median(|x − median(x)|)`
+    * with BOTH medians the type-1 rank-exact quantile ([[quantiles]]), so
+    * each is an actual data value (or an exact |difference| of two data
+    * values) and the result hash-matches any engine replaying the same
+    * definition.
+    *
+    * Two [[quantiles]] passes (each: one histogram aggregate + the
+    * distributed prefix sum — never a global data sort), stitched by a
+    * driver-side 1-row collect of the first median (the eager-literal
+    * contract [[distributedPrefixSum]] documents: a lazy crossJoin of the
+    * median would fork the scan). Empty/all-NULL input yields an empty
+    * frame, not an NPE.
+    *
+    * @return one row: (median, mad) in the value column's type
+    */
+  def mad(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`")
+    val medRows = quantiles(df, valueCol, Seq(0.5)).select(col("quantile")).collect()
+    if (medRows.isEmpty)
+      return df.limit(0).select(v.as("median"), v.as("mad"))
+    val med = medRows(0).get(0)
+    val dev = df.filter(v.isNotNull).select(abs(v - lit(med)).as("__dev"))
+    quantiles(dev, "__dev", Seq(0.5))
+      .select(lit(med).as("median"), col("quantile").as("mad"))
+  }
+
   /** Per-group Pearson correlation from EXACT sufficient statistics: one
     * aggregation computes n, Σx, Σy, Σxy, Σx², Σy² over DECIMAL-cast
     * inputs — every sum is exact and order-independent (a double `corr()`

@@ -232,6 +232,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
   }
 
+  test("longestStreak: islands split on gaps, multiple same-day events count once") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: days 1,2,3 then 5,6 -> longest 3, active 5
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-02 00:30:00")), (1L, ts("2024-01-03 12:00:00")),
+      (1L, ts("2024-01-05 08:00:00")), (1L, ts("2024-01-06 08:00:00")),
+      // user 2: one day only
+      (2L, ts("2024-02-10 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.longestStreak(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((5L, 3L)), 2L -> ((1L, 1L))), got.toString)
+  }
+
   test("conversionLatency: first-after-first semantics, pre-signup purchases ignored") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(

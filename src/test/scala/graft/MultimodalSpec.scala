@@ -117,4 +117,49 @@ class MultimodalSpec extends AnyFunSuite {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
   }
+
+  test("perceptualHash: aHash near for a re-encoded copy, far for the inverse, md5 fallback") {
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // left-half dark / right-half bright; a resized copy keeps the
+    // structure (and the aHash); the inverse flips every bit
+    def half(dark: Int, bright: Int)(w: Int): (Int, Int) => Int =
+      (x, _) => if (x < w / 2) (dark << 16) | (dark << 8) | dark
+                else (bright << 16) | (bright << 8) | bright
+    val base = png(64, 64, half(20, 220)(64))
+    val copy = png(32, 32, half(20, 220)(32)) // re-encoded at half size
+    val inverse = png(64, 64, half(220, 20)(64))
+    val fake = "not an image".getBytes("UTF-8")
+    val rows = Seq((1L, base, "png"), (2L, copy, "png"), (3L, inverse, "png"),
+      (4L, fake, "fake/rgb8"), (5L, null.asInstanceOf[Array[Byte]], "png"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, b, f) =>
+        org.apache.spark.sql.Row(id, b,
+          org.apache.spark.sql.Row(Int.box(0), Int.box(0), f)) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("meta", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("width", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType)))))))
+    val got = Multimodal.perceptualHash(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (h1, h2, h3) = (got(1L).getLong(1), got(2L).getLong(1), got(3L).getLong(1))
+    assert(got(1L).getBoolean(2) && got(2L).getBoolean(2) && got(3L).getBoolean(2))
+    assert(ham(h1, h2) <= 3, s"re-encoded copy must hash near: ${ham(h1, h2)}")
+    assert(ham(h1, h3) >= 32, s"inverse must hash far: ${ham(h1, h3)}")
+    // fallback: md5-hex-prefix 60-bit, the DuckDB-replayable stand-in
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(fake).take(8).map(b => f"${b & 0xff}%02x").mkString
+    assert(!got(4L).getBoolean(2) &&
+      got(4L).getLong(1) == java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    assert(got(5L).isNullAt(1) && got(5L).isNullAt(2), "null payload propagates nulls")
+  }
 }

@@ -87,6 +87,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pigeonhole block join (broadcast at this SF; shuffle-hash on
     // (blk, blkval) at scale) + the pair-dedup agg
     "d21_hamming_neardup" -> (1, 1),
+    // d21's engine over the mapPartitions signature seam: the RDD
+    // boundary costs one extra round-trip exchange at this plan shape
+    "m04_phash_dedup" -> (2, 1),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -112,6 +115,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "p07_regression" -> (1, 0),
     // one conditional-count value aggregate; totals are eager literals
     "p08_drift" -> (1, 0),
+    // second quantiles pass over the deviation histogram (value agg +
+    // block window + offset broadcast); the first pass ran eagerly
+    "p09_mad" -> (3, 1),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -194,6 +200,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // first-event agg + key join (broadcast at this SF, shuffle-hash at
     // scale) + per-user min + band agg
     "s13_conversion_latency" -> (3, 1),
+    // (user, day) distinct agg + the per-user island window; the two
+    // stacked run aggregates ride the window's partitioning
+    "s14_longest_streak" -> (2, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id

@@ -348,6 +348,19 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(again == ids, "selection must be partitioning-invariant")
   }
 
+  test("mad: rank-exact both passes, outlier-immune, empty input empty frame") {
+    import spark.implicits._
+    // values 1..9 plus an outlier 1000: median = type-1 at ceil(0.5*10)=5
+    // -> 5.0; deviations |v-5| sorted: 0,1,1,2,2,3,3,4,4,995 -> rank 5 -> 2.0
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val got = Profile.mad(df, "v").collect()
+    assert(got.length == 1 && got(0).getDouble(0) == 5.0 && got(0).getDouble(1) == 2.0,
+      got.mkString(", "))
+    // stddev would be ~313 here; MAD stays 2 — the outlier-immunity claim
+    val empty = Profile.mad(df.filter(col("v") > 1e9), "v")
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("median", "mad"))
+  }
+
   test("categoricalDrift: hand-computed chi2, one-sided population, other labels excluded") {
     val df = (Seq.fill(30)(("en", "train")) ++ Seq.fill(10)(("en", "test")) ++
       Seq.fill(10)(("de", "train")) ++ Seq.fill(10)(("de", "test")) ++
