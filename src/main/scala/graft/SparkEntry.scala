@@ -1592,6 +1592,48 @@ object SparkEntry {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3"""),
 
+    // event-type co-occurrence lift (round 11): association-rules
+    // primitive over per-user presence sets — deliberately lift, not PMI
+    // (PMI = ln lift puts libm at the engine boundary); per-user pair
+    // join over distinct TYPES, never event volume
+    "s15_cooccurrence_lift" -> entry(
+      (s, d) => graft.operators.EventOps.cooccurrenceLift(
+        t(s, d, "events"), "user_id", "event_type"),
+      """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM pres),
+         tot AS (SELECT event_type, COUNT(*) AS n FROM pres GROUP BY 1),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+                   FROM pres a JOIN pres b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b, p.n_ab,
+           CAST(p.n_ab * nu.n_users AS DOUBLE) / (ta.n * tb.n) AS lift
+         FROM pairs p
+         JOIN tot ta ON ta.event_type = p.type_a
+         JOIN tot tb ON tb.event_type = p.type_b, nu"""),
+
+    // temperature-mix resampling at alpha = 0.5 (round 11): sqrt-scaled
+    // per-source quotas (floor(sqrt(n)) is the same integer on every
+    // engine — general n^alpha would put exp/ln at the boundary), then
+    // the md5 hash-order pick per stratum
+    "x12_temperature_mix" -> entry(
+      (s, d) => graft.operators.SampleOps.temperatureMix(
+        t(s, d, "documents"), "source", "doc_id", targetTotal = 300L),
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                    WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY 1),
+         w AS (SELECT source, n,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+         t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+         caps AS (SELECT source, LEAST(n, (300 * w) // t.tot) AS cap FROM w, t),
+         r AS (SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+               ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        d.doc_id) AS rn
+           FROM documents d WHERE d.source IS NOT NULL AND d.doc_id IS NOT NULL)
+         SELECT r.source, r.doc_id
+         FROM r JOIN caps ON r.source = caps.source WHERE r.rn <= caps.cap"""),
+
     // longest activity streak (round 11): gaps-and-islands — the
     // day-minus-row_number anchor; (user, day) distinct collapses event
     // volume before the window, integer date arithmetic throughout

@@ -257,6 +257,43 @@ object EventOps {
     * @return (bucket, n_gaps, n_users) — n_users = distinct users with a
     *         gap in that band, deduped via a two-level aggregate
     */
+  /** Event-type co-occurrence lift within users: for each unordered pair
+    * of event types, `lift = P(a,b) / (P(a)·P(b))` over the per-user
+    * presence sets — the association-rules primitive ("users who do a
+    * also do b") behind feature-adoption and market-basket analysis.
+    * Lift > 1 means the pair co-occurs more than independence predicts.
+    *
+    * Deliberately lift, not PMI: PMI is `ln lift` — same ordering, but
+    * the `ln` puts libm between engines ([[Profile.categoricalDrift]]'s
+    * argument). Lift is a rational function of exact integer counts:
+    * `(n_ab · n_users) / (n_a · n_b)` computed as one fixed double tree.
+    *
+    * Scale shape: one (user, type) distinct aggregate collapses event
+    * volume FIRST; the pair join is per-user over each user's distinct
+    * TYPES (bounded by the type vocabulary, never by event count), then
+    * one pair aggregate. Type totals ride a broadcast-sized frame.
+    *
+    * @return (type_a, type_b, n_a, n_b, n_ab, lift) with type_a < type_b
+    */
+  def cooccurrenceLift(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val u = col(s"`$userCol`")
+    val t = col(s"`$typeCol`")
+    val present = events.filter(u.isNotNull && t.isNotNull)
+      .select(u.as("__u"), t.as("__t")).distinct()
+    val nUsers = present.select(col("__u")).distinct().count()
+    val totals = present.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val a = present.select(col("__u"), col("__t").as("type_a"))
+    val b = present.select(col("__u"), col("__t").as("type_b"))
+    val pairs = a.join(b, "__u").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(totals.select(col("__t").as("type_a"), col("__n").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("__t").as("type_b"), col("__n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        ((col("n_ab") * lit(nUsers)).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+  }
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands pattern: distinct active days, then `day −
     * row_number` as the island anchor (consecutive days share an anchor,

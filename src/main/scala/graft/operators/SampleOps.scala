@@ -119,6 +119,53 @@ object SampleOps {
     * single correctly-rounded double ops on integer counts and literal
     * weights, so any engine computes identical quotas.
     */
+  /** Temperature-scaled source mixing at α = 0.5: per-stratum quotas
+    * proportional to √n — the standard up-weight-the-tail recipe for
+    * multilingual/multi-source training mixes (raw proportions drown
+    * low-resource strata; uniform over-samples them; √ is the
+    * conventional middle) — then a deterministic hash-order pick of each
+    * stratum's quota.
+    *
+    * α is FIXED at 0.5 deliberately: general `n^α` needs `exp(α·ln n)` —
+    * libm at the engine boundary ([[Profile.diversity]]'s argument) —
+    * while IEEE `sqrt` is correctly rounded everywhere, so
+    * `floor(sqrt(n))` is the same integer on every engine and ALL
+    * downstream arithmetic (quota split, floor division, rank cut) is
+    * exact integer math. Quotas never exceed a stratum's population; the
+    * floor division under-fills by at most one row per stratum.
+    *
+    * Scale shape: one stratum-count aggregate (strata-sized, collected as
+    * eager literals — the [[Profile.distributedPrefixSum]] contract), a
+    * broadcast quota join, and the per-stratum hash-order window
+    * [[stratifiedCap]] already uses (strata in parallel; the md5-hex
+    * order hash is the oracle-replayable pick).
+    *
+    * @return (stratum, id) — the selected mix
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      targetTotal: Long): DataFrame = {
+    require(targetTotal >= 0, s"targetTotal must be >= 0, got $targetTotal")
+    import org.apache.spark.sql.expressions.Window
+    val s = col(s"`$stratumCol`")
+    val id = col(s"`$idCol`")
+    val rows = df.filter(s.isNotNull && id.isNotNull)
+    val counts = rows.groupBy(s.as("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("__w"))).head
+    if (tot.isNullAt(0))
+      return rows.select(s.as(stratumCol), id.as(idCol)).limit(0)
+    val caps = counts.select(col("__s"),
+      least(col("__n"), expr(s"CAST(${targetTotal} * __w AS BIGINT) DIV ${tot.getLong(0)}"))
+        .as("__cap"))
+    rows.select(s.as(stratumCol), id.as(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(
+          md5OrderHash(col(idCol)), col(idCol))))
+      .join(broadcast(caps), col(stratumCol) === col("__s"))
+      .filter(col("__rn") <= col("__cap"))
+      .select(col(stratumCol), col(idCol))
+  }
+
   /** Quality-ordered selection under a global weight budget: walk rows in
     * (quality DESC, id ASC) order and keep the prefix whose running weight
     * stays ≤ `budget` — the "best N tokens" curation cut (greedy knapsack

@@ -232,6 +232,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
   }
 
+  test("cooccurrenceLift: presence-set pairs, exact lift, repeat events collapse") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val base = ts("2024-01-01 10:00:00")
+    // users 1,2: {a,b}; user 3: {a}; user 4: {b,c} -> n_users=4
+    // pair (a,b): n_ab=2, n_a=3, n_b=3 -> lift = 2*4/9
+    // pair (b,c): n_ab=1, n_c=1 -> lift = 1*4/(3*1)
+    // (a,c) never co-occurs -> absent
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c"))
+      .map { case (u, t) => (u, t, base) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.cooccurrenceLift(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "c")), got.keySet.toString)
+    val ab = got(("a", "b"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L && ab.getLong(4) == 2L)
+    assert(ab.getDouble(5) == 2.0 * 4 / 9, ab.toString)
+    assert(got(("b", "c")).getDouble(5) == 4.0 / 3, got(("b", "c")).toString)
+  }
+
   test("longestStreak: islands split on gaps, multiple same-day events count once") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(

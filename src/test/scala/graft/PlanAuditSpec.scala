@@ -203,6 +203,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (user, day) distinct agg + the per-user island window; the two
     // stacked run aggregates ride the window's partitioning
     "s14_longest_streak" -> (2, 0),
+    // presence distinct + per-user type pair join (self-join broadcasts
+    // at this SF; key-hash at scale) + pair agg; type totals broadcast
+    "s15_cooccurrence_lift" -> (3, 3),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
@@ -260,6 +263,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchange, level-cum machinery (tiny NDV-sized frames) — the
     // level-offset join and block-offset join broadcast
     "x11_budget_select" -> (4, 2),
+    // stratum-count agg (quotas are eager literals) + the per-stratum
+    // hash-order window; the quota frame broadcasts
+    "x12_temperature_mix" -> (2, 1),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

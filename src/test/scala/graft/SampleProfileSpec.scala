@@ -348,6 +348,23 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(again == ids, "selection must be partitioning-invariant")
   }
 
+  test("temperatureMix: sqrt quotas, population clamp, deterministic pick") {
+    // big: 100 rows (w=10), small: 9 rows (w=3), tiny: 1 row (w=1) ->
+    // tot=14; target 28 -> quotas big=20, small=6, tiny=1 (clamped by n)
+    val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
+      Seq.tabulate(9)(i => ("small", 1000L + i)) ++ Seq(("tiny", 5000L)))
+      .toDF("src", "id")
+    val got = SampleOps.temperatureMix(df, "src", "id", targetTotal = 28L)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 20L, "small" -> 6L, "tiny" -> 1L), bySrc.toString)
+    val again = SampleOps.temperatureMix(df.repartition(7), "src", "id", 28L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "hash-order pick must be partitioning-invariant")
+    assert(SampleOps.temperatureMix(df.filter(col("id") < 0), "src", "id", 10L).count() == 0L)
+  }
+
   test("mad: rank-exact both passes, outlier-immune, empty input empty frame") {
     import spark.implicits._
     // values 1..9 plus an outlier 1000: median = type-1 at ceil(0.5*10)=5
