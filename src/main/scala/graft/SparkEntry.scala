@@ -650,6 +650,13 @@ object SparkEntry {
            CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
          FROM customer WHERE c_custkey < 300"""),
 
+    // GROUP BY ALL (round 11): both parsers infer the grouping keys from
+    // the non-aggregate select items — one shared text
+    "q51_group_by_all" -> shared(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ALL"""),
+
     // NULL-handling scalar family (round 11): COALESCE / NULLIF /
     // GREATEST / LEAST — one shared text; both engines skip NULLs in
     // GREATEST/LEAST (Postgres semantics) and unify BIGINT/INT to BIGINT
@@ -2335,6 +2342,32 @@ object SparkEntry {
                      AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
                 THEN bval ELSE fval END AS click_value
          FROM b JOIN fj ON b.user_id = fj.user_id AND b.ts = fj.ts"""),
+
+    // temporal anti join (round 11): signups with NO purchase within 7
+    // days after — the non-activation cohort. One forward as-of window
+    // merge + null filter; the oracle is the definitional NOT EXISTS
+    // range predicate (which Spark would nested-loop — the operator
+    // exists precisely to avoid that)
+    "j07_no_followup" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        JoinOps.noFollowupWithin(signups, purchases, "user_id", "ts",
+          horizonSeconds = 604800L)
+      },
+      """SELECT s.user_id, CAST(s.ts AS TIMESTAMP) AS ts
+         FROM events s
+         WHERE s.event_type = 'signup' AND s.ts IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+               AND p.ts IS NOT NULL
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+               AND date_diff('second', CAST(s.ts AS TIMESTAMP),
+                     CAST(p.ts AS TIMESTAMP)) <= 604800)"""),
 
     // point-in-interval range join, bucketized: intervals explode to the
     // fixed-width buckets they overlap, points land in one bucket, and

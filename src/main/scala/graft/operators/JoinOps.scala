@@ -208,6 +208,27 @@ object JoinOps {
     }: _*)
   }
 
+  /** Temporal anti join: left rows with NO right row on the same key
+    * within `horizonSeconds` AFTER them — "signups with no purchase
+    * within 7 days", "purchases with no refund within 30" — the
+    * non-activation / non-churn cohort selector. A naive formulation is
+    * a NOT EXISTS over an inequality-range predicate, which Spark plans
+    * as a nested loop; this is [[asofJoinTolerance]] forward (one
+    * window merge) + a null filter: the as-of pick is the EARLIEST right
+    * row at-or-after, so "that row is absent or out of horizon" is
+    * exactly "no right row within the horizon". Left columns only —
+    * anti-join semantics.
+    */
+  def noFollowupWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, horizonSeconds: Long): DataFrame = {
+    require(!left.columns.contains("__nf_" + tsCol),
+      s"'__nf_$tsCol' is reserved by noFollowupWithin — rename that input column first")
+    asofJoinTolerance(left, right, keyCol, tsCol, horizonSeconds,
+        rightPrefix = "__nf_", direction = "forward")
+      .filter(col("__nf_" + tsCol).isNull)
+      .select(left.columns.map(col): _*)
+  }
+
   /** Point-in-interval range join: left rows (a point) joined to right rows
     * (an interval `[lo, hi]`, inclusive) — without the O(|L|·|R|) nested
     * loop Spark plans for a raw inequality join.

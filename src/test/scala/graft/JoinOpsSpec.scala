@@ -228,6 +228,28 @@ class JoinOpsSpec extends AnyFunSuite {
       JoinOps.rangeJoin(pts, iv, "p", "lo", "hi", 8.0, maxBucketsPerInterval = 0L))
   }
 
+  test("noFollowupWithin: boundary-inclusive horizon, pre-left rows never block") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // purchase at +1h -> blocked
+      (2L, ts("2024-01-01 00:00:00")), // purchase EXACTLY at horizon -> blocked (<=)
+      (3L, ts("2024-01-01 00:00:00")), // purchase 1s past horizon -> kept
+      (4L, ts("2024-01-01 00:00:00")), // purchase only BEFORE -> kept
+      (5L, ts("2024-01-01 00:00:00"))) // no right rows -> kept
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00")),
+      (2L, ts("2024-01-08 00:00:00")),
+      (3L, ts("2024-01-08 00:00:01")),
+      (4L, ts("2023-12-31 23:59:59")))
+      .toDF("k", "ts")
+    val got = JoinOps.noFollowupWithin(left, right, "k", "ts", 604800L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L, 5L), got.toString)
+  }
+
   test("nearestJoin: closest either direction, tie prefers backward, keyless rows null") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -59,6 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // window merges — each one key exchange; the nearest pick is a
     // projection
     "j06_nearest" -> (4, 0),
+    // one forward as-of window merge (union + key exchange); the
+    // NOT-EXISTS-over-range shape this replaces would nested-loop
+    "j07_no_followup" -> (1, 0),
     // both sides bucketized map-side; the bucket equi-join broadcasts at
     // this SF, ownership dedup is a filter (no distinct shuffle)
     "j04_interval_overlap" -> (0, 1),
@@ -174,6 +177,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q48_filter_clause" -> (1, 0), // one hash agg, filters map-side
     "q49_regexp" -> (0, 0), // per-row regex algebra on the scan
     "q50_null_funcs" -> (0, 0), // per-row scalar algebra on the scan
+    "q51_group_by_all" -> (1, 0), // inferred keys, one hash aggregate
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle

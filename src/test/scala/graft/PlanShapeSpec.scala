@@ -186,4 +186,21 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     assert(exchanges.size <= 1, "approx profile is partial+final over ONE exchange")
   }
+
+  test("round-11 windowed entries: every WindowExec is partitioned (no global funnel)") {
+    // the scale smell Profile.quantiles' old shape had — a partition-less
+    // window moves the whole frame through ONE task; none of the round-11
+    // window consumers may regress into it
+    for (name <- Seq("x11_budget_select", "s12_peak_concurrency",
+        "s14_longest_streak", "p09_mad", "x12_temperature_mix", "p02_quantiles")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val unpartitioned = collect(df.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name runs ${unpartitioned.size} partition-less WindowExec node(s)")
+    }
+  }
 }
