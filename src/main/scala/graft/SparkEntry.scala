@@ -1659,6 +1659,32 @@ object SparkEntry {
            CAST(MAX(len) AS BIGINT) AS longest_streak
          FROM runs GROUP BY user_id"""),
 
+    // token-weighted quantiles (round 11): "half the TOKENS live in docs
+    // shorter than X" — p02's rank-exact machinery with SUM(weight)
+    // histograms; integer weights keep every cumulative exact
+    "p10_weighted_quantiles" -> entry(
+      (s, d) => graft.operators.Profile.weightedQuantiles(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "n_chars", "n_tokens", Seq(0.5, 0.9)),
+      """WITH dd AS (SELECT n_chars AS v,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         dist AS (SELECT v, CAST(SUM(w) AS BIGINT) AS cnt FROM dd
+                  GROUP BY 1 HAVING SUM(w) > 0),
+         cum AS (SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+           FROM dist),
+         p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p)
+         SELECT p.p, cum.v AS quantile
+         FROM cum, p
+         WHERE cum.cum >= GREATEST(1, CAST(ceil(p.p * cum.n) AS BIGINT))
+           AND cum.cum - cum.cnt < GREATEST(1, CAST(ceil(p.p * cum.n) AS BIGINT))"""),
+
     // median absolute deviation (round 11): robust dispersion via two
     // rank-exact medians (p02's machinery twice, stitched by an eager
     // 1-row literal) — both an actual data value / exact |difference|

@@ -105,6 +105,44 @@ object Profile {
       .select(col("p"), col("v").as("quantile"))
   }
 
+  /** Weight-exact quantiles: [[quantiles]] where each row counts
+    * `weightCol` times — the token-weighted median document length ("half
+    * the TOKENS live in docs shorter than X") that a training-data
+    * pipeline needs where the row-weighted median answers the wrong
+    * question (docs and tokens have wildly different distributions).
+    * Weights must be non-negative integers (enforced in-plan); zero-weight
+    * rows contribute nothing, exactly as absent rows. Same type-1
+    * rank-exact semantics — the quantile is an actual data value at
+    * weighted rank `max(1, ceil(p·W))` — and the same distributed shape:
+    * the histogram aggregates SUM(weight) instead of COUNT, everything
+    * downstream is unchanged.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "weightedQuantiles needs at least one probability")
+    val psd = ps.distinct
+    require(psd.forall(p => p > 0.0 && p <= 1.0), s"probabilities must be in (0, 1], got $ps")
+    val v = col(s"`$valueCol`")
+    val w = col(s"`$weightCol`").cast("long")
+    val wChecked = when(w >= 0, w).otherwise(raise_error(concat(
+      lit(s"weightedQuantiles: weight column `$weightCol` is negative ("), w.cast("string"),
+      lit(") — weighted ranks are undefined; filter or clamp first"))))
+    import org.apache.spark.sql.types._
+    require(df.schema(valueCol).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }, s"weightedQuantiles needs a rangeable value column, got ${df.schema(valueCol).dataType}")
+    val dist = df.filter(v.isNotNull && w.isNotNull)
+      .groupBy(v.as("v")).agg(sum(wChecked).as("cnt"))
+      .filter(col("cnt") > 0)
+    distributedPrefixSum(dist)
+      .select(col("v"), col("cnt"), col("cum"), col("n"),
+        explode(lit(psd.toArray)).as("p"))
+      .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .filter(col("cum") >= col("rank") && (col("cum") - col("cnt")) < col("rank"))
+      .select(col("p"), col("v").as("quantile"))
+  }
+
   /** Distributed running total over the (v, cnt) histogram.
     *
     * Block bounds and the grand total come from ONE small eager aggregate

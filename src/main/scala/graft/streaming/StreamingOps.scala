@@ -174,6 +174,95 @@ object StreamingOps {
     }
   }
 
+  case class FollowupState(pendingUs: Seq[Long], purchasesUs: Seq[Long])
+  case class NoFollowup(user_id: Long, tsUs: Long)
+
+  /** Pure fold for [[noFollowupStream]]: merge one batch of a user's
+    * events into (pending fromType timestamps, recent toType timestamps),
+    * then split out the pendings the watermark has passed. Extracted so
+    * the cross-batch out-of-order semantics are unit-testable.
+    *
+    * A toType at T clears any pending s with s <= T <= s+horizon — and
+    * stays in state (pruned to >= watermark) so a LATE-ARRIVING fromType
+    * that T should clear still gets cleared: a toType below the watermark
+    * can never matter again (any future fromType arrives with ts >=
+    * watermark > T). Emission is watermark-gated: s is decided once
+    * `s + horizon < watermark` (no qualifying toType can arrive anymore).
+    *
+    * @return (next state, emissions)
+    */
+  private[graft] def foldFollowup(prev: Option[FollowupState], evs: Seq[TypedEvent],
+      fromType: String, toType: String, horizonUs: Long,
+      watermarkUs: Long): (FollowupState, Seq[Long]) = {
+    val p0 = prev.getOrElse(FollowupState(Seq.empty, Seq.empty))
+    val purchases = (p0.purchasesUs ++
+      evs.filter(_.event_type == toType).map(_.tsUs)).filter(_ >= watermarkUs)
+    val pending = (p0.pendingUs ++ evs.filter(_.event_type == fromType).map(_.tsUs))
+      .filterNot(s => (p0.purchasesUs ++ evs.filter(_.event_type == toType).map(_.tsUs))
+        .exists(t => s <= t && t <= s + horizonUs))
+    val (decided, stillPending) = pending.partition(s => s + horizonUs < watermarkUs)
+    (FollowupState(stillPending.sorted, purchases.sorted), decided.sorted)
+  }
+
+  case class StampedEvent(user_id: Long, event_type: String, tsUs: Long,
+      ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.JoinOps.noFollowupWithin]] —
+    * "emit the signup once the watermark proves no purchase followed
+    * within the horizon". The batch operator needs the full timeline; the
+    * stream can only decide a signup when event time has provably moved
+    * past its horizon, which is exactly an EVENT-TIME TIMEOUT:
+    * `flatMapGroupsWithState(EventTimeTimeout)` with the timer set to the
+    * earliest pending signup's horizon. State per user is bounded by the
+    * watermark on both components (pendings emit at horizon; cleared
+    * toType marks below the watermark are pruned — see [[foldFollowup]]).
+    *
+    * Takes the raw (user_id, event_type, ts) frame and applies the
+    * watermark itself: the event-time column must survive into the
+    * stateful operator's input for Spark's checker, so the Dataset keeps
+    * `ts` alongside the exact `unix_micros` the fold actually uses.
+    *
+    * Late-row policy: Spark drops input rows whose event time does not
+    * EXCEED the current watermark before any stateful operator (rows AT
+    * the watermark are late — StreamingSpec pins this off-by-one), so the
+    * retained-marks healing applies only to arrivals the watermark still
+    * admits; anything later is dropped wholesale, the standard contract.
+    */
+  def noFollowupStream(events: DataFrame, fromType: String, toType: String,
+      horizonUs: Long, watermarkDelay: String = "0 seconds"): Dataset[NoFollowup] = {
+    require(fromType != toType, s"fromType and toType must differ, got '$fromType'")
+    require(horizonUs >= 0, s"horizonUs must be >= 0, got $horizonUs")
+    import events.sparkSession.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .as[StampedEvent]
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, evs: Iterator[StampedEvent], state: GroupState[FollowupState]) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (next, decided) = foldFollowup(state.getOption,
+          evs.map(e => TypedEvent(e.user_id, e.event_type, e.tsUs)).toSeq,
+          fromType, toType, horizonUs, wmUs)
+        if (next.pendingUs.isEmpty && next.purchasesUs.isEmpty) {
+          if (state.exists) state.remove()
+        } else {
+          state.update(next)
+          // wake when the earliest pending signup's horizon passes (+1ms
+          // after the floor-to-ms: emission needs s + horizon strictly
+          // below the watermark). With only purchase marks left, wake
+          // just past the LAST mark so the state prunes to empty instead
+          // of lingering for an idle user forever
+          val timerMs = next.pendingUs.headOption
+            .map(s => (s + horizonUs) / 1000L + 1L)
+            .getOrElse(next.purchasesUs.last / 1000L + 1L)
+          state.setTimeoutTimestamp(timerMs)
+        }
+        decided.map(NoFollowup(user, _)).iterator
+    }
+  }
+
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
     * event pipeline needs): duplicates arriving within the watermark window
     * are dropped with bounded state.

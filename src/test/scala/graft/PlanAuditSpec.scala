@@ -121,6 +121,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // second quantiles pass over the deviation histogram (value agg +
     // block window + offset broadcast); the first pass ran eagerly
     "p09_mad" -> (3, 1),
+    // p02's machinery with SUM(weight) histograms: value agg + block
+    // window + offset broadcast
+    "p10_weighted_quantiles" -> (3, 1),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),

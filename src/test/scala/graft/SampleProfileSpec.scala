@@ -348,6 +348,22 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(again == ids, "selection must be partitioning-invariant")
   }
 
+  test("weightedQuantiles: weighted rank, zero weights vanish, negative weight fails") {
+    import spark.implicits._
+    // values/weights: (10,1) (20,6) (30,3) -> W=10; p=0.5 rank 5 -> 20
+    // (cum 1,7,10); p=0.95 rank 10 -> 30; the zero-weight 999 never appears
+    val df = Seq((10L, 1L), (20L, 6L), (30L, 3L), (999L, 0L)).toDF("v", "w")
+    val got = Profile.weightedQuantiles(df, "v", "w", Seq(0.5, 0.95))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.5 -> 20L, 0.95 -> 30L), got.toString)
+    val neg = Seq((1L, -2L)).toDF("v", "w")
+    val ex = intercept[Exception](
+      Profile.weightedQuantiles(neg, "v", "w", Seq(0.5)).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("weightedQuantiles")), msgs(ex).mkString(" | "))
+  }
+
   test("temperatureMix: sqrt quotas, population clamp, deterministic pick") {
     // big: 100 rows (w=10), small: 9 rows (w=3), tiny: 1 row (w=1) ->
     // tot=14; target 28 -> quotas big=20, small=6, tiny=1 (clamped by n)

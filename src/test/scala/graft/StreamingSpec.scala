@@ -160,4 +160,67 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty && got == want)
   }
+
+  test("foldFollowup: clears within horizon, retains marks for late arrivals, watermark-gates") {
+    import StreamingOps.{FollowupState, TypedEvent, foldFollowup}
+    val H = 3600L * 1000000L // 1h in us
+    def s(ts: Long) = TypedEvent(1, "signup", ts)
+    def p(ts: Long) = TypedEvent(1, "purchase", ts)
+    // batch 1 (wm 0): signup@0 cleared by purchase@30min; signup@2h pends
+    val (st1, out1) = foldFollowup(None, Seq(s(0L), p(H / 2), s(2 * H)),
+      "signup", "purchase", H, 0L)
+    assert(out1.isEmpty && st1.pendingUs == Seq(2 * H), st1.toString)
+    // batch 2 (wm 4h): the pending signup@2h decides (no purchase by 3h);
+    // a LATE signup@3h30 arriving now is still cleared by the RETAINED
+    // purchase mark@4h05 from this same batch
+    val (st2, out2) = foldFollowup(Some(st1), Seq(p(4 * H + H / 12), s(3 * H + H / 2)),
+      "signup", "purchase", H, 4 * H)
+    assert(out2 == Seq(2 * H), s"watermark passed 2h+1h: $out2")
+    assert(st2.pendingUs.isEmpty, s"late signup must be cleared by the mark: $st2")
+    assert(st2.purchasesUs == Seq(4 * H + H / 12), "mark >= watermark is retained")
+    // batch 3 (wm 6h): the mark is below the watermark now — pruned
+    val (st3, out3) = foldFollowup(Some(st2), Seq.empty, "signup", "purchase", H, 6 * H)
+    assert(out3.isEmpty && st3 == FollowupState(Seq.empty, Seq.empty))
+  }
+
+  test("noFollowupStream: event-time timers emit exactly the batch no-followup set") {
+    import spark.implicits._
+    val H = 3600L // seconds
+    // B offsets the whole timeline: a row whose event time equals the
+    // INITIAL watermark (epoch 0) is dropped as late before the stateful
+    // operator ever sees it
+    val B = 1000000L
+    def ev(u: Long, t: String, sec: Long) =
+      (u, t, new java.sql.Timestamp((B + sec) * 1000L))
+    // batch 1: u1 signup cleared (purchase at +30min), u2 signup pends,
+    // u3's purchase arrives BEFORE its signup
+    val b1 = Seq(ev(1, "signup", 0), ev(1, "purchase", H / 2), ev(2, "signup", 0),
+      ev(3, "purchase", 600), ev(99, "view", H))
+    // batch 2: u3's late signup (cleared by the retained mark); heartbeat
+    // pushes the watermark past u2's horizon
+    val b2 = Seq(ev(3, "signup", 300), ev(99, "view", 3 * H))
+    // batch 3: heartbeat only — the timer for u2 fires under wm B+3h
+    val b3 = Seq(ev(99, "view", 5 * H))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nofollowup")
+    Seq(("a", b1), ("b", b2), ("c", b3)).zipWithIndex.foreach { case ((name, rows), i) =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft-nf-$name")
+      rows.toDF("user_id", "event_type", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // file-source batch order is modification time: pin it explicitly
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = spark.read.parquet(s"$dir/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.noFollowupStream(stream, "signup", "purchase", H * 1000000L).toDF(),
+      "no_followup_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, B * 1000000L)),
+      s"u1 cleared, u3 healed by the retained mark, u2 decided by the timer: $got")
+  }
 }
