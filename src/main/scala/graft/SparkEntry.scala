@@ -650,6 +650,17 @@ object SparkEntry {
            CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
          FROM customer WHERE c_custkey < 300"""),
 
+    // latest-per-key dedup (round 11): THE production query — one row
+    // per customer, most recent order; ROW_NUMBER over a unique total
+    // order (date DESC, key DESC) so both engines pick the same row
+    "q52_latest_per_key" -> shared(
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) t
+         WHERE rn = 1"""),
+
     // GROUP BY ALL (round 11): both parsers infer the grouping keys from
     // the non-aggregate select items — one shared text
     "q51_group_by_all" -> shared(
@@ -1711,6 +1722,52 @@ object SparkEntry {
            WHERE cum >= GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
              AND cum - cnt < GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)))
          SELECT med.m AS median, mad.md AS mad FROM med, mad"""),
+
+    // near-dup-closed split (round 11): the leakage x10 can't see —
+    // near-duplicates of one doc must not straddle train/test. The
+    // regenerated corpus has no natural near-dups, so the entry injects
+    // one-token-appended twins (doc_id % 20, Jaccard ~0.95 on 3-gram
+    // shingles) on BOTH engines; the oracle composes d11's recursive-CTE
+    // minhash closure with the md5 split hash on the component rep
+    "x13_dedup_closed_split" -> entry(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" twin")).as("text"))
+        graft.operators.SampleOps.dedupClosedSplit(
+          base.unionAll(twins), "doc_id", "text", trainPct = 60,
+          signature = Some(graft.operators.Dedup.md5MinhashSignature(_, 8)))
+      },
+      """WITH RECURSIVE docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, text || ' twin' FROM documents WHERE doc_id % 20 = 0),
+         toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM docs2),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 60
+                THEN 'train' ELSE 'test' END AS split
+         FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id"""),
 
     // per-doc lexical richness (round 11): type-token ratio — vocabulary
     // collapse the n-gram repetition signals can miss; per-row array

@@ -119,6 +119,40 @@ object SampleOps {
     * single correctly-rounded double ops on integer counts and literal
     * weights, so any engine computes identical quotas.
     */
+  /** Near-duplicate-closed train/test split: compute MinHash near-dup
+    * connected components and hash the COMPONENT REPRESENTATIVE into the
+    * split, so a document and all its near-duplicates land on the same
+    * side — the leakage [[groupedSplit]] can't see (same-site
+    * boilerplate crosses sources; near-dups of one page straddle a
+    * row-hash split and quietly teach the model its own test set).
+    *
+    * Scale shape: the expensive part IS the dedup ([[graft.operators
+    * .Dedup.minhashNearDuplicates]] banding + checkpointed CC, both
+    * already bounded); the split itself is one left join against the
+    * component frame (pair-graph-sized, far smaller than the corpus)
+    * plus a per-row hash projection. Singleton docs (no near-dups) are
+    * their own representative and split exactly as [[deterministicSplit]]
+    * would.
+    *
+    * @return (id, rep, split) — rep is the component min id
+    */
+  def dedupClosedSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct must be in [0,100], got $trainPct")
+    val pairs = Dedup.minhashNearDuplicates(docs, idCol, textCol,
+      k = k, bands = bands, threshold = threshold, signature = signature)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("component").as("__rep"))
+    val id = col(s"`$idCol`")
+    docs.select(id.as(idCol))
+      .join(comp, id === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__rep"), id))
+      .withColumn("split",
+        when(md5Bucket(col("rep")) < trainPct, "train").otherwise("test"))
+      .select(col(idCol), col("rep"), col("split"))
+  }
+
   /** Temperature-scaled source mixing at α = 0.5: per-stratum quotas
     * proportional to √n — the standard up-weight-the-tail recipe for
     * multilingual/multi-source training mixes (raw proportions drown

@@ -181,6 +181,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q49_regexp" -> (0, 0), // per-row regex algebra on the scan
     "q50_null_funcs" -> (0, 0), // per-row scalar algebra on the scan
     "q51_group_by_all" -> (1, 0), // inferred keys, one hash aggregate
+    "q52_latest_per_key" -> (1, 0), // per-key window, one key exchange
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
@@ -273,6 +274,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // stratum-count agg (quotas are eager literals) + the per-stratum
     // hash-order window; the quota frame broadcasts
     "x12_temperature_mix" -> (2, 1),
+    // minhash pairs + CC run eagerly (checkpoint-truncated, as d03/d11);
+    // the audited plan is the split projection over the component join
+    // (broadcast at this SF — key-hash at scale) + twin-union shuffle
+    "x13_dedup_closed_split" -> (2, 1),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

@@ -348,6 +348,32 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(again == ids, "selection must be partitioning-invariant")
   }
 
+  test("dedupClosedSplit: near-dup cluster never straddles the split; singletons hash as rows") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today somehow"
+    val docs = Seq(
+      (1L, base), (2L, base + " twin"), (30L, base + " twin two"),
+      (40L, "completely different content here entirely unrelated words throughout all"),
+      (50L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = SampleOps.dedupClosedSplit(docs, "doc_id", "text", trainPct = 60,
+        signature = Some(graft.operators.Dedup.md5MinhashSignature(_, 8)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 5)
+    // the twin cluster shares one representative (the min id) and one side
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(30L)._1 == 1L, got.toString)
+    assert(Set(got(1L)._2, got(2L)._2, got(30L)._2).size == 1,
+      "near-dup cluster must land on ONE side: " + got)
+    // singletons are their own representative; the null-text doc splits too
+    assert(got(40L)._1 == 40L && got(50L)._1 == 50L, got.toString)
+    // and the split of a singleton equals the plain row-hash split
+    val plain = SampleOps.deterministicSplit(
+        docs.filter(col("doc_id") === 40L), "doc_id", 60,
+        bucket = SampleOps.md5Bucket)
+      .select("split").head.getString(0)
+    assert(got(40L)._2 == plain, "singleton must split exactly as the row-hash split")
+  }
+
   test("weightedQuantiles: weighted rank, zero weights vanish, negative weight fails") {
     import spark.implicits._
     // values/weights: (10,1) (20,6) (30,3) -> W=10; p=0.5 rank 5 -> 20
