@@ -650,6 +650,22 @@ object SparkEntry {
            CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
          FROM customer WHERE c_custkey < 300"""),
 
+    // recursive CTE (round 11): WITH RECURSIVE landed in Spark 4 — a
+    // literal edge hierarchy walked to per-node depth, payload joined
+    // from the catalog; one shared text (both engines iterate to a
+    // fixpoint; the graph is a DAG so termination is structural)
+    "q53_recursive_cte" -> shared(
+      """WITH RECURSIVE edges(parent, child) AS (
+           VALUES (0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (5, 6), (5, 7)
+         ), tree(node, depth) AS (
+           SELECT 0, 0
+           UNION ALL
+           SELECT e.child, t.depth + 1 FROM tree t JOIN edges e ON e.parent = t.node
+         )
+         SELECT t.node, t.depth, COUNT(c.c_custkey) AS n_customers
+         FROM tree t LEFT JOIN customer c ON c.c_nationkey = t.node
+         GROUP BY t.node, t.depth"""),
+
     // latest-per-key dedup (round 11): THE production query — one row
     // per customer, most recent order; ROW_NUMBER over a unique total
     // order (date DESC, key DESC) so both engines pick the same row

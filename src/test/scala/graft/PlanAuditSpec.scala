@@ -182,6 +182,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q50_null_funcs" -> (0, 0), // per-row scalar algebra on the scan
     "q51_group_by_all" -> (1, 0), // inferred keys, one hash aggregate
     "q52_latest_per_key" -> (1, 0), // per-key window, one key exchange
+    // fixpoint iteration over literal edges (driver-sized); the catalog
+    // join broadcasts the tree, one count aggregate
+    "q53_recursive_cte" -> (1, 1),
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
