@@ -1686,6 +1686,33 @@ object SparkEntry {
            CAST(MAX(len) AS BIGINT) AS longest_streak
          FROM runs GROUP BY user_id"""),
 
+    // 2-D equi-width histogram (round 11): joint density binning — p03's
+    // fp bucket expression per dimension, bounds re-derived from the
+    // same tree; one stats broadcast + one cell aggregate
+    "p11_histogram2d" -> entry(
+      (s, d) => graft.operators.Profile.histogram2d(
+        t(s, d, "lineitem"), "l_quantity", "l_discount", 8, 4),
+      """WITH st AS (
+           SELECT MIN(CAST(l_quantity AS DOUBLE)) AS xmin, MAX(CAST(l_quantity AS DOUBLE)) AS xmax,
+                  MIN(CAST(l_discount AS DOUBLE)) AS ymin, MAX(CAST(l_discount AS DOUBLE)) AS ymax
+           FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+         b AS (
+           SELECT CASE WHEN st.xmax > st.xmin
+                       THEN LEAST(7, CAST(trunc((CAST(l_quantity AS DOUBLE) - st.xmin)
+                                                / (st.xmax - st.xmin) * 8) AS BIGINT))
+                       ELSE 0 END AS bucket_x,
+                  CASE WHEN st.ymax > st.ymin
+                       THEN LEAST(3, CAST(trunc((CAST(l_discount AS DOUBLE) - st.ymin)
+                                                / (st.ymax - st.ymin) * 4) AS BIGINT))
+                       ELSE 0 END AS bucket_y,
+                  st.xmin AS xmin, st.xmax AS xmax, st.ymin AS ymin, st.ymax AS ymax
+           FROM lineitem, st WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
+         SELECT bucket_x, bucket_y,
+           xmin + bucket_x * (xmax - xmin) / 8 AS lo_x,
+           ymin + bucket_y * (ymax - ymin) / 4 AS lo_y,
+           COUNT(*) AS n
+         FROM b GROUP BY bucket_x, bucket_y, xmin, xmax, ymin, ymax"""),
+
     // token-weighted quantiles (round 11): "half the TOKENS live in docs
     // shorter than X" — p02's rank-exact machinery with SUM(weight)
     // histograms; integer weights keep every cumulative exact
@@ -1738,6 +1765,25 @@ object SparkEntry {
            WHERE cum >= GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
              AND cum - cnt < GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)))
          SELECT med.m AS median, mad.md AS mad FROM med, mad"""),
+
+    // packed-shard manifest (round 11): the capacity report x04's layout
+    // implies, as ONE order-independent hash aggregate (no window, no
+    // offsets); md5 order-hash twin so DuckDB shards identically
+    "x14_pack_manifest" -> entry(
+      (s, d) => graft.operators.PackOps.packManifest(
+        t(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 8,
+        orderHash = graft.operators.SampleOps.md5OrderHash),
+      """WITH dd AS (
+           SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+             CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS BIGINT) AS w
+           FROM documents),
+         m AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_tokens
+               FROM dd GROUP BY 1)
+         SELECT CAST(shard AS INT) AS shard, n_docs, n_tokens,
+           (n_tokens + 511) // 512 AS n_seqs,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_tokens AS DOUBLE) / (((n_tokens + 511) // 512) * 512) END AS utilization
+         FROM m"""),
 
     // near-dup-closed split (round 11): the leakage x10 can't see —
     // near-duplicates of one doc must not straddle train/test. The

@@ -110,6 +110,36 @@ object PackOps {
       .select(col(idCol), col("c.chunk_id"), col("c.chunk_text"), col("c.n_tokens"))
   }
 
+  /** Shard manifest for the packed layout — the capacity-planning report
+    * a trainer reads before launch: per shard, contributing docs, total
+    * tokens, sequence count at `tokenBudget`, and fill utilization (the
+    * waste is the final partially-filled sequence per shard). The
+    * numbers [[packSequences]] implies, aggregated without ever running
+    * the window: shard totals are order-independent, so the manifest is
+    * ONE hash aggregate over (shard, token-count) projections — no
+    * per-shard ordering, no offsets, corpus-scan-bound at any scale.
+    * Sequence count and utilization are integral arithmetic plus one fp
+    * division of exact integers; an all-empty shard reports 0 sequences
+    * and NULL utilization.
+    *
+    * @return (shard, n_docs, n_tokens, n_seqs, utilization)
+    */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, shards: Int = 256,
+      orderHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    docs.select(
+        pmod(orderHash(col(idCol)), lit(shards.toLong)).cast("int").as("shard"),
+        coalesce(size(TextOps.tokens(col(textCol))), lit(0)).cast("long").as("__w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_tokens"))
+      .withColumn("n_seqs", expr(s"(n_tokens + ${tokenBudget - 1}) div $tokenBudget"))
+      .withColumn("utilization",
+        when(col("n_tokens") > 0,
+          col("n_tokens").cast("double") / (col("n_seqs") * tokenBudget)))
+  }
+
   /** Materialize the packed layout: one row per training sequence
     * `(shard, seq_no)` carrying its actual token payload (`seq_text`,
     * space-joined), its fill (`seq_len` — `tokenBudget` for every sequence

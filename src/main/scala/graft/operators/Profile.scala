@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -463,6 +463,42 @@ object Profile {
       (col("n_b") - eb) * (col("n_b") - eb) / eb
     cnt.withColumn("chi2",
       when(lit(na > 0L && nb > 0L), contrib).otherwise(lit(null).cast("double")))
+  }
+
+  /** 2-D equi-width histogram — [[histogram]]'s joint form: each row lands
+    * in an (x-bucket, y-bucket) cell, the heatmap binning behind
+    * length-vs-quality / price-vs-discount density views. One stats pass
+    * (both dims' min/max in a single broadcast one-row aggregate) + one
+    * aggregation shuffle on the cell id; bucket assignment reuses
+    * [[histogram]]'s fp expression per dimension, and cell bounds are
+    * re-derived from the identical expression so bounds and counts can
+    * never disagree. Only cells with data are emitted (the empty grid is
+    * derivable, and at nx·ny cells materializing zeros is the caller's
+    * presentation concern).
+    *
+    * @return (bucket_x, bucket_y, lo_x, lo_y, n)
+    */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+      nxBuckets: Int, nyBuckets: Int): DataFrame = {
+    require(nxBuckets >= 1, s"nxBuckets must be >= 1, got $nxBuckets")
+    require(nyBuckets >= 1, s"nyBuckets must be >= 1, got $nyBuckets")
+    val x = col(s"`$xCol`").cast("double")
+    val y = col(s"`$yCol`").cast("double")
+    val stats = df.filter(x.isNotNull && y.isNotNull)
+      .agg(min(x).as("xmin"), max(x).as("xmax"), min(y).as("ymin"), max(y).as("ymax"))
+    def bucket(v: Column, lo: Column, hi: Column, k: Int) =
+      when(hi > lo, least(lit(k - 1), floor((v - lo) / (hi - lo) * k))).otherwise(0L)
+    df.filter(x.isNotNull && y.isNotNull).crossJoin(broadcast(stats))
+      .withColumn("bucket_x", bucket(x, col("xmin"), col("xmax"), nxBuckets))
+      .withColumn("bucket_y", bucket(y, col("ymin"), col("ymax"), nyBuckets))
+      .groupBy(col("bucket_x"), col("bucket_y"))
+      .agg(count(lit(1)).as("n"),
+        first(col("xmin")).as("xmin"), first(col("xmax")).as("xmax"),
+        first(col("ymin")).as("ymin"), first(col("ymax")).as("ymax"))
+      .select(col("bucket_x"), col("bucket_y"),
+        (col("xmin") + col("bucket_x") * (col("xmax") - col("xmin")) / nxBuckets).as("lo_x"),
+        (col("ymin") + col("bucket_y") * (col("ymax") - col("ymin")) / nyBuckets).as("lo_y"),
+        col("n"))
   }
 
   /** Equi-width histogram: `nBuckets` buckets spanning [min, max], each row

@@ -154,4 +154,25 @@ class PackOpsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
     assert(seqs.map(_._4).sum == planned)
   }
+
+  test("packManifest: shard totals match the layout, seq count and utilization exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (Seq.tabulate(40)(i => (i.toLong, ("tok " * (i % 7 + 1)).trim)) :+
+      (1000L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = PackOps.packManifest(docs, "doc_id", "text", tokenBudget = 10, shards = 4)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // totals agree with the windowed layout's per-shard sums
+    val layout = PackOps.packSequences(docs, "doc_id", "text", 10, shards = 4)
+      .groupBy("shard").agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet == layout.keySet)
+    m.foreach { case (sh, r) =>
+      val (nd, nt) = layout(sh)
+      assert(r.getLong(1) == nd && r.getLong(2) == nt, s"shard $sh: $r vs $layout")
+      val nSeqs = (nt + 9) / 10
+      assert(r.getLong(3) == nSeqs, r.toString)
+      assert(r.getDouble(4) == nt.toDouble / (nSeqs * 10), r.toString)
+    }
+  }
 }

@@ -124,6 +124,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // p02's machinery with SUM(weight) histograms: value agg + block
     // window + offset broadcast
     "p10_weighted_quantiles" -> (3, 1),
+    // one-row stats broadcast onto the scan + the cell aggregate
+    "p11_histogram2d" -> (2, 1),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),
@@ -281,6 +283,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the audited plan is the split projection over the component join
     // (broadcast at this SF — key-hash at scale) + twin-union shuffle
     "x13_dedup_closed_split" -> (2, 1),
+    "x14_pack_manifest" -> (1, 0), // one order-independent shard aggregate
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

@@ -231,6 +231,20 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getLong(0) == 0 && rows(0).getLong(2) == 7)
   }
 
+  test("histogram2d: joint cells, max folds into last bucket, constant dim lands in 0") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (5.0, 10.0), (10.0, 0.0))
+      .toDF("x", "y")
+    val got = Profile.histogram2d(df, "x", "y", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // x: [0,5) -> 0, [5,10] -> 1 (10 folds); y likewise
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 1L),
+      got.toString)
+    val const = Profile.histogram2d(df.withColumn("y", lit(7.0)), "x", "y", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(const.keySet.forall(_._2 == 0L), "constant y must land in bucket 0: " + const)
+  }
+
   test("Profile.describe matches hand-computed stats, nulls counted") {
     val rows = Profile.describe(df, Seq("id", "cat", "v"))
       .collect().map(r => r.getString(0) -> r).toMap
