@@ -2052,6 +2052,29 @@ object SparkEntry {
          SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day, COUNT(*) AS n_active
          FROM g GROUP BY 1"""),
 
+    // DAU/MAU stickiness (round 11): the engagement-quality ratio —
+    // s09's contribution-explode at both grains, joined on day; ratio is
+    // one fp division of exact distinct counts
+    "s16_stickiness" -> entry(
+      (s, d) => graft.operators.EventOps.stickiness(
+        t(s, d, "events"), "user_id", "ts", shortDays = 1, longDays = 30),
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d
+           FROM events WHERE ts IS NOT NULL),
+         b AS (SELECT MAX(d) AS dmax FROM ud),
+         sh AS (SELECT d AS day, COUNT(*) AS n_short
+                FROM (SELECT DISTINCT user_id, d FROM ud) GROUP BY 1),
+         lg AS (SELECT day, COUNT(*) AS n_long FROM (
+                  SELECT DISTINCT user_id, ud.d + t.i AS day
+                  FROM ud, range(30) t(i), b WHERE ud.d + t.i <= b.dmax)
+                GROUP BY 1)
+         SELECT DATE '1970-01-01' + CAST(sh.day AS INTEGER) AS day,
+           sh.n_short, lg.n_long,
+           CAST(sh.n_short AS DOUBLE) / lg.n_long AS stickiness
+         FROM sh JOIN lg ON sh.day = lg.day"""),
+
     // rolling 7-day volume (round 11): daily counts then a RANGE frame
     // over integer day numbers — calendar-correct under gaps (missing
     // days age out; a ROWS frame would stretch across them); the window

@@ -187,6 +187,31 @@ object EventOps {
         col("n_active"))
   }
 
+  /** DAU/MAU stickiness per day — "what fraction of the monthly audience
+    * shows up daily", the engagement-quality ratio a raw DAU curve hides
+    * (growth by churn-and-replace and growth by habit look identical in
+    * DAU alone). Composes [[slidingActiveUsers]] at both grains (short =
+    * DAU, long = MAU) and joins on day; the ratio is one fp division of
+    * the two exact distinct counts. Days inside the first `longDays − 1`
+    * of the stream carry a partial long window (the honest value — there
+    * is no earlier data), exactly as the two curves would report
+    * separately.
+    *
+    * @return (day, n_short, n_long, stickiness)
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+      shortDays: Int = 1, longDays: Int = 30): DataFrame = {
+    require(shortDays >= 1 && longDays > shortDays,
+      s"need longDays > shortDays >= 1, got short=$shortDays long=$longDays")
+    val short = slidingActiveUsers(events, userCol, tsCol, shortDays)
+      .select(col("day"), col("n_active").as("n_short"))
+    val long = slidingActiveUsers(events, userCol, tsCol, longDays)
+      .select(col("day"), col("n_active").as("n_long"))
+    // inner join: the two spans are identical ([min, max] of the stream)
+    short.join(long, "day")
+      .withColumn("stickiness", col("n_short").cast("double") / col("n_long"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -232,6 +232,27 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 5L, "user 2 must contribute no gap: " + got)
   }
 
+  test("stickiness: DAU over sliding MAU, partial early window, active days only") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      // day 4: only user 3; days 1-2 users still inside the 30-day window
+      (3L, ts("2024-01-04 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.stickiness(ev, "user_id", "ts", shortDays = 1, longDays = 30)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 1: DAU {1,2}, MAU {1,2}; day 2: DAU {1}, MAU {1,2};
+    // day 4: DAU {3}, MAU {1,2,3}; day 3 absent (no activity)
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L, 1.0)),
+      "2024-01-02" -> ((1L, 2L, 0.5)),
+      "2024-01-04" -> ((1L, 3L, 1.0 / 3))), got.toString)
+    intercept[IllegalArgumentException](
+      EventOps.stickiness(ev, "user_id", "ts", shortDays = 7, longDays = 7))
+  }
+
   test("cooccurrenceLift: presence-set pairs, exact lift, repeat events collapse") {
     def ts(s: String) = Timestamp.valueOf(s)
     val base = ts("2024-01-01 10:00:00")

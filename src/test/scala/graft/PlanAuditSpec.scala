@@ -219,6 +219,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // presence distinct + per-user type pair join (self-join broadcasts
     // at this SF; key-hash at scale) + pair agg; type totals broadcast
     "s15_cooccurrence_lift" -> (3, 3),
+    // two s09-shaped passes (each: (user,day) distinct + window-day
+    // distinct + day agg) joined on the day-count-sized frames
+    "s16_stickiness" -> (6, 3),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
