@@ -650,6 +650,21 @@ object SparkEntry {
            CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits
          FROM customer WHERE c_custkey < 300"""),
 
+    // explicit NULL ordering (round 11): the engines DISAGREE on default
+    // null placement (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so
+    // portable ordered output must pin it — both legs, tagged, with a
+    // unique tiebreaker making each LIMIT a total order
+    "q54_nulls_ordering" -> shared(
+      """SELECT 'nf' AS leg, c_custkey, seg FROM (
+           SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+           FROM customer WHERE c_custkey <= 200
+           ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 25) a
+         UNION ALL
+         SELECT 'nl' AS leg, c_custkey, seg FROM (
+           SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+           FROM customer WHERE c_custkey <= 200
+           ORDER BY seg DESC NULLS LAST, c_custkey LIMIT 25) b"""),
+
     // recursive CTE (round 11): WITH RECURSIVE landed in Spark 4 — a
     // literal edge hierarchy walked to per-node depth, payload joined
     // from the catalog; one shared text (both engines iterate to a
@@ -1784,6 +1799,55 @@ object SparkEntry {
            CASE WHEN n_tokens > 0
                 THEN CAST(n_tokens AS DOUBLE) / (((n_tokens + 511) // 512) * 512) END AS utilization
          FROM m"""),
+
+    // quality-policy survivor selection (round 11): each near-dup
+    // cluster keeps its LONGEST member (not min-id) — with the x13 twin
+    // injection the ' twin' copies are 5 chars longer, so every cluster
+    // keeps the twin and drops the base: the policy is observable in the
+    // oracle-checked output, not just a spec claim
+    "d22_keep_best" -> entry(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" twin")).as("text"))
+        graft.operators.Dedup.keepBestSurvivors(
+          base.unionAll(twins), "doc_id", "text", quality = length(col("text")),
+          signature = Some(graft.operators.Dedup.md5MinhashSignature(_, 8)))
+      },
+      """WITH RECURSIVE docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, text || ' twin' FROM documents WHERE doc_id % 20 = 0),
+         toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM docs2),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src),
+         j AS (SELECT d.doc_id, CAST(len(d.text) AS INT) AS quality,
+                 COALESCE(c.component, d.doc_id) AS rep
+               FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id),
+         r AS (SELECT doc_id, rep, quality,
+                 ROW_NUMBER() OVER (PARTITION BY rep
+                   ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rn
+               FROM j)
+         SELECT doc_id, rep, quality, rn = 1 AS keep FROM r"""),
 
     // near-dup-closed split (round 11): the leakage x10 can't see —
     // near-duplicates of one doc must not straddle train/test. The

@@ -592,6 +592,42 @@ object Dedup {
       blockBits, maxHamming)
   }
 
+  /** Survivor selection with a QUALITY policy: near-dup connected
+    * components where each cluster keeps its BEST member (max quality,
+    * id-tiebreak) instead of [[dedupCorpus]]'s min-id convention — the
+    * policy production dedup actually wants (among near-duplicate crawls
+    * of one page, keep the longest/cleanest capture, not the one with
+    * the smallest id). Returns every doc with its cluster representative
+    * and the keep verdict, so the caller can audit drops rather than
+    * just receive survivors.
+    *
+    * Scale shape: pairs + CC are the bounded [[minhashNearDuplicates]] /
+    * [[connectedComponents]] pipeline; the policy itself is one window
+    * over CLUSTERS (`partitionBy(rep)` — clusters in parallel, frame
+    * sized by cluster membership, singletons pass through rank 1).
+    * Quality NULLs sort last (a null-quality doc never beats a scored
+    * one), pinned explicitly on both engines.
+    *
+    * @return (id, rep, quality, keep)
+    */
+  def keepBestSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      quality: Column, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashNearDuplicates(docs, idCol, textCol,
+      k = k, bands = bands, threshold = threshold, signature = signature)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("component").as("__rep"))
+    val id = col(s"`$idCol`")
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("quality").desc_nulls_last, col(idCol).asc)
+    docs.select(id.as(idCol), quality.as("quality"))
+      .join(comp, id === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__rep"), id))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("rep"), col("quality"), (col("__rn") === 1).as("keep"))
+  }
+
   /** Connected components over near-duplicate pairs — the transitive
     * closure every production corpus dedup needs (a~b and b~c put a, b, c
     * in ONE cluster; pairwise greedy resolution can't see that).

@@ -549,6 +549,30 @@ class DedupSpec extends AnyFunSuite {
       "NULL text must not count: " + b)
   }
 
+  test("keepBestSurvivors: cluster keeps max quality (id tiebreak), singleton keeps") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today somehow"
+    val docs = Seq(
+      (1L, base), (2L, base + " longer"), (3L, base + " x"),
+      (9L, "entirely different unrelated content with plenty of distinct words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.keepBestSurvivors(docs, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")),
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got.size == 4)
+    // 1,2,3 cluster on rep 1; the LONGEST (doc 2) survives, not min-id
+    assert(got(1L) == ((1L, false)) && got(3L) == ((1L, false)), got.toString)
+    assert(got(2L) == ((1L, true)), "quality policy must beat the min-id convention: " + got)
+    assert(got(9L) == ((9L, true)), got.toString)
+    // equal quality falls back to the id tiebreak
+    val tie = Seq((5L, base), (4L, base)).toDF("doc_id", "text")
+    val t2 = Dedup.keepBestSurvivors(tie, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")),
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(t2 == Map(4L -> true, 5L -> false), t2.toString)
+  }
+
   test("hammingNearDuplicates: generic signatures, block coverage, exact verify") {
     // base sig + twins at hamming 1, 3, 4 and a far row; bits spread
     // across pigeonhole blocks so agreement happens on a NON-zero block

@@ -90,6 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pigeonhole block join (broadcast at this SF; shuffle-hash on
     // (blk, blkval) at scale) + the pair-dedup agg
     "d21_hamming_neardup" -> (1, 1),
+    // pairs + CC checkpointed (as x13); the policy window adds one
+    // cluster exchange on top of the component join + twin union
+    "d22_keep_best" -> (3, 1),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
@@ -187,6 +190,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // fixpoint iteration over literal edges (driver-sized); the catalog
     // join broadcasts the tree, one count aggregate
     "q53_recursive_cte" -> (1, 1),
+    // two TakeOrderedAndProject legs unioned map-side — no exchange
+    "q54_nulls_ordering" -> (0, 0),
     "q45_string_functions" -> (0, 0), // per-row string algebra on the scan
     // per-cust agg + the single-row global avg agg + its final stage; the
     // one-row `overall` side joins back as a broadcast, never a shuffle
