@@ -207,7 +207,9 @@ object EventOps {
       .select(col("day"), col("n_active").as("n_short"))
     val long = slidingActiveUsers(events, userCol, tsCol, longDays)
       .select(col("day"), col("n_active").as("n_long"))
-    // inner join: the two spans are identical ([min, max] of the stream)
+    // inner join: the short side carries ACTIVE days only (a ×1 window
+    // contributes nothing forward), a subset of the long side's filled
+    // span — so the result is per-active-day, the spec-pinned contract
     short.join(long, "day")
       .withColumn("stickiness", col("n_short").cast("double") / col("n_long"))
   }
