@@ -989,7 +989,7 @@ object SparkEntry {
              CASE WHEN l.source = r.source THEN l.n * (l.n - 1) // 2
                   ELSE l.n * r.n END AS p
            FROM fps l JOIN fps r ON l.fp = r.fp AND l.source <= r.source)
-         SELECT source_a, source_b, SUM(p) AS n_dup_pairs
+         SELECT source_a, source_b, CAST(SUM(p) AS BIGINT) AS n_dup_pairs
          FROM pairs GROUP BY 1, 2 HAVING SUM(p) > 0"""),
 
     // incremental dedup (round 11): the continuously-fed-corpus ingest
@@ -2155,8 +2155,8 @@ object SparkEntry {
                  date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS dn
                FROM daily)
          SELECT key, day, n,
-           SUM(n) OVER (PARTITION BY key ORDER BY dn
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_window
+           CAST(SUM(n) OVER (PARTITION BY key ORDER BY dn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
          FROM d"""),
 
     "s06_event_spikes" -> entry(
@@ -2550,18 +2550,26 @@ object SparkEntry {
     "j06_nearest" -> entry(
       (s, d) => {
         val ev = t(s, d, "events")
-        val purchases = ev.filter(col("event_type") === "purchase")
+        // NULL (user_id, ts) keys are dropped on BOTH sides up front: the
+        // oracle's backward x forward stitch join (b JOIN fj ON user_id, ts)
+        // silently loses NULL-key rows, while the window merge would keep
+        // them — pin the intersection semantics fixture-independently.
+        val purchases = ev.filter(col("event_type") === "purchase"
+            && col("user_id").isNotNull && col("ts").isNotNull)
           .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("value"))
-        val clicks = ev.filter(col("event_type") === "click")
+        val clicks = ev.filter(col("event_type") === "click"
+            && col("user_id").isNotNull && col("ts").isNotNull)
           .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("click_value"))
         JoinOps.nearestJoin(purchases, clicks, "user_id", "ts")
           .select(col("user_id"), col("ts"), col("value"),
             col("near_ts").as("click_ts"), col("near_click_value").as("click_value"))
       },
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
-           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS click_value
-           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           FROM events WHERE event_type = 'click'
+             AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
          b AS (SELECT p.user_id, p.ts, p.value, c.ts AS bts, c.click_value AS bval
                FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
          fj AS (SELECT p.user_id, p.ts, c.ts AS fts, c.click_value AS fval
@@ -2583,9 +2591,15 @@ object SparkEntry {
     "j07_no_followup" -> entry(
       (s, d) => {
         val ev = t(s, d, "events")
-        val signups = ev.filter(col("event_type") === "signup")
+        // NULL-ts rows are dropped on both sides to mirror the oracle's
+        // explicit IS NOT NULL guards: a NULL-ts signup would otherwise
+        // head the desc_nulls_first partition, get no match, and leak
+        // through the anti filter the moment a fixture grows NULL ts.
+        val signups = ev.filter(col("event_type") === "signup"
+            && col("ts").isNotNull)
           .select(col("user_id"), col("ts"))
-        val purchases = ev.filter(col("event_type") === "purchase")
+        val purchases = ev.filter(col("event_type") === "purchase"
+            && col("ts").isNotNull)
           .select(col("user_id"), col("ts"))
         JoinOps.noFollowupWithin(signups, purchases, "user_id", "ts",
           horizonSeconds = 604800L)

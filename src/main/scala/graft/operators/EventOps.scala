@@ -167,13 +167,21 @@ object EventOps {
     *
     * @return (day, n_active) for every day in the stream's [min, max] span
     */
-  def slidingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
-      windowDays: Int = 7): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val userDays = events.filter(col(tsCol).isNotNull)
+  /** Distinct (user, epoch-day) frame — the shared first stage of every
+    * sliding-active-window derivation: ONE shuffle with map-side partials
+    * reduces the raw event stream to its per-user activity calendar.
+    */
+  private def distinctUserDays(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events.filter(col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
         datediff(date_trunc("day", col(tsCol)), to_date(lit("1970-01-01"))).as("__d"))
       .distinct()
+
+  def slidingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = distinctUserDays(events, userCol, tsCol)
     val bounds = userDays.agg(min(col("__d")).as("__dmin"), max(col("__d")).as("__dmax"))
     userDays
       .select(col("__u"), explode(sequence(col("__d"),
@@ -203,15 +211,31 @@ object EventOps {
       shortDays: Int = 1, longDays: Int = 30): DataFrame = {
     require(shortDays >= 1 && longDays > shortDays,
       s"need longDays > shortDays >= 1, got short=$shortDays long=$longDays")
-    val short = slidingActiveUsers(events, userCol, tsCol, shortDays)
-      .select(col("day"), col("n_active").as("n_short"))
-    val long = slidingActiveUsers(events, userCol, tsCol, longDays)
-      .select(col("day"), col("n_active").as("n_long"))
-    // inner join: the short side carries ACTIVE days only (a ×1 window
-    // contributes nothing forward), a subset of the long side's filled
-    // span — so the result is per-active-day, the spec-pinned contract
-    short.join(long, "day")
-      .withColumn("stickiness", col("n_short").cast("double") / col("n_long"))
+    // Single scan, single explode: both grains derive from ONE distinct
+    // (user, day) frame. An active day d keeps a user long-active on day
+    // D iff D − d < longDays, and short-active iff D − d < shortDays —
+    // so the long-grain contribution explode, keeping min(D − d) per
+    // (user, D), decides BOTH memberships in one pass instead of running
+    // the scan + distinct + explode pipeline once per grain.
+    val userDays = distinctUserDays(events, userCol, tsCol)
+    val bounds = userDays.agg(max(col("__d")).as("__dmax"))
+    userDays
+      .select(col("__u"), col("__d"),
+        explode(sequence(col("__d"), col("__d") + (longDays - 1))).as("__day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("__day") <= col("__dmax"))
+      .groupBy(col("__u"), col("__day"))
+      .agg(min(col("__day") - col("__d")).as("__off"))
+      .groupBy(col("__day"))
+      .agg(count(lit(1)).as("n_long"),
+        count(when(col("__off") < shortDays, lit(1))).as("n_short"))
+      // active-days-only contract: a day in the long window's filled span
+      // with no short-window activity is not a stickiness row (the old
+      // short-side inner join dropped it; n_short = 0 is the same set)
+      .filter(col("n_short") > 0)
+      .select(date_add(to_date(lit("1970-01-01")), col("__day").cast("int")).as("day"),
+        col("n_short"), col("n_long"),
+        (col("n_short").cast("double") / col("n_long")).as("stickiness"))
   }
 
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,

@@ -17,13 +17,24 @@ object StreamingOps {
     * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — see GraftSession.table), then
     * `ts` is normalized to a microsecond timestamp exactly as batch reads
     * are, so stream and batch schemas cannot drift apart.
+    *
+    * An EMPTY directory is a normal state for a file-stream source (files
+    * arrive after the stream starts), so a failed footer read falls back to
+    * the generator's published micros schema instead of throwing at
+    * stream-definition time; `eventsTsToMicros` is a no-op on it.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING")
+      }
     graft.engine.GraftSession.eventsTsToMicros(
-      spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .parquet(dir))
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Tumbling-window counts per event type with a watermark bounding state.
@@ -195,13 +206,21 @@ object StreamingOps {
       fromType: String, toType: String, horizonUs: Long,
       watermarkUs: Long): (FollowupState, Seq[Long]) = {
     val p0 = prev.getOrElse(FollowupState(Seq.empty, Seq.empty))
-    val purchases = (p0.purchasesUs ++
-      evs.filter(_.event_type == toType).map(_.tsUs)).filter(_ >= watermarkUs)
+    // one sorted mark array serves both the pending-clearing probe (binary
+    // search: first mark >= s, cleared iff it lands within the horizon) and
+    // the retained-marks pruning — O((p+m) log m) per user-batch, not p×m
+    val marks = (p0.purchasesUs ++ evs.filter(_.event_type == toType).map(_.tsUs))
+      .toArray.sorted
+    def cleared(s: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(marks, s)
+      val idx = if (i >= 0) i else -i - 1
+      idx < marks.length && marks(idx) <= s + horizonUs
+    }
+    val purchases = marks.filter(_ >= watermarkUs).toSeq
     val pending = (p0.pendingUs ++ evs.filter(_.event_type == fromType).map(_.tsUs))
-      .filterNot(s => (p0.purchasesUs ++ evs.filter(_.event_type == toType).map(_.tsUs))
-        .exists(t => s <= t && t <= s + horizonUs))
+      .filterNot(cleared)
     val (decided, stillPending) = pending.partition(s => s + horizonUs < watermarkUs)
-    (FollowupState(stillPending.sorted, purchases.sorted), decided.sorted)
+    (FollowupState(stillPending.sorted, purchases), decided.sorted)
   }
 
   case class StampedEvent(user_id: Long, event_type: String, tsUs: Long,

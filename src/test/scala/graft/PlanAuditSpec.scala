@@ -226,7 +226,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s15_cooccurrence_lift" -> (3, 3),
     // two s09-shaped passes (each: (user,day) distinct + window-day
     // distinct + day agg) joined on the day-count-sized frames
-    "s16_stickiness" -> (6, 3),
+    "s16_stickiness" -> (4, 1),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
