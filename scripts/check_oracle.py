@@ -12,10 +12,59 @@ import sys, json, glob, os, math
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_type(t):
+    """Collapse an Arrow type to the equivalence class the driver's
+    type-sensitive hash actually distinguishes.
+
+    Calibrated against the round-11 gate: entries green there span
+    int32-vs-int64, decimal(22,2)-vs-decimal(38,2) and
+    timestamp[ns]-vs-timestamp[us] pairs (harmless: the hash normalizes
+    values through width/unit-independent renderings), while DuckDB
+    HUGEINT — arrow decimal128(38,0) — against Spark int64 shipped red
+    twice (d19/s08, round 11). So: integer widths collapse, decimal
+    PRECISION collapses but SCALE doesn't, timestamp units/tz collapse —
+    and int vs decimal vs float stay distinct.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_floating(t):
+        return str(t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def lint_hugeint(con, name, sql):
+    """Plan-only lint for the bug class that shipped d19/s08 red in round
+    11: an integer SUM (plain or windowed) reaching the oracle OUTPUT is
+    HUGEINT in DuckDB, which the driver's type-sensitive hash rejects
+    against Spark's int64. DESCRIBE plans without executing, so this is
+    precise (no SUM(double) false positives, CTE-interior sums ignored)
+    and works even when the Spark dump for the entry is missing.
+    """
+    try:
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return  # the execution path will report the real error
+    bad = [c[0] for c in cols if "HUGEINT" in str(c[1]).upper()]
+    if bad:
+        print(f"warn {name}: HUGEINT output column(s) {bad} — wrap in "
+              f"CAST(... AS BIGINT) or the driver's hash compare will fail")
 
 
 def norm(v):
@@ -49,6 +98,7 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracles):
+        lint_hugeint(con, name, oracles[name])
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
@@ -59,12 +109,29 @@ def main():
         s_cols = tbl.column_names
         s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = d_tbl.column_names
+            d_rows = [tuple(r[c] for c in d_cols) for r in d_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_bad += 1
+            continue
+        # type gate FIRST: the driver's hash is type-sensitive in ways the
+        # value normalization below erases (int64 vs DuckDB HUGEINT hashed
+        # differently while values compared equal — round-11 d19/s08)
+        s_types = {f.name: canon_type(f.type) for f in tbl.schema}
+        d_types = {f.name: canon_type(f.type) for f in d_tbl.schema}
+        bad_types = [(c, s_types[c], d_types[c]) for c in sorted(s_types)
+                     if c in d_types and s_types[c] != d_types[c]]
+        if bad_types:
+            n_bad += 1
+            detail = ", ".join(f"{c}: spark={a} duckdb={b}"
+                               for c, a, b in bad_types)
+            print(f"FAIL {name}: column type mismatch ({detail})")
+            if any(b.startswith("decimal") and a == "int"
+                   for _, a, b in bad_types):
+                print("   hint: DuckDB integer SUM returns HUGEINT — wrap "
+                      "the oracle output column in CAST(... AS BIGINT)")
             continue
         sc, sr = canon(s_cols, s_rows)
         dc, dr = canon(d_cols, d_rows)
