@@ -602,10 +602,17 @@ object Dedup {
     * just receive survivors.
     *
     * Scale shape: pairs + CC are the bounded [[minhashNearDuplicates]] /
-    * [[connectedComponents]] pipeline; the policy itself is one window
-    * over CLUSTERS (`partitionBy(rep)` — clusters in parallel, frame
-    * sized by cluster membership, singletons pass through rank 1).
-    * Quality NULLs sort last (a null-quality doc never beats a scored
+    * [[connectedComponents]] pipeline. The policy is a hash AGGREGATE per
+    * cluster plus a rep-keyed join — deliberately NOT a
+    * `row_number over (partition by rep)` window: a window serializes a
+    * pathological megacluster (boilerplate-heavy crawls produce them —
+    * millions of near-identical pages collapsing into one component)
+    * into a single task, while the aggregate's map-side partials reduce
+    * every cluster to one row per map task before the shuffle, so
+    * per-task work stays bounded no matter the cluster size. The
+    * best-member ordering (max quality, NULLs last, min-id tiebreak) is
+    * encoded in one comparable struct so `min` decides it exactly;
+    * quality NULLs sort last (a null-quality doc never beats a scored
     * one), pinned explicitly on both engines.
     *
     * @return (id, rep, quality, keep)
@@ -613,19 +620,23 @@ object Dedup {
   def keepBestSurvivors(docs: DataFrame, idCol: String, textCol: String,
       quality: Column, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       signature: Option[Column => Column] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashNearDuplicates(docs, idCol, textCol,
       k = k, bands = bands, threshold = threshold, signature = signature)
     val comp = connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("id").as("__cid"), col("component").as("__rep"))
     val id = col(s"`$idCol`")
-    val w = Window.partitionBy(col("rep"))
-      .orderBy(col("quality").desc_nulls_last, col(idCol).asc)
-    docs.select(id.as(idCol), quality.as("quality"))
+    val withRep = docs.select(id.as(idCol), quality.as("quality"))
       .join(comp, id === col("__cid"), "left")
       .withColumn("rep", coalesce(col("__rep"), id))
-      .withColumn("__rn", row_number().over(w))
-      .select(col(idCol), col("rep"), col("quality"), (col("__rn") === 1).as("keep"))
+    val best = withRep.groupBy(col("rep")).agg(
+      min(struct(
+        when(col("quality").isNull, lit(1)).otherwise(lit(0)).as("qnull"),
+        coalesce(-col("quality").cast("double"), lit(0.0)).as("negq"),
+        id.as("bid"))).as("__best"))
+      .select(col("rep"), col("__best.bid").as("__keep_id"))
+    withRep.join(best, "rep")
+      .select(col(idCol), col("rep"), col("quality"),
+        (id === col("__keep_id")).as("keep"))
   }
 
   /** Connected components over near-duplicate pairs — the transitive

@@ -571,6 +571,19 @@ class DedupSpec extends AnyFunSuite {
         signature = Some(Dedup.md5MinhashSignature(_, 8)))
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(t2 == Map(4L -> true, 5L -> false), t2.toString)
+    // megacluster safety is a PLAN property: best-member selection must be
+    // an aggregate (map-side partials bound per-task work however large a
+    // cluster gets), never a partition-by-rep window (which serializes a
+    // megacluster into one task). Pin it so a refactor can't reintroduce
+    // the window silently.
+    val plan = Dedup.keepBestSurvivors(docs, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")),
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keepBestSurvivors must not plan a window:\n" + plan)
+    // min(struct) plans as Sort/ObjectHash aggregate — either way the
+    // partial-aggregate property that bounds per-task work is present
+    assert(plan.contains("Aggregate"), plan)
   }
 
   test("hammingNearDuplicates: generic signatures, block coverage, exact verify") {
