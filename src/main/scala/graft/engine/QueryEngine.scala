@@ -348,14 +348,58 @@ object QueryEngine {
   private def selectList(cols: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
     if (cols.isEmpty) "1" else cols.map(exprSql).mkString(", ")
 
-  private def fromSql(p: LogicalPlan): Option[String] = p match {
-    case l: LeafNode => tableName(l)
+  /** Inline-table name for a LocalRelation (the optimizer's folded VALUES):
+    * deterministic per relation so `unambiguous` and `fromSql` agree.
+    */
+  private def valuesName(lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation): String =
+    s"__values_${lr.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** `VALUES (…), (…) AS name(cols)` for a small all-atomic LocalRelation —
+    * the faithful rendering of an inline table the optimizer has folded to
+    * rows (q47's VALUES, a recursive CTE's edge list). None for empty or
+    * non-atomic relations: an empty VALUES has no SQL form.
+    */
+  private def valuesSql(lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation): Option[String] = {
+    import org.apache.spark.sql.catalyst.util.quoteIfNeeded
+    import org.apache.spark.sql.types._
+    val atomic = lr.schema.forall(_.dataType match {
+      case _: NumericType | _: StringType | BooleanType | DateType |
+           _: TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (lr.data.isEmpty || lr.data.size > 1000 || !atomic) None
+    else {
+      val rows = lr.data.map { r =>
+        lr.output.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            r.get(i, a.dataType), a.dataType).sql
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      val cols = lr.output.map(a => quoteIfNeeded(a.name)).mkString(", ")
+      Some(s"(VALUES $rows) AS ${valuesName(lr)}($cols)")
+    }
+  }
+
+  /** @param loop rendering hook for recursive-CTE nodes (UnionLoop /
+    *        UnionLoopRef): supplied by [[rewrittenSql]], which collects the
+    *        WITH RECURSIVE definitions as a side effect. Default: reject.
+    */
+  private def fromSql(p: LogicalPlan,
+      loop: LogicalPlan => Option[String] = _ => None): Option[String] = p match {
+    case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop => loop(ul)
+    case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => valuesSql(lr)
+    case l: LeafNode => loop(l).orElse(tableName(l))
+    case Filter(cond, lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) =>
+      valuesSql(lr).map(v =>
+        s"(SELECT * FROM $v WHERE ${exprSql(cond)}) AS ${valuesName(lr)}")
     case Filter(cond, l: LeafNode) =>
-      tableName(l).map(t => s"(SELECT * FROM $t WHERE ${exprSql(cond)}) AS $t")
+      loop(l).orElse(tableName(l))
+        .map(t => s"(SELECT * FROM $t WHERE ${exprSql(cond)}) AS $t")
     case Project(cols, l: LeafNode) =>
-      tableName(l).map(t => s"(SELECT ${selectList(cols)} FROM $t) AS $t")
+      loop(l).orElse(tableName(l))
+        .map(t => s"(SELECT ${selectList(cols)} FROM $t) AS $t")
     case Project(cols, Filter(cond, l: LeafNode)) =>
-      tableName(l).map(t =>
+      loop(l).orElse(tableName(l)).map(t =>
         s"(SELECT ${selectList(cols)} FROM $t WHERE ${exprSql(cond)}) AS $t")
     case Join(left, right, joinType, cond, _) =>
       val kw = joinType match {
@@ -368,8 +412,8 @@ object QueryEngine {
       }
       for {
         k <- kw
-        ls <- fromSql(left)
-        rs <- fromSql(right)
+        ls <- fromSql(left, loop)
+        rs <- fromSql(right, loop)
         // a condition-less OUTER join must not degrade to CROSS (a LEFT
         // JOIN of an empty right side keeps rows; CROSS returns none)
         rendered <- cond match {
@@ -386,9 +430,24 @@ object QueryEngine {
     * (a self-join rendered as `orders JOIN orders` has no way to qualify).
     */
   private def unambiguous(p: LogicalPlan): Boolean = {
-    val leaves = p.collect { case l: LeafNode => l }
-    val names = leaves.flatMap(tableName)
-    val colNames = leaves.flatMap(_.output.map(_.name))
+    // scope-aware: a UnionLoop (recursive CTE body) is its OWN naming
+    // scope — it participates here as one relation named __loop<id>, and
+    // its anchor/recursion branches are checked when they render.
+    // OneRowRelation has no name and no columns — nothing to collide with.
+    def rels(pl: LogicalPlan): Seq[(Option[String], Seq[String])] = pl match {
+      case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop =>
+        Seq((Some(s"__loop${ul.id}"), ul.output.map(_.name)))
+      case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef =>
+        Seq((Some(s"__loop${ref.loopId}"), ref.output.map(_.name)))
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Seq((Some(valuesName(lr)), lr.output.map(_.name)))
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => Seq.empty
+      case l: LeafNode => Seq((tableName(l), l.output.map(_.name)))
+      case other => other.children.flatMap(rels)
+    }
+    val leaves = rels(p)
+    val names = leaves.flatMap(_._1)
+    val colNames = leaves.flatMap(_._2)
     names.distinct.size == leaves.size && colNames.distinct.size == colNames.size
   }
 
@@ -408,6 +467,14 @@ object QueryEngine {
     * are independent SELECT scopes, so the ambiguity check applies per
     * branch, not to the whole tree (q38 reads `orders` three times,
     * legally).
+    *
+    * Round-12 additions close the two newest families: PIVOT regenerates
+    * from the analyzer's Project-over-pivotfirst-over-partial-Aggregate
+    * lowering, recursive CTEs regenerate from UnionLoop/UnionLoopRef as a
+    * `WITH RECURSIVE` prefix (loop branches are independent SELECT
+    * scopes; loops with duplicate column names have no name-addressable
+    * rendering and stay None), and folded inline tables (LocalRelation)
+    * render as `VALUES … AS name(cols)`.
     */
   def rewrittenSql(optimized: LogicalPlan): Option[String] = {
     // peel LIMIT
@@ -422,6 +489,39 @@ object QueryEngine {
         (s" ORDER BY ${order.map(exprSql).mkString(", ")}", child)
       case other => ("", other)
     }
+
+    // recursive-CTE support (round 12): the optimizer keeps a recursive
+    // CTE as UnionLoop(anchor, recursion)/UnionLoopRef. Rendering one
+    // contributes a `__loop<id> (cols) AS ((anchor) UNION ALL (recursion))`
+    // definition HERE (insertion-ordered, so a loop nested inside another
+    // loop's branch is defined before its user), and the node renders as
+    // the bare name; the final SQL is prefixed WITH RECURSIVE. Anchor and
+    // recursion are independent SELECT scopes, like set-op branches.
+    val cteDefs = scala.collection.mutable.LinkedHashMap[Long, String]()
+    def loopHandler(n: LogicalPlan): Option[String] = n match {
+      case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef =>
+        Some(s"__loop${ref.loopId}")
+      case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop =>
+        val name = s"__loop${ul.id}"
+        if (!cteDefs.contains(ul.id)) {
+          val rendered = for {
+            a <- branchSql(ul.anchor)
+            r <- branchSql(ul.recursion)
+          } yield {
+            val cols = ul.output.map(o =>
+              org.apache.spark.sql.catalyst.util.quoteIfNeeded(o.name)).mkString(", ")
+            s"$name ($cols) AS (($a) UNION ALL ($r))"
+          }
+          rendered match {
+            case Some(d) => cteDefs(ul.id) = d
+            case None => return None
+          }
+        }
+        Some(name)
+      case _ => None
+    }
+    def branchSql(pl: LogicalPlan): Option[String] =
+      setOpSql(pl).orElse(if (unambiguous(pl)) body(pl) else None)
     // an aggregate with optional HAVING; having-condition references to agg
     // output aliases are re-expanded to the aggregate expression itself
     // (`HAVING count(1) >= 12`, the reference's always-regenerated form,
@@ -614,10 +714,113 @@ object QueryEngine {
       case _ => false
     }
 
+    /** PIVOT (round 12): the analyzer lowers `PIVOT (agg [AS a] FOR col IN
+      * (v…))` to Project(array extractions) over Aggregate(pivotfirst) over
+      * Aggregate(partial per (groups, pivot col)). Recognize exactly that
+      * stack and regenerate PIVOT syntax, with canonical aliases a0..aK for
+      * multi-aggregate pivots (the analyzer's own output names embed the
+      * unresolved-expression text, which has no SQL rendering). String
+      * pivot columns only: non-string IN values name their output columns
+      * through type-specific literal formatting a faithful regeneration
+      * would have to reproduce bit-for-bit.
+      */
+    def pivotSql(top: Project): Option[String] = top match {
+      case Project(projCols, Aggregate(_, aggs1, Aggregate(g2, aggs2, child, _), _)) =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst
+        import org.apache.spark.sql.catalyst.expressions.GetArrayItem
+        import org.apache.spark.sql.catalyst.util.quoteIfNeeded
+        val pivots: Seq[(ExprId, PivotFirst)] = aggs1.collect {
+          case al @ Alias(AggregateExpression(pf: PivotFirst, _, _, _, _), _) =>
+            al.toAttribute.exprId -> pf
+        }
+        if (pivots.isEmpty) return None
+        val pf0 = pivots.head._2
+        val pivotAttr = pf0.pivotColumn match {
+          case ar: AttributeReference => ar
+          case _ => return None
+        }
+        if (pivotAttr.dataType != org.apache.spark.sql.types.StringType) return None
+        if (!pivots.forall { case (_, pf) =>
+            pf.pivotColumn.semanticEquals(pf0.pivotColumn) &&
+              pf.pivotColumnValues == pf0.pivotColumnValues }) return None
+        val values = pf0.pivotColumnValues
+        // each pivotfirst's value column is an alias of the partial
+        // aggregate: its child is the user's aggregate expression
+        val aggById = aggs2.collect { case al: Alias => al.toAttribute.exprId -> al }.toMap
+        val valueAggs: Seq[Expression] = pivots.map { case (_, pf) =>
+          pf.valueColumn match {
+            case ar: AttributeReference => aggById.get(ar.exprId) match {
+              case Some(al) => al.child
+              case None => return None
+            }
+            case _ => return None
+          }
+        }
+        val groupAttrs: Seq[AttributeReference] =
+          g2.filterNot(_.semanticEquals(pivotAttr)).map {
+            case ar: AttributeReference => ar
+            case _ => return None
+          }
+        // pivot source projection: groups + pivot col + aggregate inputs —
+        // PIVOT implicitly groups by every OTHER source column, so the
+        // subquery must carry exactly these
+        val inputs = scala.collection.mutable.LinkedHashMap[ExprId, AttributeReference]()
+        (groupAttrs :+ pivotAttr).foreach(a => inputs(a.exprId) = a)
+        valueAggs.flatMap(_.references.toSeq).foreach {
+          case ar: AttributeReference => inputs.getOrElseUpdate(ar.exprId, ar)
+          case _ => return None
+        }
+        val multi = pivots.size > 1
+        val pivotItems = valueAggs.zipWithIndex.map { case (e, k) =>
+          if (multi) s"${exprSql(e)} AS a$k" else exprSql(e)
+        }.mkString(", ")
+        val inSql = values.map(v =>
+          Literal(v, pivotAttr.dataType).sql).mkString(", ")
+        // the pivot operator's own output naming: `<value>` for a single
+        // aggregate, `<value>_<alias>` for several
+        def outName(vIdx: Int, k: Int): String = {
+          val v = String.valueOf(values(vIdx))
+          if (multi) s"${v}_a$k" else v
+        }
+        val arrIdx: Map[ExprId, Int] = pivots.map(_._1).zipWithIndex.toMap
+        val groupOutIds = groupAttrs.map(_.exprId).toSet
+        val rendered = projCols.map {
+          case ar: AttributeReference if groupOutIds.contains(ar.exprId) =>
+            Some(exprSql(ar))
+          case a @ Alias(GetArrayItem(arr: AttributeReference, Literal(i, _), _), _)
+              if arrIdx.contains(arr.exprId) =>
+            val vIdx = String.valueOf(i).toInt
+            if (vIdx < 0 || vIdx >= values.size) None
+            else {
+              val src = quoteIfNeeded(outName(vIdx, arrIdx(arr.exprId)))
+              val tgt = quoteIfNeeded(a.name)
+              Some(if (src == tgt) src else s"$src AS $tgt")
+            }
+          case _ => None
+        }
+        if (rendered.exists(_.isEmpty)) return None
+        selectFrom(child).map { f =>
+          s"SELECT ${rendered.flatten.mkString(", ")} FROM (SELECT ${inputs.values.map(exprSql).mkString(", ")} FROM $f) PIVOT ($pivotItems FOR ${quoteIfNeeded(pivotAttr.name)} IN ($inSql))"
+        }
+      case _ => None
+    }
+
+    def isPivotStack(p: Project): Boolean = p.child match {
+      case Aggregate(_, aggs1, _: Aggregate, _) => aggs1.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.PivotFirst => true
+        case _ => false
+      })
+      case _ => false
+    }
+
     // SELECT head: projection or aggregation, incl. the HAVING family
     // (Filter directly over Aggregate, optionally under a pruning Project)
     def body(n: LogicalPlan): Option[String] = n match {
       case a: Aggregate if isGroupingSetsAgg(a) => groupingSetsSql(a)
+      case Project(cols, _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation) =>
+        // a FROM-less SELECT (a recursive CTE's literal anchor)
+        Some(s"SELECT ${selectList(cols)}")
+      case p: Project if isPivotStack(p) => pivotSql(p)
       case p @ Project(_, child) if isWindowStack(child) => windowSql(p)
       case w: Window => windowSql(w)
       case Filter(cond, Aggregate(groups, aggs, child, _)) =>
@@ -640,14 +843,14 @@ object QueryEngine {
     }
     def selectFrom(n: LogicalPlan): Option[String] = n match {
       case Filter(cond, child @ (_: Join)) =>
-        fromSql(child).map(f => s"$f WHERE ${exprSql(cond)}")
+        fromSql(child, loopHandler).map(f => s"$f WHERE ${exprSql(cond)}")
       case Project(cols, child @ (_: Join | Filter(_, _: Join)))
           if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
         // a pure column-pruning Project over the join tree (Catalyst inserts
         // one below every Aggregate): the SELECT list above governs the
         // output, so the pruning node needs no SQL of its own
         selectFrom(child)
-      case other => fromSql(other)
+      case other => fromSql(other, loopHandler)
     }
     /** Set operations, as the optimizer leaves them: UNION [ALL] as
       * [Distinct-]Union, INTERSECT/EXCEPT as distinct over a left-semi/
@@ -717,9 +920,10 @@ object QueryEngine {
       }
     }
 
-    setOpSql(p2)
-      .orElse(if (unambiguous(p2)) body(p2) else None)
+    branchSql(p2)
       .map(b => s"$b$orderSql$limitSql")
+      .map(sql => if (cteDefs.isEmpty) sql
+        else s"WITH RECURSIVE ${cteDefs.values.mkString(", ")} $sql")
   }
 
   // ------------------------------------------------------------------

@@ -243,4 +243,56 @@ class QueryEngineSpec extends AnyFunSuite {
       "EXPLAIN SELECT a.o_orderkey FROM orders a JOIN orders b ON a.o_orderkey = b.o_custkey")
     assert(rep.rewrittenSql.isEmpty, rep.rewrittenSql)
   }
+
+  test("rewritten SQL round-trips PIVOT (single and multi aggregate)") {
+    val queries = Seq(
+      "SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem) PIVOT (SUM(l_quantity) FOR l_linestatus IN ('F', 'O'))",
+      "SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_tax FROM lineitem) PIVOT (SUM(l_quantity) AS q, MAX(l_tax) AS t FOR l_linestatus IN ('F', 'O'))")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      assert(rewritten.contains("PIVOT ("), rewritten)
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+  }
+
+  test("rewritten SQL round-trips WITH RECURSIVE (incl. a VALUES edge list)") {
+    val queries = Seq(
+      "WITH RECURSIVE tree(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM tree WHERE n < 5) SELECT n FROM tree",
+      """WITH RECURSIVE e(parent, child) AS (VALUES (0, 1), (0, 2), (1, 3)),
+           t(node, depth) AS (SELECT 0 AS node, 0 AS depth
+             UNION ALL SELECT e.child, t.depth + 1 FROM t JOIN e ON e.parent = t.node)
+         SELECT node, depth FROM t""")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      assert(rewritten.startsWith("WITH RECURSIVE "), rewritten)
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+  }
+
+  test("rewritten SQL is None when loop columns share a name (no faithful rendering)") {
+    // the anchor `SELECT 0, 0` names BOTH loop columns `0`; name-based SQL
+    // cannot address them separately, so the honest answer is None — the
+    // contract is no best-effort lies
+    val rep = QueryEngine.run(spark,
+      """EXPLAIN WITH RECURSIVE t(node, depth) AS (SELECT 0, 0
+           UNION ALL SELECT node + 1, depth + 1 FROM t WHERE node < 3)
+         SELECT node, depth FROM t""")
+    assert(rep.rewrittenSql.isEmpty, rep.rewrittenSql)
+  }
+
+  test("rewritten SQL round-trips inline VALUES") {
+    val q = "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, tag)"
+    val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+    val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql\n${rep.planTree}"))
+    assert(rewritten.contains("VALUES"), rewritten)
+    val a = spark.sql(q).collect().map(_.toString).sorted
+    val b = spark.sql(rewritten).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+  }
 }
