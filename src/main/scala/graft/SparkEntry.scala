@@ -1908,6 +1908,65 @@ object SparkEntry {
            CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS ttr
          FROM d"""),
 
+    // vocabulary coverage curve (round 12): top-k tokens by corpus
+    // frequency with cumulative share — the "how big a vocab covers X%"
+    // audit before tokenizer training. Corpus-wide work is one explode +
+    // one map-side-partial aggregate + a distributed top-k; the
+    // rank/cumsum window runs on the k-row RESULT, never the corpus
+    "t22_vocab_coverage" -> entry(
+      (s, d) => TextOps.vocabCoverage(t(s, d, "documents"), "text", k = 1000),
+      """WITH e AS (
+           SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT token, COUNT(*) AS n FROM e GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 1000)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+           token, n,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           CAST(CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / (SELECT total FROM tot) AS coverage
+         FROM top"""),
+
+    // LSH banding S-curve audit (round 12): candidate-pair volume per
+    // band config from bucket SIZES (n·(n−1)/2 per bucket) — the
+    // bands/rows tuning measurement, one aggregate, zero pairs
+    // materialized. Bucket key = exact band values (md5-family signature
+    // for cross-engine replay)
+    "d23_band_sensitivity" -> entry(
+      (s, d) => graft.operators.Dedup.bandSensitivity(
+        t(s, d, "documents"), "doc_id", "text", k = 8,
+        signature = Some(graft.operators.Dedup.md5MinhashSignature(_, 8))),
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         banded AS (
+           SELECT cfg.bands, cfg.band,
+             array_to_string(list_transform(
+               list_slice(sig, cfg.band * (8 // cfg.bands) + 1,
+                 cfg.band * (8 // cfg.bands) + (8 // cfg.bands)),
+               v -> CAST(v AS VARCHAR)), ',') AS key
+           FROM sig, (VALUES (2, 0), (2, 1),
+                             (4, 0), (4, 1), (4, 2), (4, 3),
+                             (8, 0), (8, 1), (8, 2), (8, 3),
+                             (8, 4), (8, 5), (8, 6), (8, 7)) cfg(bands, band)),
+         buckets AS (
+           SELECT bands, band, key, COUNT(*) AS n
+           FROM banded GROUP BY 1, 2, 3)
+         SELECT bands,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+         FROM buckets GROUP BY 1"""),
+
     // categorical drift between splits (round 11): per-value chi-square
     // contributions over the md5 train/test split — deliberately NOT
     // PSI/KL (per-value ln = libm at the engine boundary; see

@@ -230,6 +230,55 @@ object Dedup {
   def bandBuckets(sig: Column, bands: Int, r: Int): Column =
     posexplode(transform(sequence(lit(0), lit(bands - 1)), j => bandHash(sig, j, r)))
 
+  /** LSH banding S-curve audit: candidate-pair volume per band
+    * configuration, WITHOUT materializing a single pair. Choosing
+    * bands/rows is the production MinHash-dedup tuning decision (more
+    * bands → recall up, candidate volume up); this measures the actual
+    * cost side on the actual corpus: for each config b, every doc lands
+    * in b buckets keyed by its exact band VALUES, and a bucket of n docs
+    * implies n·(n−1)/2 candidate pairs — an aggregate over bucket sizes,
+    * never a pair join.
+    *
+    * Bucket key = the band's exact slice of the signature (not
+    * [[bandHash]]'s xxhash64, which DuckDB cannot replay): exact-value
+    * bucketing counts what the LSH join WOULD meet on, modulo xxhash64's
+    * ~0 collision mass.
+    *
+    * Scale shape: one signature pass, one explode (×Σ bands ≈ 14 rows per
+    * doc for configs 2/4/8), one (bands, band, key) hash aggregate with
+    * map-side partials, one 3-row final aggregate. A megabucket costs a
+    * long count, not a blown-up join.
+    *
+    * @param configs band counts to audit; each must divide k
+    * @return (bands, n_multi_buckets, n_candidate_pairs), one row per config
+    */
+  def bandSensitivity(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, configs: Seq[Int] = Seq(2, 4, 8),
+      signature: Option[Column => Column] = None): DataFrame = {
+    require(configs.nonEmpty && configs.forall(b => b >= 1 && k % b == 0),
+      s"every band count must divide k=$k, got $configs")
+    val sigOf = signature.getOrElse(minhashSignature(_: Column, k))
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(sigOf(col(textCol)).as("__sig"))
+    val bandCols: Seq[Column] = configs.flatMap { b =>
+      val r = k / b
+      (0 until b).map { i =>
+        struct(lit(b).as("bands"), lit(i).as("band"),
+          concat_ws(",", transform(slice(col("__sig"), i * r + 1, r),
+            v => v.cast("string"))).as("key"))
+      }
+    }
+    sig.select(explode(array(bandCols: _*)).as("__bk"))
+      .select(col("__bk.bands").as("bands"), col("__bk.band").as("band"),
+        col("__bk.key").as("key"))
+      .groupBy(col("bands"), col("band"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("bands"))
+      .agg(
+        sum(when(col("__n") > 1, lit(1L)).otherwise(lit(0L))).as("n_multi_buckets"),
+        sum(expr("__n * (__n - 1) DIV 2")).as("n_candidate_pairs"))
+  }
+
   /** Materialize the (small) pair result eagerly so the operator's internal
     * signature caches can be released before returning — disk-backed
     * persisted blocks are not LRU-evicted, so a lazy return would leak one

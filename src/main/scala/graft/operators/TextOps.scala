@@ -376,6 +376,41 @@ object TextOps {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve: the top-k tokens by corpus frequency with
+    * rank, count, running count, and cumulative share of ALL token
+    * occurrences — the "how large must the tokenizer vocabulary be to
+    * cover X% of the corpus" audit run before vocab training.
+    *
+    * Scale shape: the corpus-wide work is one explode + one hash
+    * aggregate with map-side partials, then a DISTRIBUTED top-k
+    * (`TakeOrderedAndProject` — never a global sort of the vocabulary).
+    * The rank/cumulative window runs on the top-k RESULT (k rows, one
+    * task) — bounded by construction, unlike a corpus-wide global window;
+    * the grand total is a broadcast scalar. Total order (count DESC,
+    * token ASC) pins the k boundary and the running sum deterministically.
+    *
+    * @return (rank, token, n, cum_n, coverage), k rows
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val ord = Seq(col("n").desc, col("token").asc)
+    val w = Window.orderBy(ord: _*)
+    counts.orderBy(ord: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).as("rank"),
+        col("token"), col("n"),
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_n"),
+        col("__total"))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("__total")).as("coverage"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized, lowercased text.
     * Identical on any engine; the dedup key for exact-after-normalization.
     * Collapse BEFORE trim: trim() only strips spaces, so an edge tab or

@@ -586,6 +586,27 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  test("bandSensitivity: bucket-size pair math per config, zero pairs materialized") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // three identical docs share every band of every config; the far doc
+    // shares none -> per config b: b multi-buckets of size 3, b*C(3,2) pairs
+    val docs = Seq((1L, base), (2L, base), (3L, base),
+      (9L, "entirely different unrelated content with many distinct words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bandSensitivity(docs, "doc_id", "text", k = 8,
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(2 -> ((2L, 6L)), 4 -> ((4L, 12L)), 8 -> ((8L, 24L))), got.toString)
+    // the plan must be aggregate-only: an implementation that materializes
+    // candidate pairs would show a join
+    val plan = Dedup.bandSensitivity(docs, "doc_id", "text", k = 8,
+        signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bandSensitivity must not join:\n" + plan)
+    intercept[IllegalArgumentException](
+      Dedup.bandSensitivity(docs, "doc_id", "text", k = 8, configs = Seq(3)))
+  }
+
   test("hammingNearDuplicates: generic signatures, block coverage, exact verify") {
     // base sig + twins at hamming 1, 3, 4 and a far row; bits spread
     // across pigeonhole blocks so agreement happens on a NON-zero block

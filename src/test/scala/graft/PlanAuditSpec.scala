@@ -93,6 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // pairs + CC checkpointed (as x13); the policy window adds one
     // cluster exchange on top of the component join + twin union
     "d22_keep_best" -> (3, 1),
+    // one (bands,band,key) agg + one 3-row final agg; zero pairs, zero joins
+    "d23_band_sensitivity" -> (2, 0),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
@@ -262,6 +264,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t19_readability" -> (0, 0), // per-row regex/arith algebra, zero shuffle
     "t20_encoding" -> (0, 0), // per-row string algebra, zero shuffle
     "t21_lexical_richness" -> (0, 0), // per-row array algebra, zero shuffle
+    // vocab count agg + single-partition exchange for the k-row cum window
+    "t22_vocab_coverage" -> (2, 1),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
