@@ -1995,6 +1995,50 @@ object SparkEntry {
              (n_a - ea) * (n_a - ea) / ea + (n_b - eb) * (n_b - eb) / eb END AS chi2
          FROM e"""),
 
+    // numeric drift (round 12): binned two-sample KS curve over the md5
+    // train/test split — p03's bin math + a <=64-row cumulative window;
+    // the numeric complement of p08's categorical chi-square. Binned, not
+    // exact-ECDF: exact needs an unbounded distinct-value walk (the p02
+    // lesson); bins bound both the window and the statistic's error
+    "p12_ks_drift" -> entry(
+      (s, d) => graft.operators.Profile.binnedKsDrift(
+        t(s, d, "orders").withColumn("split",
+          when(graft.operators.SampleOps.md5Bucket(col("o_orderkey")) < 60, "train")
+            .otherwise("test")),
+        "o_totalprice", "split", "train", "test", nBuckets = 64),
+      """WITH s AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 60
+                  THEN 'train' ELSE 'test' END AS split
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+           FROM s),
+         b AS (
+           SELECT CASE WHEN st.vmax > st.vmin
+                       THEN LEAST(63, CAST(trunc((s.v - st.vmin) / (st.vmax - st.vmin) * 64) AS BIGINT))
+                       ELSE 0 END AS bucket,
+                  s.split, st.vmin, st.vmax, st.tot_a, st.tot_b
+           FROM s, st),
+         g AS (
+           SELECT bucket,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             MIN(vmin) AS vmin, MIN(vmax) AS vmax,
+             MIN(tot_a) AS tot_a, MIN(tot_b) AS tot_b
+           FROM b GROUP BY bucket),
+         c AS (
+           SELECT bucket, vmin + bucket * (vmax - vmin) / 64 AS lo, n_a, n_b,
+             CAST(CAST(SUM(n_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+               / NULLIF(tot_a, 0) AS cum_share_a,
+             CAST(CAST(SUM(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+               / NULLIF(tot_b, 0) AS cum_share_b
+           FROM g)
+         SELECT bucket, lo, n_a, n_b, cum_share_a, cum_share_b,
+           ABS(cum_share_a - cum_share_b) AS ecdf_gap
+         FROM c"""),
+
     // conversion-latency bands (round 11): first signup -> first
     // at-or-after purchase per user, integer-second latency, fixed CASE
     // bands; agg + key join + agg, no window

@@ -509,6 +509,60 @@ object Profile {
     * from (bucket, min, width) with the same fp expression the assignment
     * used, so bounds and counts can never disagree.
     */
+  /** Numeric drift between two labeled slices as a binned two-sample
+    * Kolmogorov–Smirnov curve: shared equal-width bins over the combined
+    * domain, per-bin counts per slice, cumulative shares, and the per-bin
+    * |ΔECDF| whose max is the KS statistic — the numeric complement of
+    * [[categoricalDrift]]'s chi-square.
+    *
+    * Binned, not exact-ECDF, deliberately: the exact statistic needs a
+    * cumulative walk over every distinct value — an unbounded global
+    * window (the p02 lesson) — while fixed bins keep the cumulative
+    * window at ≤ nBuckets rows (one bounded task) and bound the
+    * statistic's error by one bin's probability mass. Empty bins emit no
+    * row; the ECDF is flat across them, so the max gap is unaffected.
+    * Same bin math as [[histogram]] (combined min/max, LEAST-clamped top
+    * edge), totals ride the same single stats pass, so the whole operator
+    * is two scans + one ≤nBuckets-row window.
+    *
+    * @return (bucket, lo, n_a, n_b, cum_share_a, cum_share_b, ecdf_gap),
+    *         non-empty buckets ascending; shares NULL when a slice is empty
+    */
+  def binnedKsDrift(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String, nBuckets: Int = 64): DataFrame = {
+    require(labelA != labelB, s"labels must differ, got '$labelA'")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(s"`$valueCol`").cast("double")
+    val l = col(s"`$labelCol`")
+    val in = df.filter(v.isNotNull && (l === labelA || l === labelB))
+    val stats = in.agg(min(v).as("vmin"), max(v).as("vmax"),
+      sum(when(l === labelA, 1L).otherwise(0L)).as("tot_a"),
+      sum(when(l === labelB, 1L).otherwise(0L)).as("tot_b"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("vmax") > col("vmin"),
+          least(lit(nBuckets - 1),
+            floor((v - col("vmin")) / (col("vmax") - col("vmin")) * nBuckets)))
+          .otherwise(0L))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(l === labelA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(l === labelB, 1L).otherwise(0L)).as("n_b"),
+        first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+        first(col("tot_a")).as("tot_a"), first(col("tot_b")).as("tot_b"))
+      .select(col("bucket"),
+        (col("vmin") + col("bucket") * (col("vmax") - col("vmin")) / nBuckets).as("lo"),
+        col("n_a"), col("n_b"),
+        (sum(col("n_a")).over(w).cast("double") / nullif(col("tot_a"), lit(0L)))
+          .as("cum_share_a"),
+        (sum(col("n_b")).over(w).cast("double") / nullif(col("tot_b"), lit(0L)))
+          .as("cum_share_b"))
+      .withColumn("ecdf_gap", abs(col("cum_share_a") - col("cum_share_b")))
+  }
+
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val v = col(s"`$valueCol`").cast("double")

@@ -131,6 +131,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "p10_weighted_quantiles" -> (3, 1),
     // one-row stats broadcast onto the scan + the cell aggregate
     "p11_histogram2d" -> (2, 1),
+    // stats pass + bin agg + single-partition exchange for the <=64-row window
+    "p12_ks_drift" -> (3, 1),
     "q01_scan_project" -> (0, 0),
     "q02_filter_pushdown" -> (0, 0),
     "q03_point_lookup" -> (0, 0),

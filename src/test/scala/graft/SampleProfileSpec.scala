@@ -472,4 +472,28 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m.contains("budgetSelect") && m.contains("`id`=2")),
       msgs(ex).mkString(" | "))
   }
+
+  test("binnedKsDrift: hand-computed ECDF gaps, empty bins skipped, clamped top edge") {
+    // A: 0,1,2,3  B: 2,3,3,3 ; vmin=0 vmax=3, 2 bins of width 1.5
+    // bucket(v) = least(1, floor(v/3*2)): 0,1 -> 0 ; 2,3 -> 1
+    val df = Seq(
+      (0.0, "a"), (1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (3.0, "b"), (3.0, "b"), (3.0, "b"),
+      (99.0, "other"))  // other labels excluded from domain AND totals
+      .toDF("v", "lbl")
+    val got = Profile.binnedKsDrift(df, "v", "lbl", "a", "b", nBuckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet == Set(0L, 1L), got.toString)
+    assert(got(0L) == ((0.0, 2L, 0L, 0.5, 0.0, 0.5)), got(0L).toString)
+    assert(got(1L) == ((1.5, 2L, 4L, 1.0, 1.0, 0.0)), got(1L).toString)
+    // one-sided population: empty B slice -> NULL shares, not a crash
+    val oneSided = Seq((1.0, "a"), (2.0, "a")).toDF("v", "lbl")
+    val os = Profile.binnedKsDrift(oneSided, "v", "lbl", "a", "b", nBuckets = 2)
+      .collect()
+    assert(os.forall(r => r.isNullAt(5) && r.isNullAt(6)), os.mkString("; "))
+    intercept[IllegalArgumentException](
+      Profile.binnedKsDrift(df, "v", "lbl", "a", "a"))
+  }
 }
