@@ -2976,12 +2976,16 @@ object SparkEntry {
                  SUM(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS sxy,
                  SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS sxx
                FROM b WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+         -- decimal -> double via VARCHAR: DuckDB's direct cast double-
+         -- rounds (int128 -> double, then / 10^scale) once the unscaled
+         -- value exceeds 2^53 (sxy/sxx do at sf >= 0.1), while Spark's
+         -- Decimal.toDouble is correctly rounded — as is strtod
          sl AS (SELECT o_orderpriority, n,
-                  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-                       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  CASE WHEN CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0
+                       THEN (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                   END AS slope,
-                  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
+                  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
                 FROM s)
          SELECT o_orderpriority, n, slope,
            CASE WHEN slope IS NOT NULL THEN (syd - slope * sxd) / nd END AS intercept
