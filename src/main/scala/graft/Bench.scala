@@ -348,7 +348,18 @@ object Bench {
           Seq("o_orderkey", "o_orderstatus", "o_orderdate"), exact = false)),
         "twin_d05_zipf_ppjoin" -> (() => Dedup.ngramJaccardPairs(
           zipf, "doc_id", "text", "source", zipfThreshold)),
-        "twin_d05_zipf_unfiltered" -> (() => zipfUnfiltered()))
+        "twin_d05_zipf_unfiltered" -> (() => zipfUnfiltered()),
+        // the Bloom prefilter's pruning win vs the same join unfiltered
+        // (d24's config; includes the filter build each run — the honest
+        // end-to-end cost a pipeline pays)
+        "twin_d24_bloom_prefilter" -> (() => Dedup.bloomNgramContamination(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", n = 6, numBits = 1L << 20, numHashes = 7)),
+        "twin_d24_unfiltered" -> (() => Dedup.exactNgramContamination(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", n = 6)))
       twins.map { case (name, mk) =>
         def once(): Unit =
           try materialize(mk())

@@ -1967,6 +1967,40 @@ object SparkEntry {
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
          FROM buckets GROUP BY 1"""),
 
+    // Bloom-prefiltered exact decontamination (round 12): d14's check
+    // restructured the way trillion-token pipelines run it — a Bloom
+    // filter of the eval side's gram hashes (built distributed via a
+    // typed Aggregator, OR-merged partials) prunes the train-side gram
+    // stream in a codegen'd probe BEFORE the join's shuffle; the exact
+    // confirm join on the raw gram removes the one-sided FP error, so the
+    // output is bit-identical to the unfiltered join and the plain d14
+    // oracle SQL replays it. Different split (mod 7) and n (6) from d14
+    // so the two entries exercise different fixtures
+    "d24_bloom_decontam" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Dedup.bloomNgramContamination(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", n = 6, numBits = 1L << 20, numHashes = 7)
+      },
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) <= 6 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 4),
+                           i -> array_to_string(list_slice(w, i, i + 5), ' '))
+               END)) AS gram
+             FROM toks)
+           WHERE gram <> '')
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+         FROM g t JOIN g e ON t.gram = e.gram
+         WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+         GROUP BY 1, 2"""),
+
     // categorical drift between splits (round 11): per-value chi-square
     // contributions over the md5 train/test split — deliberately NOT
     // PSI/KL (per-value ln = libm at the engine boundary; see

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Deterministic Bloom filter over 64-bit keys: distributed build as a
+  * typed [[Aggregator]] (partial bit-arrays OR-merge — map-side combine
+  * applies, the shuffle carries one `m/64`-word array per partition, never
+  * rows), probe as a codegen'd Catalyst expression over the broadcast
+  * word array.
+  *
+  * This is the sketch behind web-scale decontamination/dedup pipelines
+  * (Dolma, RedPajama, CCNet): build the filter once from the SMALL side
+  * (an eval benchmark's n-grams), ship its few MBs to every executor, and
+  * prune the 100 TB train-side stream BEFORE it reaches any shuffle. The
+  * filter's one-sided error makes the composition exact: "not contained"
+  * is certain, so rows it drops can never be true matches, and the false
+  * positives that survive are removed by the exact confirm join that
+  * follows ([[graft.operators.Dedup.bloomNgramContamination]]).
+  *
+  * Hashing is double hashing from two splitmix64 finalizers
+  * (h_i = h1 + i·h2, h2 forced odd so the stride walks every residue of
+  * the power-of-two bit space) — the standard Kirsch–Mitzenmacher
+  * construction, deterministic across JVMs/partitionings, so a filter
+  * built on one cluster replays bit-identically anywhere.
+  */
+object BloomHash {
+
+  /** splitmix64 finalizer with the seed folded in — two different seeds
+    * give the two independent hash streams double hashing needs.
+    */
+  private def mix(key: Long, seed: Long): Long = {
+    var z = key + seed
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def h1(key: Long): Long = mix(key, 0x9E3779B97F4A7C15L)
+
+  /** Forced odd: for power-of-two `m` an even stride would only ever touch
+    * half the bit positions.
+    */
+  def h2(key: Long): Long = mix(key, 0xC2B2AE3D27D4EB4FL) | 1L
+
+  /** Set key's k bits. `words.length * 64` must be a power of two. */
+  def set(words: Array[Long], numHashes: Int, key: Long): Unit = {
+    val mask = words.length.toLong * 64L - 1L
+    val a = h1(key); val b = h2(key)
+    var i = 0
+    while (i < numHashes) {
+      val bit = (a + i.toLong * b) & mask
+      words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+      i += 1
+    }
+  }
+
+  /** Probe key's k bits — false is CERTAIN absence, true may be a false
+    * positive. Called from generated code ([[BloomMightContainExpr]]).
+    */
+  def mightContain(words: Array[Long], numHashes: Int, key: Long): Boolean = {
+    val mask = words.length.toLong * 64L - 1L
+    val a = h1(key); val b = h2(key)
+    var i = 0
+    while (i < numHashes) {
+      val bit = (a + i.toLong * b) & mask
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Distributed Bloom build: `reduce` sets bits per input key, `merge` ORs
+  * partial word arrays. Registered through [[functions.udaf]], it runs as
+  * an ObjectHashAggregate with map-side partials — the shuffle moves one
+  * bit-array per partition, so build cost is one scan of the keyed input
+  * plus a constant-size merge, independent of row count.
+  *
+  * @param numBits filter width m; must be a power of two >= 64. Size by
+  *   the standard identity m ≈ -n·ln(p)/(ln 2)², e.g. 1e9 distinct grams
+  *   at 1% FP → ~1.2 GB; an eval benchmark's ~1e6 grams at 0.1% → ~1.8 MB.
+  * @param numHashes k; optimal k = (m/n)·ln 2 (sizing table in scaladoc
+  *   above — 5–10 covers the practical range).
+  */
+class BloomAggregator(numBits: Long, numHashes: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a power of two >= 64, got $numBits")
+  require(numBits / 64 <= Int.MaxValue.toLong, s"numBits too large for one array: $numBits")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def zero: Array[Long] = new Array[Long]((numBits / 64).toInt)
+
+  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+    BloomHash.set(buf, numHashes, key); buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** `might_contain(key)` over a driver-held word array, codegen'd to two
+  * multiplies and k masked loads per row — the train-side 100 TB stream
+  * pays this instead of a shuffle. The array rides the generated class as
+  * a reference object (one copy per executor via the closure broadcast,
+  * not per row).
+  */
+case class BloomMightContainExpr(child: Expression, words: Array[Long], numHashes: Int)
+    extends UnaryExpression {
+  require(words.nonEmpty && (words.length & (words.length - 1)) == 0,
+    s"words.length must be a power of two >= 1, got ${words.length}")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects a BIGINT key, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(key: Any): Any =
+    BloomHash.mightContain(words, numHashes, key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = BloomHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.mightContain($wordsRef, $numHashes, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomFilterOps {
+
+  /** Build a Bloom filter from a BIGINT key column and return its word
+    * array on the driver. The array is SMALL by construction (numBits/8
+    * bytes — the whole point of the sketch); collecting it is the same
+    * bounded driver hop as collecting a broadcast-join build side.
+    */
+  def buildBloom(df: DataFrame, keyCol: Column, numBits: Long, numHashes: Int): Array[Long] = {
+    val agg = udaf(new BloomAggregator(numBits, numHashes), Encoders.scalaLong)
+    val row = df.select(agg(keyCol)).head()
+    row.getSeq[Long](0).toArray
+  }
+
+  def bloomMightContain(words: Array[Long], numHashes: Int, key: Column): Column =
+    ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), words, numHashes))
+}

@@ -434,20 +434,68 @@ object Dedup {
       minShared: Int = 1, compressGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    def grams(df: DataFrame, outId: String): DataFrame =
-      // tokenization in its own projection: [[shinglesFromTokens]] references
-      // the token array once per window, and inlining the filter(split())
-      // tree there would re-tokenize the doc per window (the t06 lesson —
-      // CollapseProject leaves a multiply-referenced non-cheap expression
-      // in its own stage)
-      df.filter(col(textCol).isNotNull)
-        .select(col(idCol).as(outId), TextOps.tokens(col(textCol)).as("__toks"))
-        .select(col(outId),
-          explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("gram"))
-        .filter(col("gram") =!= "") // token-less docs share nothing
     def keyed(df: DataFrame): DataFrame =
       if (compressGrams) df.withColumn("gram", xxhash64(col("gram"))) else df
-    keyed(grams(train, "train_id")).join(keyed(grams(eval, "eval_id")), "gram")
+    keyed(docDistinctGrams(train, idCol, textCol, n, "train_id"))
+      .join(keyed(docDistinctGrams(eval, idCol, textCol, n, "eval_id")), "gram")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** One (outId, gram) row per DISTINCT n-gram of each doc — the exploded
+    * inverted-index input shared by the exact and Bloom-prefiltered
+    * contamination checks. Tokenization sits in its own projection:
+    * [[shinglesFromTokens]] references the token array once per window,
+    * and inlining the filter(split()) tree there would re-tokenize the doc
+    * per window (the t06 lesson — CollapseProject leaves a
+    * multiply-referenced non-cheap expression in its own stage).
+    */
+  private def docDistinctGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, outId: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as(outId), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(outId),
+        explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("gram"))
+      .filter(col("gram") =!= "") // token-less docs share nothing
+
+  /** Bloom-prefiltered exact n-gram contamination — identical OUTPUT to
+    * [[exactNgramContamination]] (the same (train_id, eval_id, n_shared)
+    * rows), restructured the way trillion-token pipelines (Dolma,
+    * RedPajama) actually run the check: a Bloom filter is built once from
+    * the SMALL side (the eval benchmark's distinct gram hashes — a few MB
+    * of bits), shipped to every executor inside a codegen'd probe
+    * expression ([[graft.functions.BloomMightContainExpr]]), and the huge
+    * train-side gram stream is pruned BEFORE it reaches the join's
+    * shuffle. The composition stays EXACT because Bloom error is
+    * one-sided: a false "might contain" survives to the confirm join on
+    * the raw gram string and drops out there; a false negative is
+    * impossible, so no true match is ever lost.
+    *
+    * 100 TB shape: the eval side of any decontamination run is fixed and
+    * small (benchmarks, not corpora), so the filter build is a bounded
+    * one-scan aggregation with constant-size merges, and the train side —
+    * the 100 TB — pays two multiplies and k bit-loads per gram instead of
+    * shuffling ~every gram; shuffle volume falls to true hits + the FP
+    * rate (size `numBits` by m ≈ -n·ln(p)/(ln 2)², scaladoc on
+    * [[graft.functions.BloomAggregator]]).
+    *
+    * The filter build runs a Spark job at plan-construction time (the same
+    * bounded driver hop as [[Similarity]]'s IVF centroid training); the
+    * returned frame then plans lazily as usual.
+    */
+  def bloomNgramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minShared: Int = 1,
+      numBits: Long = 1L << 22, numHashes: Int = 7): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    import graft.functions.BloomFilterOps
+    val evalGrams = docDistinctGrams(eval, idCol, textCol, n, "eval_id")
+    val words = BloomFilterOps.buildBloom(
+      evalGrams.select(xxhash64(col("gram")).as("h")), col("h"), numBits, numHashes)
+    docDistinctGrams(train, idCol, textCol, n, "train_id")
+      .filter(BloomFilterOps.bloomMightContain(words, numHashes, xxhash64(col("gram"))))
+      .join(evalGrams, "gram")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

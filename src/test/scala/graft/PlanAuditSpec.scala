@@ -95,6 +95,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "d22_keep_best" -> (3, 1),
     // one (bands,band,key) agg + one 3-row final agg; zero pairs, zero joins
     "d23_band_sensitivity" -> (2, 0),
+    // d14's gram join behind the codegen'd Bloom probe: the probe is a
+    // scan-side filter (no plan node of its own), so the budget matches
+    // d14 — AQE broadcasts the pruned eval side, one agg shuffle
+    "d24_bloom_decontam" -> (1, 1),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
