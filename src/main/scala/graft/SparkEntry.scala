@@ -2752,6 +2752,51 @@ object SparkEntry {
                AND date_diff('second', CAST(s.ts AS TIMESTAMP),
                      CAST(p.ts AS TIMESTAMP)) <= 604800)"""),
 
+    // interval coalesce / gaps-and-islands (round 12): each event claims
+    // [ts, ts + floor(value*60) s); overlapping-or-touching claims merge
+    // into maximal per-user spans via running-max island detection — both
+    // windows keyed by user, never a global sort. Duration through
+    // FLOOR(value*60) so both engines hit the same exact double before
+    // the integer cast (bare CAST truncates in Spark, rounds in DuckDB)
+    "j08_interval_coalesce" -> entry(
+      (s, d) => {
+        val iv = t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) +
+              floor(col("value") * 60).cast("long") * 1000000L).as("e_us"))
+        JoinOps.coalesceIntervals(iv, "user_id", "s_us", "e_us")
+          .select(col("user_id"), col("island"),
+            timestamp_micros(col("span_start")).as("span_start"),
+            timestamp_micros(col("span_end")).as("span_end"),
+            col("n_intervals"))
+      },
+      """WITH iv AS (
+           SELECT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+                  epoch_us(CAST(ts AS TIMESTAMP))
+                    + CAST(FLOOR(value * 60) AS BIGINT) * 1000000 AS e_us
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         w AS (
+           SELECT user_id, s_us, e_us,
+                  MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         f AS (
+           SELECT user_id, s_us, e_us,
+                  CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS op
+           FROM w),
+         i AS (
+           SELECT user_id, s_us, e_us,
+                  CAST(SUM(op) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM f)
+         SELECT user_id, island,
+                make_timestamp(MIN(s_us)) AS span_start,
+                make_timestamp(MAX(e_us)) AS span_end,
+                CAST(COUNT(*) AS BIGINT) AS n_intervals
+         FROM i GROUP BY 1, 2"""),
+
     // point-in-interval range join, bucketized: intervals explode to the
     // fixed-width buckets they overlap, points land in one bucket, and
     // the match is an EQUI-join + exact BETWEEN — never the nested loop a

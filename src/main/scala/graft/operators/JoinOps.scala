@@ -328,4 +328,50 @@ object JoinOps {
       .filter(col("__b") === floor(greatest(col(loA), col(loB)) / bucketWidth))
       .drop("__b")
   }
+
+  /** Interval COALESCE (gaps-and-islands): merge each key's overlapping or
+    * touching intervals into maximal disjoint spans — session stitching,
+    * redaction-span flattening, downtime-window consolidation. Emits one
+    * row per island: (key, island ordinal from 1, span bounds, member
+    * count). Intervals are half-open in spirit — `start == prev end`
+    * touches and therefore merges; `start > prev end` opens a new island.
+    *
+    * Classic two-window construction, both windows partitioned BY KEY
+    * (never a global sort): a running `max(end)` over preceding rows marks
+    * island openers (a plain `lag(end)` would break on nested intervals —
+    * a long interval can swallow many following short ones), and the
+    * running sum of opener flags numbers the islands; one aggregate
+    * collapses members to spans. Per-key cost is that key's interval
+    * count; at 100 TB keys parallelize freely and no state beyond one
+    * window partition is held. With duplicate (start, end) rows the
+    * tie order inside a window is engine-chosen, but only a tie group's
+    * first row can ever open an island and all members land in the same
+    * island, so the emitted aggregates are deterministic anyway.
+    *
+    * Rows with a NULL bound are dropped (an unbounded claim, not a
+    * mergeable interval — and the engines disagree on NULL sort
+    * placement); inverted intervals (end < start) are rejected loudly
+    * rather than silently producing phantom islands.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStart = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val running = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(startCol), col(endCol))
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(keyCol), col(startCol),
+        when(col(endCol) >= col(startCol), col(endCol))
+          .otherwise(raise_error(concat(lit("coalesceIntervals: inverted interval ["),
+            col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
+            lit(")")))).as(endCol))
+      .withColumn("__pmax", max(col(endCol)).over(prevMax))
+      .withColumn("__open",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("__open")).over(running))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

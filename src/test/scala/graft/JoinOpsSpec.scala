@@ -365,4 +365,40 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == want && want == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 12L)),
       s"got $got")
   }
+
+  test("coalesceIntervals: nested interval swallows followers (running max, not lag)") {
+    import spark.implicits._
+    // [0,100] contains [10,20] and [30,40]; a lag(end)-based island flag
+    // would wrongly open a new island at [30,40] (prev END is 20 < 30)
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L), (1L, 150L, 160L))
+      .toDF("k", "s", "e")
+    val got = JoinOps.coalesceIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 100L, 3L), (2L, 150L, 160L, 1L)), got)
+  }
+
+  test("coalesceIntervals: touching merges, 1-apart splits, per-key isolation") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L), (1L, 10L, 20L), (1L, 21L, 30L),
+      (2L, 5L, 6L)).toDF("k", "s", "e")
+    val got = JoinOps.coalesceIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((1L, 1L, 0L, 20L, 2L), (1L, 2L, 21L, 30L, 1L),
+      (2L, 1L, 5L, 6L, 1L)), got)
+  }
+
+  test("coalesceIntervals: NULL bounds dropped, inverted interval raises") {
+    import spark.implicits._
+    val withNull = Seq((1L, Some(0L), Some(5L)), (1L, None, Some(9L)), (1L, Some(7L), None))
+      .toDF("k", "s", "e")
+    val got = JoinOps.coalesceIntervals(withNull, "k", "s", "e").collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L && got(0).getLong(3) == 5L)
+    val inverted = Seq((1L, 10L, 3L)).toDF("k", "s", "e")
+    val e = intercept[Exception] {
+      JoinOps.coalesceIntervals(inverted, "k", "s", "e").collect()
+    }
+    assert(e.getMessage.contains("inverted interval"), e.getMessage)
+  }
 }

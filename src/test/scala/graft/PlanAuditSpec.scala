@@ -62,6 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // one forward as-of window merge (union + key exchange); the
     // NOT-EXISTS-over-range shape this replaces would nested-loop
     "j07_no_followup" -> (1, 0),
+    // both islands windows AND the span aggregate share one user_id
+    // exchange: HashPartitioning(user_id) satisfies clustering on
+    // (user_id, island), so the groupBy adds no shuffle of its own
+    "j08_interval_coalesce" -> (1, 0),
     // both sides bucketized map-side; the bucket equi-join broadcasts at
     // this SF, ownership dedup is a filter (no distinct shuffle)
     "j04_interval_overlap" -> (0, 1),
