@@ -2034,6 +2034,39 @@ object SparkEntry {
     // the numeric complement of p08's categorical chi-square. Binned, not
     // exact-ECDF: exact needs an unbounded distinct-value walk (the p02
     // lesson); bins bound both the window and the statistic's error
+    // winsorized per-group mean (round 12): exact [p05, p95] quantile
+    // clamp + clip counts — outlier-robust location with the tail mass
+    // reported, not absorbed. Mean = one fp division of exact integers
+    "p13_winsorized" -> entry(
+      (s, d) => graft.operators.Profile.winsorizedStats(
+        t(s, d, "documents"), Seq("source"), "n_chars", 0.05, 0.95),
+      """WITH dist AS (
+           SELECT source, n_chars AS v, COUNT(*) AS cnt
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         w AS (
+           SELECT source, v, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+           FROM dist),
+         b AS (
+           SELECT source,
+             MAX(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+                       AND cum - cnt < GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+                      THEN v END) AS q_lo,
+             MAX(CASE WHEN cum >= GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+                       AND cum - cnt < GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+                      THEN v END) AS q_hi
+           FROM w GROUP BY 1)
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.n_chars < b.q_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN d.n_chars > b.q_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           b.q_lo, b.q_hi,
+           CAST(CAST(SUM(LEAST(GREATEST(d.n_chars, b.q_lo), b.q_hi)) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+         FROM documents d JOIN b USING (source)
+         WHERE d.n_chars IS NOT NULL
+         GROUP BY d.source, b.q_lo, b.q_hi"""),
+
     "p12_ks_drift" -> entry(
       (s, d) => graft.operators.Profile.binnedKsDrift(
         t(s, d, "orders").withColumn("split",

@@ -304,6 +304,46 @@ object Profile {
       .select(lit(med).as("median"), col("quantile").as("mad"))
   }
 
+  /** Per-group WINSORIZED mean — the outlier-robust location estimate
+    * profiling reports want next to the raw mean (a single 2 GB document
+    * shouldn't move a corpus's "typical length"): values are clamped into
+    * the group's exact [pLo, pHi] quantile bounds before averaging, and
+    * the clip counts are reported so the tail mass is visible rather than
+    * silently absorbed.
+    *
+    * Exactness discipline: bounds come from [[groupedQuantiles]] (exact
+    * type-preserving rank selection, not an interpolating sketch), the
+    * clamped sum is an exact integer/decimal aggregate, and the mean is
+    * ONE correctly-rounded fp division — bit-replayable cross-engine.
+    *
+    * Scale shape: the bounds frame is one row per group (broadcast back
+    * — never a window over the raw rows), so the raw data is scanned
+    * twice (once into the per-(group, value) histogram, once for the
+    * clamped aggregate) and shuffled only as group-keyed partial
+    * aggregates. Near-unique value domains should pre-bucket or use the
+    * [[approxQuantiles]] path for bounds instead — same caveat as
+    * [[quantiles]].
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val g = groupCols.map(c => col(s"`$c`"))
+    val v = col(s"`$valueCol`")
+    val bounds = groupedQuantiles(df, groupCols, valueCol, Seq(pLo, pHi))
+      .groupBy(g: _*)
+      .agg(max(when(col("p") === pLo, col("quantile"))).as("q_lo"),
+        max(when(col("p") === pHi, col("quantile"))).as("q_hi"))
+    df.filter(v.isNotNull).join(broadcast(bounds), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("q_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(v > col("q_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        max(col("q_lo")).as("q_lo"), max(col("q_hi")).as("q_hi"),
+        (sum(least(greatest(v, col("q_lo")), col("q_hi"))).cast("double") /
+          count(lit(1))).as("winsorized_mean"))
+  }
+
   /** Per-group Pearson correlation from EXACT sufficient statistics: one
     * aggregation computes n, Σx, Σy, Σxy, Σx², Σy² over DECIMAL-cast
     * inputs — every sum is exact and order-independent (a double `corr()`

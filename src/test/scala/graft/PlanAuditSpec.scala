@@ -103,6 +103,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // scan-side filter (no plan node of its own), so the budget matches
     // d14 — AQE broadcasts the pruned eval side, one agg shuffle
     "d24_bloom_decontam" -> (1, 1),
+    // p04's histogram+window (2) + the clamped re-aggregation (1); the
+    // one-row-per-group bounds frame comes back as a broadcast join
+    "p13_winsorized" -> (3, 1),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),

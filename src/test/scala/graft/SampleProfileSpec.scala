@@ -117,6 +117,25 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.groupedQuantiles(df, Seq("g"), "v", Seq(1.5)))
   }
 
+  test("Profile.winsorizedStats: hand-computed clamp, clip counts, outlier immunity") {
+    // group g: 1..20 plus a 1000 outlier; p=(0.1, 0.9) over n=21 ->
+    // ranks ceil(2.1)=3, ceil(18.9)=19 -> bounds [3, 19]; clamped sum =
+    // 3*3 + (4+..+18) + 3*19 = 231 -> mean 11.0; two clips each side
+    val rows = ((1 to 20).map(v => ("g", v.toLong)) :+ (("g", 1000L))) ++
+      Seq(("h", 5L), ("h", 7L))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = Profile.winsorizedStats(df, Seq("g"), "v", 0.1, 0.9).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(got("g") == ((21L, 2L, 2L, 3L, 19L, 11.0)), got("g"))
+    // tiny group: ranks ceil(.2)=1, ceil(1.8)=2 -> bounds [5, 7], nothing clips
+    assert(got("h") == ((2L, 0L, 0L, 5L, 7L, 6.0)), got("h"))
+    intercept[IllegalArgumentException](
+      Profile.winsorizedStats(df, Seq("g"), "v", 0.9, 0.1))
+  }
+
   test("Profile.approxQuantiles agrees with exact quantiles on a bounded-cardinality column") {
     val vdf = Seq.tabulate(2000)(i => (i.toLong, ((i * 13) % 50).toDouble)).toDF("id", "v")
     val ps = Seq(0.25, 0.5, 0.75)
