@@ -1641,6 +1641,35 @@ object SparkEntry {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3"""),
 
+    // audio frame energy + silence gate (round 12): the third modality —
+    // payload read as u8 PCM (real WAV sample format; a compressed codec
+    // swaps in at the PcmFrameEnergyExpr seam), exact-integer per-frame
+    // energy Σ(sample−128)², zero shuffles/UDFs. ASCII guard pins
+    // byte ≡ codepoint so DuckDB's ord() replays the byte stream
+    "m05_audio_energy" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("text").rlike("^[ -~]*$"))
+        Multimodal.audioFrameEnergy(
+          Multimodal.attachBinary(docs, "doc_id", "text"),
+          frameLen = 64, silenceThreshold = 100000L)
+      },
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')),
+         f AS (
+           SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT))) AS frame_no
+           FROM d),
+         e AS (
+           SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(
+               range(frame_no * 64 + 1, LEAST((frame_no + 1) * 64, n) + 1),
+               i -> (ord(substr(text, CAST(i AS INT), 1)) - 128)
+                  * (ord(substr(text, CAST(i AS INT), 1)) - 128))) AS BIGINT) AS energy
+           FROM f)
+         SELECT doc_id, frame_no, energy, energy < 100000 AS silent FROM e"""),
+
     // event-type co-occurrence lift (round 11): association-rules
     // primitive over per-user presence sets — deliberately lift, not PMI
     // (PMI = ln lift puts libm at the engine boundary); per-user pair

@@ -315,4 +315,26 @@ object Multimodal {
         col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes))
           .as("frame_bytes"))
   }
+
+  /** Audio frame energy + silence gate: the third modality. The payload is
+    * read as u8 PCM (a real WAV sample format; a compressed codec would
+    * swap in at [[graft.functions.PcmFrameEnergyExpr]] exactly like the
+    * image readers at [[decode]]'s seam) and each `frameLen`-byte frame
+    * emits its exact-integer energy Σ(sample−128)² plus a silence verdict
+    * against `silenceThreshold` — one output row per frame.
+    *
+    * Scale shape: one codegen'd projection + posexplode, zero shuffles,
+    * zero UDFs; frames of one clip stay in the producing partition. The
+    * downstream "trim the silent lead/tail" is then a per-doc aggregate
+    * (min/max frame_no where silent = false), which the caller composes
+    * as a plain groupBy.
+    */
+  def audioFrameEnergy(withBinary: DataFrame, frameLen: Int,
+      silenceThreshold: Long): DataFrame = {
+    require(silenceThreshold >= 0, s"silenceThreshold must be >= 0, got $silenceThreshold")
+    withBinary.select(col("doc_id"),
+        posexplode(graft.functions.PcmFrameEnergyExpr
+          .pcmFrameEnergy(col("payload"), frameLen)).as(Seq("frame_no", "energy")))
+      .withColumn("silent", col("energy") < silenceThreshold)
+  }
 }

@@ -162,4 +162,37 @@ class MultimodalSpec extends AnyFunSuite {
       got(4L).getLong(1) == java.lang.Long.parseLong(hex.substring(0, 15), 16))
     assert(got(5L).isNullAt(1) && got(5L).isNullAt(2), "null payload propagates nulls")
   }
+
+  test("audioFrameEnergy: hand-computed u8 energies, ragged tail, empty clip") {
+    // "ab" as u8 PCM: (97-128)² + (98-128)² = 961 + 900 = 1861
+    val clips = Seq((1L, "ab"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    val got = Multimodal.audioFrameEnergy(
+        Multimodal.attachBinary(clips, "doc_id", "text"),
+        frameLen = 2, silenceThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got((1L, 0)) == ((1861L, false)))
+    // doc 2 frame 1 = "cd": (99-128)² + (100-128)² = 841 + 784 = 1625
+    assert(got((2L, 1)) == ((1625L, false)))
+    assert(!got.keys.exists(_._1 == 3L), "zero-length clip emits zero frames")
+    // ragged tail: frameLen 3 over 4 bytes -> frame 1 is just "d" = 784, silent
+    val ragged = Multimodal.audioFrameEnergy(
+        Multimodal.attachBinary(clips.filter(col("doc_id") === 2L), "doc_id", "text"),
+        frameLen = 3, silenceThreshold = 1000L)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(ragged(1) == ((784L, true)), ragged)
+  }
+
+  test("audioFrameEnergy composes to silence trim as one groupBy") {
+    // '~' = 126 sits next to the u8 midpoint: a "~~~" frame has energy
+    // 3·(126-128)² = 12 (silence); "abc" = 961+900+841 = 2702 (voiced)
+    val clips = Seq((1L, "~~~abc~~~")).toDF("doc_id", "text")
+    val trim = Multimodal.audioFrameEnergy(
+        Multimodal.attachBinary(clips, "doc_id", "text"),
+        frameLen = 3, silenceThreshold = 1000L)
+      .filter(!col("silent"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("frame_no")).as("first_voiced"), max(col("frame_no")).as("last_voiced"))
+      .collect().head
+    assert(trim.getInt(1) == 1 && trim.getInt(2) == 1)
+  }
 }

@@ -109,6 +109,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
+    // one codegen'd projection + posexplode — frames never leave their
+    // producing partition
+    "m05_audio_energy" -> (0, 0),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
