@@ -2387,6 +2387,50 @@ object SparkEntry {
            AND (n * 24 - s) * (n * 24 - s) > 9 * (ss * 24 - s * s)""",
     ),
 
+    // CUSUM drift detection (round 12): the sustained-shift complement
+    // of s06's per-bucket z-test, via the closed form S = P − min(0,
+    // min P) — integer-exact (deviations scaled by n_days, no fp mean).
+    // The last 9 days of clicks are doubled: a +100% sustained shift no
+    // single day of which is a 3σ spike
+    "s17_cusum_drift" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+          .filter(col("ts").isNotNull)
+        val shift = ev.filter(col("event_type") === "click" &&
+          col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp"))
+        graft.operators.EventOps.cusumDrift(ev.union(shift), "event_type", "ts", z = 3)
+      },
+      """WITH base AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE ts IS NOT NULL),
+         spiked AS (
+           SELECT event_type, ts FROM base
+           UNION ALL
+           SELECT event_type, ts FROM base
+           WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-22'),
+         daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  COUNT(*) AS n
+           FROM spiked GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM daily),
+         p AS (
+           SELECT event_type, day, n, tot,
+             CAST(SUM(n * nd - tot) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+           FROM w),
+         c AS (
+           SELECT event_type, day, n, tot,
+             pp - LEAST(0, CAST(MIN(pp) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum
+           FROM p)
+         SELECT event_type, day, CAST(n AS BIGINT) AS n, cusum,
+                cusum > 3 * tot AS drift
+         FROM c"""),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

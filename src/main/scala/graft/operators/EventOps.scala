@@ -478,4 +478,46 @@ object EventOps {
       .groupBy(col("bucket"))
       .agg(sum(col("__n")).as("n_gaps"), count(lit(1)).as("n_users"))
   }
+
+  /** One-sided CUSUM drift detection over daily counts per event type —
+    * the SUSTAINED-shift complement of [[spikes]]' single-bucket z-test:
+    * a slow creep that never spikes any one day accumulates in
+    * S_i = max(0, S_{i−1} + (x_i − mean)) until it crosses the decision
+    * threshold `z · mean`.
+    *
+    * The recurrence looks un-windowable, but has the classic closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    * deviations — two running windows, both partitioned by type.
+    * INTEGER-EXACT throughout: deviations are scaled by n_days
+    * (dev = x·n_days − total avoids the fp mean entirely), so cusum and
+    * the threshold compare (cusum > z · total · 1 ≡ S_real > z · mean)
+    * are pure BIGINT arithmetic, bit-replayable on any engine.
+    *
+    * Scale shape: one day-grain pre-aggregation off the raw stream, then
+    * all three windows share ONE per-type exchange over day rows
+    * (≤ a few thousand per type) — the raw event volume is never
+    * windowed. Reference mean = the type's full-period mean; for a
+    * production monitor feed a fixed baseline period instead.
+    *
+    * @return (event_type, day, n, cusum, drift) — `cusum` in count·n_days
+    *   units; `drift` true where the scaled statistic exceeds z · total
+    */
+  def cusumDrift(events: DataFrame, typeCol: String, tsCol: String,
+      z: Int = 3): DataFrame = {
+    require(z >= 1, s"z must be >= 1, got $z")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__nd", count(lit(1)).over(byType))
+      .withColumn("__tot", sum(col("n")).over(byType))
+      .withColumn("__p", sum(col("n") * col("__nd") - col("__tot")).over(ordered))
+      .withColumn("cusum", col("__p") - least(lit(0L), min(col("__p")).over(ordered)))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        (col("cusum") > lit(z.toLong) * col("__tot")).as("drift"))
+  }
 }

@@ -339,4 +339,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(again == got)
     intercept[IllegalArgumentException](EventOps.peakConcurrency(ev, "ts", ttlSec = 0))
   }
+
+  test("cusumDrift: closed form matches the hand-run recurrence, flags the sustained shift") {
+    // type a: 4 days at 10 then 4 days at 30 (n_days=8, total=160, mean=20).
+    // Hand recurrence S_i = max(0, S_{i-1} + x_i - 20): 0,0,0,0,10,20,30,40.
+    // Scaled by n_days: cusum = 0,0,0,0,80,160,240,320; z=1 threshold =
+    // total = 160 -> drift on the last two days only (240, 320; 160 is not >)
+    def day(d: Int, i: Int) =
+      new Timestamp(86400000L * d + i * 1000L)
+    val rows = (0 until 4).flatMap(d => (0 until 10).map(i => ("a", day(d, i)))) ++
+      (4 until 8).flatMap(d => (0 until 30).map(i => ("a", day(d, i)))) ++
+      (0 until 8).map(d => ("b", day(d, 0))) :+ (("a", null: Timestamp))
+    val got = EventOps.cusumDrift(rows.toDF("event_type", "ts"), "event_type", "ts", z = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val aCusum = (0L to 7L).map(d => got(("a", d))._2)
+    assert(aCusum == Seq(0L, 0L, 0L, 0L, 80L, 160L, 240L, 320L), aCusum)
+    assert((0L to 7L).map(d => got(("a", d))._3) ==
+      Seq(false, false, false, false, false, false, true, true))
+    // a constant series never accumulates and never drifts
+    assert((0L to 7L).forall(d => got(("b", d)) == ((1L, 0L, false))))
+    assert(got.size == 16, "NULL ts contributes no day row")
+    intercept[IllegalArgumentException](
+      EventOps.cusumDrift(rows.toDF("event_type", "ts"), "event_type", "ts", z = 0))
+  }
 }

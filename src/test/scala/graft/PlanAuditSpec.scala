@@ -245,6 +245,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // two s09-shaped passes (each: (user,day) distinct + window-day
     // distinct + day agg) joined on the day-count-sized frames
     "s16_stickiness" -> (4, 1),
+    // day-grain pre-agg (1) + one per-type exchange all three windows
+    // share; the raw event stream is never windowed
+    "s17_cusum_drift" -> (2, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
