@@ -145,6 +145,63 @@ object SparkEntry {
        ${annOracleTail(k)}"""
   }
 
+  /** Generated DuckDB replay of d25's nProbe → recall curve: the same
+    * deterministic centroid set as [[ivfOracleSql]] (trained ONCE, shared
+    * across the probe configs), then one flat CTE chain per nProbe —
+    * probe list, cell-candidate join, cosine re-rank, recall@k against
+    * the shared exact baseline — UNION ALL'd into the (n_probe, q_id,
+    * recall, n_returned) curve. Replays [[Similarity.withRecallAtK]]'s
+    * exact-side-driven join and least(n_exact, k) denominator per config.
+    */
+  private def ivfCurveOracleSql(spark: SparkSession, dir: String, nProbes: Seq[Int],
+      nCentroids: Int, sampleSize: Int, iters: Int, k: Int): String = {
+    val centroids = graft.operators.Similarity.ivfCentroids(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, list_dot_product(v, ${c.mkString("[", ", ", "]")}) AS sim FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    val perNp = nProbes.map { np =>
+      s"""probes$np AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $np AND vec_id < 10),
+       cand$np AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+                   FROM probes$np p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       scored$np AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qa.v, nb.v) AS cos
+                     FROM cand$np c JOIN n qa ON qa.vec_id = c.q_id
+                       JOIN n nb ON nb.vec_id = c.n_id),
+       ap$np AS (SELECT q_id, n_id FROM (
+                   SELECT q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                   FROM scored$np) WHERE rank <= $k),
+       hits$np AS (SELECT a.q_id, COUNT(*) AS n_hit
+                   FROM ap$np a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY 1),
+       ret$np AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_returned
+                  FROM ap$np GROUP BY 1)"""
+    }.mkString(",\n       ")
+    val branches = nProbes.map { np =>
+      s"""SELECT $np AS n_probe, n_ex.q_id,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall,
+           COALESCE(r.n_returned, 0) AS n_returned
+         FROM n_ex LEFT JOIN hits$np h ON h.q_id = n_ex.q_id
+           LEFT JOIN ret$np r ON r.q_id = n_ex.q_id"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       sims AS (
+       $cellSims),
+       ranked AS (SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims),
+       assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       ex AS (SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, nb.vec_id AS n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
+                FROM n q JOIN n nb ON nb.vec_id <> q.vec_id WHERE q.vec_id < 10)
+              WHERE rank <= $k),
+       n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
+       $perNp
+       $branches"""
+  }
+
   /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
     * pre-aggregated to unique (user, ts) so tie resolution is
     * engine-independent; only the direction differs between the twins.
@@ -1147,6 +1204,28 @@ object SparkEntry {
         else Similarity.withRecallAtK(approx,
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
           k = 5)
+      }),
+
+    // IVF probe-budget tuning curve (round 12): per-query recall@k for
+    // nProbe in {1, 2, 4} — the ANN sibling of d23's LSH banding S-curve,
+    // measuring the cost/recall knob an operator actually turns. One
+    // exact baseline serves all configs; recall is withRecallAtK's
+    // rational, so the full curve replays in the generated DuckDB oracle
+    // (same deterministic centroids as d09's replay)
+    "d25_ivf_nprobe_curve" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val exact = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        Seq(1, 2, 4).map { np =>
+          Similarity.withRecallAtK(
+              Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10,
+                k = 5, nProbe = np),
+              exact, k = 5)
+            .groupBy(col("q_id"))
+            .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
+            .select(lit(np).as("n_probe"), col("q_id"), col("recall"), col("n_returned"))
+        }.reduce(_ unionAll _)
       }),
 
     // language-ID heuristic (codegen'd CASE/LIKE chain)
@@ -3259,12 +3338,12 @@ object SparkEntry {
     all.map { case (n, (fn, _)) => n -> fn }.toMap
 
   /** Memoized dynamic-oracle generation per (spark, dir): [[oracleSql]] is
-    * a getter, and regenerating d09's SQL on every call would re-train the
-    * IVF centroids (a driver-side collect plus k-means Spark jobs) as a
-    * hidden side effect of reading a Map.
+    * a getter, and regenerating the d09/d25 SQL on every call would
+    * re-train the IVF centroids (a driver-side collect plus k-means Spark
+    * jobs) as a hidden side effect of reading a Map.
     */
   @volatile private var dynOracleCache
-      : Option[((SparkSession, String), Option[(String, String)], Map[String, String])] = None
+      : Option[((SparkSession, String), Map[String, String], Map[String, String])] = None
 
   def oracleSql: Map[String, String] = {
     val static = all.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
@@ -3277,17 +3356,24 @@ object SparkEntry {
           case Some((c, e, er)) if c == ctx => (e, er)
           case _ =>
             // a generator failure (unreadable embeddings, sample <
-            // nCentroids) must degrade d09 to rows-only, not take down the
-            // whole dump — the static map carries the other entries either
-            // way. NonFatal: an OOM mid-collect must still fail the dump
-            // fast, not serialize from a broken heap
-            val (e, er) =
-              try (Some("d09_ann_ivf" -> ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
-                sampleSize = 1024, iters = 5, k = 5)), Map.empty[String, String])
+            // nCentroids) must degrade ITS entry to rows-only, not take
+            // down the whole dump — the static map carries the other
+            // entries either way. NonFatal: an OOM mid-collect must still
+            // fail the dump fast, not serialize from a broken heap
+            val attempts: Seq[(String, () => String)] = Seq(
+              "d09_ann_ivf" -> (() => ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
+                sampleSize = 1024, iters = 5, k = 5)),
+              "d25_ivf_nprobe_curve" -> (() => ivfCurveOracleSql(s, d, Seq(1, 2, 4),
+                nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)))
+            val results = attempts.map { case (nm, gen) =>
+              try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>
-                System.err.println(s"[oracle] d09 generator failed, entry stays rows-only: $ex")
-                (None, Map("d09_ann_ivf" -> s"$ex"))
+                System.err.println(s"[oracle] $nm generator failed, entry stays rows-only: $ex")
+                Left(nm -> s"$ex")
               }
+            }
+            val e = results.collect { case Right(kv) => kv }.toMap
+            val er = results.collect { case Left(kv) => kv }.toMap
             dynOracleCache = Some((ctx, e, er))
             (e, er)
         }

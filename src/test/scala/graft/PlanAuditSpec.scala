@@ -40,6 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "d07_ann_topk" -> (1, 1),
     "d08_ann_lsh" -> (3, 5),
     "d09_ann_ivf" -> (3, 5),
+    // three probe configs + one shared exact baseline unioned: per-config
+    // recall joins all broadcast (|Q|·k-bounded frames), the four
+    // exchanges are the per-config rank windows + final union agg
+    "d25_ivf_nprobe_curve" -> (4, 9),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is

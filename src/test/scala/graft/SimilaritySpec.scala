@@ -250,4 +250,23 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(again.toSet == kept.toSet)
   }
+
+  test("IVF nProbe curve: recall is monotone in the probe budget, exact at full probe") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 5, k = 3)
+    def meanRecall(np: Int): Double = {
+      val rows = Similarity.withRecallAtK(
+          Similarity.ivfTopK(emb, "vec_id", "embedding",
+            org.apache.spark.sql.functions.col("vec_id") < 5, k = 3,
+            nCentroids = 8, nProbe = np, sampleSize = 64, iters = 3),
+          exact, k = 3)
+        .select("q_id", "recall").distinct().collect().map(_.getDouble(1))
+      rows.sum / rows.length
+    }
+    val curve = Seq(1, 2, 8).map(meanRecall)
+    assert(curve(0) <= curve(1) + 1e-12 && curve(1) <= curve(2) + 1e-12, curve)
+    // probing EVERY cell is brute force: recall must be exactly 1
+    assert(curve(2) == 1.0, curve)
+  }
 }
