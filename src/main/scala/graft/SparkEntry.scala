@@ -2510,6 +2510,32 @@ object SparkEntry {
                 cusum > 3 * tot AS drift
          FROM c"""),
 
+    // hour-of-week seasonality anomaly: each (type, hour) bucket judged
+    // against its own weekly slot's mean/σ in exact integer algebra (the
+    // (k·n − tot)² > z²·(k·SS − tot²) clearing — see EventOps scaladoc);
+    // slot id is pure epoch arithmetic so no DOW convention can diverge
+    "s18_seasonal_anomaly" -> entry(
+      (s, d) => graft.operators.EventOps.seasonalAnomaly(
+        t(s, d, "events").select(col("event_type"), col("ts")), "event_type", "ts", z = 3),
+      """WITH hourly AS (
+           SELECT event_type,
+                  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+                  COUNT(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         slot AS (
+           SELECT event_type, hour, n,
+                  (epoch_us(hour) // 3600000000) % 168 AS how,
+                  COUNT(*) OVER (PARTITION BY event_type,
+                    (epoch_us(hour) // 3600000000) % 168) AS k,
+                  SUM(n) OVER (PARTITION BY event_type,
+                    (epoch_us(hour) // 3600000000) % 168) AS tot,
+                  SUM(n * n) OVER (PARTITION BY event_type,
+                    (epoch_us(hour) // 3600000000) % 168) AS ss
+           FROM hourly)
+         SELECT event_type, hour, CAST(how AS INT) AS how, CAST(n AS BIGINT) AS n,
+                (k * n - tot) * (k * n - tot) > 9 * (k * ss - tot * tot) AS anomaly
+         FROM slot"""),
+
     // event-stream analytics: hourly tumbling aggregation (batch form of the
     // Structured Streaming window; see streaming spec)
     "s01_events_hourly" -> entry(

@@ -520,4 +520,55 @@ object EventOps {
       .select(col("event_type"), col("day"), col("n"), col("cusum"),
         (col("cusum") > lit(z.toLong) * col("__tot")).as("drift"))
   }
+
+  /** Hour-of-week seasonality anomaly: flag (type, hour) buckets that sit
+    * more than `z` standard deviations from THEIR OWN WEEKLY SLOT's mean —
+    * Monday-9am is compared against the population of past Monday-9ams,
+    * never against the adjacent 3am trough. This is the seasonality-aware
+    * complement of [[spikes]] (trailing-window baseline, which a strong
+    * diurnal cycle false-positives every morning) and of [[cusumDrift]]
+    * (level-shift detection, blind to which hour shifted).
+    *
+    * Slot key: `how = (epochSeconds / 3600) mod 168` — pure integer
+    * arithmetic on the epoch, so the slot numbering (slot 0 = the
+    * Thursday-00:00-UTC hour) is engine-independent by construction; no
+    * DOW-convention mismatch (Spark's 1=Sunday vs ISO's 1=Monday) can
+    * reach the result. Two-sided gate in EXACT INTEGER algebra, same
+    * discipline as [[spikes]]: `|n − tot/k| > z·σ` over a slot's k
+    * observed instances clears denominators to
+    * `(k·n − tot)² > z²·(k·SS − tot²)` — no division, no sqrt, no fp.
+    * Longs are exact while `k·n < ~3.0e9` (squares under 2⁶³): with a
+    * 10-year span (k = 522 instances/slot) that is ~5.8M events per
+    * type-hour; past that promote the three factors to DECIMAL(38,0)
+    * ((k·n)² at 1e9 events/hour is 24 digits — still exact in 38).
+    * A single-instance slot (k = 1) has zero variance and n = mean, so it
+    * can never flag — the correct degenerate case.
+    *
+    * Scale shape: ONE (type, hour) aggregation with map-side partials
+    * collapses the raw stream to hours·types rows; the slot window runs on
+    * that tiny frame (second exchange). Observed-buckets-only contract: an
+    * hour with zero events is absent, not a zero instance — compose with
+    * [[gapFillHourly]] upstream when silence itself must be judged.
+    *
+    * @return (event_type, hour, how, n, anomaly) for every observed bucket
+    */
+  def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      z: Int = 3): DataFrame = {
+    require(z >= 1, s"z must be >= 1, got $z")
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("how",
+        pmod(floor(unix_timestamp(col("hour")) / 3600L).cast("long"), lit(168L)))
+    val slot = Window.partitionBy(col("event_type"), col("how"))
+    val dev = col("__k") * col("n") - col("__tot")
+    hourly
+      .withColumn("__k", count(lit(1)).over(slot))
+      .withColumn("__tot", sum(col("n")).over(slot))
+      .withColumn("__ss", sum(col("n") * col("n")).over(slot))
+      .select(col("event_type"), col("hour"), col("how").cast("int").as("how"), col("n"),
+        (dev * dev > lit(z.toLong * z) *
+          (col("__k") * col("__ss") - col("__tot") * col("__tot"))).as("anomaly"))
+  }
 }

@@ -364,4 +364,28 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EventOps.cusumDrift(rows.toDF("event_type", "ts"), "event_type", "ts", z = 0))
   }
+
+  test("seasonalAnomaly: slot-relative flags, epoch slot ids, degenerate k=1") {
+    def hr(h: Int, i: Int) = new Timestamp(h * 3600000L + i * 1000L)
+    // type a, slot 0 (epoch hours 0, 168, 336, 504 — four "weeks" of the
+    // Thursday-00:00 slot): counts 10, 10, 10, 30. k=4 tot=60 ss=1200;
+    // z=1 gate (k·n−tot)² > (k·ss−tot²) = 1200: n=30 → 60² = 3600 > 1200
+    // flags; n=10 → (−20)² = 400 does not.
+    val rows =
+      (0 until 3).flatMap(w => (0 until 10).map(i => ("a", hr(w * 168, i)))) ++
+        (0 until 30).map(i => ("a", hr(3 * 168, i))) ++
+        Seq(("b", hr(5, 0))) :+ (("a", null: Timestamp))
+    val got = EventOps.seasonalAnomaly(rows.toDF("event_type", "ts"),
+      "event_type", "ts", z = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+        ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == 5, "NULL ts contributes no bucket")
+    assert(got(("a", 504L)) == ((0, 30L, true)), got.toString)
+    (0 until 3).foreach(w => assert(got(("a", w * 168L)) == ((0, 10L, false))))
+    // a single-instance slot has zero variance and n = mean: never flags
+    assert(got(("b", 5L)) == ((5, 1L, false)))
+    intercept[IllegalArgumentException](
+      EventOps.seasonalAnomaly(rows.toDF("event_type", "ts"), "event_type", "ts", z = 0))
+  }
 }

@@ -252,6 +252,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // day-grain pre-agg (1) + one per-type exchange all three windows
     // share; the raw event stream is never windowed
     "s17_cusum_drift" -> (2, 0),
+    // hourly pre-agg + the (type, slot) window: both frames are
+    // hours·types-sized, the raw stream is reduced in the first exchange
+    "s18_seasonal_anomaly" -> (2, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
