@@ -2036,6 +2036,41 @@ object SparkEntry {
              / (SELECT total FROM tot) AS coverage
          FROM top"""),
 
+    // bigram-LM cross-entropy quality score (round 12): the KenLM-style
+    // perplexity filter — add-one-smoothed bigram model trained on the
+    // corpus itself, each doc scored by mean −ln P(w2|w1). Per-bigram
+    // logs round to 9 dp from exact integer operands, the per-doc sum is
+    // an exact DECIMAL(28,9) reduction (order-independent), final score
+    // one fp division — the p05/t12 determinism recipe
+    "t23_lm_score" -> entry(
+      (s, d) => TextOps.lmQualityScore(t(s, d, "documents"), "doc_id", "text"),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)),
+               i -> concat_ws(' ', w[i], w[i+1])) END AS g2
+           FROM w),
+         tot AS (SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_bigrams FROM g),
+         e AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+         c12 AS (SELECT gram, COUNT(*) AS c12 FROM e GROUP BY 1),
+         ctx AS (SELECT split_part(gram, ' ', 1) AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1
+                 FROM c12 GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT split_part(gram, ' ', 2)) AS v FROM c12),
+         sc AS (SELECT e.doc_id,
+                  CAST(round(-ln(CAST(c.c12 + 1 AS DOUBLE) / (x.c1 + v.v)), 9)
+                    AS DECIMAL(28,9)) AS lp
+                FROM e
+                JOIN c12 c ON c.gram = e.gram
+                JOIN ctx x ON x.w1 = split_part(e.gram, ' ', 1)
+                CROSS JOIN v),
+         agg AS (SELECT doc_id, SUM(lp) AS s FROM sc GROUP BY 1)
+         SELECT t.doc_id, t.n_bigrams,
+                CAST(a.s AS DOUBLE) / t.n_bigrams AS xent
+         FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id"""),
+
     // LSH banding S-curve audit (round 12): candidate-pair volume per
     // band config from bucket SIZES (n·(n−1)/2 per bucket) — the
     // bands/rows tuning measurement, one aggregate, zero pairs

@@ -617,4 +617,57 @@ object TextOps {
         sum(col("__s")).cast("long").as("n_semis"),
         sum(col("__a")).cast("long").as("n_assigns"))
   }
+
+  /** Bigram language-model cross-entropy per document — the KenLM-style
+    * "perplexity filter" quality signal (CCNet/Gopher lineage): train
+    * add-one-smoothed bigram statistics on the corpus itself, then score
+    * each document by the mean negative log-probability of its bigrams.
+    * High cross-entropy = text the corpus's own statistics find
+    * improbable (gibberish, boilerplate soup, wrong-language fragments);
+    * the score feeds a threshold or stratified-sampling curation stage.
+    *
+    * Model: P(w2|w1) = (C(w1,w2) + 1) / (C(w1·) + V) with context counts
+    * C(w1·) = Σ_w2 C(w1,w2) and V = |distinct successor vocabulary| — a
+    * self-contained estimate derivable from ONE bigram-count aggregation
+    * (no separate unigram pass; last tokens of documents never pad the
+    * context, keeping the train and score streams identical).
+    *
+    * Scale shape: the corpus reduces to a vocab²-bounded (in practice
+    * Zipf-tiny) bigram-count model in one map-side-partial aggregate +
+    * one context roll-up; scoring is two EQUI-joins of the gram stream
+    * against those model frames (broadcast at dim size, shuffle-hash
+    * beyond — never a window, never all-pairs) and V rides a broadcast
+    * scalar. Determinism discipline (the p05/t12 recipe): each bigram's
+    * −ln P is computed from exact integer operands and immediately
+    * rounded to 9 dp, the per-doc reduction is an EXACT DECIMAL(28,9)
+    * sum (order-independent — a raw double Σln would hash-diverge under
+    * Spark's nondeterministic reduce order), and the final score is one
+    * fp division of exact operands.
+    *
+    * @return (idCol, n_bigrams, xent) — xent in nats/bigram; a doc with
+    *         fewer than 2 tokens has n_bigrams = 0 and NULL xent
+    */
+  def lmQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = df.select(col(idCol), wordNgrams(tokens(col(textCol)), 2).as("__g"))
+    val tot = g.select(col(idCol), size(col("__g")).cast("long").as("n_bigrams"))
+    val e = g.select(col(idCol), explode(col("__g")).as("__gram"))
+    val c12 = e.groupBy(col("__gram")).agg(count(lit(1)).as("__c12"))
+    val ctx = c12.groupBy(substring_index(col("__gram"), " ", 1).as("__w1"))
+      .agg(sum(col("__c12")).as("__c1"))
+    val v = c12.agg(
+      countDistinct(substring_index(col("__gram"), " ", -1)).as("__v"))
+    val scored = e
+      .join(c12, "__gram")
+      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
+      .join(ctx, "__w1")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(-log((col("__c12") + 1).cast("double") / (col("__c1") + col("__v"))), 9)
+          .cast(DecimalType(28, 9)).as("__lp"))
+    tot.join(scored.groupBy(col(idCol)).agg(sum(col("__lp")).as("__s")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams")).as("xent"))
+  }
 }

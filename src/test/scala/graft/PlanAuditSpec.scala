@@ -292,6 +292,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t21_lexical_richness" -> (0, 0), // per-row array algebra, zero shuffle
     // vocab count agg + single-partition exchange for the k-row cum window
     "t22_vocab_coverage" -> (2, 1),
+    // bigram model build (gram agg + context roll-up + 2-exchange
+    // countDistinct V) + per-doc score agg + doc-key join; the model
+    // frames ride broadcasts at this SF (equi-joins at any SF)
+    "t23_lm_score" -> (6, 4),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
