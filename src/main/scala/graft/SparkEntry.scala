@@ -1749,6 +1749,39 @@ object SparkEntry {
            FROM f)
          SELECT doc_id, frame_no, energy, energy < 100000 AS silent FROM e"""),
 
+    // scene-cut detection (round 12): consecutive-frame SSD over the
+    // video-like fixed-stride frame layout (codegen'd
+    // FrameDeltaEnergyExpr), cut where the exact-integer delta exceeds
+    // the threshold; ASCII-only filter keeps ord(char) == payload byte
+    // so DuckDB replays the bytes from the text itself
+    "m06_scene_cuts" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("text").rlike("^[ -~]*$"))
+        Multimodal.sceneCuts(
+          Multimodal.attachBinary(docs, "doc_id", "text"),
+          frameBytes = 16, cutThreshold = 20000L)
+      },
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')),
+         f AS (
+           SELECT doc_id, text, n,
+             unnest(range(1, CAST(ceil(CAST(n AS DOUBLE) / 16) AS BIGINT))) AS frame_no
+           FROM d),
+         e AS (
+           SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(
+               range(0, LEAST((frame_no + 1) * 16, n) - frame_no * 16),
+               i -> (ord(substr(text, CAST(frame_no * 16 + i + 1 AS INT), 1))
+                   - ord(substr(text, CAST((frame_no - 1) * 16 + i + 1 AS INT), 1)))
+                  * (ord(substr(text, CAST(frame_no * 16 + i + 1 AS INT), 1))
+                   - ord(substr(text, CAST((frame_no - 1) * 16 + i + 1 AS INT), 1))))) AS BIGINT) AS delta
+           FROM f)
+         SELECT doc_id, CAST(frame_no AS INT) AS frame_no, delta,
+                delta > 20000 AS cut
+         FROM e"""),
+
     // event-type co-occurrence lift (round 11): association-rules
     // primitive over per-user presence sets — deliberately lift, not PMI
     // (PMI = ln lift puts libm at the engine boundary); per-user pair

@@ -337,4 +337,28 @@ object Multimodal {
           .pcmFrameEnergy(col("payload"), frameLen)).as(Seq("frame_no", "energy")))
       .withColumn("silent", col("energy") < silenceThreshold)
   }
+
+  /** Scene-cut detection for video-like payloads: each consecutive frame
+    * pair emits its exact-integer SSD
+    * ([[graft.functions.FrameDeltaEnergyExpr]]) and a cut verdict against
+    * `cutThreshold` — the shot-boundary signal a video curation pipeline
+    * segments on before per-scene sampling ([[frameSample]] then picks
+    * within scenes). One output row per frame PAIR (`frame_no` = the
+    * index of the pair's SECOND frame, 1-based); a payload with fewer
+    * than two frames contributes no rows.
+    *
+    * Scale shape: one codegen'd projection + posexplode, zero shuffles,
+    * zero UDFs; a clip's pairs stay in the producing partition. The
+    * downstream "scenes per clip" is a plain per-doc aggregate
+    * (1 + Σ cut), which the caller composes as a groupBy.
+    */
+  def sceneCuts(withBinary: DataFrame, frameBytes: Int,
+      cutThreshold: Long): DataFrame = {
+    require(cutThreshold >= 0, s"cutThreshold must be >= 0, got $cutThreshold")
+    withBinary.select(col("doc_id"),
+        posexplode(graft.functions.FrameDeltaEnergyExpr
+          .frameDeltaEnergy(col("payload"), frameBytes)).as(Seq("__p", "delta")))
+      .select(col("doc_id"), (col("__p") + 1).as("frame_no"), col("delta"),
+        (col("delta") > cutThreshold).as("cut"))
+  }
 }

@@ -195,4 +195,36 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(trim.getInt(1) == 1 && trim.getInt(2) == 1)
   }
+
+  test("sceneCuts: hand-computed SSDs, ragged tail pair, short clips emit no rows") {
+    // frameBytes=2 over "aacc": pair (aa,cc) SSD = 2·(99-97)² = 8
+    val clips = Seq((1L, "aacc"), (2L, "aaaz"), (3L, "ab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Multimodal.sceneCuts(
+        Multimodal.attachBinary(clips, "doc_id", "text"),
+        frameBytes = 2, cutThreshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got((1L, 1)) == ((8L, false)), got.toString)
+    // "aaaz": pair (aa, az) SSD = 0 + (122-97)² = 625 > 100 -> cut
+    assert(got((2L, 1)) == ((625L, true)))
+    assert(!got.keys.exists(k => k._1 == 3L || k._1 == 4L),
+      "single-frame and empty clips have no pairs")
+    // ragged tail: frameBytes=3 over "abcd" -> pair (abc, d): (100-97)² = 9,
+    // only the overlapping byte is compared
+    val ragged = Multimodal.sceneCuts(
+        Multimodal.attachBinary(clips.filter(col("doc_id") === 1L)
+          .select(col("doc_id"), lit("abcd").as("text")), "doc_id", "text"),
+        frameBytes = 3, cutThreshold = 100L)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(ragged == Map(1 -> 9L), ragged)
+    // scenes-per-clip composes as 1 + sum(cut)
+    val scenes = Multimodal.sceneCuts(
+        Multimodal.attachBinary(Seq((7L, "aazzaazz")).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        frameBytes = 2, cutThreshold = 100L)
+      .groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("cut").cast("long"))).as("n_scenes"))
+      .collect().head
+    assert(scenes.getLong(1) == 4L, "three cuts over aa|zz|aa|zz -> 4 scenes")
+  }
 }

@@ -116,6 +116,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // one codegen'd projection + posexplode — frames never leave their
     // producing partition
     "m05_audio_energy" -> (0, 0),
+    // codegen'd SSD projection + posexplode: pairs stay in the scan partition
+    "m06_scene_cuts" -> (0, 0),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
