@@ -202,6 +202,58 @@ object SparkEntry {
        $branches"""
   }
 
+  /** Generated DuckDB replay of d26's full PQ/ADC pipeline: embeds the
+    * deterministic per-subspace codebooks ([[Similarity.pqCodebooks]],
+    * trained on the dump dir exactly as the Spark plan trains them) and
+    * recomputes unit-normalization (bit-identical: sequential squared
+    * sum, one sqrt, per-element divide — [[graft.functions
+    * .UnitNormExpr]]'s order), the per-subspace encode argmin over
+    * `‖c‖² − 2·sub·c` with (dist, code) tie order (list_min + first
+    * list_position = lowest code, matching array_min on structs), the
+    * ADC score as the same left-assoc sum of sub-dots in subspace order,
+    * and recall@k against the shared exact baseline. ‖c‖² constants are
+    * folded in Scala with the same left fold the Spark literal uses.
+    */
+  private def pqOracleSql(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int, k: Int): String = {
+    val books = graft.operators.Similarity.pqCodebooks(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", m, ksub, sampleSize, iters)
+    val subDim = books(0)(0).length
+    def lo(j: Int) = j * subDim + 1
+    def hi(j: Int) = (j + 1) * subDim
+    def subCol(src: String, j: Int) = s"$src[${lo(j)}:${hi(j)}]"
+    def lits(c: Array[Double]) = c.mkString("[", ", ", "]")
+    val codeCols = (0 until m).map { j =>
+      val dl = books(j).map { c =>
+        val cc = c.map(x => x * x).sum
+        s"($cc - 2.0 * list_dot_product(${subCol("u", j)}, ${lits(c)}))"
+      }.mkString("[", ",\n              ", "]")
+      s"list_position($dl, list_min($dl)) - 1 AS code$j"
+    }.mkString(",\n            ")
+    val adc = (0 until m).map { j =>
+      val bookLit = books(j).map(lits).mkString("[", ", ", "]")
+      s"list_dot_product(${subCol("q.u", j)}, $bookLit[e.code$j + 1])"
+    }.mkString("\n            + ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       un AS (SELECT vec_id, v,
+                CASE WHEN list_dot_product(v, v) = 0 THEN v
+                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+              FROM n),
+       enc AS (SELECT vec_id,
+            $codeCols
+          FROM un),
+       q AS (SELECT vec_id AS q_id, u FROM un WHERE vec_id < 10),
+       sc AS (SELECT q.q_id, e.vec_id AS n_id,
+            $adc AS score
+          FROM q JOIN enc e ON e.vec_id <> q.q_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+                FROM sc) WHERE rank <= $k),
+       ${annOracleTail(k)}"""
+  }
+
   /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
     * pre-aggregated to unique (user, ts) so tie resolution is
     * engine-independent; only the direction differs between the twins.
@@ -1226,6 +1278,23 @@ object SparkEntry {
             .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
             .select(lit(np).as("n_probe"), col("q_id"), col("recall"), col("n_returned"))
         }.reduce(_ unionAll _)
+      }),
+
+    // product-quantization ANN (round 12): the compressed-scan path —
+    // unit vectors encoded as m per-subspace centroid codes (32× smaller
+    // than the floats), queries score candidates via per-query lookup
+    // tables (asymmetric distance). Oracle is a FULL generated DuckDB
+    // replay embedding the deterministic codebooks
+    // ([[pqOracleSql]] via the d09 oracle-context mechanism), recall@k
+    // recomputed against the d07-proven exact baseline
+    "d26_ann_pq" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val approx = Similarity.pqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 5),
+          k = 5)
       }),
 
     // language-ID heuristic (codegen'd CASE/LIKE chain)
@@ -3458,7 +3527,9 @@ object SparkEntry {
               "d09_ann_ivf" -> (() => ivfOracleSql(s, d, nCentroids = 16, nProbe = 2,
                 sampleSize = 1024, iters = 5, k = 5)),
               "d25_ivf_nprobe_curve" -> (() => ivfCurveOracleSql(s, d, Seq(1, 2, 4),
-                nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)))
+                nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)),
+              "d26_ann_pq" -> (() => pqOracleSql(s, d, m = 8, ksub = 16,
+                sampleSize = 1024, iters = 5, k = 5)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

@@ -429,4 +429,114 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
   }
+
+  /** The deterministic product-quantization codebooks: bounded
+    * seeded-order sample → per-subspace local Euclidean k-means.
+    * `result(j)(c)` is centroid `c` of subspace `j` (dim/m doubles).
+    * Extracted (and `private[graft]`) exactly like [[ivfCentroids]] so
+    * SparkEntry can train the IDENTICAL codebooks at oracle-generation
+    * time and embed them into d26's generated DuckDB replay — pure
+    * functions of the data, no run-time randomness.
+    */
+  private[graft] def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleSize: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+    val sample = all.orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "no non-null vectors to train on")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    require(sample.length >= ksub, "sample smaller than ksub")
+    val subDim = dim / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      var cents = subs.take(ksub)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          // argmin squared distance; minBy keeps the FIRST minimum, so
+          // ties resolve to the lowest code — the same (dist, code)
+          // order the encode expression and the DuckDB replay use
+          val best = cents.indices.minBy { i =>
+            var d2 = 0.0; var t = 0
+            while (t < subDim) { val d = v(t) - cents(i)(t); d2 += d * d; t += 1 }
+            d2
+          }
+          counts(best) += 1
+          v.indices.foreach(t => sums(best)(t) += v(t))
+        }
+        cents = cents.indices.map { i =>
+          if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** Product-quantization approximate top-k (asymmetric distance
+    * computation): unit vectors are chopped into `m` subspaces, each
+    * encoded as its nearest of `ksub` per-subspace centroids — the
+    * corpus compresses from dim·4 bytes to m·log₂(ksub) bits per vector
+    * (64-dim float → 8 bytes at m=8/ksub=16, a 32× reduction) — and a
+    * query scores a candidate as Σ_j LUT_j[code_j], where the per-query
+    * lookup tables LUT_j[c] = dot(q_sub_j, centroid_{j,c}) are computed
+    * ONCE per query (m·ksub sub-dots) and each candidate then costs m
+    * array lookups + adds instead of a dim-length dot.
+    *
+    * That asymmetric-lookup shape is the point at 100 TB: a billion
+    * 768-dim corpus is 3 TB of floats but 16-96 GB of codes — small
+    * enough to keep in executor memory next to the scan, with per-
+    * candidate cost independent of dim. PQ compresses the SCAN; it does
+    * not prune candidates — compose with [[ivfTopK]]'s cell routing
+    * (IVF-PQ) when both are needed. Like ADC everywhere, ranking is
+    * approximate (quantization error); the d26 entry measures recall@k
+    * against [[bruteForceTopK]] via [[withRecallAtK]].
+    *
+    * Determinism: codebooks are plan constants ([[pqCodebooks]]); encode
+    * argmin orders by (distance, code); the ADC sum runs in fixed
+    * subspace order — every double on both engines derives from the same
+    * operands in the same sequence.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, m: Int = 8, ksub: Int = 16, sampleSize: Int = 1024,
+      iters: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1 && ksub >= 2, s"need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
+    require(ksub <= 256, s"ksub=$ksub: a PQ code is a byte per subspace by design")
+    require(sampleSize >= 4 * ksub && sampleSize <= (1 << 20),
+      s"sampleSize=$sampleSize out of [4*ksub, 2^20]: the training sample is " +
+        "collected to the driver; codebook quality saturates long before the cap")
+    val books = pqCodebooks(emb, idCol, vecCol, m, ksub, sampleSize, iters)
+    val subDim = books(0)(0).length
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+    def sub(u: Column, j: Int): Column = slice(u, j * subDim + 1, subDim)
+    // encode: per subspace, argmin_c (||c||² − 2·q_sub·c) with the ‖c‖²
+    // term a plan constant — array_min on (dist, code) structs ties to
+    // the lower code
+    val codes = array((0 until m).map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (c, ci) =>
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * dot(sub(col("unit"), j), typedlit(c.toSeq))).as("dist"),
+          lit(ci).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    val encoded = all.select(col("vec_id"), codes.as("codes"))
+    // per-query LUTs: m×ksub sub-dots, once per query row
+    val luts = array((0 until m).map { j =>
+      array(books(j).map(c => dot(sub(col("unit"), j), typedlit(c.toSeq))): _*)
+    }: _*)
+    val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
+      .select(col("vec_id").as("q_id"), luts.as("luts")))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
 }

@@ -44,6 +44,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // recall joins all broadcast (|Q|·k-bounded frames), the four
     // exchanges are the per-config rank windows + final union agg
     "d25_ivf_nprobe_curve" -> (4, 9),
+    // encode projection + broadcast LUT join + rank window + recall joins
+    // (all |Q|·k-bounded frames broadcast)
+    "d26_ann_pq" -> (2, 5),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is

@@ -269,4 +269,49 @@ class SimilaritySpec extends AnyFunSuite {
     // probing EVERY cell is brute force: recall must be exactly 1
     assert(curve(2) == 1.0, curve)
   }
+
+  test("pqTopK: lossless codebook degenerates to exact ranking; config guards") {
+    // 8 well-separated 4-dim vectors, m=2 subspaces, ksub=8 >= distinct
+    // sub-vectors: k-means init = the sub-vectors themselves, every
+    // assignment has distance 0, so the codebook is LOSSLESS and ADC
+    // ranking must equal brute-force cosine ranking exactly
+    val emb = Seq(
+      (0L, Array(5.0f, 1.0f, 0.0f, 2.0f)),
+      (1L, Array(4.0f, 2.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 7.0f, 3.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f, 6.0f, 2.0f)),
+      (4L, Array(2.0f, 3.0f, 0.0f, 5.0f)),
+      (5L, Array(0.0f, 1.0f, 2.0f, 7.0f)),
+      (6L, Array(3.0f, 0.0f, 4.0f, 1.0f)),
+      (7L, Array(1.0f, 5.0f, 1.0f, 3.0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", col("vec_id") < 2,
+        k = 3, m = 2, ksub = 8, sampleSize = 64, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == exact, s"lossless PQ must match exact: pq=$pq exact=$exact")
+    // real embeddings: a lossy codebook still recovers most of the exact set
+    val real = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val ex20 = Similarity.bruteForceTopK(real, "vec_id", "embedding",
+        col("vec_id") < 5, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.pqTopK(real, "vec_id", "embedding", col("vec_id") < 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = approx.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet, s"all queries answered: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks contiguous for $q")
+      val overlap = rows.map(_._2).count(ex20(q).contains)
+      assert(overlap >= rows.length / 2, s"query $q overlap $overlap of ${rows.length}")
+    }
+    // fixture-sized configs can't silently ship to the wrong scale
+    intercept[IllegalArgumentException](Similarity.pqTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, m = 3)) // 4 % 3 != 0
+    intercept[IllegalArgumentException](Similarity.pqTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, ksub = 512))
+    intercept[IllegalArgumentException](Similarity.pqTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, sampleSize = 8))
+  }
 }
