@@ -1297,6 +1297,41 @@ object SparkEntry {
           k = 5)
       }),
 
+    // content-defined-chunking sub-document dedup (round 12): boundaries
+    // decided by token content (md5 order-hash ≡ 0 mod 8 — the
+    // engine-replayable hash family), so edits never shift downstream
+    // chunks; per doc, the fraction of chunks shared with other docs
+    "d27_cdc_chunks" -> entry(
+      (s, d) => graft.operators.Dedup.cdcChunkShared(
+        t(s, d, "documents"), "doc_id", "text", divisor = 8),
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         e AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+             i -> struct_pack(pos := i - 1, tok := w[i]))) AS pt
+           FROM w),
+         tkn AS (
+           SELECT doc_id, pt.pos AS pos, pt.tok AS tok,
+             CASE WHEN CAST(('0x' || substr(md5(pt.tok), 1, 15)) AS BIGINT) % 8 = 0
+                  THEN 1 ELSE 0 END AS bnd
+           FROM e),
+         c AS (
+           SELECT doc_id, pos, tok,
+             COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           FROM tkn),
+         ch AS (
+           SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+           FROM c GROUP BY 1, 2),
+         cnt AS (SELECT fp, COUNT(*) AS nd
+                 FROM (SELECT DISTINCT fp, doc_id FROM ch) GROUP BY 1)
+         SELECT ch.doc_id, COUNT(*) AS n_chunks,
+                CAST(COUNT(*) FILTER (WHERE cnt.nd > 1) AS BIGINT) AS n_shared_chunks,
+                CAST(COUNT(*) FILTER (WHERE cnt.nd > 1) AS DOUBLE) / COUNT(*) AS shared_ratio
+         FROM ch JOIN cnt ON cnt.fp = ch.fp
+         GROUP BY 1"""),
+
     // language-ID heuristic (codegen'd CASE/LIKE chain)
     "t01_lang_id" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),

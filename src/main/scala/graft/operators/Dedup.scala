@@ -932,4 +932,58 @@ object Dedup {
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Content-defined-chunking sub-document dedup (the storage-dedup /
+    * rsync idea applied to corpus text): chunk boundaries are decided by
+    * the CONTENT — a token is a boundary iff its 60-bit md5 order-hash ≡
+    * 0 (mod `divisor`), giving mean chunk length `divisor` tokens — so an
+    * edit moves only the boundaries of the chunk it touches, never the
+    * downstream ones. Fixed-width chunking loses ALL alignment after one
+    * insertion; CDC is why near-identical documents (version bumps,
+    * boilerplate wrappers, quote chains) still share almost every chunk.
+    * Per doc: how many of its chunks also appear in ≥1 OTHER document —
+    * the sub-document duplication ratio d01/d03 (whole-doc grain) and d17
+    * (pairwise spans) cannot see at corpus grain.
+    *
+    * Per-token boundary decisions (a gear-CDC degenerate with window 1)
+    * keep the rule engine-replayable: the same md5-prefix hash family as
+    * the split/pack operators, so DuckDB replays boundaries bit-for-bit.
+    * Chunk identity = md5 of the space-joined chunk tokens.
+    *
+    * Scale shape: posexplode + ONE doc-key exchange drives both the
+    * boundary prefix-sum window and the per-chunk regroup
+    * (HashPartitioning(doc) satisfies clustering on (doc, chunk)); chunk
+    * fingerprints then cost one corpus-of-chunks aggregate + an equi-join
+    * back (shuffle-hash on fp at scale) + the per-doc roll-up. No
+    * all-pairs anywhere; the cross-doc sharing decision rides the fp key.
+    *
+    * @return (doc_id, n_chunks, n_shared_chunks, shared_ratio)
+    */
+  def cdcChunkShared(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2 (mean chunk length), got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__bnd",
+        when(pmod(SampleOps.md5OrderHash(col("tok")), lit(divisor.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("__bnd")).over(prior), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("fp"))
+    val counts = chunks.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+    chunks.join(counts, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__nd") > 1, lit(1))).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") / col("n_chunks")).as("shared_ratio"))
+  }
 }

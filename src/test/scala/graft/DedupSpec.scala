@@ -630,4 +630,30 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.hammingNearDuplicates(sigs, "id", "sig", blockBits = 17))
   }
+
+  test("cdcChunkShared: insertion shifts no downstream chunks; copies share all, unique shares none") {
+    val a = (0 until 40).map(i => s"tok$i").mkString(" ")
+    // one token inserted after position 0: with content-defined
+    // boundaries, only the chunk CONTAINING the insertion changes (it may
+    // split in two if the new token is itself a boundary) — every other
+    // chunk's text, and therefore fingerprint, is untouched
+    val b = (Seq("tok0", "INSERTED") ++ (1 until 40).map(i => s"tok$i")).mkString(" ")
+    val u = (0 until 30).map(i => s"uniq$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, u), (4L, a), (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkShared(df, "doc_id", "text", divisor = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // exact copies: every chunk shared
+    assert(got(1L)._3 == 1.0 && got(4L)._3 == 1.0, got.toString)
+    assert(got(1L)._1 == got(4L)._1, "copies chunk identically")
+    // CDC robustness: at most 2 of doc 2's chunks miss doc 1/4
+    val (n2, s2, _) = got(2L)
+    assert(s2 >= n2 - 2 && n2 > 2, s"insertion must not cascade: n=$n2 shared=$s2")
+    // unique text shares nothing
+    assert(got(3L) == ((got(3L)._1, 0L, 0.0)) && got(3L)._1 >= 1, got(3L).toString)
+    // token-less and NULL docs are absent, not zero-chunk rows
+    assert(!got.contains(5L) && !got.contains(6L))
+    intercept[IllegalArgumentException](
+      Dedup.cdcChunkShared(df, "doc_id", "text", divisor = 1))
+  }
 }

@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // encode projection + broadcast LUT join + rank window + recall joins
     // (all |Q|·k-bounded frames broadcast)
     "d26_ann_pq" -> (2, 5),
+    // one doc-key exchange serves the boundary window AND the chunk
+    // regroup; + the chunk-fp agg; counts come back broadcast at this SF
+    "d27_cdc_chunks" -> (2, 1),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
