@@ -3519,7 +3519,43 @@ object SparkEntry {
              CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
            FROM dd)
-         SELECT doc_id, n_chars, n_tokens, cum_weight FROM c WHERE cum_weight <= 12000""")
+         SELECT doc_id, n_chars, n_tokens, cum_weight FROM c WHERE cum_weight <= 12000"""),
+
+    // curriculum packing (round 12): rank-exact difficulty quartiles over
+    // the n_chars distribution (distributed prefix sum — no sampled
+    // boundaries), hash-interleaved token shards within each stage; the
+    // easy→hard schedule as a deterministic (stage, shard, seq_no)
+    // manifest, all integer arithmetic
+    "x15_curriculum_pack" -> entry(
+      (s, d) => graft.operators.SampleOps.curriculumPack(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_chars", "n_tokens", nStages = 4, subShards = 8,
+        shardTokens = 500L),
+      """WITH dd AS (
+           SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         hist AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM dd GROUP BY 1),
+         cumh AS (SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+           FROM hist),
+         st AS (SELECT v, LEAST(3, (4 * (cum - cnt)) // n) AS stage FROM cumh),
+         j AS (SELECT dd.doc_id, dd.n_chars, dd.n_tokens, st.stage,
+             CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS oh
+           FROM dd JOIN st ON st.v = dd.n_chars),
+         sh AS (SELECT doc_id, n_chars, CAST(stage AS INT) AS stage,
+             CAST(oh % 8 AS INT) AS shard, oh, n_tokens FROM j),
+         o AS (SELECT doc_id, n_chars, stage, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY stage, shard
+               ORDER BY oh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM sh)
+         SELECT doc_id, n_chars, stage, shard, off // 500 AS seq_no, n_tokens
+         FROM o""")
   )
 
   private lazy val all: Vector[(String, (QFn, Option[String]))] = relational ++ extensions

@@ -279,4 +279,59 @@ object SampleOps {
       .filter(col("__rn") <= col("__quota"))
       .drop("__stratum", "__quota", "__rn")
   }
+
+  /** Curriculum packing: stage every document by a rank-exact difficulty
+    * quantile, then lay each stage out as hash-interleaved token shards —
+    * the easy→hard training schedule, materialized as a deterministic
+    * (stage, shard, seq_no) manifest a loader streams in stage order.
+    *
+    * Stage = `min(nStages−1, nStages·rank_before / n)` over the EXACT
+    * difficulty distribution ([[Profile.distributedPrefixSum]] — no
+    * sampled boundaries, no single-partition window; ties share a stage,
+    * so the rule is engine-replayable integer arithmetic). Within a
+    * stage, docs are ordered by (md5 order-hash, id) — a deterministic
+    * shuffle that decorrelates difficulty from shard position — split
+    * into `subShards` independent packing streams (the x04 idiom: the
+    * within-stage window partitions by (stage, substream), so parallelism
+    * is nStages·subShards, never one task per stage), and cut into
+    * training shards every `shardTokens` tokens by integral division of
+    * the running token offset.
+    *
+    * Scale shape: one histogram aggregate + the distributed prefix sum on
+    * the NDV-sized distribution, an equi-join back on the difficulty
+    * value, and one (stage, substream)-partitioned window. At 100 TB set
+    * `subShards` to O(cluster parallelism). NULL difficulty/id rows are
+    * excluded (a curriculum position is undefined for them); NULL token
+    * counts pack as zero-length, keeping their slot.
+    *
+    * @return (idCol, difficultyCol, stage, shard, seq_no, n_tokens)
+    */
+  def curriculumPack(df: DataFrame, idCol: String, difficultyCol: String,
+      tokensCol: String, nStages: Int = 4, subShards: Int = 16,
+      shardTokens: Long = 1L << 20): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    require(subShards >= 1, s"subShards must be >= 1, got $subShards")
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`")
+    val diff = col(s"`$difficultyCol`")
+    val rows = df.filter(id.isNotNull && diff.isNotNull)
+      .select(id.as("__id"), diff.as("__d"),
+        coalesce(col(s"`$tokensCol`").cast("long"), lit(0L)).as("n_tokens"))
+    val dist = rows.groupBy(col("__d").as("v")).agg(count(lit(1)).as("cnt"))
+    val staged = Profile.distributedPrefixSum(dist)
+      .select(col("v"),
+        least(lit(nStages - 1),
+          expr(s"(${nStages}L * (cum - cnt)) div n")).cast("int").as("stage"))
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("__oh").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(staged, col("__d") === staged("v"))
+      .withColumn("__oh", md5OrderHash(col("__id")))
+      .withColumn("shard", pmod(col("__oh"), lit(subShards.toLong)).cast("int"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("__id").as(idCol), col("__d").as(difficultyCol),
+        col("stage"), col("shard"),
+        expr(s"__off div ${shardTokens}L").as("seq_no"), col("n_tokens"))
+  }
 }

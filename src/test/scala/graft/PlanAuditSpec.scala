@@ -334,6 +334,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (broadcast at this SF — key-hash at scale) + twin-union shuffle
     "x13_dedup_closed_split" -> (2, 1),
     "x14_pack_manifest" -> (1, 0), // one order-independent shard aggregate
+    // difficulty histogram + the prefix-sum block window + stage join +
+    // the (stage, substream) packing window; NDV frames broadcast back
+    "x15_curriculum_pack" -> (4, 2),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

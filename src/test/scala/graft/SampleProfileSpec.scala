@@ -515,4 +515,37 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profile.binnedKsDrift(df, "v", "lbl", "a", "a"))
   }
+
+  test("curriculumPack: exact quartile stages, shard cuts at the token budget, tie cohesion") {
+    // 8 docs, difficulty 1..8, 100 tokens each: rank-exact quartiles put
+    // {1,2}->0 {3,4}->1 {5,6}->2 {7,8}->3; shardTokens=100 cuts each
+    // stage's stream at offsets 0,100 -> seq_no {0,1} regardless of the
+    // hash order (equal token counts)
+    val df = (1L to 8L).map(i => (i, i * 10, 100L)).toDF("doc_id", "diff", "n_tokens")
+    val got = SampleOps.curriculumPack(df, "doc_id", "diff", "n_tokens",
+        nStages = 4, subShards = 1, shardTokens = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 8)
+    (1L to 8L).foreach { i =>
+      val expStage = (((i - 1) / 2)).toInt
+      assert(got(i)._1 == expStage && got(i)._2 == 0 && got(i)._4 == 100L,
+        s"doc $i -> ${got(i)}")
+    }
+    (0 until 4).foreach { st =>
+      val seqs = got.values.filter(_._1 == st).map(_._3).toSeq.sorted
+      assert(seqs == Seq(0L, 1L), s"stage $st cuts: $seqs")
+    }
+    // ties share a stage (the rule is on the VALUE, not the row)
+    val ties = Seq((1L, Some(5), 10L), (2L, Some(5), 10L), (3L, Some(5), 10L),
+      (4L, Some(5), 10L), (5L, None: Option[Int], 10L))
+      .toDF("doc_id", "diff", "n_tokens")
+    val t2 = SampleOps.curriculumPack(ties, "doc_id", "diff", "n_tokens",
+        nStages = 4, subShards = 2, shardTokens = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(t2.values.toSet == Set(0), s"equal difficulty is one stage: $t2")
+    assert(!t2.contains(5L), "NULL difficulty has no curriculum position")
+    intercept[IllegalArgumentException](
+      SampleOps.curriculumPack(df, "doc_id", "diff", "n_tokens", nStages = 0))
+  }
 }
