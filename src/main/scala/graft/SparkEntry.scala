@@ -30,6 +30,21 @@ object SparkEntry {
 
   private type QFn = (SparkSession, String) => DataFrame
 
+  /** The t01 language-ID CASE chain, shared by the t01 oracle and t24's
+    * confusion-matrix oracle so the two can never drift apart. Mirrors
+    * [[TextOps.langId]] marker-for-marker.
+    */
+  private val langCaseSql: String =
+    "CASE WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' OR " +
+      "' ' || text || ' ' LIKE '% die %' OR ' ' || text || ' ' LIKE '% nicht %' THEN 'de' " +
+      "WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% la %' OR " +
+      "' ' || text || ' ' LIKE '% et %' OR ' ' || text || ' ' LIKE '% les %' THEN 'fr' " +
+      "WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% los %' OR " +
+      "' ' || text || ' ' LIKE '% las %' OR ' ' || text || ' ' LIKE '% es %' THEN 'es' " +
+      "WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% a %' OR " +
+      "' ' || text || ' ' LIKE '% and %' OR ' ' || text || ' ' LIKE '% of %' THEN 'en' " +
+      "ELSE 'und' END"
+
   /** A query whose single SQL text runs identically in Spark and DuckDB. */
   private def shared(q: String): (QFn, Option[String]) =
     (((s: SparkSession, dir: String) => { GraftSession.registerFor(s, dir, q); s.sql(q) }), Some(q))
@@ -1335,7 +1350,30 @@ object SparkEntry {
     // language-ID heuristic (codegen'd CASE/LIKE chain)
     "t01_lang_id" -> entry(
       (s, d) => t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
-      "SELECT doc_id, CASE WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' OR ' ' || text || ' ' LIKE '% die %' OR ' ' || text || ' ' LIKE '% nicht %' THEN 'de' WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% la %' OR ' ' || text || ' ' LIKE '% et %' OR ' ' || text || ' ' LIKE '% les %' THEN 'fr' WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% los %' OR ' ' || text || ' ' LIKE '% las %' OR ' ' || text || ' ' LIKE '% es %' THEN 'es' WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% a %' OR ' ' || text || ' ' LIKE '% and %' OR ' ' || text || ' ' LIKE '% of %' THEN 'en' ELSE 'und' END AS lang_pred FROM documents"),
+      s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents"),
+
+    // language-ID confusion matrix (round 12): t01's heuristic audited
+    // against the labeled lang column — the eval step that belongs next
+    // to any classifier-driven curation gate. Per-(truth, prediction)
+    // counts and the within-truth share; the window rides the
+    // languages²-bounded confusion frame, never the corpus
+    "t24_lang_confusion" -> entry(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        t(s, d, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+          .withColumn("__tot", sum(col("n")).over(w))
+          .select(col("lang"), col("lang_pred"), col("n"),
+            (col("n").cast("double") / col("__tot")).as("share"),
+            (col("lang") === col("lang_pred")).as("correct"))
+      },
+      s"""WITH p AS (SELECT lang, $langCaseSql AS lang_pred FROM documents),
+         c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2)
+         SELECT lang, lang_pred, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share,
+           lang = lang_pred AS correct
+         FROM c"""),
 
     // quality-signal scoring
     "t02_quality" -> entry(
@@ -2317,6 +2355,33 @@ object SparkEntry {
     // winsorized per-group mean (round 12): exact [p05, p95] quantile
     // clamp + clip counts — outlier-robust location with the tail mass
     // reported, not absorbed. Mean = one fp division of exact integers
+    // per-source Gini concentration (round 12): the Lorenz-curve scalar
+    // over each source's char-mass distribution — all-integer closed form
+    // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp
+    // division via the p07 VARCHAR-route cast
+    "p14_gini" -> entry(
+      (s, d) => graft.operators.Profile.giniConcentration(
+        t(s, d, "documents").filter(col("source").isNotNull),
+        Seq("source"), "n_chars"),
+      """WITH dist AS (
+           SELECT source, n_chars AS v, COUNT(*) AS cnt FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT source, v, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS b
+           FROM dist),
+         t AS (SELECT source,
+             CAST(SUM(cnt) AS HUGEINT) AS n,
+             SUM(CAST(cnt AS HUGEINT) * v) AS s,
+             SUM(CAST(v AS HUGEINT) * (CAST(cnt AS HUGEINT) * b
+               + (CAST(cnt AS HUGEINT) * (cnt + 1)) // 2)) AS t
+           FROM w GROUP BY 1)
+         SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS total_mass,
+           CASE WHEN n * s = 0 THEN NULL
+                ELSE CAST(CAST(2 * t - (n + 1) * s AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * s AS VARCHAR) AS DOUBLE) END AS gini
+         FROM t"""),
+
     "p13_winsorized" -> entry(
       (s, d) => graft.operators.Profile.winsorizedStats(
         t(s, d, "documents"), Seq("source"), "n_chars", 0.05, 0.95),

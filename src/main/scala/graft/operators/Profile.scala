@@ -457,6 +457,66 @@ object Profile {
         (n2 / col("__ss")).as("effective_values")): _*)
   }
 
+  /** Per-group Gini concentration of a non-negative mass column — "how
+    * unequally is the token/char mass spread across this source's
+    * documents", the Lorenz-curve scalar a mix-rebalancing stage reads
+    * before deciding caps ([[graft.operators.SampleOps.stratifiedCap]] /
+    * temperatureMix): Gini 0 = every doc carries equal mass, →1 = a few
+    * giants carry everything.
+    *
+    * Exactness discipline (the [[categoricalDrift]] argument): Gini over
+    * ascending-sorted masses x₁..x_n is (2·Σi·xᵢ − (n+1)·S) / (n·S) —
+    * and Σi·xᵢ collapses over the VALUE HISTOGRAM to
+    * Σ_v v·(c_v·B_v + c_v(c_v+1)/2) with B_v = docs below v, all integer.
+    * The three aggregates run in DECIMAL(38,0) (a corpus at 10⁹ docs ×
+    * 10⁴ tokens pushes Σi·xᵢ to ~10²² — past int64, 23 digits of 38;
+    * `c·(c+1)` is halved in int64 first, exact while any single group
+    * stays under ~4·10⁹ docs), so the ONLY fp op is the final division
+    * of two exactly-known integers. A negative mass fails in-plan with
+    * the offending value ([[SampleOps.budgetSelect]]'s idiom) — Gini is
+    * undefined there, and silently clamping would misreport concentration.
+    *
+    * Scale shape: one (group, value) aggregation (map-side partials;
+    * NDV-sized output), then windows partitioned BY GROUP over that
+    * histogram — groups in parallel, per-task unit is one group's
+    * distinct-value set, the p04 contract. Zero-mass groups emit NULL
+    * gini (the 0/0 of an all-empty group has no defined Lorenz curve).
+    *
+    * @return (groupCols…, n_docs, total_mass, gini)
+    */
+  def giniConcentration(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "giniConcentration needs at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(c => col(s"`$c`"))
+    val v0 = col(s"`$valueCol`")
+    val vChecked = when(v0 >= 0, v0).otherwise(raise_error(concat(
+      lit(s"giniConcentration: mass column `$valueCol` is negative ("), v0.cast("string"),
+      lit(") — Gini is undefined; filter or clamp negative masses first"))))
+    val dist = df.filter(v0.isNotNull)
+      .select((g :+ vChecked.as("__v")): _*)
+      .groupBy((g :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val byG = Window.partitionBy(g: _*)
+    val before = byG.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = dist
+      .withColumn("__b", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__contrib",
+        dec(col("__v")) * (dec(col("__c")) * dec(col("__b")) +
+          dec(expr("(__c * (__c + 1)) div 2"))))
+    val n = col("n_docs")
+    val s = col("__s")
+    withB.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n_docs"),
+        sum(dec(col("__c")) * dec(col("__v"))).cast(DecimalType(38, 0)).as("__s"),
+        sum(col("__contrib")).cast(DecimalType(38, 0)).as("__t"))
+      .select((g :+ n :+ s.cast("long").as("total_mass") :+
+        when(dec(n) * s === 0, lit(null))
+          .otherwise((lit(2) * col("__t") - (dec(n) + 1) * s).cast("double") /
+            (dec(n) * s).cast("double")).as("gini")): _*)
+  }
+
   /** Categorical drift between two labeled sub-populations: per value, the
     * Pearson chi-square contribution of the 2×1 contingency cell pair —
     * the "did the language/source/format mix move between snapshots (or

@@ -116,6 +116,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // p04's histogram+window (2) + the clamped re-aggregation (1); the
     // one-row-per-group bounds frame comes back as a broadcast join
     "p13_winsorized" -> (3, 1),
+    // (source, value) histogram agg + the per-source Lorenz window
+    "p14_gini" -> (2, 0),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
@@ -304,6 +306,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // countDistinct V) + per-doc score agg + doc-key join; the model
     // frames ride broadcasts at this SF (equi-joins at any SF)
     "t23_lm_score" -> (6, 4),
+    // confusion agg + the per-truth share window on the languages² frame
+    "t24_lang_confusion" -> (2, 0),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),

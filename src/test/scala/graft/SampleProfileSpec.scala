@@ -548,4 +548,27 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SampleOps.curriculumPack(df, "doc_id", "diff", "n_tokens", nStages = 0))
   }
+
+  test("giniConcentration: hand-computed Lorenz values, equal-mass zero, empty-mass NULL, negative fails") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // G = (2*30 - 5*10)/(4*10) = 0.25
+      ("b", 5L), ("b", 5L), ("b", 5L),            // equal masses: G = 0 exactly
+      ("c", 7L),                                  // single doc: G = 0
+      ("d", 0L), ("d", 0L))                       // zero total mass: NULL
+      .toDF("src", "mass")
+    val got = Profile.giniConcentration(df, Seq("src"), "mass")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("a") == ((4L, 10L, Some(0.25))), got("a").toString)
+    assert(got("b") == ((3L, 15L, Some(0.0))))
+    assert(got("c") == ((1L, 7L, Some(0.0))))
+    assert(got("d") == ((2L, 0L, None)))
+    val ex = intercept[Exception] {
+      Profile.giniConcentration(Seq(("x", -1L)).toDF("src", "mass"),
+        Seq("src"), "mass").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("giniConcentration")), msgs(ex).mkString(" | "))
+  }
 }
