@@ -2355,6 +2355,33 @@ object SparkEntry {
     // winsorized per-group mean (round 12): exact [p05, p95] quantile
     // clamp + clip counts — outlier-robust location with the tail mass
     // reported, not absorbed. Mean = one fp division of exact integers
+    // exact heavy hitters via Misra–Gries prune + exact confirm (round
+    // 12): the sketch pass moves ≤k counters per partition, never the
+    // NDV histogram; MG's no-eviction guarantee makes the thresholded
+    // result deterministic, so a plain exact SQL oracle hash-matches.
+    // Skew injected deterministically (the s17/t20 idiom — the fixture's
+    // cohorts are near-uniform): residues 7/11 arrive 4×
+    "p15_heavy_hitters" -> entry(
+      (s, d) => {
+        val base = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(pmod(col("user_id"), lit(40L)).cast("string").as("cohort"))
+        val boost = base.filter(col("cohort").isin("7", "11"))
+        graft.operators.Profile.frequentItems(
+          base.union(boost).union(boost).union(boost), "cohort", k = 16)
+      },
+      """WITH base AS (
+           SELECT CAST(user_id % 40 AS VARCHAR) AS cohort FROM events
+           WHERE user_id IS NOT NULL),
+         sk AS (
+           SELECT cohort FROM base
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')),
+         c AS (SELECT cohort, COUNT(*) AS cnt FROM sk GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+         SELECT c.cohort, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS share
+         FROM c, t WHERE c.cnt * 17 > t.n"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

@@ -457,6 +457,54 @@ object Profile {
         (n2 / col("__ss")).as("effective_values")): _*)
   }
 
+  /** Exact heavy hitters through a Misra–Gries prune: every value whose
+    * true count exceeds n/(k+1), with its EXACT count and share — found
+    * without ever shuffling the value histogram.
+    *
+    * Two passes, both shuffle-light at any scale (the
+    * [[graft.functions.BloomAggregator]] prune-then-confirm discipline):
+    *  1. one [[graft.functions.MisraGriesAggregator]] total aggregation —
+    *     each partition contributes ≤k counters, so the shuffle carries
+    *     k·partitions map entries, never the NDV-sized histogram a
+    *     groupBy would move (the whole point for id-like columns whose
+    *     distinct count rivals the row count);
+    *  2. an exact confirm: count ONLY the ≤k surviving candidates (the
+    *     `isin` filter reaches the scan) and keep those with
+    *     `cnt·(k+1) > n` — integer arithmetic, no fp threshold.
+    *
+    * MG's one-sided guarantee (no true heavy hitter can be evicted) makes
+    * the composition deterministic even though MG's internal counters are
+    * processing-order-dependent: the thresholded result ALWAYS equals the
+    * exact-threshold answer, which is why a plain exact SQL oracle can
+    * hash-match it. A value column of any type is counted on its string
+    * form (the sketch key), mirrored trivially in SQL by a CAST.
+    *
+    * @return (valueCol, cnt, share) for each value with cnt·(k+1) > n
+    */
+  def frequentItems(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096,
+      s"k must be in [1, 4096], got $k — the summary is collected to the driver")
+    import org.apache.spark.sql.functions.udaf
+    val rows = df.filter(col(s"`$valueCol`").isNotNull)
+      .select(col(s"`$valueCol`").cast("string").as("__v"))
+    val agg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val summary = rows.select(agg(col("__v"))).head()
+    val cand: Seq[String] =
+      if (summary.isNullAt(0)) Seq.empty
+      else summary.getMap[String, Long](0).keys.toSeq.sorted
+    // total as an eager literal (the distributedPrefixSum contract: a lazy
+    // one-row crossJoin would fork the scan per consumer)
+    val n = rows.count()
+    val counts =
+      if (cand.isEmpty) rows.limit(0).groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+      else rows.filter(col("__v").isin(cand: _*))
+        .groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+    counts.filter(col("cnt") * (k + 1) > lit(n))
+      .select(col("__v").as(valueCol), col("cnt"),
+        (col("cnt").cast("double") / lit(n)).as("share"))
+  }
+
   /** Per-group Gini concentration of a non-negative mass column — "how
     * unequally is the token/char mass spread across this source's
     * documents", the Lorenz-curve scalar a mix-rebalancing stage reads

@@ -224,4 +224,29 @@ class FunctionsSpec extends AnyFunSuite {
       assert(words == expected, s"input=${s.codePoints().toArray.mkString(",")}")
     }
   }
+
+  test("MisraGriesAggregator: classic decrement step, merge cut, guarantee under adversarial order") {
+    val mg = new graft.functions.MisraGriesAggregator(2)
+    // k=2: a,b fill; c triggers the decrement-all (itself included) -> {}
+    val m1 = Seq("a", "b", "c").foldLeft(mg.zero)(mg.reduce)
+    assert(m1.isEmpty, m1.toString)
+    // merge cut: {a:5,b:3} + {c:4,d:1} -> cut = 3rd largest = 3 -> {a:2,c:1}
+    val merged = mg.merge(Map("a" -> 5L, "b" -> 3L), Map("c" -> 4L, "d" -> 1L))
+    assert(merged == Map("a" -> 2L, "c" -> 1L), merged.toString)
+    // guarantee: any x with count > n/(k+1) survives EVERY processing
+    // order. Stream: a×5 + b,c,d,e (n=9, k=2 -> threshold 3): try the
+    // adversarial permutations that interleave noise between the a's
+    val stream = Seq.fill(5)("a") ++ Seq("b", "c", "d", "e")
+    Seq(stream, stream.reverse,
+      Seq("b", "a", "c", "a", "d", "a", "e", "a", "a")).foreach { order =>
+      val m = order.foldLeft(mg.zero)(mg.reduce)
+      assert(m.contains("a"), s"a evicted under $order -> $m")
+      assert(m("a") >= 5 - 9 / 3 && m("a") <= 5, s"estimate bound: $m")
+    }
+    // split-merge keeps the guarantee too
+    val (s1, s2) = stream.splitAt(4)
+    val m2 = mg.merge(s1.foldLeft(mg.zero)(mg.reduce), s2.foldLeft(mg.zero)(mg.reduce))
+    assert(m2.contains("a") && m2.size <= 2, m2.toString)
+    intercept[IllegalArgumentException](new graft.functions.MisraGriesAggregator(0))
+  }
 }

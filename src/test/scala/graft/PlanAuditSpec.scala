@@ -118,6 +118,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "p13_winsorized" -> (3, 1),
     // (source, value) histogram agg + the per-source Lorenz window
     "p14_gini" -> (2, 0),
+    // audited plan is the exact confirm agg over <=k candidates; the MG
+    // sketch pass and the total-count literal run eagerly inside the call
+    "p15_heavy_hitters" -> (1, 0),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),

@@ -571,4 +571,23 @@ class SampleProfileSpec extends AnyFunSuite {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("giniConcentration")), msgs(ex).mkString(" | "))
   }
+
+  test("frequentItems: equals the exact threshold set under any partitioning") {
+    // 200 noise values (1 row each) + two heavy values; n = 230,
+    // k = 9 -> threshold 23: only "hot" (25) qualifies; "warm" (5) and
+    // noise do not. NDV (202) >> k so the sketch must actually evict.
+    val data = (1 to 200).map(i => s"noise$i") ++
+      Seq.fill(25)("hot") ++ Seq.fill(5)("warm")
+    Seq(1, 7, 32).foreach { parts =>
+      val df = data.toDF("v").repartition(parts)
+      val got = Profile.frequentItems(df, "v", k = 9)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq(("hot", 25L, 25.0 / 230)),
+        s"parts=$parts -> ${got.mkString(";")}")
+    }
+    // no qualifying value -> empty, not an error; and the k guard
+    val flat = (1 to 50).map(i => s"v$i").toDF("v")
+    assert(Profile.frequentItems(flat, "v", k = 4).count() == 0)
+    intercept[IllegalArgumentException](Profile.frequentItems(flat, "v", k = 0))
+  }
 }
