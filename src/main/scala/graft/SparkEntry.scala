@@ -569,6 +569,15 @@ object SparkEntry {
     "q35_rollup" -> shared(
       "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
+    // CUBE (round 12): completes the ROLLUP/GROUPING SETS family — all
+    // 2² grouping combinations in one Expand + one shuffle; GROUPING()
+    // bits disambiguate a real NULL key from a superaggregate row
+    "q55_cube" -> shared(
+      "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+
     // GROUPING SETS: the general form (CUBE/ROLLUP are sugar over it) —
     // two independent single-column aggregations plus the grand total
     // answered in one Expand + one shuffle instead of three scans
@@ -3193,6 +3202,43 @@ object SparkEntry {
            CASE WHEN fts IS NULL OR (bts IS NOT NULL
                      AND epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
                 THEN bval ELSE fval END AS click_value
+         FROM b JOIN fj ON b.user_id = fj.user_id AND b.ts = fj.ts"""),
+
+    // piecewise-linear interpolation join (round 12): the time-series
+    // resample — view timestamps sampled against the purchase value
+    // series, blended between bracketing points; clamp off the ends.
+    // Cost = two as-of window merges; the oracle is DuckDB's native
+    // backward+forward ASOF stitch with the identical fixed-order blend
+    "j09_interpolate" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view"
+            && col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts")).distinct()
+        val purchases = ev.filter(col("event_type") === "purchase"
+            && col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("value"))
+        JoinOps.interpolateJoin(views, purchases, "user_id", "ts", "value")
+      },
+      """WITH v AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view'
+             AND user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS value
+           FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+         b AS (SELECT v.user_id, v.ts, p.ts AS bts, p.value AS bval
+               FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts),
+         fj AS (SELECT v.user_id, v.ts, p.ts AS fts, p.value AS fval
+               FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts)
+         SELECT b.user_id, b.ts, bts AS t_before, fts AS t_after,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN bts IS NULL THEN fval
+                WHEN fts IS NULL THEN bval
+                WHEN epoch_us(fts) = epoch_us(bts) THEN bval
+                ELSE bval + (fval - bval)
+                  * (CAST(epoch_us(b.ts) - epoch_us(bts) AS DOUBLE)
+                     / (epoch_us(fts) - epoch_us(bts)))
+           END AS interp_value
          FROM b JOIN fj ON b.user_id = fj.user_id AND b.ts = fj.ts"""),
 
     // temporal anti join (round 11): signups with NO purchase within 7

@@ -175,6 +175,51 @@ object JoinOps {
         .as(rightPrefix + f)): _*)
   }
 
+  /** Piecewise-linear interpolation join — the time-series RESAMPLE: for
+    * each left (key, t), linearly interpolate the right series' value
+    * between its bracketing points (last at-or-before and first
+    * at-or-after t). Off the series' ends the nearer endpoint HOLDS
+    * (clamp — the standard resampler edge rule); a key with no right
+    * points interpolates to NULL; an exact timestamp hit returns that
+    * point's value (both as-ofs land on it, so the 0/0 ratio never
+    * forms). This is [[nearestJoin]]'s continuous sibling: nearest
+    * SNAPS to a bracket end, interpolate blends between them.
+    *
+    * Same cost as two [[asofJoin]]s (union + per-key ordered window —
+    * never an inequality nested loop); the blend is a per-row projection
+    * whose fp operations run in one fixed order (`b + (f−b)·ratio` with
+    * the ratio an integer-μs quotient cast once), so results replay
+    * bit-identically on any engine given the same doubles.
+    *
+    * @return left columns + (t_before, t_after, `outCol`)
+    */
+  def interpolateJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, outCol: String = "interp_value"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    Seq(left, right).foreach { df =>
+      val t = df.schema(tsCol).dataType
+      require(t == TimestampType || t == TimestampNTZType,
+        s"interpolateJoin needs a timestamp `$tsCol`, got $t")
+    }
+    val points = right.select(col(keyCol), col(tsCol), col(valueCol))
+    val bwd = asofJoin(left, points, keyCol, tsCol, "__b_", "backward")
+    val both = asofJoin(bwd, points, keyCol, tsCol, "__f_", "forward")
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast(TimestampType))
+    val ts = us(col(tsCol))
+    val bTs = col(s"__b_$tsCol")
+    val fTs = col(s"__f_$tsCol")
+    val bV = col(s"__b_$valueCol")
+    val fV = col(s"__f_$valueCol")
+    val interp = when(bTs.isNull && fTs.isNull, lit(null))
+      .when(bTs.isNull, fV)
+      .when(fTs.isNull, bV)
+      .when(us(fTs) === us(bTs), bV)
+      .otherwise(bV + (fV - bV) *
+        ((ts - us(bTs)).cast("double") / (us(fTs) - us(bTs))))
+    both.select(left.columns.map(col) ++ Seq(
+      bTs.as("t_before"), fTs.as("t_after"), interp.as(outCol)): _*)
+  }
+
   /** [[asofJoin]] bounded by a freshness horizon: a match farther than
     * `toleranceSeconds` from the left timestamp is nulled out (the left
     * row survives, unmatched) — the financial-tick semantics of "last

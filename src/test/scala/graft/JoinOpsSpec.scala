@@ -401,4 +401,33 @@ class JoinOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("inverted interval"), e.getMessage)
   }
+
+  test("interpolateJoin: linear blend, exact hit, edge clamp, empty series NULL") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:15")), // between 10.0@:10 and 30.0@:20 -> 20.0
+      (1L, ts("2024-01-01 10:00:12")), // 10 + 20*(2/10) = 14.0
+      (1L, ts("2024-01-01 10:00:10")), // exact hit -> 10.0
+      (1L, ts("2024-01-01 10:00:05")), // before first -> clamp 10.0
+      (1L, ts("2024-01-01 10:00:25")), // after last -> clamp 30.0
+      (2L, ts("2024-01-01 10:00:00"))) // no series -> NULL
+      .toDF("k", "ts")
+    val series = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 10.0),
+      (1L, ts("2024-01-01 10:00:20"), 30.0))
+      .toDF("k", "ts", "v")
+    val got = JoinOps.interpolateJoin(probes, series, "k", "ts", "v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got((1L, "2024-01-01 10:00:15.0")) == Some(20.0), got.toString)
+    assert(got((1L, "2024-01-01 10:00:12.0")) == Some(14.0), got.toString)
+    assert(got((1L, "2024-01-01 10:00:10.0")) == Some(10.0), "exact hit snaps")
+    assert(got((1L, "2024-01-01 10:00:05.0")) == Some(10.0), "left clamp")
+    assert(got((1L, "2024-01-01 10:00:25.0")) == Some(30.0), "right clamp")
+    assert(got((2L, "2024-01-01 10:00:00.0")) == None, "empty series")
+    intercept[IllegalArgumentException](JoinOps.interpolateJoin(
+      probes.withColumn("ts", col("ts").cast("long")), series, "k", "ts", "v"))
+  }
 }

@@ -76,6 +76,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchange: HashPartitioning(user_id) satisfies clustering on
     // (user_id, island), so the groupBy adds no shuffle of its own
     "j08_interval_coalesce" -> (1, 0),
+    // two distinct-side pre-aggs + the backward and forward as-of window
+    // merges; the blend is a projection
+    "j09_interpolate" -> (4, 0),
     // both sides bucketized map-side; the bucket equi-join broadcasts at
     // this SF, ownership dedup is a filter (no distinct shuffle)
     "j04_interval_overlap" -> (0, 1),
@@ -200,6 +203,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q34_four_join_distinct" -> (2, 3),
     "q35_rollup" -> (1, 0), // Expand feeds the ordinary partial/final agg
     "q36_grouping_sets" -> (1, 0),
+    "q55_cube" -> (1, 0),
     "q37_window_sql" -> (1, 0), // both windows share one custkey exchange
     // INTERSECT/EXCEPT plan as semi/anti joins under one distinct agg;
     // the small branches broadcast
