@@ -1933,6 +1933,35 @@ object SparkEntry {
                 delta > 20000 AS cut
          FROM e"""),
 
+    // text↔media pairing audit (round 12): the integrity gate ahead of a
+    // paired-modality training run. The fixture pairs 1:1, so the entry
+    // injects deterministic drift (the s17/t20 idiom): media ids ≡ 3
+    // (mod 7) are shifted out of range — their docs unpair AND the
+    // shifted rows surface in the '(orphan media)' row
+    "m07_pair_audit" -> entry(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(
+          when(pmod(col("vec_id"), lit(7L)) === 3, col("vec_id") + 1000000L)
+            .otherwise(col("vec_id")).as("vec_id"))
+        Multimodal.pairAudit(
+          t(s, d, "documents"), "doc_id", "source", emb, "vec_id")
+      },
+      """WITH m AS (
+           SELECT CASE WHEN vec_id % 7 = 3 THEN vec_id + 1000000 ELSE vec_id END AS vec_id
+           FROM embeddings),
+         g AS (
+           SELECT d.source, COUNT(*) AS n_rows,
+                  COUNT(m.vec_id) AS n_paired
+           FROM documents d LEFT JOIN m ON m.vec_id = d.doc_id
+           GROUP BY 1)
+         SELECT source, n_rows, n_paired,
+                CAST(n_paired AS DOUBLE) / n_rows AS pair_rate
+         FROM g
+         UNION ALL
+         SELECT '(orphan media)' AS source, COUNT(*) AS n_rows,
+                CAST(0 AS BIGINT) AS n_paired, CAST(NULL AS DOUBLE) AS pair_rate
+         FROM m WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = m.vec_id)"""),
+
     // event-type co-occurrence lift (round 11): association-rules
     // primitive over per-user presence sets — deliberately lift, not PMI
     // (PMI = ln lift puts libm at the engine boundary); per-user pair
@@ -2782,6 +2811,50 @@ object SparkEntry {
          SELECT event_type, day, CAST(n AS BIGINT) AS n, cusum,
                 cusum > 3 * tot AS drift
          FROM c"""),
+
+    // bot/automation gate (round 12): rate + metronome-regularity flags
+    // per user, integer-exact closed forms (see EventOps.botGate). The
+    // fixture's humans are organic, so two bots are injected
+    // deterministically: 9001 fires every 60 s exactly (metronome),
+    // 9002 bursts 50 events in one minute (rate)
+    "s20_bot_gate" -> entry(
+      (s, d) => {
+        val base = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"))
+        val metro = s.range(100).select(lit(9001L).as("user_id"),
+          timestamp_micros(lit(1704067200000000L) + col("id") * 60000000L).as("ts"))
+        val burst = s.range(50).select(lit(9002L).as("user_id"),
+          timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"))
+        graft.operators.EventOps.botGate(
+          base.union(metro).union(burst), "user_id", "ts")
+      },
+      """WITH base AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         metro AS (SELECT CAST(9001 AS BIGINT) AS user_id,
+             make_timestamp(1704067200000000 + i * 60000000) AS ts FROM range(100) t(i)),
+         burst AS (SELECT CAST(9002 AS BIGINT) AS user_id,
+             make_timestamp(1704067200000000 + i * 1000000) AS ts FROM range(50) t(i)),
+         e AS (SELECT * FROM base UNION ALL SELECT * FROM metro
+               UNION ALL SELECT * FROM burst),
+         g AS (SELECT user_id, ts,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+           FROM e),
+         a AS (SELECT user_id, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes,
+             COUNT(gap) AS n_gaps,
+             CAST(SUM(gap) AS HUGEINT) AS s,
+             CAST(SUM(gap * gap) AS HUGEINT) AS ss
+           FROM g GROUP BY 1)
+         SELECT user_id, n_events, n_minutes, n_gaps,
+           n_events > 10 * n_minutes AS rate_bot,
+           n_gaps >= 20 AND (s = 0
+             OR 10000 * (n_gaps * ss - s * s) < 100 * s * s) AS metronome,
+           (n_events > 10 * n_minutes) OR (n_gaps >= 20 AND (s = 0
+             OR 10000 * (n_gaps * ss - s * s) < 100 * s * s)) AS is_bot
+         FROM a"""),
 
     // hour-of-week seasonality anomaly: each (type, hour) bucket judged
     // against its own weekly slot's mean/σ in exact integer algebra (the

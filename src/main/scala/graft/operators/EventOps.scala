@@ -552,6 +552,62 @@ object EventOps {
     *
     * @return (event_type, hour, how, n, anomaly) for every observed bucket
     */
+  /** Bot/automation gate over a user's event stream — the log-hygiene
+    * filter a training pipeline runs before user-generated text enters a
+    * corpus. Two independent integer-exact signals per user:
+    *
+    *  - RATE: more than `ratePerMinute` events per distinct active
+    *    minute (`n > rate·minutes` — burst scripting; distinct minutes,
+    *    not span, so a user active 9-5 is not penalized for sleeping);
+    *  - METRONOME: inter-arrival coefficient of variation below
+    *    `cvTolPercent`% over at least `minGaps` gaps — human traffic is
+    *    bursty (CV ≈ 1), schedulers are flat (CV ≈ 0). The CV gate
+    *    clears denominators to `10⁴·(k·Σg² − S²) < tol²·S²` (with the
+    *    all-gaps-zero S = 0 degenerate — same-timestamp bursts —
+    *    explicitly flagged), the [[spikes]]/[[seasonalAnomaly]] closed
+    *    form discipline. The gate algebra runs in DECIMAL(38,0): k·Σg²
+    *    at 10⁴ gaps of a day's seconds is ~10¹⁸ and the 10⁴ multiplier
+    *    pushes past int64.
+    *
+    * Scale shape: one per-user ordered window for the gaps (the only
+    * per-event pass), then a per-user aggregate that reuses the same
+    * hash partitioning — per-task state is a user's event list, never
+    * the stream.
+    *
+    * @return (user_id, n_events, n_minutes, n_gaps, rate_bot, metronome,
+    *         is_bot)
+    */
+  def botGate(events: DataFrame, userCol: String, tsCol: String,
+      ratePerMinute: Int = 10, cvTolPercent: Int = 10,
+      minGaps: Int = 20): DataFrame = {
+    require(ratePerMinute >= 1, s"ratePerMinute must be >= 1, got $ratePerMinute")
+    require(cvTolPercent >= 1 && cvTolPercent <= 100,
+      s"cvTolPercent must be in [1, 100], got $cvTolPercent")
+    require(minGaps >= 1, s"minGaps must be >= 1, got $minGaps")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__ts"))
+    val g = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
+      .withColumn("__gap",
+        unix_timestamp(col("__ts")) - unix_timestamp(lag(col("__ts"), 1).over(w)))
+    val agg = g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(date_trunc("minute", col("__ts"))).as("n_minutes"),
+        count(col("__gap")).as("n_gaps"),
+        sum(col("__gap")).as("__s"),
+        sum(col("__gap") * col("__gap")).as("__ss"))
+    val s = col("__s")
+    val cv2 = lit(10000) * (dec(col("n_gaps")) * dec(col("__ss")) - dec(s) * dec(s)) <
+      lit(cvTolPercent.toLong * cvTolPercent) * dec(s) * dec(s)
+    val rateBot = col("n_events") > lit(ratePerMinute.toLong) * col("n_minutes")
+    val metronome = col("n_gaps") >= minGaps && (s === 0 || cv2)
+    agg.select(col("user_id"), col("n_events"), col("n_minutes"), col("n_gaps"),
+      rateBot.as("rate_bot"), metronome.as("metronome"),
+      (rateBot || metronome).as("is_bot"))
+  }
+
   def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
       z: Int = 3): DataFrame = {
     require(z >= 1, s"z must be >= 1, got $z")

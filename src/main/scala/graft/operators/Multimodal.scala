@@ -361,4 +361,37 @@ object Multimodal {
       .select(col("doc_id"), (col("__p") + 1).as("frame_no"), col("delta"),
         (col("delta") > cutThreshold).as("cut"))
   }
+
+  /** Text↔media pairing audit — the integrity gate ahead of any
+    * paired-modality (CLIP-style) training run: per text-side group, how
+    * many documents actually have their media row, plus one synthetic
+    * `(orphan media)` row counting media that reference no document
+    * (stale extractions, id drift). A pair_rate below 1.0 means the
+    * downstream pair loader silently drops data; orphans mean the media
+    * store carries dead weight — both are findable only by auditing the
+    * join, which is exactly what this materializes.
+    *
+    * Scale shape: one equi-join on the id (broadcast/shuffle-hash by
+    * size), one group aggregate, and a LEFT-ANTI for the orphan count —
+    * no distinct, no window. The orphan row is keyed by a sentinel group
+    * so the audit stays ONE frame a dashboard reads directly.
+    *
+    * @return (groupCol, n_rows, n_paired, pair_rate); the orphan row has
+    *         `n_rows` = orphan media count, n_paired = 0, NULL pair_rate
+    */
+  def pairAudit(docs: DataFrame, docIdCol: String, groupCol: String,
+      media: DataFrame, mediaIdCol: String): DataFrame = {
+    val d = docs.select(col(docIdCol).as("__id"), col(groupCol).as(groupCol))
+    val m = media.select(col(mediaIdCol).as("__mid"))
+    val perGroup = d.join(m, col("__id") === col("__mid"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), count(col("__mid")).as("n_paired"))
+      .select(col(groupCol), col("n_rows"), col("n_paired"),
+        (col("n_paired").cast("double") / col("n_rows")).as("pair_rate"))
+    val orphans = m.join(d, col("__mid") === col("__id"), "left_anti")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("(orphan media)").as(groupCol), col("n_rows"),
+        lit(0L).as("n_paired"), lit(null).cast("double").as("pair_rate"))
+    perGroup.unionByName(orphans)
+  }
 }

@@ -388,4 +388,28 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EventOps.seasonalAnomaly(rows.toDF("event_type", "ts"), "event_type", "ts", z = 0))
   }
+
+  test("botGate: metronome CV gate, rate gate, zero-gap degenerate, minGaps floor") {
+    def at(s: Long) = new Timestamp(s * 1000L)
+    val rows =
+      // user 1: 21 events exactly 60s apart -> 20 equal gaps, CV 0 ->
+      // metronome; 21 distinct minutes so rate stays human
+      (0 until 21).map(i => (1L, at(i * 60L))) ++
+        // user 2: only 5 events -> n_gaps below the floor, never metronome
+        Seq(0L, 7L, 300L, 301L, 5000L).map(s => (2L, at(s))) ++
+        // user 3: 15 events inside one minute -> rate bot; 14 gaps < floor
+        (0 until 15).map(i => (3L, at(i.toLong))) ++
+        // user 4: 25 identical timestamps -> S = 0 degenerate, both gates
+        Seq.fill(25)((4L, at(100000L)))
+    val got = EventOps.botGate(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got(1L) == ((21L, 21L, 20L, false, true, true)), got(1L).toString)
+    assert(got(2L) == ((5L, 3L, 4L, false, false, false)), got(2L).toString)
+    assert(got(3L) == ((15L, 1L, 14L, true, false, true)), got(3L).toString)
+    assert(got(4L) == ((25L, 1L, 24L, true, true, true)), got(4L).toString)
+    intercept[IllegalArgumentException](
+      EventOps.botGate(rows.toDF("user_id", "ts"), "user_id", "ts", cvTolPercent = 0))
+  }
 }

@@ -227,4 +227,17 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(scenes.getLong(1) == 4L, "three cuts over aa|zz|aa|zz -> 4 scenes")
   }
+
+  test("pairAudit: per-group pair rates, orphan media row, duplicate-free counts") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val media = Seq(1L, 3L, 99L).toDF("vec_id")
+    val got = Multimodal.pairAudit(docs, "doc_id", "source", media, "vec_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("a") == ((2L, 1L, Some(0.5))), got.toString)
+    assert(got("b") == ((1L, 1L, Some(1.0))), got.toString)
+    assert(got("(orphan media)") == ((1L, 0L, None)), got.toString)
+    assert(got.size == 3)
+  }
 }

@@ -132,6 +132,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "m05_audio_energy" -> (0, 0),
     // codegen'd SSD projection + posexplode: pairs stay in the scan partition
     "m06_scene_cuts" -> (0, 0),
+    // pair join + group agg + the orphan anti join (both sides broadcast
+    // at this SF; equi-joins at any SF)
+    "m07_pair_audit" -> (2, 2),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -272,6 +275,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // hourly pre-agg + the (type, slot) window: both frames are
     // hours·types-sized, the raw stream is reduced in the first exchange
     "s18_seasonal_anomaly" -> (2, 0),
+    // the gap window and the per-user agg (incl. the distinct-minute
+    // expand) share one user_id exchange
+    "s20_bot_gate" -> (1, 0),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
