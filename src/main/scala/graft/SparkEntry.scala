@@ -914,6 +914,28 @@ object SparkEntry {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
+    // directional containment pairs (round 12): quote/subset detection —
+    // the asymmetric sibling of d05 (Jaccard scores an embedded quote
+    // near 0; containment scores it 1). Asymmetric prefix filter: only
+    // each probe doc's rarest `|A|−ceil(t·|A|)+1` tokens join the index
+    // side. Oracle is the definitional intersection count
+    "d28_containment" -> entry(
+      (s, d) => Dedup.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text", "source", 0.9),
+      """WITH toks AS (
+           SELECT doc_id, source AS blk,
+             unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok
+             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / sa.sz AS containment
+         FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.9"""),
+
     // end-to-end corpus dedup: exact-fingerprint pass + MinHash near-dup
     // pass, greedy keep-lowest-id (the "dedup this corpus" API).
     // Oracle replays the whole pipeline: fingerprint keep-set, md5-family

@@ -933,6 +933,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL containment pairs: (doc_a, doc_b) where at least
+    * `threshold` of doc_a's distinct tokens also appear in doc_b —
+    * C(A→B) = |T_A ∩ T_B| / |T_A|. The asymmetric sibling of
+    * [[ngramJaccardPairs]]: Jaccard misses quotation (a tweet embedded
+    * in a news roundup scores near 0 symmetric similarity but
+    * containment 1.0), and quote/subset detection is exactly the
+    * "is this doc's content already inside a bigger doc" question
+    * corpus curation asks before keeping both.
+    *
+    * Scale shape — asymmetric prefix filter (the containment variant of
+    * PPJoin's): order each doc's tokens by ascending global df; if
+    * C(A→B) ≥ t then B must share one of A's FIRST
+    * `|A| − ceil(t·|A|) + 1` rarest tokens, so only that prefix of the
+    * PROBE side joins the full index side — candidate volume is
+    * Σ df(tok) over rare prefix tokens, not Σ df². No symmetric
+    * size-ratio prune exists (B may be arbitrarily larger — that is the
+    * point); the index side is bounded instead by `|B| ≥ ceil(t·|A|)`.
+    * Exact verify on sorted distinct-token arrays
+    * ([[graft.functions.SortedIntersectCountExpr]]); the EPS guards are
+    * d05's exact-integral-boundary discipline.
+    *
+    * @return (doc_a, doc_b, containment) with containment ≥ threshold,
+    *         doc_a ≠ doc_b, within `blockCol` blocks
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val tokenDf = toks0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks0.join(tokenDf, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val EPS = 1e-9
+    val pa = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
+      .select(col("blk"), col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val pb = ranked.select(col("blk"), col("tok"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cands = pa.join(pb, Seq("blk", "tok"))
+      .filter(col("doc_a") =!= col("doc_b")
+        && col("sz_b") >= ceil(lit(threshold) * col("sz_a") - EPS))
+      .select(col("doc_a"), col("doc_b"), col("sz_a")).distinct()
+    val arrs = docs.select(col(idCol).as("doc_id"),
+      sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("inter", graft.functions.SortedIntersectCountExpr
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sz_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Content-defined-chunking sub-document dedup (the storage-dedup /
     * rsync idea applied to corpus text): chunk boundaries are decided by
     * the CONTENT — a token is a boundary iff its 60-bit md5 order-hash ≡

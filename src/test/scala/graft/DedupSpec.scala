@@ -656,4 +656,35 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.cdcChunkShared(df, "doc_id", "text", divisor = 1))
   }
+
+  test("containmentPairs: directional quote detection; prefix filter loses nothing vs brute force") {
+    val docsC = Seq(
+      (1L, "a b c", "s"),           // strictly inside doc 2
+      (2L, "a b c d e f", "s"),     // superset: C(2->1) = 3/6, below 0.8
+      (3L, "x y z", "s"),           // unrelated
+      (4L, "a b x", "s"),           // C(4->2) = 2/3, below 0.8
+      (5L, "a b c", "OTHER"))       // doc 1's twin in another block: no pair
+      .toDF("doc_id", "text", "src")
+    val got = Dedup.containmentPairs(docsC, "doc_id", "text", "src", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), got.toString)
+    // completeness: exact brute force over a generated small-vocab corpus
+    // (vocab 8 forces dense overlap — the prefix filter's hardest case)
+    val vocab = "a b c d e f g h".split(" ")
+    val gen = (0 until 40).map { i =>
+      val toks = (0 until 1 + i % 7).map(j => vocab((i * 13 + j * 5) % 8)).distinct
+      (i.toLong, toks.mkString(" "), "blk")
+    }
+    val genDf = gen.toDF("doc_id", "text", "src")
+    val brute = (for {
+      (ia, ta, _) <- gen; (ib, tb, _) <- gen if ia != ib
+      sa = ta.split(" ").toSet; sb = tb.split(" ").toSet
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.75
+    } yield (ia, ib, c)).toSet
+    val fast = Dedup.containmentPairs(genDf, "doc_id", "text", "src", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docsC, "doc_id", "text", "src", 0.0))
+  }
 }

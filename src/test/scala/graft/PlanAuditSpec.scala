@@ -50,6 +50,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // one doc-key exchange serves the boundary window AND the chunk
     // regroup; + the chunk-fp agg; counts come back broadcast at this SF
     "d27_cdc_chunks" -> (2, 1),
+    // df agg + the doc rank/size window + candidate distinct + verify agg;
+    // the token-df and arrs frames ride broadcasts at this SF
+    "d28_containment" -> (4, 5),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
