@@ -578,6 +578,16 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
 
+    // correlated LATERAL subquery in FROM (round 12): the other LATERAL
+    // (q46 is LATERAL VIEW explode) — a per-row scalar-aggregate
+    // subquery Catalyst decorrelates into one join + aggregate, never
+    // the N+1 re-execution a naive engine runs
+    "q56_lateral_subquery" -> shared(
+      "SELECT o_orderkey, o_totalprice, t.max_qty, t.n_items " +
+        "FROM orders, LATERAL (SELECT MAX(l_quantity) AS max_qty, " +
+        "COUNT(*) AS n_items FROM lineitem WHERE l_orderkey = o_orderkey) t " +
+        "WHERE o_orderkey % 100 = 0"),
+
     // GROUPING SETS: the general form (CUBE/ROLLUP are sugar over it) —
     // two independent single-column aggregations plus the grand total
     // answered in one Expand + one shuffle instead of three scans
@@ -2415,6 +2425,36 @@ object SparkEntry {
     // winsorized per-group mean (round 12): exact [p05, p95] quantile
     // clamp + clip counts — outlier-robust location with the tail mass
     // reported, not absorbed. Mean = one fp division of exact integers
+    // Cramér's V (round 12): source↔lang association strength — the
+    // stratification-redundancy check. χ² via the missing-cell-free
+    // identity Σ n_ij²·n/(r_i·c_j) − n; per-cell contributions rounded
+    // to 9 dp and summed as exact decimal (the t12/t23 recipe), one
+    // final √ on exactly-known operands
+    "p16_cramers_v" -> entry(
+      (s, d) => graft.operators.Profile.cramersV(
+        t(s, d, "documents"), "source", "lang"),
+      """WITH cells AS (
+           SELECT source AS a, lang AS b, COUNT(*) AS n FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+                   COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c FROM cells),
+         sacc AS (
+           SELECT SUM(CAST(round(
+               CAST(cells.n AS DOUBLE) * cells.n * tot.n
+                 / (CAST(ra.ra AS DOUBLE) * cb.cb), 9) AS DECIMAL(28,9))) AS s
+           FROM cells
+           JOIN ra ON ra.a = cells.a
+           JOIN cb ON cb.b = cells.b
+           CROSS JOIN tot)
+         SELECT tot.n, tot.n_cells, tot.r, tot.c,
+           CAST(CAST(sacc.s AS VARCHAR) AS DOUBLE) - tot.n AS chi2,
+           CASE WHEN LEAST(tot.r, tot.c) <= 1 THEN NULL
+                ELSE sqrt(GREATEST(CAST(CAST(sacc.s AS VARCHAR) AS DOUBLE) - tot.n, 0)
+                          / (tot.n * (LEAST(tot.r, tot.c) - 1))) END AS cramers_v
+         FROM sacc CROSS JOIN tot"""),
+
     // exact heavy hitters via Misra–Gries prune + exact confirm (round
     // 12): the sketch pass moves ≤k counters per partition, never the
     // NDV histogram; MG's no-eviction guarantee makes the thresholded

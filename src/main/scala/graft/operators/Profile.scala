@@ -457,6 +457,60 @@ object Profile {
         (n2 / col("__ss")).as("effective_values")): _*)
   }
 
+  /** Cramér's V — association strength between two categorical columns
+    * (0 = independent, 1 = determined), the "is `lang` just `source` in
+    * disguise" redundancy check run before stratifying a corpus on both.
+    * χ² comes from the missing-cell-free identity
+    * `χ² = n·(Σ n_ij²·n/(r_i·c_j)/n − 1) = Σ n_ij²·n/(r_i·c_j) − n`
+    * (an absent combination contributes exactly its expected count, which
+    * the identity absorbs), and V = √(χ² / (n·(min(R,C)−1))).
+    *
+    * Determinism (the t12/t23 recipe): each observed cell's contribution
+    * is one fixed-order double expression over exact integer counts,
+    * rounded to 9 dp and summed as EXACT DECIMAL(28,9) — a raw double
+    * sum would hash-diverge under reduce reordering — then χ² and the
+    * single final √ (IEEE, correctly rounded) come from that exact sum.
+    *
+    * Scale shape: one (a, b) cell aggregation (map-side partials; output
+    * is the contingency table, R·C-bounded), the marginals as two
+    * roll-ups of the CELL frame (never a second scan), n/R/C as eager
+    * literals. NULL in either column is excluded (no category).
+    *
+    * @return one row: (n, n_cells, r, c, chi2, cramers_v); degenerate
+    *         single-category inputs (min(R,C) = 1) yield V = NULL
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    val totals = cells.agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c")).head()
+    if (totals.isNullAt(0))
+      return cells.sparkSession.range(0).select(lit(0L).as("n"),
+        lit(0L).as("n_cells"), lit(0L).as("r"), lit(0L).as("c"),
+        lit(null).cast("double").as("chi2"), lit(null).cast("double").as("cramers_v"))
+    val (n, nCells, r, c) =
+      (totals.getLong(0), totals.getLong(1), totals.getLong(2), totals.getLong(3))
+    val contrib = round(
+      col("__n").cast("double") * col("__n") * n /
+        (col("__ra").cast("double") * col("__cb")), 9).cast(DecimalType(28, 9))
+    val minDim = math.min(r, c)
+    cells.join(broadcast(ra), "__a").join(broadcast(cb), "__b")
+      .agg(sum(contrib).as("__s"))
+      .select(lit(n).as("n"), lit(nCells).as("n_cells"), lit(r).as("r"), lit(c).as("c"),
+        (col("__s").cast("double") - n).as("chi2"),
+        // the 9-dp contribution rounding can put χ² a few ulps below 0 on
+        // an independent table; clamp inside the √ so neither engine
+        // turns that noise into NaN-vs-error divergence
+        (if (minDim <= 1) lit(null).cast("double")
+         else sqrt(greatest(col("__s").cast("double") - n, lit(0.0)) /
+           (n.toDouble * (minDim - 1))))
+          .as("cramers_v"))
+  }
+
   /** Exact heavy hitters through a Misra–Gries prune: every value whose
     * true count exceeds n/(k+1), with its EXACT count and share — found
     * without ever shuffling the value histogram.

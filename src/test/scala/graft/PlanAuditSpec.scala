@@ -127,6 +127,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // audited plan is the exact confirm agg over <=k candidates; the MG
     // sketch pass and the total-count literal run eagerly inside the call
     "p15_heavy_hitters" -> (1, 0),
+    // cell agg + the two marginal roll-ups (broadcast back) + final agg;
+    // totals are eager literals
+    "p16_cramers_v" -> (4, 2),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
@@ -209,6 +212,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q34_four_join_distinct" -> (2, 3),
     "q35_rollup" -> (1, 0), // Expand feeds the ordinary partial/final agg
     "q36_grouping_sets" -> (1, 0),
+    // decorrelated lateral: one aggregate + one join (Catalyst proves the
+    // N+1 re-execution away)
+    "q56_lateral_subquery" -> (2, 2),
     "q55_cube" -> (1, 0),
     "q37_window_sql" -> (1, 0), // both windows share one custkey exchange
     // INTERSECT/EXCEPT plan as semi/anti joins under one distinct agg;

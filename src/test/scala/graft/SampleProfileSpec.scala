@@ -590,4 +590,21 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(Profile.frequentItems(flat, "v", k = 4).count() == 0)
     intercept[IllegalArgumentException](Profile.frequentItems(flat, "v", k = 0))
   }
+
+  test("cramersV: perfect association 1.0, independence 0.0, degenerate NULL, empty input") {
+    val perfect = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("s", "l")
+    val p = Profile.cramersV(perfect, "s", "l").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) == ((20L, 2L, 2L, 2L)))
+    assert(p.getDouble(4) == 20.0 && p.getDouble(5) == 1.0, p.toString)
+    val indep = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("s", "l")
+    val i = Profile.cramersV(indep, "s", "l").collect().head
+    assert(i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0, i.toString)
+    // one-category column: V undefined, chi2 still 0
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("s", "l")
+    val dg = Profile.cramersV(deg, "s", "l").collect().head
+    assert(dg.getDouble(4) == 0.0 && dg.isNullAt(5), dg.toString)
+    assert(Profile.cramersV(
+      Seq.empty[(String, String)].toDF("s", "l"), "s", "l").count() == 0)
+  }
 }
