@@ -63,4 +63,32 @@ object DataSources {
     glob.foreach(g => r = r.option("pathGlobFilter", g))
     r.option("recursiveFileLookup", "true").load(path)
   }
+
+  /** JSONL corpus ingestion with corrupt-record QUARANTINE — the web-crawl
+    * reality at 100 TB: a few malformed lines per shard must neither kill
+    * the job (FAILFAST) nor vanish silently (DROPMALFORMED loses data with
+    * no ledger). PERMISSIVE mode parses what it can and lands the raw text
+    * of each bad line in `corrupt` (NULL for good rows), so the pipeline
+    * routes rows with one filter: `corrupt IS NULL` onward,
+    * `corrupt IS NOT NULL` to a quarantine sink with the evidence intact.
+    *
+    * The schema is required, never inferred (inference is a full extra
+    * pass, and a corrupt line would poison the inferred types).
+    *
+    * Known engine gotcha, handled here: Spark refuses a query that
+    * references ONLY the corrupt column of a JSON scan (the parser would
+    * have nothing to fail on — SPARK-21610), so quarantine counts must
+    * ride a frame that also touches a real field; keep a data column in
+    * any corrupt-only aggregation, as the spec demonstrates.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "corrupt"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a `$corruptCol` column — pick another corruptCol name")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
 }

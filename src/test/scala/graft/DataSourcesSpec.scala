@@ -51,4 +51,32 @@ class DataSourcesSpec extends AnyFunSuite {
       .collect()
     assert(feats.length == 1 && feats(0).getInt(1) == payload.length)
   }
+
+  test("readJsonl: corrupt lines quarantined with evidence, good rows parse, schema guard") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "part0.jsonl").toPath,
+      """{"id": 1, "text": "good"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "also good"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = DataSources.readJsonl(spark, dir.getAbsolutePath, schema)
+    val good = df.filter(col("corrupt").isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "good"), (3L, "also good")), good.toString)
+    // corrupt rows keep the raw line as evidence; the aggregation touches
+    // a data column alongside the corrupt one (SPARK-21610 — a
+    // corrupt-only projection over a JSON scan is refused by the engine)
+    val bad = df.filter(col("corrupt").isNotNull)
+      .select(col("id"), col("corrupt")).collect().map(_.getString(1)).toSet
+    assert(bad.exists(_.contains("missing comma")) && bad.exists(_.contains("not json")),
+      bad.toString)
+    assert(bad.size == 2)
+    intercept[IllegalArgumentException](DataSources.readJsonl(
+      spark, dir.getAbsolutePath, schema.add("corrupt", StringType)))
+  }
 }
