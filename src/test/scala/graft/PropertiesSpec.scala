@@ -160,4 +160,81 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("interpolateJoin ≡ per-row brute-force blend on random series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { seed =>
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      val probes = (0 until 60).map(i => (s"k${rnd.nextInt(4)}", ts(rnd.nextInt(40).toLong), i.toLong))
+      // unique (key, ts) series, integer-valued doubles
+      val series = (0 until 50).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong, (rnd.nextInt(100) + 1).toDouble))
+        .groupBy(r => (r._1, r._2)).map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val lDf = probes.toDF("key", "ts", "pid")
+      val rDf = series.map { case (k, t, v) => (k, ts(t), v) }.toDF("key", "ts", "v")
+      val got = graft.operators.JoinOps.interpolateJoin(lDf, rDf, "key", "ts", "v")
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      probes.foreach { case (k, t, pid) =>
+        val tSec = t.getTime / 1000L
+        val pts = series.filter(_._1 == k)
+        val bwd = pts.filter(_._2 <= tSec).sortBy(_._2).lastOption
+        val fwd = pts.filter(_._2 >= tSec).sortBy(_._2).headOption
+        val want = (bwd, fwd) match {
+          case (None, None) => None
+          case (None, Some((_, _, fv))) => Some(fv)
+          case (Some((_, _, bv)), None) => Some(bv)
+          case (Some((_, tb, bv)), Some((_, tf, fv))) =>
+            if (tf == tb) Some(bv)
+            // same fixed-order fp blend as the operator (μs ratio ==
+            // seconds ratio: correctly-rounded division of the same real)
+            else Some(bv + (fv - bv) * ((tSec - tb).toDouble / (tf - tb)))
+        }
+        assert(got(pid) == want, s"seed=$seed probe=($k,$tSec,$pid)")
+      }
+    }
+  }
+
+  test("giniConcentration: bounds [0,1) and exact scale invariance on random masses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { seed =>
+      val rows = (0 until 120).map(i => (s"g${rnd.nextInt(5)}", rnd.nextInt(101).toLong))
+      def gini(scale: Long) = graft.operators.Profile
+        .giniConcentration(rows.map { case (g, m) => (g, m * scale) }.toDF("g", "m"),
+          Seq("g"), "m")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val base = gini(1L)
+      base.foreach { case (g, v) =>
+        v.foreach(x => assert(x >= 0.0 && x < 1.0, s"seed=$seed $g gini=$x out of [0,1)"))
+      }
+      // scaling every mass by a constant rescales numerator and
+      // denominator by the same integer: the correctly-rounded quotient
+      // of the same real value — bit-equal, not approximately equal
+      assert(gini(7L) == base, s"seed=$seed scale invariance")
+    }
+  }
+
+  test("frequentItems ≡ exact threshold set on random Zipf-ish draws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    (0 until 3).foreach { seed =>
+      // Zipf-ish: value v drawn with weight ~ 1/(v+1) over 30 values
+      val draws = (0 until 3000).map { _ =>
+        val r = rnd.nextDouble()
+        var acc = 0.0; var v = 0
+        val h = (0 until 30).map(i => 1.0 / (i + 1)); val tot = h.sum
+        while (acc / tot < r && v < 29) { acc += h(v); v += 1 }
+        s"tok$v"
+      }
+      val k = 8
+      val exact = draws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * (k + 1) > draws.size }
+      val got = graft.operators.Profile.frequentItems(draws.toDF("v"), "v", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"seed=$seed got=$got exact=$exact")
+    }
+  }
 }
