@@ -314,6 +314,29 @@ object Bench {
               (size(col("toks_a")) + size(col("toks_b")) - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= zipfThreshold)
       }
+      // the unfiltered DIRECTIONAL control for d28's asymmetric prefix
+      // filter: full inverted-index join (every token of every probe),
+      // same native sorted-merge verify — what the rare-token prefix cut
+      // removes. Directional candidates are ~2× the symmetric count, so
+      // this is a strictly harder baseline than zipfUnfiltered
+      def zipfContainUnfiltered(): DataFrame = {
+        val toks = zipf.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        val cands = toks.select(col("tok"), col("doc_id").as("doc_a"))
+          .join(toks.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val arrs = zipf.select(col("doc_id"),
+          sort_array(array_distinct(TextOps.tokens(col("text")))).as("toks"))
+        cands
+          .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+          .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+          .withColumn("inter", graft.functions.SortedIntersectCountExpr
+            .sortedIntersectCount(col("toks_a"), col("toks_b")))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / size(col("toks_a"))).as("containment"))
+          .filter(col("containment") >= 0.9)
+      }
       // z-order scan effectiveness, measured not narrated: the same
       // lineitem projection written once Z-ORDERED on (partkey, suppkey)
       // and once hash-scattered (same file count), then a 2-D box
@@ -349,6 +372,10 @@ object Bench {
         "twin_d05_zipf_ppjoin" -> (() => Dedup.ngramJaccardPairs(
           zipf, "doc_id", "text", "source", zipfThreshold)),
         "twin_d05_zipf_unfiltered" -> (() => zipfUnfiltered()),
+        // d28's asymmetric prefix filter vs the full directional index join
+        "twin_d28_zipf_contain" -> (() => Dedup.containmentPairs(
+          zipf, "doc_id", "text", "source", 0.9)),
+        "twin_d28_zipf_contain_unfiltered" -> (() => zipfContainUnfiltered()),
         // the Bloom prefilter's pruning win vs the same join unfiltered
         // (d24's config; includes the filter build each run — the honest
         // end-to-end cost a pipeline pays)
