@@ -924,6 +924,38 @@ object SparkEntry {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
+    // MinHash estimator-error audit (round 12): the measured-accuracy
+    // report for k=8 minhash on THIS corpus — per within-block pair,
+    // |signature estimate − exact shingle Jaccard| histogrammed in
+    // tenths via exact integer cross-multiplication (no fp on bucket
+    // boundaries); the d08/d09 recall discipline applied to d03's sketch
+    "d30_minhash_error" -> entry(
+      (s, d) => Dedup.minhashErrorAudit(
+        t(s, d, "documents"), "doc_id", "text", "source", k = 8, n = 3),
+      """WITH toks AS (
+           SELECT doc_id, source AS blk,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (
+           SELECT doc_id, blk, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         ds AS (
+           SELECT doc_id, blk, list_distinct(shingles) AS sh,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(shingles, s ->
+                 CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM shl),
+         p AS (
+           SELECT CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS m,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
+           FROM ds a JOIN ds b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         SELECT LEAST(9, (abs(m * u - i * 8) * 10) // (8 * u)) AS err_bucket,
+                COUNT(*) AS n_pairs
+         FROM p GROUP BY 1"""),
+
     // directional containment pairs (round 12): quote/subset detection —
     // the asymmetric sibling of d05 (Jaccard scores an embedded quote
     // near 0; containment scores it 1). Asymmetric prefix filter: only

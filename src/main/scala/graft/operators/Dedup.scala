@@ -933,6 +933,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash estimator-error audit: the measured-accuracy report for the
+    * k-permutation MinHash this engine's dedup paths run on — per
+    * within-block pair, compare the SIGNATURE-AGREEMENT estimate
+    * (matches/k) against the EXACT shingle-set Jaccard and histogram the
+    * absolute error into tenths. "k = 8 permutations" is a accuracy
+    * claim (σ = √(J(1−J)/k) ≈ 0.17 at J = 0.5); this entry turns it into
+    * a measured distribution on the actual corpus, the same discipline
+    * as d08/d09's recall\@k and d23's banding S-curve.
+    *
+    * Error bucketing is EXACT integer arithmetic — bucket =
+    * min(9, ⌊|m·u − i·k|·10 / (k·u)⌋) clears both rational denominators
+    * (m/k vs i/u), so no fp comparison sits on a bucket boundary.
+    *
+    * Scale shape: signatures and sorted shingle arrays are computed once
+    * per doc (one projection); pairs come from the within-block
+    * self-join (blocked exactly like d06 — at corpus scale the audit
+    * runs on a SAMPLE of blocks, which the blockCol filter upstream
+    * expresses); the histogram is one tiny aggregate.
+    *
+    * @return (err_bucket 0-9, n_pairs) — bucket b covers
+    *         |est − exact| ∈ [b/10, (b+1)/10)
+    */
+  def minhashErrorAudit(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 8, n: Int = 3): DataFrame = {
+    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        md5MinhashSignature(col(textCol), k, n).as("sig"),
+        sort_array(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val a = base.select(col("blk"), col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = base.select(col("blk"), col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"), col("sh").as("sh_b"))
+    val m = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      bit => bit)).cast("long")
+    val inter = graft.functions.SortedIntersectCountExpr
+      .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long")
+    val u = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .select(m.as("__m"), inter.as("__i"), u.as("__u"))
+      .select(least(lit(9L),
+        expr(s"(abs(__m * __u - __i * ${k}L) * 10L) div (${k}L * __u)"))
+        .as("err_bucket"))
+      .groupBy(col("err_bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** DIRECTIONAL containment pairs: (doc_a, doc_b) where at least
     * `threshold` of doc_a's distinct tokens also appear in doc_b —
     * C(A→B) = |T_A ∩ T_B| / |T_A|. The asymmetric sibling of

@@ -687,4 +687,24 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.containmentPairs(docsC, "doc_id", "text", "src", 0.0))
   }
+
+  test("minhashErrorAudit: identical docs land in bucket 0, mass conserved, buckets bounded") {
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val other = "completely different words entirely unrelated content here now"
+    val df = Seq(
+      (1L, txt, "s"), (2L, txt, "s"),        // identical: est 1, exact 1 -> bucket 0
+      (3L, other, "s"),                      // vs 1/2: est 0 (md5 minima differ), exact 0 -> 0
+      (4L, txt, "OTHER"))                    // other block: never paired with 1-3
+      .toDF("doc_id", "text", "src")
+    val got = Dedup.minhashErrorAudit(df, "doc_id", "text", "src")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet.forall(b => b >= 0 && b <= 9), got.toString)
+    // 3 within-block pairs in 's', 0 elsewhere — conservation
+    assert(got.values.sum == 3L, got.toString)
+    // the identical pair and the two disjoint pairs are all exact -> all
+    // mass in bucket 0
+    assert(got == Map(0L -> 3L), got.toString)
+    intercept[IllegalArgumentException](
+      Dedup.minhashErrorAudit(df, "doc_id", "text", "src", k = 0))
+  }
 }

@@ -53,6 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // df agg + the doc rank/size window + candidate distinct + verify agg;
     // the token-df and arrs frames ride broadcasts at this SF
     "d28_containment" -> (4, 5),
+    // one blocked self-join (broadcast at this SF) + the 10-bucket agg
+    "d30_minhash_error" -> (1, 1),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
