@@ -3826,6 +3826,59 @@ object SparkEntry {
            FROM dd)
          SELECT doc_id, n_chars, n_tokens, cum_weight FROM c WHERE cum_weight <= 12000"""),
 
+    // per-source corpus report card (round 12): the one-frame deliverable
+    // — volume, exact-dup rate, quality-gate pass rate (t08 thresholds),
+    // dominant predicted language + share per source; every rate one fp
+    // division of exact counts, dominant-lang ties broken (count desc,
+    // lang asc) on both engines
+    "x16_source_report" -> entry(
+      (s, d) => TextOps.corpusReport(
+        t(s, d, "documents"), "doc_id", "text", "source"),
+      s"""WITH w AS (
+           SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         q AS (
+           SELECT doc_id, source, text, len(w) AS nt, length(text) AS nc,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / NULLIF(len(w), 0) AS mtl,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE)
+               / NULLIF(len(w), 0) AS sr,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                  ELSE 0.0 END AS dtf
+           FROM w),
+         r AS (
+           SELECT doc_id, source, nt, nc,
+             (CASE WHEN COALESCE(nt, 0) < 20 THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(nt > 90, FALSE) THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(mtl < 2.0 OR mtl > 12.0, FALSE) THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(sr < 0.01, FALSE) THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(dtf > 0.6, FALSE) THEN 1 ELSE 0 END) = 0 AS keep,
+             md5(text) AS fp,
+             $langCaseSql AS lang
+           FROM q),
+         g AS (
+           SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS nfp,
+             CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_quality_pass
+           FROM r GROUP BY 1),
+         lc AS (SELECT source, lang, COUNT(*) AS ln FROM r GROUP BY 1, 2),
+         lt AS (SELECT source, lang AS top_lang, ln FROM (
+                  SELECT source, lang, ln,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY ln DESC, lang ASC) AS rn
+                  FROM lc) WHERE rn = 1)
+         SELECT g.source, g.n_docs, g.n_chars, g.n_tokens,
+           g.n_docs - g.nfp AS n_exact_dups,
+           CAST(g.n_docs - g.nfp AS DOUBLE) / g.n_docs AS dup_rate,
+           g.n_quality_pass,
+           CAST(g.n_quality_pass AS DOUBLE) / g.n_docs AS quality_pass_rate,
+           lt.top_lang,
+           CAST(lt.ln AS DOUBLE) / g.n_docs AS top_lang_share
+         FROM g JOIN lt ON lt.source = g.source"""),
+
     // curriculum packing (round 12): rank-exact difficulty quartiles over
     // the n_chars distribution (distributed prefix sum — no sampled
     // boundaries), hash-interleaved token shards within each stage; the

@@ -618,6 +618,58 @@ object TextOps {
         sum(col("__a")).cast("long").as("n_assigns"))
   }
 
+  /** Per-source corpus report card — the one-frame deliverable a data
+    * pipeline hands its consumers: for each source, volume (docs, chars,
+    * tokens), exact-duplicate surplus and rate (md5 fingerprints),
+    * quality-gate pass count and rate ([[qualityFilter]], the t08
+    * thresholds), and the dominant predicted language with its share
+    * ([[langId]]). Every rate is one fp division of exact integer counts;
+    * the dominant-language tie breaks (count desc, lang asc) via the
+    * min-of-(−count, lang)-struct idiom, so the report is deterministic
+    * and engine-replayable end to end.
+    *
+    * Scale shape: one signals projection per doc (tokenize once — the
+    * gate, fingerprint, and language share it), one per-source aggregate
+    * (the countDistinct fingerprint adds the usual expand), one
+    * languages-bounded (source, lang) roll-up, and a source-keyed join of
+    * the two tiny report frames. NULL text or NULL group rows are out of
+    * scope (no report position).
+    *
+    * @return (groupCol, n_docs, n_chars, n_tokens, n_exact_dups,
+    *         dup_rate, n_quality_pass, quality_pass_rate, top_lang,
+    *         top_lang_share)
+    */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val gated = qualityFilter(
+      docs.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(idCol).as("__id"), col(groupCol).as("grp"),
+          col(textCol).as("__text")),
+      "__text", minTokens = 20, maxTokens = 90, minMeanTokLen = 2.0,
+      maxMeanTokLen = 12.0, minStopwordRatio = 0.01, maxDupTokenFrac = 0.6)
+      .withColumn("__fp", md5(col("__text")))
+      .withColumn("__lang", langId(col("__text")))
+    val perGroup = gated.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        countDistinct(col("__fp")).as("__nfp"),
+        count(when(col("keep"), lit(1))).as("n_quality_pass"))
+    val langTop = gated.groupBy(col("grp"), col("__lang"))
+      .agg(count(lit(1)).as("__ln"))
+      .groupBy(col("grp"))
+      .agg(min(struct((-col("__ln")).as("nn"), col("__lang").as("l"))).as("__top"))
+      .select(col("grp"), col("__top.l").as("top_lang"), (-col("__top.nn")).as("__topn"))
+    perGroup.join(langTop, "grp")
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_chars"), col("n_tokens"),
+        (col("n_docs") - col("__nfp")).as("n_exact_dups"),
+        ((col("n_docs") - col("__nfp")).cast("double") / col("n_docs")).as("dup_rate"),
+        col("n_quality_pass"),
+        (col("n_quality_pass").cast("double") / col("n_docs")).as("quality_pass_rate"),
+        col("top_lang"),
+        (col("__topn").cast("double") / col("n_docs")).as("top_lang_share"))
+  }
+
   /** Bigram language-model cross-entropy per document — the KenLM-style
     * "perplexity filter" quality signal (CCNet/Gopher lineage): train
     * add-one-smoothed bigram statistics on the corpus itself, then score

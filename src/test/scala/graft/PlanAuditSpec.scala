@@ -365,6 +365,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // difficulty histogram + the prefix-sum block window + stage join +
     // the (stage, substream) packing window; NDV frames broadcast back
     "x15_curriculum_pack" -> (4, 2),
+    // per-source agg (countDistinct expand = 2) + the (source, lang)
+    // roll-up + top pick; the two report frames join broadcast
+    "x16_source_report" -> (4, 1),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))
