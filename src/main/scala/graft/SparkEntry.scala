@@ -2906,6 +2906,32 @@ object SparkEntry {
                 cusum > 3 * tot AS drift
          FROM c"""),
 
+    // Markov next-event prediction accuracy (round 12): the measured-
+    // claims discipline applied to s10's transition model — per
+    // from-type, the argmax successor and its in-sample hit rate; ties
+    // break (count desc, type asc) identically on both engines
+    "s21_markov_accuracy" -> entry(
+      (s, d) => graft.operators.EventOps.transitionAccuracy(
+        t(s, d, "events"), "user_id", "event_type", "ts", "event_id"),
+      """WITH p AS (
+           SELECT user_id, event_type AS to_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+           FROM events WHERE ts IS NOT NULL),
+         obs AS (SELECT from_type, to_type FROM p WHERE from_type IS NOT NULL),
+         tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM obs GROUP BY 1, 2),
+         pr AS (SELECT from_type, to_type AS predicted FROM (
+                  SELECT from_type, to_type,
+                    ROW_NUMBER() OVER (PARTITION BY from_type
+                      ORDER BY n DESC, to_type ASC) AS rn
+                  FROM tr) WHERE rn = 1)
+         SELECT o.from_type, pr.predicted, COUNT(*) AS n_obs,
+           CAST(COUNT(*) FILTER (WHERE o.to_type = pr.predicted) AS BIGINT) AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE o.to_type = pr.predicted) AS DOUBLE)
+             / COUNT(*) AS accuracy
+         FROM obs o JOIN pr ON pr.from_type = o.from_type
+         GROUP BY 1, 2"""),
+
     // bot/automation gate (round 12): rate + metronome-regularity flags
     // per user, integer-exact closed forms (see EventOps.botGate). The
     // fixture's humans are organic, so two bots are injected

@@ -78,6 +78,49 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** In-sample next-event prediction accuracy of the first-order Markov
+    * model [[transitionMatrix]] estimates — the measured-claims
+    * discipline (d08/d09 recall, d30 estimator error) applied to event
+    * modeling: "if the pipeline predicted each next event as the most
+    * frequent successor of the current one, how often would it be
+    * right?" Per from-type: the argmax successor (ties to the
+    * lexicographically smallest type — deterministic on any engine), the
+    * observation count, and the hit rate. The per-type accuracy IS the
+    * diagnosis: a type whose accuracy ~ its top successor share says the
+    * chain is memoryless there; higher says structure.
+    *
+    * In-sample by design (model trained on the same stream it scores) —
+    * the drift-free baseline number; a production monitor feeds a split.
+    *
+    * Scale shape: one per-user ordered window builds the (from, to)
+    * observation stream (the only per-event pass, same (ts, id) tie
+    * order as [[transitionMatrix]]); the model and the argmax pick live
+    * on the types²-bounded transition frame; scoring is a broadcast join
+    * of that tiny frame back onto the observations + one aggregate.
+    *
+    * @return (from_type, predicted, n_obs, n_correct, accuracy)
+    */
+  def transitionAccuracy(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("to_type"), col(tsCol), col(idCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val pred = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("from_type"))
+      .agg(min(struct((-col("__n")).as("nn"), col("to_type").as("t"))).as("__p"))
+      .select(col("from_type"), col("__p.t").as("predicted"))
+    pairs.join(broadcast(pred), "from_type")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("to_type") === col("predicted"), lit(1))).as("n_correct"))
+      .select(col("from_type"), col("predicted"), col("n_obs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_obs")).as("accuracy"))
+  }
+
   /** Per-user funnel depth over an ordered step list: depth d means the
     * user's FIRST occurrences of steps 0..d-1 happen in strictly
     * increasing time order (a purchase before the first click does not

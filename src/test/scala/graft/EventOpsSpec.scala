@@ -412,4 +412,27 @@ class EventOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EventOps.botGate(rows.toDF("user_id", "ts"), "user_id", "ts", cvTolPercent = 0))
   }
+
+  test("transitionAccuracy: argmax successor, tie to smallest type, exact hit rates") {
+    def at(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a->b, b->a, a->b, b->c ; user 2: a->b
+    // transitions: a->b x3 ; b->a x1, b->c x1 (tie -> predicted 'a')
+    val rows = Seq(
+      (1L, "a", at(0), 10L), (1L, "b", at(1), 11L), (1L, "a", at(2), 12L),
+      (1L, "b", at(3), 13L), (1L, "c", at(4), 14L),
+      (2L, "a", at(0), 20L), (2L, "b", at(1), 21L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.transitionAccuracy(rows, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") == (("b", 3L, 3L, 1.0)), got.toString)
+    assert(got("b") == (("a", 2L, 1L, 0.5)), got.toString)
+    assert(!got.contains("c"), "terminal type has no outgoing observations")
+    // same-timestamp ties order by event_id: (u3: x@0#1, y@0#2) -> x->y
+    val tie = Seq((3L, "y", at(0), 2L), (3L, "x", at(0), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val t2 = EventOps.transitionAccuracy(tie, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(t2.toSeq == Seq(("x", "y")), t2.mkString)
+  }
 }

@@ -289,6 +289,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the gap window and the per-user agg (incl. the distinct-minute
     // expand) share one user_id exchange
     "s20_bot_gate" -> (1, 0),
+    // user window + the transition agg + argmax pick + scoring agg; the
+    // types²-bounded model frame joins broadcast
+    "s21_markov_accuracy" -> (4, 1),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
