@@ -3852,6 +3852,44 @@ object SparkEntry {
            FROM dd)
          SELECT doc_id, n_chars, n_tokens, cum_weight FROM c WHERE cum_weight <= 12000"""),
 
+    // deterministic per-epoch training schedule (round 12): every
+    // (shard, seq) unit once per epoch, order varying by epoch yet
+    // reproducible — md5 order-hash of (epoch|shard|seq); composes x04's
+    // packed layout
+    "x17_epoch_schedule" -> entry(
+      (s, d) => graft.operators.PackOps.epochSchedule(
+        graft.operators.PackOps.packSequences(
+          t(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 8,
+          orderHash = graft.operators.SampleOps.md5OrderHash),
+        "shard", "seq_no", epochs = 3),
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS oh,
+             COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, CAST(oh % 8 AS INT) AS shard,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY oh % 8 ORDER BY oh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM t),
+         units AS (SELECT DISTINCT shard, off // 512 AS seq_no FROM o),
+         e AS (SELECT u.shard, u.seq_no, CAST(ep.epoch AS INT) AS epoch
+               FROM units u CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) ep),
+         sq AS (
+           SELECT epoch, shard, seq_no,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY
+               CAST(('0x' || substr(md5(concat_ws('|', epoch, shard, seq_no)), 1, 15)) AS BIGINT),
+               seq_no) AS INT) AS seq_ord
+           FROM e),
+         so AS (
+           SELECT epoch, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY
+               CAST(('0x' || substr(md5(concat_ws('|', epoch, shard)), 1, 15)) AS BIGINT),
+               shard) AS INT) AS shard_ord
+           FROM (SELECT DISTINCT epoch, shard FROM e))
+         SELECT sq.epoch, sq.shard, so.shard_ord, sq.seq_no, sq.seq_ord
+         FROM sq JOIN so ON so.epoch = sq.epoch AND so.shard = sq.shard"""),
+
     // per-source corpus report card (round 12): the one-frame deliverable
     // — volume, exact-dup rate, quality-gate pass rate (t08 thresholds),
     // dominant predicted language + share per source; every rate one fp

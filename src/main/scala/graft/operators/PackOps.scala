@@ -182,4 +182,44 @@ object PackOps {
           array_sort(collect_list(struct(col("seq_offset"), col("piece")))),
           s => s.getField("piece"))), " ").as("seq_text"))
   }
+
+  /** Deterministic per-epoch training schedule over a packed layout: each
+    * epoch reads every (shard, seq) unit exactly once, in an order that
+    * VARIES by epoch (repeating one fixed order each epoch measurably
+    * hurts convergence — the standard reshuffle-every-epoch rule) yet is
+    * fully REPRODUCIBLE (resume-from-step, run-to-run bit-equal): the
+    * order key is the md5 order-hash of (epoch | shard | seq), a pure
+    * function of the triple. Two grains, matching how loaders stream:
+    * shards are visited in per-epoch hash order (`shard_ord`), sequences
+    * within a shard likewise (`seq_ord`).
+    *
+    * Scale shape: the schedule frame is units×epochs rows of small ids;
+    * the within-shard rank rides a (epoch, shard)-partitioned window and
+    * the shard visit order a per-epoch window over the SHARD LIST (tiny
+    * by construction — shards is a config knob, not data-sized). No
+    * global sort: the loader streams shard_ord-major, seq_ord within.
+    *
+    * @return (epoch, shard, shard_ord, seq_no, seq_ord)
+    */
+  def epochSchedule(packed: DataFrame, shardCol: String, seqCol: String,
+      epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 10000, s"epochs must be in [1, 10000], got $epochs")
+    import org.apache.spark.sql.expressions.Window
+    def h(cols: Column*) = SampleOps.md5OrderHash(concat_ws("|", cols: _*))
+    val units = packed
+      .select(col(s"`$shardCol`").as("shard"), col(s"`$seqCol`").as("seq_no"))
+      .distinct()
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+    val seqW = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(h(col("epoch"), col("shard"), col("seq_no")).asc, col("seq_no").asc)
+    val shardOrd = units.select(col("epoch"), col("shard")).distinct()
+      .withColumn("shard_ord", row_number().over(
+        Window.partitionBy(col("epoch"))
+          .orderBy(h(col("epoch"), col("shard")).asc, col("shard").asc)))
+    units
+      .withColumn("seq_ord", row_number().over(seqW))
+      .join(broadcast(shardOrd), Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"), col("shard_ord"),
+        col("seq_no"), col("seq_ord"))
+  }
 }

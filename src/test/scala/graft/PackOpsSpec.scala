@@ -175,4 +175,34 @@ class PackOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) == nt.toDouble / (nSeqs * 10), r.toString)
     }
   }
+
+  test("epochSchedule: each epoch covers every unit once, orders vary by epoch, repartition-stable") {
+    val packed = (for (sh <- 0 until 3; sq <- 0L until 10L) yield (sh, sq))
+      .toDF("shard", "seq_no")
+    val got = PackOps.epochSchedule(packed, "shard", "seq_no", epochs = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    // coverage: 2 epochs x 30 units, each unit once per epoch
+    assert(got.length == 60)
+    (0 until 2).foreach { ep =>
+      val units = got.filter(_._1 == ep).map(r => (r._2, r._4)).toSet
+      assert(units.size == 30, s"epoch $ep covers all units")
+      // ranks are contiguous permutations
+      (0 until 3).foreach { sh =>
+        val ords = got.filter(r => r._1 == ep && r._2 == sh).map(_._5).sorted
+        assert(ords.toSeq == (1 to 10), s"epoch $ep shard $sh seq_ords")
+      }
+      assert(got.filter(_._1 == ep).map(r => (r._2, r._3)).distinct.map(_._2).sorted.toSeq
+        == (1 to 3), s"epoch $ep shard_ords")
+    }
+    // the epochs differ somewhere (the reshuffle actually reshuffles)
+    val ord0 = got.filter(_._1 == 0).sortBy(r => (r._2, r._4)).map(r => r._5)
+    val ord1 = got.filter(_._1 == 1).sortBy(r => (r._2, r._4)).map(r => r._5)
+    assert(ord0.toSeq != ord1.toSeq, "epoch orders must differ")
+    // deterministic under repartitioning
+    val again = PackOps.epochSchedule(packed.repartition(7), "shard", "seq_no", epochs = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(again.toSet == got.toSet)
+    intercept[IllegalArgumentException](
+      PackOps.epochSchedule(packed, "shard", "seq_no", epochs = 0))
+  }
 }

@@ -371,6 +371,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-source agg (countDistinct expand = 2) + the (source, lang)
     // roll-up + top pick; the two report frames join broadcast
     "x16_source_report" -> (4, 1),
+    // packed-layout window + unit distinct + the (epoch, shard) rank
+    // window; the per-epoch shard list joins broadcast
+    "x17_epoch_schedule" -> (3, 1),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))
