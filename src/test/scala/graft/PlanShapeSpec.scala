@@ -65,6 +65,25 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("round-12 entries prune their scans") {
+    // documents-table entries reading only (doc_id, text) of 5 columns
+    Seq("t23_lm_score", "d27_cdc_chunks", "x17_epoch_schedule").foreach { name =>
+      val p = executedPlanString(name)
+      assert(!p.contains("source") && !p.contains("lang"),
+        s"$name must read only (doc_id, text) from documents")
+    }
+    // event entries never touch props (the wide JSON column)
+    Seq("s18_seasonal_anomaly", "s20_bot_gate", "s21_markov_accuracy",
+      "j09_interpolate").foreach { name =>
+      val p = executedPlanString(name)
+      assert(!p.contains("props"), s"$name must not read the props column")
+    }
+    // p14 reads (source, n_chars), never the text blob
+    val g = executedPlanString("p14_gini")
+    assert(!g.contains("text") && !g.contains("lang"),
+      "gini must not read text/lang")
+  }
+
   test("q10: sort+limit fuses to TakeOrderedAndProject (top-k)") {
     val p = executedPlanString("q10_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
