@@ -133,9 +133,15 @@ object GraftSession {
     * `rolling_minhash(text, window)` become callable from any `spark.sql`
     * text and the CLI.
     */
-  def registerFunctions(spark: SparkSession): Unit = {
+  /** The native-function catalog shared by [[registerFunctions]] (per-
+    * session temp registration) and [[GraftExtensions]] (the
+    * `spark.sql.extensions` injection path a library user configures at
+    * session build).
+    */
+  private[engine] val nativeFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    val reg = spark.sessionState.functionRegistry
     def arity(fn: String, es: Seq[Expression], n: Int): Unit =
       if (es.length != n) throw new IllegalArgumentException(
         s"$fn expects $n arguments, got ${es.length}")
@@ -149,24 +155,26 @@ object GraftSession {
         v
       case other => throw new IllegalArgumentException(s"$fn: expected int literal, got $other")
     }
-    reg.createOrReplaceTempFunction("minhash_signature",
-      (es: Seq[Expression]) => { arity("minhash_signature", es, 2)
-        graft.functions.MinHashSignatureExpr(es.head, intArg("minhash_signature", es(1))) }, "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      (es: Seq[Expression]) => { arity("dot_product", es, 2)
-        graft.functions.DotProductExpr(es.head, es(1)) }, "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_minhash",
-      (es: Seq[Expression]) => { arity("rolling_minhash", es, 2)
-        graft.functions.RollingMinHashExpr(es.head, intArg("rolling_minhash", es(1))) }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash",
-      (es: Seq[Expression]) => { arity("simhash", es, 1)
-        graft.functions.SimHashTextExpr(es.head) }, "scala_udf")
-    reg.createOrReplaceTempFunction("unit_norm",
-      (es: Seq[Expression]) => { arity("unit_norm", es, 1)
-        graft.functions.UnitNormExpr(es.head) }, "scala_udf")
-    reg.createOrReplaceTempFunction("match_fraction",
-      (es: Seq[Expression]) => { arity("match_fraction", es, 2)
-        graft.functions.MatchFractionExpr(es.head, es(1)) }, "scala_udf")
+    Seq(
+      "minhash_signature" -> ((es: Seq[Expression]) => { arity("minhash_signature", es, 2)
+        graft.functions.MinHashSignatureExpr(es.head, intArg("minhash_signature", es(1))) }),
+      "dot_product" -> ((es: Seq[Expression]) => { arity("dot_product", es, 2)
+        graft.functions.DotProductExpr(es.head, es(1)) }),
+      "rolling_minhash" -> ((es: Seq[Expression]) => { arity("rolling_minhash", es, 2)
+        graft.functions.RollingMinHashExpr(es.head, intArg("rolling_minhash", es(1))) }),
+      "simhash" -> ((es: Seq[Expression]) => { arity("simhash", es, 1)
+        graft.functions.SimHashTextExpr(es.head) }),
+      "unit_norm" -> ((es: Seq[Expression]) => { arity("unit_norm", es, 1)
+        graft.functions.UnitNormExpr(es.head) }),
+      "match_fraction" -> ((es: Seq[Expression]) => { arity("match_fraction", es, 2)
+        graft.functions.MatchFractionExpr(es.head, es(1)) }))
+  }
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    nativeFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** Tables safe to ANALYZE … FOR ALL COLUMNS (no array/ns-timestamp cols). */

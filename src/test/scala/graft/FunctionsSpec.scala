@@ -249,4 +249,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m2.contains("a") && m2.size <= 2, m2.toString)
     intercept[IllegalArgumentException](new graft.functions.MisraGriesAggregator(0))
   }
+
+  test("GraftExtensions: spark.sql.extensions path injects the native catalog at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.engine.GraftExtensions().apply(_))
+        .getOrCreate()
+      assert(s2 ne base, "a fresh session must have been built for the extension to apply")
+      val d = s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0)
+      assert(d == 11.0)
+      // built-in (not temp) registration survives newSession() clones —
+      // the property the temp-function path lacks
+      val clone = s2.newSession()
+      assert(clone.sql("SELECT simhash('a b c') AS s").head.getLong(0) != 0L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
