@@ -929,13 +929,20 @@ object SparkEntry {
     // |signature estimate − exact shingle Jaccard| histogrammed in
     // tenths via exact integer cross-multiplication (no fp on bucket
     // boundaries); the d08/d09 recall discipline applied to d03's sketch
+    // the audit pairs are block-quadratic by nature, so the entry runs it
+    // the way a 100 TB corpus would: on a deterministic SAMPLE of blocks
+    // (md5 order-hash of the source ≡ 0 mod 4 — the upstream-filter
+    // sampling the operator scaladoc prescribes)
     "d30_minhash_error" -> entry(
       (s, d) => Dedup.minhashErrorAudit(
-        t(s, d, "documents"), "doc_id", "text", "source", k = 8, n = 3),
+        t(s, d, "documents").filter(
+          pmod(graft.operators.SampleOps.md5OrderHash(col("source")), lit(4L)) === 0),
+        "doc_id", "text", "source", k = 8, n = 3),
       """WITH toks AS (
            SELECT doc_id, source AS blk,
              list_filter(string_split(text, ' '), w -> w <> '') AS w
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents WHERE text IS NOT NULL
+             AND CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 4 = 0),
          shl AS (
            SELECT doc_id, blk, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                 ELSE list_transform(range(1, len(w) - 1),
