@@ -2464,6 +2464,81 @@ object SparkEntry {
     // winsorized per-group mean (round 12): exact [p05, p95] quantile
     // clamp + clip counts — outlier-robust location with the tail mass
     // reported, not absorbed. Mean = one fp division of exact integers
+    // one-pass correlation matrix (round 12): every pairwise Pearson r
+    // over 4 lineitem measures from ONE sufficient-stats aggregate —
+    // the naive form scans the table once per pair; sums/cross-products
+    // are exact decimals, each r one fixed fp expression (p05/p07
+    // discipline incl. the VARCHAR-route decimal→double cast)
+    "p17_corr_matrix" -> entry(
+      (s, d) => graft.operators.Profile.correlationMatrix(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      """WITH s AS (
+           SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))) AS s_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS s_e,
+             SUM(CAST(l_discount AS DECIMAL(19,2))) AS s_d,
+             SUM(CAST(l_tax AS DECIMAL(19,2))) AS s_t,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) AS ss_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS ss_e,
+             SUM(CAST(l_discount AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS ss_d,
+             SUM(CAST(l_tax AS DECIMAL(19,2)) * CAST(l_tax AS DECIMAL(19,2))) AS ss_t,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS sp_q_e,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS sp_q_d,
+             SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_tax AS DECIMAL(19,2))) AS sp_q_t,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS sp_e_d,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_tax AS DECIMAL(19,2))) AS sp_e_t,
+             SUM(CAST(l_discount AS DECIMAL(19,2)) * CAST(l_tax AS DECIMAL(19,2))) AS sp_d_t
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         v AS (
+           SELECT n,
+             CAST(CAST(s_q AS VARCHAR) AS DOUBLE) AS s_q,
+             CAST(CAST(s_e AS VARCHAR) AS DOUBLE) AS s_e,
+             CAST(CAST(s_d AS VARCHAR) AS DOUBLE) AS s_d,
+             CAST(CAST(s_t AS VARCHAR) AS DOUBLE) AS s_t,
+             CAST(CAST(ss_q AS VARCHAR) AS DOUBLE) AS ss_q,
+             CAST(CAST(ss_e AS VARCHAR) AS DOUBLE) AS ss_e,
+             CAST(CAST(ss_d AS VARCHAR) AS DOUBLE) AS ss_d,
+             CAST(CAST(ss_t AS VARCHAR) AS DOUBLE) AS ss_t,
+             CAST(CAST(sp_q_e AS VARCHAR) AS DOUBLE) AS sp_q_e,
+             CAST(CAST(sp_q_d AS VARCHAR) AS DOUBLE) AS sp_q_d,
+             CAST(CAST(sp_q_t AS VARCHAR) AS DOUBLE) AS sp_q_t,
+             CAST(CAST(sp_e_d AS VARCHAR) AS DOUBLE) AS sp_e_d,
+             CAST(CAST(sp_e_t AS VARCHAR) AS DOUBLE) AS sp_e_t,
+             CAST(CAST(sp_d_t AS VARCHAR) AS DOUBLE) AS sp_d_t
+           FROM s)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           CASE WHEN n = 0 OR n * ss_q - s_q * s_q <= 0 OR n * ss_e - s_e * s_e <= 0 THEN NULL
+                ELSE (n * sp_q_e - s_q * s_e)
+                     / sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)) END AS r FROM v
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', n,
+           CASE WHEN n = 0 OR n * ss_q - s_q * s_q <= 0 OR n * ss_d - s_d * s_d <= 0 THEN NULL
+                ELSE (n * sp_q_d - s_q * s_d)
+                     / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)) END FROM v
+         UNION ALL
+         SELECT 'l_quantity', 'l_tax', n,
+           CASE WHEN n = 0 OR n * ss_q - s_q * s_q <= 0 OR n * ss_t - s_t * s_t <= 0 THEN NULL
+                ELSE (n * sp_q_t - s_q * s_t)
+                     / sqrt((n * ss_q - s_q * s_q) * (n * ss_t - s_t * s_t)) END FROM v
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', n,
+           CASE WHEN n = 0 OR n * ss_e - s_e * s_e <= 0 OR n * ss_d - s_d * s_d <= 0 THEN NULL
+                ELSE (n * sp_e_d - s_e * s_d)
+                     / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)) END FROM v
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_tax', n,
+           CASE WHEN n = 0 OR n * ss_e - s_e * s_e <= 0 OR n * ss_t - s_t * s_t <= 0 THEN NULL
+                ELSE (n * sp_e_t - s_e * s_t)
+                     / sqrt((n * ss_e - s_e * s_e) * (n * ss_t - s_t * s_t)) END FROM v
+         UNION ALL
+         SELECT 'l_discount', 'l_tax', n,
+           CASE WHEN n = 0 OR n * ss_d - s_d * s_d <= 0 OR n * ss_t - s_t * s_t <= 0 THEN NULL
+                ELSE (n * sp_d_t - s_d * s_t)
+                     / sqrt((n * ss_d - s_d * s_d) * (n * ss_t - s_t * s_t)) END FROM v"""),
+
     // Cramér's V (round 12): source↔lang association strength — the
     // stratification-redundancy check. χ² via the missing-cell-free
     // identity Σ n_ij²·n/(r_i·c_j) − n; per-cell contributions rounded
@@ -3190,6 +3265,29 @@ object SparkEntry {
            SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
                        THEN 'train' ELSE 'test' END AS split
            FROM documents) GROUP BY split"""),
+
+    // split-leakage audit (round 12): how much of x02's random id-hash
+    // split's test set duplicates training CONTENT — the measurement
+    // that motivates x13's dedup-closed split; one fp-keyed aggregate,
+    // no join
+    "x18_split_leakage" -> entry(
+      (s, d) => graft.operators.SampleOps.splitLeakage(
+        t(s, d, "documents"), "doc_id", "text", trainPct = 80),
+      """WITH r AS (
+           SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 AS tr,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         f AS (
+           SELECT fp,
+             CAST(COUNT(*) FILTER (WHERE tr) AS BIGINT) AS ntr,
+             CAST(COUNT(*) FILTER (WHERE NOT tr) AS BIGINT) AS nte
+           FROM r GROUP BY 1)
+         SELECT CAST(SUM(ntr) AS BIGINT) AS n_train, CAST(SUM(nte) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE ntr > 0 AND nte > 0) AS BIGINT) AS n_fps_both,
+           CAST(SUM(CASE WHEN ntr > 0 THEN nte ELSE 0 END) AS BIGINT) AS n_test_leaked,
+           CAST(CAST(SUM(CASE WHEN ntr > 0 THEN nte ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(nte) AS BIGINT) AS test_leak_rate
+         FROM f"""),
 
     // deterministic hash sampling + stratified cap composed — the "keep
     // ~50%, then at most 5 per source" curation step. Oracle via the

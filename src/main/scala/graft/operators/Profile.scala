@@ -457,6 +457,58 @@ object Profile {
         (n2 / col("__ss")).as("effective_values")): _*)
   }
 
+  /** Full Pearson correlation MATRIX over N numeric columns in ONE
+    * sufficient-statistics pass — [[correlation]]'s all-pairs form: the
+    * feature-redundancy screen run before any modeling/stratification
+    * over profile columns. A naive per-pair loop scans the table
+    * N·(N−1)/2 times; this computes every count, sum, and pairwise
+    * cross-product in a single aggregate (map-side partials) and derives
+    * all correlations from that one row.
+    *
+    * Same exactness discipline as [[correlation]] (p05): sums and
+    * cross-products accumulate in DECIMAL(19,2)-derived exact decimals
+    * (order-independent), each r is then ONE fixed fp expression over
+    * exactly-known operands, NULL when either side is constant. Rows
+    * with a NULL in ANY of the columns are excluded (listwise deletion)
+    * so every pair shares one n — the matrix property that makes r
+    * comparable across cells.
+    *
+    * @return (col_a, col_b, n, r) for every unordered pair, col_a < col_b
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct columns, got $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dcol(c: String) = col(s"`$c`").cast(DecimalType(19, 2))
+    val base = df.filter(cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(dcol(c)).as(s"__s_$c")) ++
+        cols.map(c => sum(dcol(c) * dcol(c)).as(s"__ss_$c")) ++
+        pairs.map { case (a, b) => sum(dcol(a) * dcol(b)).as(s"__sp_${a}_$b") }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    def d(name: String): Double = {
+      val v = row.getAs[java.math.BigDecimal](name)
+      if (v == null) 0.0 else v.doubleValue()
+    }
+    val out = pairs.map { case (a, b) =>
+      val (sx, sy) = (d(s"__s_$a"), d(s"__s_$b"))
+      val (sxx, syy) = (d(s"__ss_$a"), d(s"__ss_$b"))
+      val sxy = d(s"__sp_${a}_$b")
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val r: java.lang.Double =
+        if (n == 0L || vx <= 0 || vy <= 0) null
+        else (n * sxy - sx * sy) / math.sqrt(vx * vy)
+      (a, b, n, Option(r).map(_.doubleValue))
+    }
+    out.toDF("col_a", "col_b", "n", "r")
+  }
+
   /** Cramér's V — association strength between two categorical columns
     * (0 = independent, 1 = determined), the "is `lang` just `source` in
     * disguise" redundancy check run before stratifying a corpus on both.

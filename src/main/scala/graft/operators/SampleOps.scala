@@ -280,6 +280,42 @@ object SampleOps {
       .drop("__stratum", "__quota", "__rn")
   }
 
+  /** Split-leakage audit: how much of a RANDOM id-hash split's test set
+    * is contaminated by exact duplicates of training documents — the
+    * measurement that motivates [[dedupClosedSplit]] (x13): an id-keyed
+    * split looks leak-free by construction, but duplicated CONTENT
+    * crosses it freely, and every leaked test doc inflates eval. One
+    * summary row: per-side doc counts, the number of normalized
+    * fingerprints present on BOTH sides, the count of test docs whose
+    * fingerprint also trains, and that count as a rate.
+    *
+    * Scale shape: the split is [[deterministicSplit]]'s md5-bucket rule
+    * inlined (engine-replayable), the fingerprint
+    * [[graft.operators.TextOps.fingerprint]]'s normalized md5; ONE
+    * fingerprint-keyed aggregate with conditional counts carries both
+    * sides (no join), and the summary is a one-row roll-up of that
+    * NDV-sized frame.
+    *
+    * @return one row: (n_train, n_test, n_fps_both, n_test_leaked,
+    *         test_leak_rate)
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99, s"trainPct must be in [1, 99], got $trainPct")
+    val rows = docs.filter(col(s"`$idCol`").isNotNull && col(s"`$textCol`").isNotNull)
+      .select(
+        (md5Bucket(col(s"`$idCol`")) < trainPct).as("__train"),
+        TextOps.fingerprint(col(s"`$textCol`")).as("__fp"))
+    rows.groupBy(col("__fp"))
+      .agg(count(when(col("__train"), lit(1))).as("__tr"),
+        count(when(!col("__train"), lit(1))).as("__te"))
+      .agg(sum(col("__tr")).as("n_train"), sum(col("__te")).as("n_test"),
+        count(when(col("__tr") > 0 && col("__te") > 0, lit(1))).as("n_fps_both"),
+        sum(when(col("__tr") > 0, col("__te")).otherwise(lit(0L))).as("n_test_leaked"))
+      .select(col("n_train"), col("n_test"), col("n_fps_both"), col("n_test_leaked"),
+        (col("n_test_leaked").cast("double") / col("n_test")).as("test_leak_rate"))
+  }
+
   /** Curriculum packing: stage every document by a rank-exact difficulty
     * quantile, then lay each stage out as hash-interleaved token shards —
     * the easy→hard training schedule, materialized as a deterministic

@@ -132,6 +132,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // cell agg + the two marginal roll-ups (broadcast back) + final agg;
     // totals are eager literals
     "p16_cramers_v" -> (4, 2),
+    // the one sufficient-stats aggregate runs eagerly inside the call;
+    // the returned 6-row matrix is a local frame
+    "p17_corr_matrix" -> (0, 0),
     // d21's engine over the mapPartitions signature seam: the RDD
     // boundary costs one extra round-trip exchange at this plan shape
     "m04_phash_dedup" -> (2, 1),
@@ -374,6 +377,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // packed-layout window + unit distinct + the (epoch, shard) rank
     // window; the per-epoch shard list joins broadcast
     "x17_epoch_schedule" -> (3, 1),
+    // fingerprint-keyed conditional-count agg + the one-row roll-up
+    "x18_split_leakage" -> (2, 0),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
     "x08_snapshot_diff" -> (2, 0))

@@ -607,4 +607,51 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(Profile.cramersV(
       Seq.empty[(String, String)].toDF("s", "l"), "s", "l").count() == 0)
   }
+
+  test("correlationMatrix: exact ±1 pairs, constant-column NULLs, listwise-shared n") {
+    // y = 2x (r = 1), z = −x (r = −1), w constant (undefined), and one
+    // row with NULL w: listwise deletion keeps n = 4 for EVERY pair
+    val df = Seq(
+      (1, 2, -1, Some(5)), (2, 4, -2, Some(5)),
+      (3, 6, -3, Some(5)), (4, 8, -4, Some(5)),
+      (10, 20, -10, None: Option[Int]))
+      .toDF("x", "y", "z", "w")
+    val got = Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == 6)
+    assert(got(("x", "y")) == ((4L, Some(1.0))), got.toString)
+    assert(got(("x", "z")) == ((4L, Some(-1.0))))
+    assert(got(("y", "z")) == ((4L, Some(-1.0))))
+    Seq(("x", "w"), ("y", "w"), ("z", "w")).foreach(p =>
+      assert(got(p) == ((4L, None)), s"$p constant column must be NULL"))
+    intercept[IllegalArgumentException](
+      Profile.correlationMatrix(df, Seq("x", "x")))
+  }
+
+  test("splitLeakage: equals an independent per-fingerprint derivation") {
+    // 40 ids over 10 distinct texts (4 copies each): whichever side the
+    // md5 buckets land on, the audit must match a from-scratch fold
+    val docs = (1L to 40L).map(i => (i, s"doc number ${i % 10}")).toDF("doc_id", "text")
+    val sides = docs
+      .select(col("doc_id"), (SampleOps.md5Bucket(col("doc_id")) < 80).as("tr"), col("text"))
+      .collect().map(r => (r.getBoolean(1), r.getString(2)))
+    val byText = sides.groupBy(_._2).view.mapValues { rs =>
+      (rs.count(_._1).toLong, rs.count(!_._1).toLong)
+    }.toMap
+    val expTrain = byText.values.map(_._1).sum
+    val expTest = byText.values.map(_._2).sum
+    val expBoth = byText.values.count { case (a, b) => a > 0 && b > 0 }.toLong
+    val expLeaked = byText.values.collect { case (a, b) if a > 0 => b }.sum
+    val got = SampleOps.splitLeakage(docs, "doc_id", "text", trainPct = 80)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((expTrain, expTest, expBoth, expLeaked)), got.toString)
+    assert(got.getDouble(4) == expLeaked.toDouble / expTest)
+    // with 4 copies of everything, a 20% test side is virtually certain
+    // to be contaminated — the fact x13 exists to fix
+    assert(got.getLong(3) > 0, "fixture must show leakage")
+    intercept[IllegalArgumentException](
+      SampleOps.splitLeakage(docs, "doc_id", "text", trainPct = 0))
+  }
 }
