@@ -578,6 +578,17 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
 
+    // calendar-interval RANGE frame (round 12): the trailing-30-days
+    // running spend — RANGE over a DATE order key with an INTERVAL
+    // bound (q41's frames are ROWS/numeric-RANGE); ties are frame PEERS
+    // so duplicate order dates share one deterministic sum
+    "q57_interval_range" -> shared(
+      "SELECT o_orderkey, o_custkey, o_orderdate, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS spend_30d " +
+        "FROM orders WHERE o_custkey % 50 = 0"),
+
     // correlated LATERAL subquery in FROM (round 12): the other LATERAL
     // (q46 is LATERAL VIEW explode) — a per-row scalar-aggregate
     // subquery Catalyst decorrelates into one join + aggregate, never
@@ -2319,6 +2330,36 @@ object SparkEntry {
            CAST(CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
              / (SELECT total FROM tot) AS coverage
          FROM top"""),
+
+    // OOV rate vs the corpus top-20 vocabulary (round 12): the gate run
+    // before committing to a fixed tokenizer — occurrences, not types;
+    // vocab boundary pinned by the (count desc, token asc) total order
+    "t26_oov_rate" -> entry(
+      (s, d) => TextOps.oovRate(
+        t(s, d, "documents"), "doc_id", "text",
+        TextOps.vocabCoverage(t(s, d, "documents"), "text", k = 20)
+          .select(col("token"))),
+      """WITH e AS (
+           SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+           FROM documents WHERE text IS NOT NULL),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, COUNT(*) AS n FROM e GROUP BY 1
+             ORDER BY n DESC, token LIMIT 20)),
+         dt AS (
+           SELECT d.doc_id, t.tok
+           FROM documents d
+           LEFT JOIN LATERAL (
+             SELECT unnest(list_filter(string_split(d.text, ' '), w -> w <> '')) AS tok
+           ) t ON TRUE
+           WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL)
+         SELECT doc_id, COUNT(tok) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE tok IS NOT NULL
+             AND tok NOT IN (SELECT token FROM vocab)) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE tok IS NOT NULL
+             AND tok NOT IN (SELECT token FROM vocab)) AS DOUBLE)
+             / CASE WHEN COUNT(tok) > 0 THEN COUNT(tok) END AS oov_rate
+         FROM dt GROUP BY 1"""),
 
     // bigram-LM cross-entropy quality score (round 12): the KenLM-style
     // perplexity filter — add-one-smoothed bigram model trained on the

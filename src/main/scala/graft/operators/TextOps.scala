@@ -618,6 +618,38 @@ object TextOps {
         sum(col("__a")).cast("long").as("n_assigns"))
   }
 
+  /** Out-of-vocabulary rate per document against a supplied vocabulary
+    * frame (one `token` column — typically [[vocabCoverage]]'s top-k, a
+    * tokenizer's vocab export, or an allowlist): the OOV gate run before
+    * committing a corpus to a FIXED tokenizer, where every OOV token
+    * becomes byte-fallback pieces (inflating sequence length) or
+    * `<unk>`. Counts OCCURRENCES, not types — a doc repeating one OOV
+    * token 50 times really does pay 50 times.
+    *
+    * Scale shape: one explode + a broadcast (vocab-sized) left join + a
+    * per-doc aggregate with map-side partials. Token-less docs emit
+    * (0, 0, NULL) rather than vanishing.
+    *
+    * @return (idCol, n_tokens, n_oov, oov_rate)
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token"),
+      s"vocab frame needs a `token` column, got ${vocab.columns.mkString(", ")}")
+    val v = broadcast(vocab.select(col("token")).distinct()
+      .withColumn("__in", lit(true)))
+    docs.filter(col(s"`$idCol`").isNotNull && col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"),
+        explode_outer(tokens(col(s"`$textCol`"))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(count(col("token")).as("n_tokens"),
+        count(when(col("token").isNotNull && col("__in").isNull, lit(1))).as("n_oov"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / when(col("n_tokens") > 0, col("n_tokens")))
+          .as("oov_rate"))
+  }
+
   /** Per-source corpus report card — the one-frame deliverable a data
     * pipeline hands its consumers: for each source, volume (docs, chars,
     * tokens), exact-duplicate surplus and rate (md5 fingerprints),

@@ -220,6 +220,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // decorrelated lateral: one aggregate + one join (Catalyst proves the
     // N+1 re-execution away)
     "q56_lateral_subquery" -> (2, 2),
+    // one partition exchange drives the interval-RANGE window
+    "q57_interval_range" -> (1, 0),
     "q55_cube" -> (1, 0),
     "q37_window_sql" -> (1, 0), // both windows share one custkey exchange
     // INTERSECT/EXCEPT plan as semi/anti joins under one distinct agg;
@@ -338,6 +340,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t23_lm_score" -> (6, 4),
     // confusion agg + the per-truth share window on the languages² frame
     "t24_lang_confusion" -> (2, 0),
+    // vocab top-k job runs eagerly (TakeOrderedAndProject); audited plan
+    // is the explode + broadcast vocab join + per-doc agg
+    "t26_oov_rate" -> (3, 2),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
