@@ -933,6 +933,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH banding auto-tuner — the actionable end of d23's S-curve audit:
+    * given the Jaccard threshold a pipeline wants to catch and the
+    * false-negative probability it can tolerate AT that threshold,
+    * return the cheapest (bands, rows) configuration. A (b, r) banding
+    * misses a J-similar pair with probability (1 − J^r)^b; the tuner
+    * scans r = 1..rMax and picks the minimal b satisfying the budget,
+    * then the (b, r) with the smallest signature k = b·r — larger r
+    * suppresses low-J candidate noise, so among equal-k configs the
+    * LARGEST r wins (fewest false candidates for the same recall).
+    *
+    * Pure configuration math — no data, no Spark; deterministic, so the
+    * chosen config can be pinned in review. Returns (k, bands, rows,
+    * missProb at threshold, s-curve midpoint (1/b)^(1/r)).
+    */
+  def tuneBanding(threshold: Double, maxMissProb: Double,
+      rMax: Int = 32, bMax: Int = 256): (Int, Int, Int, Double, Double) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(maxMissProb > 0 && maxMissProb < 1, s"maxMissProb must be in (0,1), got $maxMissProb")
+    require(rMax >= 1 && bMax >= 1, s"need rMax >= 1 and bMax >= 1, got rMax=$rMax bMax=$bMax")
+    def miss(b: Int, r: Int): Double = math.pow(1.0 - math.pow(threshold, r), b)
+    val candidates = for {
+      r <- 1 to rMax
+      b = (1 to bMax).find(miss(_, r) <= maxMissProb)
+      if b.isDefined
+    } yield (b.get * r, b.get, r)
+    require(candidates.nonEmpty,
+      s"no (bands <= $bMax, rows <= $rMax) meets missProb <= $maxMissProb at J = $threshold — " +
+        "raise the budget or the search bounds")
+    // minimal signature first; among equal k the largest r (sharpest curve)
+    val (k, b, r) = candidates.minBy { case (k0, _, r0) => (k0, -r0) }
+    (k, b, r, miss(b, r), math.pow(1.0 / b, 1.0 / r))
+  }
+
   /** MinHash estimator-error audit: the measured-accuracy report for the
     * k-permutation MinHash this engine's dedup paths run on — per
     * within-block pair, compare the SIGNATURE-AGREEMENT estimate

@@ -707,4 +707,24 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.minhashErrorAudit(df, "doc_id", "text", "src", k = 0))
   }
+
+  test("tuneBanding: budget satisfied, minimal signature, sharpest curve on ties, tighter budget costs more") {
+    def miss(b: Int, r: Int, j: Double) = math.pow(1.0 - math.pow(j, r), b)
+    val (k, b, r, mp, mid) = Dedup.tuneBanding(0.7, 0.05)
+    assert(mp <= 0.05 && mp == miss(b, r, 0.7) && k == b * r, s"($k,$b,$r,$mp)")
+    // optimality: no config with smaller k (or equal k and larger r) works
+    for (r2 <- 1 to 32; b2 <- 1 to 256
+         if (b2 * r2 < k || (b2 * r2 == k && r2 > r)) && miss(b2, r2, 0.7) <= 0.05)
+      fail(s"tuner missed cheaper/sharper (b=$b2, r=$r2)")
+    assert(mid > 0 && mid < 0.7, s"midpoint $mid should sit below the target threshold")
+    // d03's fixture config (b=4, r=2) is what the tuner returns for the
+    // budget that config actually achieves
+    val m43 = miss(4, 2, 0.7)
+    val (_, b3, r3, _, _) = Dedup.tuneBanding(0.7, m43 + 1e-12)
+    assert(b3 * r3 <= 8, s"fixture config dominated: got ($b3, $r3)")
+    // a tighter budget can only grow the signature
+    val (k5, _, _, mp5, _) = Dedup.tuneBanding(0.7, 0.005)
+    assert(k5 >= k && mp5 <= 0.005)
+    intercept[IllegalArgumentException](Dedup.tuneBanding(0.7, 1e-30, rMax = 1, bMax = 1))
+  }
 }
