@@ -935,6 +935,60 @@ object SparkEntry {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
+    // integer-exact PageRank over the near-dup graph (round 12):
+    // template/boilerplate hubs rank high. The scaled-integer recurrence
+    // (contrib = (pr·85) div (100·deg), base 0.15·scale) is exact and
+    // order-independent, so 5 pinned iterations replay definitionally in
+    // SQL — the fp formulation could never hash-match
+    "d31_dup_centrality" -> entry(
+      (s, d) => graft.operators.Dedup.rankPropagation(
+        Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+            k = 8, bands = 4, threshold = 0.7,
+            signature = Some(Dedup.md5MinhashSignature(_, 8)))
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", iters = 5)
+        .select(col("node").as("doc_id"), col("rank_scaled")),
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         shl AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM shl),
+         prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         ed AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                UNION SELECT doc_b, doc_a FROM prs),
+         dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+         p0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM dg),
+         c1 AS (SELECT e.dst AS node, SUM((q.pr * 85) // (100 * d.deg)) AS cin
+                FROM ed e JOIN dg d ON d.src = e.src JOIN p0 q ON q.node = e.src GROUP BY 1),
+         p1 AS (SELECT p.node, 150000000 + COALESCE(c.cin, 0) AS pr
+                FROM p0 p LEFT JOIN c1 c ON c.node = p.node),
+         c2 AS (SELECT e.dst AS node, SUM((q.pr * 85) // (100 * d.deg)) AS cin
+                FROM ed e JOIN dg d ON d.src = e.src JOIN p1 q ON q.node = e.src GROUP BY 1),
+         p2 AS (SELECT p.node, 150000000 + COALESCE(c.cin, 0) AS pr
+                FROM p1 p LEFT JOIN c2 c ON c.node = p.node),
+         c3 AS (SELECT e.dst AS node, SUM((q.pr * 85) // (100 * d.deg)) AS cin
+                FROM ed e JOIN dg d ON d.src = e.src JOIN p2 q ON q.node = e.src GROUP BY 1),
+         p3 AS (SELECT p.node, 150000000 + COALESCE(c.cin, 0) AS pr
+                FROM p2 p LEFT JOIN c3 c ON c.node = p.node),
+         c4 AS (SELECT e.dst AS node, SUM((q.pr * 85) // (100 * d.deg)) AS cin
+                FROM ed e JOIN dg d ON d.src = e.src JOIN p3 q ON q.node = e.src GROUP BY 1),
+         p4 AS (SELECT p.node, 150000000 + COALESCE(c.cin, 0) AS pr
+                FROM p3 p LEFT JOIN c4 c ON c.node = p.node),
+         c5 AS (SELECT e.dst AS node, SUM((q.pr * 85) // (100 * d.deg)) AS cin
+                FROM ed e JOIN dg d ON d.src = e.src JOIN p4 q ON q.node = e.src GROUP BY 1),
+         p5 AS (SELECT p.node, 150000000 + COALESCE(c.cin, 0) AS pr
+                FROM p4 p LEFT JOIN c5 c ON c.node = p.node)
+         SELECT node AS doc_id, CAST(pr AS BIGINT) AS rank_scaled FROM p5"""),
+
     // MinHash estimator-error audit (round 12): the measured-accuracy
     // report for k=8 minhash on THIS corpus — per within-block pair,
     // |signature estimate − exact shingle Jaccard| histogrammed in

@@ -802,6 +802,64 @@ object Dedup {
     labels
   }
 
+  /** Integer-exact PageRank over an undirected pair graph — centrality in
+    * the NEAR-DUP graph, where a high-rank node is a template/boilerplate
+    * hub (many documents share content with it) and cluster-canonical
+    * picks can prefer central docs over [[keepBestSurvivors]]'s
+    * quality-policy pick. The twist that makes it oracle-replayable:
+    * the classic fp recurrence sums neighbor contributions in whatever
+    * order the reducer visits them (never bit-stable), so this runs the
+    * whole recurrence in SCALED INTEGERS with integral division —
+    *
+    *   contrib(u) = (pr(u) · dampingPct) div (100 · deg(u))
+    *   pr'(v)     = scale·(100 − dampingPct)/100 + Σ contrib(u→v)
+    *
+    * — exact, order-independent, and identical on any engine (the floor
+    * per contribution loses < 1/scale per edge vs real PageRank; at the
+    * default 10⁹ scale that is noise). Fixed iteration count: ranking
+    * stabilizes in a few rounds on near-dup graphs (diameter-bounded,
+    * like [[connectedComponents]]); the entry pins `iters` so the
+    * replay is definitional, not convergence-dependent.
+    *
+    * Scale shape: per round one edge⋈rank join (both keyed on the node —
+    * shuffle-hash at scale) + one aggregate, checkpoint-truncated
+    * lineage exactly as [[connectedComponents]]. `scale·n` must stay
+    * under int64 (rank mass is conserved up to floors): at 10⁹ docs drop
+    * scale to 10⁶.
+    *
+    * @return (node, rank_scaled) — rank in units of 1/scale
+    */
+  def rankPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, dampingPct: Int = 85, scale: Long = 1000000000L,
+      reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    require(scale >= 100 && scale % 100 == 0,
+      s"scale must be a positive multiple of 100, got $scale")
+    val useReliable = reliableCheckpoint.getOrElse(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = ckpt(edges.join(deg, "src"))
+    val base = scale / 100 * (100 - dampingPct)
+    var pr = ckpt(deg.select(col("src").as("node"), lit(scale).as("pr")))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(pr, withDeg("src") === pr("node"))
+        .select(col("dst").as("node"),
+          expr(s"(pr * ${dampingPct}L) div (100L * deg)").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__cin"))
+      pr = ckpt(pr.select(col("node")).join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__cin"), lit(0L))).as("pr")))
+    }
+    pr.select(col("node"), col("pr").as("rank_scaled"))
+  }
+
   /** End-to-end corpus dedup: exact (normalized fingerprint) clustering
     * first, then MinHash-LSH near-duplicate pairs over the exact-unique
     * survivors; greedy keep-lowest-id resolution (doc_b of every near-dup

@@ -727,4 +727,25 @@ class DedupSpec extends AnyFunSuite {
     assert(k5 >= k && mp5 <= 0.005)
     intercept[IllegalArgumentException](Dedup.tuneBanding(0.7, 1e-30, rMax = 1, bMax = 1))
   }
+
+  test("rankPropagation: hand-traced star iterations, hub dominates, integer exactness") {
+    // star: hub h(=1) — leaves 2,3,4; scale 1000, damping 80 (base 200)
+    // iter1: leaves send (1000·80)div(100·1)=800 each -> h = 200+2400 = 2600
+    //        h sends (1000·80)div(100·3)=266 -> each leaf = 466
+    // iter2: leaves send (466·80)div 100 = 372 -> h = 200+1116 = 1316
+    //        h sends (2600·80)div 300 = 693 -> each leaf = 893
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got2 = Dedup.rankPropagation(pairs, "a", "b", iters = 2,
+        dampingPct = 80, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1316L, 2L -> 893L, 3L -> 893L, 4L -> 893L), got2.toString)
+    // at the defaults the hub still dominates every leaf
+    val got5 = Dedup.rankPropagation(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got5(1L) > got5(2L) && got5(2L) == got5(3L) && got5(3L) == got5(4L), got5.toString)
+    intercept[IllegalArgumentException](
+      Dedup.rankPropagation(pairs, "a", "b", scale = 150L)) // not a multiple of 100
+    intercept[IllegalArgumentException](
+      Dedup.rankPropagation(pairs, "a", "b", iters = 0))
+  }
 }

@@ -55,6 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d28_containment" -> (4, 5),
     // one blocked self-join (broadcast at this SF) + the 10-bucket agg
     "d30_minhash_error" -> (1, 1),
+    // per-round joins are checkpoint-truncated (the CC idiom): the
+    // audited plan is the final rank scan
+    "d31_dup_centrality" -> (0, 0),
     "d10_dedup_corpus" -> (2, 1), // pairs checkpointed; survivor anti join broadcast
     // connectedComponents returns checkpointed labels: lineage (and its
     // per-round shuffles) is truncated by design, so the audited plan is
