@@ -3083,6 +3083,46 @@ object SparkEntry {
                 cusum > 3 * tot AS drift
          FROM c"""),
 
+    // cohort LTV curve (round 12): retention's sibling on the money axis
+    // — cumulative purchase value per signup-week cohort and week of
+    // age, over cohort size. Exact decimal accumulation through both
+    // aggregates and the cumulative window; fp only at the output cast
+    // and the per-user division
+    "s22_cohort_ltv" -> entry(
+      (s, d) => graft.operators.EventOps.cohortLtv(
+        t(s, d, "events"), "user_id", "event_type", "ts", "value",
+        cohortStep = "signup", revenueStep = "purchase"),
+      """WITH c AS (
+           SELECT user_id,
+             CAST(date_trunc('week', MIN(CASE WHEN event_type = 'signup'
+               THEN CAST(ts AS TIMESTAMP) END)) AS TIMESTAMP) AS cohort
+           FROM events GROUP BY 1),
+         c2 AS (SELECT user_id, cohort FROM c WHERE cohort IS NOT NULL),
+         cs AS (SELECT cohort, COUNT(*) AS n_users FROM c2 GROUP BY 1),
+         r AS (
+           SELECT e.user_id,
+             CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS wk,
+             CAST(e.value AS DECIMAL(12,2)) AS v
+           FROM events e
+           WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+             AND e.ts IS NOT NULL),
+         j AS (
+           SELECT c2.cohort,
+             CAST(date_diff('day', c2.cohort, r.wk) // 7 AS INT) AS week_offset, r.v
+           FROM r JOIN c2 ON c2.user_id = r.user_id
+           WHERE date_diff('day', c2.cohort, r.wk) >= 0),
+         w AS (SELECT cohort, week_offset, SUM(v) AS wr FROM j GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort, week_offset,
+             SUM(wr) OVER (PARTITION BY cohort ORDER BY week_offset
+               ROWS UNBOUNDED PRECEDING) AS cr
+           FROM w)
+         SELECT CAST(cum.cohort AS DATE) AS cohort_week, cum.week_offset,
+           cs.n_users,
+           CAST(CAST(cr AS VARCHAR) AS DOUBLE) AS cum_revenue,
+           CAST(CAST(cr AS VARCHAR) AS DOUBLE) / cs.n_users AS ltv
+         FROM cum JOIN cs ON cs.cohort = cum.cohort"""),
+
     // Markov next-event prediction accuracy (round 12): the measured-
     // claims discipline applied to s10's transition model — per
     // from-type, the argmax successor and its in-sample hit rate; ties

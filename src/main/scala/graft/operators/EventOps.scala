@@ -332,6 +332,58 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort lifetime-value curve — [[retention]]'s sibling on the money
+    * axis: users cohorted by the week of their first `cohortStep` event,
+    * then each cohort's CUMULATIVE `revenueStep` value per week-of-age,
+    * divided by cohort size — the "how much has an average week-N signup
+    * spent by age k" curve payback-period decisions read. Same week
+    * conventions as [[retention]] (Monday-truncated weeks; the offset
+    * division is exact because both ends are week-truncated, so
+    * truncation and floor agree).
+    *
+    * Determinism: revenue accumulates as exact DECIMAL(12,2) sums
+    * (order-independent) through both the weekly aggregate and the
+    * per-cohort cumulative window; the only fp is the final cast and the
+    * per-user division. Observed-offsets-only contract (a week with zero
+    * revenue is absent; the cumulative value carries across the gap
+    * regardless) — compose with a gap-fill for dense curves.
+    *
+    * Scale shape: one per-user cohort aggregate, one (cohort, offset)
+    * revenue aggregate, and a window over the cohorts×ages frame — never
+    * the raw event stream; cohort sizes join broadcast.
+    *
+    * @return (cohort_week, week_offset, n_users, cum_revenue, ltv)
+    */
+  def cohortLtv(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String, cohortStep: String,
+      revenueStep: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val cohorts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(when(col(typeCol) === cohortStep, col(tsCol))))
+        .as("__cohort"))
+      .filter(col("__cohort").isNotNull)
+    val sizes = cohorts.groupBy(col("__cohort")).agg(count(lit(1)).as("n_users"))
+    val weekly = events
+      .filter(col(typeCol) === revenueStep && col(valueCol).isNotNull
+        && col(tsCol).isNotNull)
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__week"),
+        col(valueCol).cast(DecimalType(12, 2)).as("__v"))
+      .join(cohorts, userCol)
+      .withColumn("week_offset", expr("CAST(datediff(__week, __cohort) div 7 AS INT)"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("__cohort"), col("week_offset"))
+      .agg(sum(col("__v")).as("__wr"))
+    val cum = Window.partitionBy(col("__cohort")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("__cr", sum(col("__wr")).over(cum))
+      .join(broadcast(sizes), "__cohort")
+      .select(col("__cohort").cast("date").as("cohort_week"), col("week_offset"),
+        col("n_users"), col("__cr").cast("double").as("cum_revenue"),
+        (col("__cr").cast("double") / col("n_users")).as("ltv"))
+  }
+
   /** Inter-arrival time distribution: the gap in WHOLE SECONDS between a
     * user's consecutive events, bucketed into fixed human-scale bands —
     * the latency histogram behind bot detection (sub-second bursts),

@@ -435,4 +435,31 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(t2.toSeq == Seq(("x", "y")), t2.mkString)
   }
+
+  test("cohortLtv: cumulative per-cohort curve, pre-signup revenue excluded, never-signed-up excluded") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // W0 = week of Mon 2024-01-01, W1 = 2024-01-08
+    val rows = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00"), 0.0),
+      (1L, "purchase", ts("2024-01-02 10:00:00"), 10.0),   // W0 offset 0
+      (1L, "purchase", ts("2024-01-08 10:00:00"), 20.0),   // offset 1
+      (2L, "signup", ts("2024-01-03 10:00:00"), 0.0),
+      (2L, "purchase", ts("2024-01-09 10:00:00"), 5.0),    // offset 1
+      (3L, "signup", ts("2024-01-08 10:00:00"), 0.0),
+      (3L, "purchase", ts("2024-01-10 10:00:00"), 7.5),    // W1 offset 0
+      (5L, "signup", ts("2024-01-09 10:00:00"), 0.0),
+      (5L, "purchase", ts("2024-01-04 10:00:00"), 99.0),   // BEFORE signup week
+      (4L, "purchase", ts("2024-01-01 10:00:00"), 50.0))   // never signed up
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = EventOps.cohortLtv(rows, "user_id", "event_type", "ts", "value",
+        "signup", "purchase")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 3, got.toString)
+    assert(got(("2024-01-01", 0)) == ((2L, 10.0, 5.0)), got.toString)
+    assert(got(("2024-01-01", 1)) == ((2L, 35.0, 17.5)))
+    // u5's pre-signup purchase is excluded, but u5 still dilutes the
+    // cohort denominator
+    assert(got(("2024-01-08", 0)) == ((2L, 7.5, 3.75)))
+  }
 }

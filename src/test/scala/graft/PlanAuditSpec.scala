@@ -300,6 +300,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // user window + the transition agg + argmax pick + scoring agg; the
     // types²-bounded model frame joins broadcast
     "s21_markov_accuracy" -> (4, 1),
+    // per-user cohort agg + cohort-size roll-up + revenue join/agg + the
+    // cohorts×ages cumulative window; sizes join broadcast
+    "s22_cohort_ltv" -> (5, 2),
     "s02_events_json" -> (1, 0),
     "s03_events_sessionize" -> (1, 0),
     "s04_funnel" -> (1, 0), // one conditional-aggregation shuffle on user_id
