@@ -2036,6 +2036,46 @@ object SparkEntry {
            FROM f)
          SELECT doc_id, frame_no, energy, energy < 100000 AS silent FROM e"""),
 
+    // VAD speech segmentation (round 12): m05's energy gate composed
+    // with gaps-and-islands — consecutive voiced frames merge into the
+    // segments an ASR pipeline consumes; island window and segment agg
+    // share one doc-key exchange
+    "m08_speech_segments" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("text").rlike("^[ -~]*$"))
+        Multimodal.speechSegments(
+          Multimodal.attachBinary(docs, "doc_id", "text"),
+          frameLen = 64, silenceThreshold = 100000L)
+      },
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')),
+         f AS (
+           SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 64) AS BIGINT))) AS frame_no
+           FROM d),
+         e AS (
+           SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(
+               range(frame_no * 64 + 1, LEAST((frame_no + 1) * 64, n) + 1),
+               i -> (ord(substr(text, CAST(i AS INT), 1)) - 128)
+                  * (ord(substr(text, CAST(i AS INT), 1)) - 128))) AS BIGINT) AS energy
+           FROM f),
+         v AS (
+           SELECT doc_id, frame_no,
+             frame_no - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_no) AS island
+           FROM e WHERE NOT (energy < 100000)),
+         g AS (
+           SELECT doc_id, MIN(frame_no) AS start_frame, MAX(frame_no) AS end_frame,
+             COUNT(*) AS n_frames
+           FROM v GROUP BY doc_id, island)
+         SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INT) AS seg_no,
+           CAST(start_frame AS INT) AS start_frame, CAST(end_frame AS INT) AS end_frame,
+           n_frames
+         FROM g"""),
+
     // scene-cut detection (round 12): consecutive-frame SSD over the
     // video-like fixed-stride frame layout (codegen'd
     // FrameDeltaEnergyExpr), cut where the exact-integer delta exceeds
@@ -2384,6 +2424,34 @@ object SparkEntry {
            CAST(CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
              / (SELECT total FROM tot) AS coverage
          FROM top"""),
+
+    // Luhn-validated card detection (round 12): the false-positive
+    // killer regex PII patterns can't express — a digit run is a real
+    // PAN only if its checksum closes. Fixture carries no cards, so the
+    // entry injects one valid and one invalid PAN on doc_id % 9 = 2
+    // (the t20 idiom); checksum replayed digit-for-digit in SQL
+    "t27_luhn_cards" -> entry(
+      (s, d) => TextOps.luhnValidCards(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 9 === 2,
+            lit(" card 4532015112830366 ref 4532015112830367")).otherwise(lit("")))),
+        "doc_id", "text"),
+      """WITH d AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 9 = 2
+               THEN ' card 4532015112830366 ref 4532015112830367' ELSE '' END AS text
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         c AS (SELECT doc_id, regexp_extract_all(text, '[0-9]{13,19}') AS cands FROM d)
+         SELECT doc_id, CAST(len(cands) AS INT) AS n_candidates,
+           CAST(len(list_filter(cands, s ->
+             list_sum(list_transform(range(1, length(s) + 1), i ->
+               CASE WHEN i % 2 = 0
+                    THEN CASE WHEN 2 * CAST(substr(reverse(s), CAST(i AS INT), 1) AS INT) > 9
+                              THEN 2 * CAST(substr(reverse(s), CAST(i AS INT), 1) AS INT) - 9
+                              ELSE 2 * CAST(substr(reverse(s), CAST(i AS INT), 1) AS INT) END
+                    ELSE CAST(substr(reverse(s), CAST(i AS INT), 1) AS INT) END)) % 10 = 0))
+             AS INT) AS n_valid
+         FROM c"""),
 
     // OOV rate vs the corpus top-20 vocabulary (round 12): the gate run
     // before committing to a fixed tokenizer — occurrences, not types;

@@ -362,6 +362,38 @@ object Multimodal {
         (col("delta") > cutThreshold).as("cut"))
   }
 
+  /** Voice-activity segmentation — [[audioFrameEnergy]] composed with the
+    * gaps-and-islands pattern: consecutive NON-silent frames merge into
+    * speech segments, the unit an ASR/diarization pipeline actually
+    * consumes (leading/trailing/mid silence drops out; each segment
+    * carries its frame bounds for clip extraction). Segment numbering is
+    * 1-based by start frame.
+    *
+    * Scale shape: the frame explode is m05's zero-shuffle projection;
+    * both the island window and the per-segment aggregate ride ONE
+    * doc-key exchange (HashPartitioning(doc) satisfies the (doc, island)
+    * clustering — the j08 idiom), and the seg_no window reuses it too.
+    *
+    * @return (doc_id, seg_no, start_frame, end_frame, n_frames)
+    */
+  def speechSegments(withBinary: DataFrame, frameLen: Int,
+      silenceThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voiced = audioFrameEnergy(withBinary, frameLen, silenceThreshold)
+      .filter(!col("silent"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    voiced
+      .withColumn("__island", col("frame_no") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("seg_no", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))))
+      .select(col("doc_id"), col("seg_no"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
+
   /** Text↔media pairing audit — the integrity gate ahead of any
     * paired-modality (CLIP-style) training run: per text-side group, how
     * many documents actually have their media row, plus one synthetic

@@ -618,6 +618,37 @@ object TextOps {
         sum(col("__a")).cast("long").as("n_assigns"))
   }
 
+  /** Luhn-checksum validation of card-number candidates — the
+    * false-positive killer the [[piiRedact]] pattern family cannot
+    * express in a regex: a 13-19 digit run is only a REAL card number if
+    * its Luhn checksum closes (double every second digit from the right,
+    * subtract 9 above 9, total ≡ 0 mod 10 — the check all issuers
+    * enforce), so `n_valid < n_candidates` separates actual leaked PANs
+    * from order ids and timestamps that merely look like them. Pure
+    * higher-order column algebra (transform over a position sequence +
+    * aggregate) — codegen'd, no UDF, engine-replayable digit for digit.
+    *
+    * @return (idCol, n_candidates, n_valid) per document
+    */
+  def luhnValidCards(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def luhnOk(s: Column): Column = {
+      val rev = reverse(s)
+      val total = aggregate(
+        transform(sequence(lit(1), length(s)), i => {
+          val dig = rev.substr(i, lit(1)).cast("int")
+          when(pmod(i, lit(2)) === 0,
+            when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+        }),
+        lit(0), (acc, x) => acc + x)
+      pmod(total, lit(10)) === 0
+    }
+    docs.filter(col(s"`$idCol`").isNotNull && col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as(idCol),
+        regexp_extract_all(col(s"`$textCol`"), lit("[0-9]{13,19}"), lit(0)).as("__c"))
+      .select(col(idCol), size(col("__c")).as("n_candidates"),
+        size(filter(col("__c"), c => luhnOk(c))).as("n_valid"))
+  }
+
   /** Out-of-vocabulary rate per document against a supplied vocabulary
     * frame (one `token` column — typically [[vocabCoverage]]'s top-k, a
     * tokenizer's vocab export, or an allowlist): the OOV gate run before

@@ -228,6 +228,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scenes.getLong(1) == 4L, "three cuts over aa|zz|aa|zz -> 4 scenes")
   }
 
+  test("speechSegments: islands of voiced frames, silence split, all-silent empty") {
+    // frameLen=3 over "~~~abc~~~abc~~~": '~'=126 -> energy 12 (silent);
+    // "abc" -> 2702 (voiced). Voiced frames 1 and 3 are separate islands
+    val clips = Seq((1L, "~~~abc~~~abc~~~"), (2L, "abcdef"), (3L, "~~~~~~"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.speechSegments(
+        Multimodal.attachBinary(clips, "doc_id", "text"),
+        frameLen = 3, silenceThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got((1L, 1)) == ((1, 1, 1L)) && got((1L, 2)) == ((3, 3, 1L)), got.toString)
+    // fully voiced clip: one segment spanning both frames
+    assert(got((2L, 1)) == ((0, 1, 2L)), got.toString)
+    assert(!got.keys.exists(_._1 == 3L), "all-silent clip has no segments")
+    assert(got.size == 3)
+  }
+
   test("pairAudit: per-group pair rates, orphan media row, duplicate-free counts") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
     val media = Seq(1L, 3L, 99L).toDF("vec_id")

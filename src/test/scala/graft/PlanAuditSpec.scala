@@ -149,6 +149,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pair join + group agg + the orphan anti join (both sides broadcast
     // at this SF; equi-joins at any SF)
     "m07_pair_audit" -> (2, 2),
+    // m05 frame explode feeds the island window + segment agg + seg_no
+    // window, all sharing ONE doc-key exchange
+    "m08_speech_segments" -> (1, 0),
     "m01_multimodal_features" -> (0, 0),
     "m02_frame_sample" -> (0, 0),
     "m03_resize" -> (0, 0),
@@ -349,6 +352,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // vocab top-k job runs eagerly (TakeOrderedAndProject); audited plan
     // is the explode + broadcast vocab join + per-doc agg
     "t26_oov_rate" -> (3, 2),
+    // pure per-row column algebra: extract + checksum fold, zero shuffles
+    "t27_luhn_cards" -> (0, 0),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
