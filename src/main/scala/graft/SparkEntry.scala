@@ -2425,6 +2425,37 @@ object SparkEntry {
              / (SELECT total FROM tot) AS coverage
          FROM top"""),
 
+    // sentence-aware chunking (round 12): the RAG splitter that never
+    // cuts mid-sentence — chunks begin when the running token count
+    // crosses a budget multiple (size variance traded for boundary
+    // sanity; PackOps.chunkDocuments is the fixed-window complement)
+    "t28_sentence_chunks" -> entry(
+      (s, d) => TextOps.sentenceChunks(
+        t(s, d, "documents"), "doc_id", "text", budgetTokens = 24),
+      """WITH sl AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+               x -> trim(x)), x -> len(x) > 0) AS sents
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         e AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
+             i -> struct_pack(pos := i - 1, sent := sents[i]))) AS ps
+           FROM sl),
+         t2 AS (
+           SELECT doc_id, ps.pos AS pos, ps.sent AS sent,
+             CAST(len(list_filter(string_split(ps.sent, ' '), w -> w <> '')) AS BIGINT) AS nt
+           FROM e),
+         c AS (
+           SELECT doc_id, pos, sent, nt,
+             CAST(COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               // 24 AS chunk_id
+           FROM t2)
+         SELECT doc_id, chunk_id, COUNT(*) AS n_sentences,
+           CAST(SUM(nt) AS BIGINT) AS chunk_tokens,
+           string_agg(sent, '. ' ORDER BY pos) AS chunk_text
+         FROM c GROUP BY 1, 2"""),
+
     // Luhn-validated card detection (round 12): the false-positive
     // killer regex PII patterns can't express — a digit run is a real
     // PAN only if its checksum closes. Fixture carries no cards, so the

@@ -618,6 +618,43 @@ object TextOps {
         sum(col("__a")).cast("long").as("n_assigns"))
   }
 
+  /** Sentence-aware chunking — the RAG/long-context splitter that never
+    * cuts mid-sentence: sentences ([[sentences]]' terminal-punctuation
+    * rule) pack into chunks that BEGIN whenever the running token count
+    * crosses a `budgetTokens` multiple, so a chunk may exceed the budget
+    * by at most its last sentence rather than truncating it — retrieval
+    * quality's preferred failure mode. The fixed-window complement
+    * ([[graft.operators.PackOps.chunkDocuments]]) slices exactly at
+    * budget with overlap; this one trades size variance for boundary
+    * sanity. Reassembly is offset-sorted, the x05 discipline.
+    *
+    * Scale shape: posexplode to sentence rows, then ONE doc-key exchange
+    * drives the running-sum window and the per-chunk regroup
+    * (HashPartitioning(doc) satisfies (doc, chunk) clustering).
+    *
+    * @return (idCol, chunk_id, n_sentences, chunk_tokens, chunk_text)
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs.filter(col(s"`$idCol`").isNotNull && col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as(idCol),
+        posexplode(sentences(col(s"`$textCol`"))).as(Seq("__pos", "__sent")))
+      .withColumn("__nt", size(tokens(col("__sent"))).cast("long"))
+    val before = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .withColumn("__before", coalesce(sum(col("__nt")).over(before), lit(0L)))
+      .withColumn("chunk_id", expr(s"__before div ${budgetTokens}L"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__nt")).as("chunk_tokens"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__sent")))),
+          x => x.getField("__sent"))).as("chunk_text"))
+  }
+
   /** Luhn-checksum validation of card-number candidates — the
     * false-positive killer the [[piiRedact]] pattern family cannot
     * express in a regex: a 13-19 digit run is only a REAL card number if

@@ -354,6 +354,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t26_oov_rate" -> (3, 2),
     // pure per-row column algebra: extract + checksum fold, zero shuffles
     "t27_luhn_cards" -> (0, 0),
+    // sentence explode + running-sum window + chunk regroup on one doc key
+    "t28_sentence_chunks" -> (1, 0),
     // line-frequency agg + the two tiny global aggs (doc count, broadcast
     // boilerplate set); the per-doc filter join is broadcast
     "t11_boilerplate" -> (3, 1),
