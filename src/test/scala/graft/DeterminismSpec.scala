@@ -25,7 +25,9 @@ class DeterminismSpec extends AnyFunSuite {
     "p14_gini",          // DECIMAL(38,0) Lorenz algebra + one division
     "d27_cdc_chunks",    // boundary windows + fp-keyed sharing join
     "x16_source_report", // composed rates + min-struct tie break
-    "x11_budget_select") // two-level running sum under an integer budget
+    "x11_budget_select",  // two-level running sum under an integer budget
+    "t28_sentence_chunks", // offset-sorted collect_list reassembly
+    "d31_dup_centrality")  // iterative integer rank over checkpointed rounds
 
   test("fp-sensitive entries are bit-identical across shuffle-partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
