@@ -3292,6 +3292,57 @@ object SparkEntry {
              OR 10000 * (n_gaps * ss - s * s) < 100 * s * s)) AS is_bot
          FROM a"""),
 
+    // changepoint localization (round 12): s17's curve answered — per
+    // type, the CUSUM-maximizing day (tie → earliest), peak statistic,
+    // and whether drift fired; same injected shift as s17 so the click
+    // changepoint is the known injection date
+    "s23_changepoint" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+          .filter(col("ts").isNotNull)
+        val shift = ev.filter(col("event_type") === "click" &&
+          col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp"))
+        graft.operators.EventOps.changepoint(ev.union(shift), "event_type", "ts", z = 3)
+      },
+      """WITH base AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE ts IS NOT NULL),
+         spiked AS (
+           SELECT event_type, ts FROM base
+           UNION ALL
+           SELECT event_type, ts FROM base
+           WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-22'),
+         daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  COUNT(*) AS n
+           FROM spiked GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM daily),
+         p AS (
+           SELECT event_type, day, n, tot,
+             CAST(SUM(n * nd - tot) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+           FROM w),
+         c AS (
+           SELECT event_type, day, tot,
+             pp - LEAST(0, CAST(MIN(pp) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum
+           FROM p),
+         r AS (
+           SELECT event_type, day, cusum, tot,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY cusum DESC, day ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             CAST(MAX(CASE WHEN cusum > 3 * tot THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS INT) AS anyd
+           FROM c)
+         SELECT event_type, day AS changepoint_day, cusum AS peak_cusum,
+           n_days, anyd = 1 AS drifted
+         FROM r WHERE rn = 1"""),
+
     // hour-of-week seasonality anomaly: each (type, hour) bucket judged
     // against its own weekly slot's mean/σ in exact integer algebra (the
     // (k·n − tot)² > z²·(k·SS − tot²) clearing — see EventOps scaladoc);

@@ -616,6 +616,31 @@ object EventOps {
         (col("cusum") > lit(z.toLong) * col("__tot")).as("drift"))
   }
 
+  /** Changepoint localization — the actionable end of [[cusumDrift]]'s
+    * curve: per event type, the DAY the sustained shift most plausibly
+    * began (the CUSUM maximizer; ties break to the earliest day via the
+    * min-of-(−cusum, day)-struct idiom), its peak statistic, and whether
+    * the drift gate fired anywhere. "Volume shifted" (s17) becomes
+    * "volume shifted ON THIS DAY" — what an incident review or a
+    * corpus-snapshot comparison actually asks.
+    *
+    * Cost: [[cusumDrift]]'s two exchanges plus one aggregate over the
+    * days×types frame. Integer-exact throughout (the statistic is s17's).
+    *
+    * @return (event_type, changepoint_day, peak_cusum, n_days, drifted)
+    */
+  def changepoint(events: DataFrame, typeCol: String, tsCol: String,
+      z: Int = 3): DataFrame = {
+    cusumDrift(events, typeCol, tsCol, z)
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("cusum")).as("nc"), col("day").as("d"))).as("__p"),
+        count(lit(1)).as("n_days"),
+        max(col("drift").cast("int")).as("__any"))
+      .select(col("event_type"), col("__p.d").as("changepoint_day"),
+        (-col("__p.nc")).as("peak_cusum"), col("n_days"),
+        (col("__any") === 1).as("drifted"))
+  }
+
   /** Hour-of-week seasonality anomaly: flag (type, hour) buckets that sit
     * more than `z` standard deviations from THEIR OWN WEEKLY SLOT's mean —
     * Monday-9am is compared against the population of past Monday-9ams,

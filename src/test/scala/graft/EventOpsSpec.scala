@@ -462,4 +462,22 @@ class EventOpsSpec extends AnyFunSuite {
     // cohort denominator
     assert(got(("2024-01-08", 0)) == ((2L, 7.5, 3.75)))
   }
+
+  test("changepoint: CUSUM maximizer localizes the shift day, constant series never drifts") {
+    // s17's fixture: type a runs 4 days at 10 then 4 at 30 — cusum
+    // 0,0,0,0,80,160,240,320 peaks on the LAST day (cusum grows while
+    // the shift persists); drift fired (z=1: 240, 320 > 160)
+    def day(d: Int, i: Int) = new Timestamp(86400000L * d + i * 1000L)
+    val rows = (0 until 4).flatMap(d => (0 until 10).map(i => ("a", day(d, i)))) ++
+      (4 until 8).flatMap(d => (0 until 30).map(i => ("a", day(d, i)))) ++
+      (0 until 8).map(d => ("b", day(d, 0)))
+    val got = EventOps.changepoint(rows.toDF("event_type", "ts"),
+        "event_type", "ts", z = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getTimestamp(1).getTime / 86400000L, r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(got("a") == ((7L, 320L, 8L, true)), got.toString)
+    // constant series: cusum all 0, tie -> EARLIEST day, no drift
+    assert(got("b") == ((0L, 0L, 8L, false)), got.toString)
+  }
 }

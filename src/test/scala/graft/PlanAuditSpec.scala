@@ -294,6 +294,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // day-grain pre-agg (1) + one per-type exchange all three windows
     // share; the raw event stream is never windowed
     "s17_cusum_drift" -> (2, 0),
+    // s17's two exchanges + the per-type pick agg on the days×types frame
+    "s23_changepoint" -> (2, 0),
     // hourly pre-agg + the (type, slot) window: both frames are
     // hours·types-sized, the raw stream is reduced in the first exchange
     "s18_seasonal_anomaly" -> (2, 0),
