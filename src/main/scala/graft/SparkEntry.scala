@@ -2123,7 +2123,7 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "source", emb, "vec_id")
       },
       """WITH m AS (
-           SELECT CASE WHEN vec_id % 7 = 3 THEN vec_id + 1000000 ELSE vec_id END AS vec_id
+           SELECT DISTINCT CASE WHEN vec_id % 7 = 3 THEN vec_id + 1000000 ELSE vec_id END AS vec_id
            FROM embeddings),
          g AS (
            SELECT d.source, COUNT(*) AS n_rows,

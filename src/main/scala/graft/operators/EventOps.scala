@@ -641,37 +641,6 @@ object EventOps {
         (col("__any") === 1).as("drifted"))
   }
 
-  /** Hour-of-week seasonality anomaly: flag (type, hour) buckets that sit
-    * more than `z` standard deviations from THEIR OWN WEEKLY SLOT's mean —
-    * Monday-9am is compared against the population of past Monday-9ams,
-    * never against the adjacent 3am trough. This is the seasonality-aware
-    * complement of [[spikes]] (trailing-window baseline, which a strong
-    * diurnal cycle false-positives every morning) and of [[cusumDrift]]
-    * (level-shift detection, blind to which hour shifted).
-    *
-    * Slot key: `how = (epochSeconds / 3600) mod 168` — pure integer
-    * arithmetic on the epoch, so the slot numbering (slot 0 = the
-    * Thursday-00:00-UTC hour) is engine-independent by construction; no
-    * DOW-convention mismatch (Spark's 1=Sunday vs ISO's 1=Monday) can
-    * reach the result. Two-sided gate in EXACT INTEGER algebra, same
-    * discipline as [[spikes]]: `|n − tot/k| > z·σ` over a slot's k
-    * observed instances clears denominators to
-    * `(k·n − tot)² > z²·(k·SS − tot²)` — no division, no sqrt, no fp.
-    * Longs are exact while `k·n < ~3.0e9` (squares under 2⁶³): with a
-    * 10-year span (k = 522 instances/slot) that is ~5.8M events per
-    * type-hour; past that promote the three factors to DECIMAL(38,0)
-    * ((k·n)² at 1e9 events/hour is 24 digits — still exact in 38).
-    * A single-instance slot (k = 1) has zero variance and n = mean, so it
-    * can never flag — the correct degenerate case.
-    *
-    * Scale shape: ONE (type, hour) aggregation with map-side partials
-    * collapses the raw stream to hours·types rows; the slot window runs on
-    * that tiny frame (second exchange). Observed-buckets-only contract: an
-    * hour with zero events is absent, not a zero instance — compose with
-    * [[gapFillHourly]] upstream when silence itself must be judged.
-    *
-    * @return (event_type, hour, how, n, anomaly) for every observed bucket
-    */
   /** Bot/automation gate over a user's event stream — the log-hygiene
     * filter a training pipeline runs before user-generated text enters a
     * corpus. Two independent integer-exact signals per user:
@@ -728,6 +697,37 @@ object EventOps {
       (rateBot || metronome).as("is_bot"))
   }
 
+  /** Hour-of-week seasonality anomaly: flag (type, hour) buckets that sit
+    * more than `z` standard deviations from THEIR OWN WEEKLY SLOT's mean —
+    * Monday-9am is compared against the population of past Monday-9ams,
+    * never against the adjacent 3am trough. This is the seasonality-aware
+    * complement of [[spikes]] (trailing-window baseline, which a strong
+    * diurnal cycle false-positives every morning) and of [[cusumDrift]]
+    * (level-shift detection, blind to which hour shifted).
+    *
+    * Slot key: `how = (epochSeconds / 3600) mod 168` — pure integer
+    * arithmetic on the epoch, so the slot numbering (slot 0 = the
+    * Thursday-00:00-UTC hour) is engine-independent by construction; no
+    * DOW-convention mismatch (Spark's 1=Sunday vs ISO's 1=Monday) can
+    * reach the result. Two-sided gate in EXACT INTEGER algebra, same
+    * discipline as [[spikes]]: `|n − tot/k| > z·σ` over a slot's k
+    * observed instances clears denominators to
+    * `(k·n − tot)² > z²·(k·SS − tot²)` — no division, no sqrt, no fp.
+    * Longs are exact while `k·n < ~3.0e9` (squares under 2⁶³): with a
+    * 10-year span (k = 522 instances/slot) that is ~5.8M events per
+    * type-hour; past that promote the three factors to DECIMAL(38,0)
+    * ((k·n)² at 1e9 events/hour is 24 digits — still exact in 38).
+    * A single-instance slot (k = 1) has zero variance and n = mean, so it
+    * can never flag — the correct degenerate case.
+    *
+    * Scale shape: ONE (type, hour) aggregation with map-side partials
+    * collapses the raw stream to hours·types rows; the slot window runs on
+    * that tiny frame (second exchange). Observed-buckets-only contract: an
+    * hour with zero events is absent, not a zero instance — compose with
+    * [[gapFillHourly]] upstream when silence itself must be judged.
+    *
+    * @return (event_type, hour, how, n, anomaly) for every observed bucket
+    */
   def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
       z: Int = 3): DataFrame = {
     require(z >= 1, s"z must be >= 1, got $z")

@@ -408,13 +408,21 @@ object Multimodal {
     * no distinct, no window. The orphan row is keyed by a sentinel group
     * so the audit stays ONE frame a dashboard reads directly.
     *
-    * @return (groupCol, n_rows, n_paired, pair_rate); the orphan row has
-    *         `n_rows` = orphan media count, n_paired = 0, NULL pair_rate
+    * Media ids are distinct()'d before the join — a media store that
+    * carries duplicate rows for one id must not inflate n_paired through
+    * left-join fanout (a doc is paired or not, never paired twice). The
+    * group column is cast to STRING in the output so the `(orphan media)`
+    * sentinel row unions cleanly whatever the group column's input type.
+    *
+    * @return (groupCol STRING, n_rows, n_paired, pair_rate); the orphan
+    *         row has `n_rows` = orphan media count, n_paired = 0, NULL
+    *         pair_rate
     */
   def pairAudit(docs: DataFrame, docIdCol: String, groupCol: String,
       media: DataFrame, mediaIdCol: String): DataFrame = {
-    val d = docs.select(col(docIdCol).as("__id"), col(groupCol).as(groupCol))
-    val m = media.select(col(mediaIdCol).as("__mid"))
+    val d = docs.select(col(docIdCol).as("__id"),
+      col(groupCol).cast("string").as(groupCol))
+    val m = media.select(col(mediaIdCol).as("__mid")).distinct()
     val perGroup = d.join(m, col("__id") === col("__mid"), "left")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), count(col("__mid")).as("n_paired"))

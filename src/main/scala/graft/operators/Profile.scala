@@ -541,7 +541,9 @@ object Profile {
     val totals = cells.agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cells"),
       countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c")).head()
     if (totals.isNullAt(0))
-      return cells.sparkSession.range(0).select(lit(0L).as("n"),
+      // one-row degenerate frame (range(1), NOT range(0) which is empty),
+      // mirroring SQL aggregate-over-empty semantics: SUM → NULL, COUNTs → 0
+      return cells.sparkSession.range(1).select(lit(null).cast("long").as("n"),
         lit(0L).as("n_cells"), lit(0L).as("r"), lit(0L).as("c"),
         lit(null).cast("double").as("chi2"), lit(null).cast("double").as("cramers_v"))
     val (n, nCells, r, c) =

@@ -313,7 +313,11 @@ object SampleOps {
         count(when(col("__tr") > 0 && col("__te") > 0, lit(1))).as("n_fps_both"),
         sum(when(col("__tr") > 0, col("__te")).otherwise(lit(0L))).as("n_test_leaked"))
       .select(col("n_train"), col("n_test"), col("n_fps_both"), col("n_test_leaked"),
-        (col("n_test_leaked").cast("double") / col("n_test")).as("test_leak_rate"))
+        // an empty test side (tiny corpus / skewed ids) must report NULL,
+        // not 0.0/0.0 = NaN — NaN also hash-diverges from DuckDB's
+        // ieee_floating_point_ops-dependent 0/0 handling
+        (col("n_test_leaked").cast("double") /
+          when(col("n_test") > 0, col("n_test"))).as("test_leak_rate"))
   }
 
   /** Curriculum packing: stage every document by a rank-exact difficulty

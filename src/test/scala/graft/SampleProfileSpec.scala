@@ -604,8 +604,14 @@ class SampleProfileSpec extends AnyFunSuite {
     val deg = Seq(("a", "x"), ("a", "y")).toDF("s", "l")
     val dg = Profile.cramersV(deg, "s", "l").collect().head
     assert(dg.getDouble(4) == 0.0 && dg.isNullAt(5), dg.toString)
-    assert(Profile.cramersV(
-      Seq.empty[(String, String)].toDF("s", "l"), "s", "l").count() == 0)
+    // empty input: ONE row (the documented contract, matching SQL
+    // aggregate-over-empty: SUM -> NULL, COUNTs -> 0), never zero rows
+    val er = Profile.cramersV(
+      Seq.empty[(String, String)].toDF("s", "l"), "s", "l").collect()
+    assert(er.length == 1, s"empty input must yield exactly one row, got ${er.length}")
+    assert(er.head.isNullAt(0) && er.head.getLong(1) == 0L &&
+      er.head.getLong(2) == 0L && er.head.getLong(3) == 0L &&
+      er.head.isNullAt(4) && er.head.isNullAt(5), er.head.toString)
   }
 
   test("correlationMatrix: exact ±1 pairs, constant-column NULLs, listwise-shared n") {
