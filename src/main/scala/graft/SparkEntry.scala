@@ -4368,6 +4368,106 @@ object SparkEntry {
            FROM sh)
          SELECT doc_id, n_chars, stage, shard, off // 500 AS seq_no, n_tokens
          FROM o""")
+
+    ,
+    // ------------------------------------------------------------------
+    // streaming twins, driver-visible (round 13): DuckDB cannot oracle a
+    // stream, so each entry is a DISAGREEMENT CHECK (the t07 idiom): run
+    // the streaming operator over the events parquet as a bounded file
+    // stream (runToMemory = start + processAllAvailable + stop), run the
+    // batch twin on the same table, and return the symmetric exceptAll —
+    // rows where the two computations differ. Oracle = the same frame's
+    // schema WHERE FALSE: the entry is green iff stream ≡ batch,
+    // row-for-row, under the driver's full rows+schema+hash gate.
+    // StreamingSpec remains the frame-level oracle (late data, watermark
+    // off-by-one, cross-batch folds); these entries make the equivalence
+    // driver-visible per round.
+    // ------------------------------------------------------------------
+
+    // windowed aggregation: tumbling 1h counts+sums per event type.
+    // `value` is pre-cast to DECIMAL(18,6) on BOTH sides so the sums are
+    // exact and order-independent — a raw double sum would bit-diverge
+    // between the streaming partial-agg order and the batch one, making
+    // exceptAll flaky by construction. Complete output mode: the bounded
+    // smoke must emit every window, including those the final watermark
+    // never passes (append mode would hold the tail windows back forever
+    // on a finite input).
+    "y01_stream_windowed" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val exact = (df: DataFrame) => df
+          .filter(col("ts").isNotNull)
+          .withColumn("value", col("value").cast(DecimalType(18, 6)))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.windowedCounts(
+            exact(StreamingOps.eventsStream(s, s"$d/events.parquet"))),
+          "y01_windowed_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+        val batch = StreamingOps.windowedCounts(exact(t(s, d, "events")))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS TIMESTAMP) AS win_start, CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS BIGINT) AS n, CAST(NULL AS DECIMAL(28,6)) AS total
+         WHERE FALSE"""),
+
+    // watermark dedup: every event arrives TWICE (union of two file
+    // streams over the same parquet), dropDuplicatesWithinWatermark on
+    // event_id must reconstruct exactly the original table — the
+    // at-least-once-delivery dedup every event pipeline runs. NULL keys /
+    // NULL event times are excluded on both sides: streaming watermark
+    // semantics drop null event-time rows and null keys all collapse
+    // under dropDuplicates, neither of which the batch table does.
+    "y02_stream_dedup" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val clean = (df: DataFrame) =>
+          df.filter(col("event_id").isNotNull && col("ts").isNotNull)
+        val twice = clean(StreamingOps.eventsStream(s, s"$d/events.parquet"))
+          .unionByName(clean(StreamingOps.eventsStream(s, s"$d/events.parquet")))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.dedupStream(twice, Seq("event_id")),
+          "y02_dedup_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        val batch = clean(t(s, d, "events"))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+                CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
+         WHERE FALSE"""),
+
+    // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
+    // session counts from the stream vs the batch lag-window derivation.
+    // Update-mode rows are folded per user (max running session count,
+    // sum of per-batch event counts) so the check is correct however the
+    // file source batches the input.
+    "y03_stream_sessions" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 1800L * 1000000L
+        val enc = org.apache.spark.sql.Encoders.product[StreamingOps.UserEvent]
+        val src = StreamingOps.eventsStream(s, s"$d/events.parquet")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsUs"))
+          .as(enc)
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.sessionCounts(src, gapUs).toDF(),
+          "y03_sessions_mem", org.apache.spark.sql.streaming.OutputMode.Update())
+          .groupBy(col("user_id"))
+          .agg(max(col("n_sessions")).as("n_sessions"),
+            sum(col("n_events")).as("n_events"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        val batch = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+          .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("__gap").isNull || col("__gap") > gapUs, lit(1L))
+            .otherwise(lit(0L))).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS n_sessions,
+                CAST(NULL AS BIGINT) AS n_events WHERE FALSE""")
   )
 
   private lazy val all: Vector[(String, (QFn, Option[String]))] = relational ++ extensions

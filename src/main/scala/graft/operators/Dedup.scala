@@ -725,6 +725,22 @@ object Dedup {
     val withRep = docs.select(id.as(idCol), quality.as("quality"))
       .join(comp, id === col("__cid"), "left")
       .withColumn("rep", coalesce(col("__rep"), id))
+    pickBestPerCluster(withRep, idCol)
+  }
+
+  /** Policy stage of [[keepBestSurvivors]], factored out so the megacluster
+    * claim is PROVEN, not asserted: given `(idCol, quality, rep)` cluster
+    * assignments, mark each cluster's best member (max quality, NULLs
+    * last, min-id tiebreak). This is the production path — ONE hash
+    * aggregate (map-side partials reduce any cluster, however large, to
+    * one row per map task before the shuffle) plus a rep-keyed join, so a
+    * boilerplate megacluster of millions of near-identical docs never
+    * lands in a single task. DedupSpec runs this and
+    * [[pickBestPerClusterWindowed]] over a synthetic megacluster and
+    * asserts identical survivors.
+    */
+  private[graft] def pickBestPerCluster(withRep: DataFrame, idCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
     val best = withRep.groupBy(col("rep")).agg(
       min(struct(
         when(col("quality").isNull, lit(1)).otherwise(lit(0)).as("qnull"),
@@ -734,6 +750,27 @@ object Dedup {
     withRep.join(best, "rep")
       .select(col(idCol), col("rep"), col("quality"),
         (id === col("__keep_id")).as("keep"))
+  }
+
+  /** Windowed TWIN of [[pickBestPerCluster]] — the textbook
+    * `row_number over (partition by rep)` formulation, kept ONLY as the
+    * equivalence baseline for the megacluster spec. Do not use at scale:
+    * a window serializes each cluster into one task, so one pathological
+    * megacluster stalls the stage no matter how many executors exist.
+    * Ordering keys are the exact struct fields the aggregate minimizes
+    * (qnull, negq, id), so the two paths agree row-for-row by
+    * construction.
+    */
+  private[graft] def pickBestPerClusterWindowed(withRep: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(s"`$idCol`")
+    val w = Window.partitionBy(col("rep")).orderBy(
+      when(col("quality").isNull, lit(1)).otherwise(lit(0)).asc,
+      coalesce(-col("quality").cast("double"), lit(0.0)).asc,
+      id.asc)
+    withRep.withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("rep"), col("quality"),
+        (col("__rn") === 1).as("keep"))
   }
 
   /** Connected components over near-duplicate pairs — the transitive

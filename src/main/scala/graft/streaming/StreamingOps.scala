@@ -33,9 +33,28 @@ object StreamingOps {
             "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
               "event_type STRING, value DOUBLE, props STRING")
       }
+    // the file-stream source requires a DIRECTORY (its base path must be
+    // listable for new-file discovery; a bare file is rejected even with
+    // an explicit basePath option). The driver's testdata layout is one
+    // parquet FILE per table, so a file path is staged into a per-path
+    // cached temp directory once per JVM — a pointer move, not a data
+    // pipeline step: a production deployment streams a real landing
+    // directory and never hits this branch.
+    val f = new java.io.File(dir)
+    val streamPath = if (f.isFile) stagedDir(f) else dir
     graft.engine.GraftSession.eventsTsToMicros(
-      spark.readStream.schema(schema).parquet(dir))
+      spark.readStream.schema(schema).parquet(streamPath))
   }
+
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDir(f: java.io.File): String =
+    staged.computeIfAbsent(f.getAbsolutePath, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(f.toPath, d.resolve(f.getName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      d.toFile.deleteOnExit()
+      d.toString
+    })
 
   /** Tumbling-window counts per event type with a watermark bounding state.
     * Works identically on a batch DataFrame (window() is just a grouping

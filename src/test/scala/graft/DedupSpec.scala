@@ -586,6 +586,45 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  test("pickBestPerCluster: synthetic megacluster — aggregate path equals windowed twin") {
+    import org.apache.spark.sql.functions._
+    // one boilerplate megacluster (rep 0, 100k members) plus 500 small
+    // clusters of 4 — the shape a boilerplate-heavy crawl collapses into.
+    // Quality is a deterministic mix with NULL holes (every 97th row) and
+    // deliberate ties (mod 1000 wraps), so the NULLs-last and min-id
+    // tiebreak rules are both exercised at megacluster size.
+    val assigned = spark.range(102000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(97)) === 0, lit(null).cast("double"))
+        .otherwise(pmod(col("id") * 37, lit(1000)).cast("double")).as("quality"),
+      when(col("id") < 100000, lit(0L))
+        .otherwise(lit(100000L) + pmod(col("id"), lit(500))).as("rep"))
+      .repartition(8)
+    val agg = Dedup.pickBestPerCluster(assigned, "doc_id")
+    val win = Dedup.pickBestPerClusterWindowed(assigned, "doc_id")
+    // identical survivor SETS via both paths (the verdict's done-bar)
+    val aKeep = agg.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val wKeep = win.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aKeep == wKeep,
+      s"aggregate and windowed survivor sets diverge: only-agg=${(aKeep -- wKeep).take(5)}, " +
+        s"only-win=${(wKeep -- aKeep).take(5)}")
+    // exactly one survivor per cluster, 501 clusters total
+    assert(aKeep.size == 501, s"expected 501 survivors, got ${aKeep.size}")
+    val perCluster = agg.filter(col("keep")).groupBy("rep").count()
+      .filter(col("count") =!= 1).count()
+    assert(perCluster == 0L, "some cluster kept != 1 survivor")
+    // the megacluster's survivor: max non-null quality (999), min id among
+    // ties — independently derivable: ids with id*37 % 1000 == 999 and
+    // id % 97 != 0, min of those
+    val expectMega = (0L until 100000L)
+      .filter(i => i % 97 != 0 && (i * 37) % 1000 == 999).min
+    val megaKeep = agg.filter(col("keep") && col("rep") === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(megaKeep == Seq(expectMega), s"megacluster survivor $megaKeep != $expectMega")
+    // and the production path plans NO window over the megacluster
+    assert(!agg.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("bandSensitivity: bucket-size pair math per config, zero pairs materialized") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     // three identical docs share every band of every config; the far doc

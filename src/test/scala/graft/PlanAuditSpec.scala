@@ -147,8 +147,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen'd SSD projection + posexplode: pairs stay in the scan partition
     "m06_scene_cuts" -> (0, 0),
     // pair join + group agg + the orphan anti join (both sides broadcast
-    // at this SF; equi-joins at any SF)
-    "m07_pair_audit" -> (2, 2),
+    // at this SF; equi-joins at any SF). +2 round 13: media ids are
+    // distinct()'d before both joins (fanout immunity) — id-keyed slim
+    // exchanges, co-partitioned with the joins that consume them
+    "m07_pair_audit" -> (4, 2),
     // m05 frame explode feeds the island window + segment agg + seg_no
     // window, all sharing ONE doc-key exchange
     "m08_speech_segments" -> (1, 0),
@@ -401,7 +403,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "x18_split_leakage" -> (2, 0),
     // one id-hash exchange per side of the full-outer merge join; each
     // side is pre-reduced to (id, fingerprint) so the shuffle is slim
-    "x08_snapshot_diff" -> (2, 0))
+    "x08_snapshot_diff" -> (2, 0),
+    // streaming disagreement checks (round 13): the audited plan is the
+    // batch-vs-memory-sink symmetric exceptAll (the stream itself runs to
+    // completion inside the entry); window agg + the two except sides
+    "y01_stream_windowed" -> (3, 0),
+    // dedup twin: both except sides over the raw event schema
+    "y02_stream_dedup" -> (2, 0),
+    // session twin: update-row fold agg + batch lag-window share one
+    // user-keyed exchange pattern; two except sides
+    "y03_stream_sessions" -> (2, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
