@@ -229,8 +229,13 @@ object SparkEntry {
     * and recall@k against the shared exact baseline. ‖c‖² constants are
     * folded in Scala with the same left fold the Spark literal uses.
     */
-  private def pqOracleSql(spark: SparkSession, dir: String, m: Int, ksub: Int,
-      sampleSize: Int, iters: Int, k: Int): String = {
+  /** Shared prefix of the d26/d32 PQ replays: CTEs `n`/`un`/`enc`/`q`/`sc`
+    * (normalized vectors, per-subspace codes from the embedded codebooks,
+    * queries, ADC scores). Trains the SAME deterministic codebooks the
+    * Spark plan uses and embeds them as literals.
+    */
+  private def pqScoreCtes(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int): String = {
     val books = graft.operators.Similarity.pqCodebooks(
       t(spark, dir, "embeddings"), "vec_id", "embedding", m, ksub, sampleSize, iters)
     val subDim = books(0)(0).length
@@ -249,7 +254,7 @@ object SparkEntry {
       val bookLit = books(j).map(lits).mkString("[", ", ", "]")
       s"list_dot_product(${subCol("q.u", j)}, $bookLit[e.code$j + 1])"
     }.mkString("\n            + ")
-    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                    WHERE embedding IS NOT NULL),
        un AS (SELECT vec_id, v,
                 CASE WHEN list_dot_product(v, v) = 0 THEN v
@@ -261,13 +266,62 @@ object SparkEntry {
        q AS (SELECT vec_id AS q_id, u FROM un WHERE vec_id < 10),
        sc AS (SELECT q.q_id, e.vec_id AS n_id,
             $adc AS score
-          FROM q JOIN enc e ON e.vec_id <> q.q_id),
+          FROM q JOIN enc e ON e.vec_id <> q.q_id)"""
+  }
+
+  private def pqOracleSql(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int, k: Int): String =
+    s"""WITH ${pqScoreCtes(spark, dir, m, ksub, sampleSize, iters)},
        ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
                 SELECT q_id, n_id,
                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
                 FROM sc) WHERE rank <= $k),
        ${annOracleTail(k)}"""
-  }
+
+  /** Generated DuckDB replay of d32: the SAME ADC pipeline as
+    * [[pqOracleSql]], then BOTH variants — top-k straight off the ADC
+    * order, and top-k after the exact-cosine re-rank of the c·k
+    * shortlist — each with its own recall against the shared exact
+    * baseline, unioned under a `variant` tag (the d25 multi-config
+    * pattern).
+    */
+  private def pqRerankOracleSql(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int, k: Int, shortlist: Int): String =
+    s"""WITH ${pqScoreCtes(spark, dir, m, ksub, sampleSize, iters)},
+       ranked AS (SELECT q_id, n_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS r
+                  FROM sc),
+       adc_ap AS (SELECT q_id, n_id, CAST(r AS INT) AS rank FROM ranked WHERE r <= $k),
+       short AS (SELECT q_id, n_id FROM ranked WHERE r <= ${k * shortlist}),
+       rr AS (SELECT s.q_id, s.n_id, list_dot_product(qu.u, nu.u) AS cos
+              FROM short s JOIN un qu ON qu.vec_id = s.q_id
+                           JOIN un nu ON nu.vec_id = s.n_id),
+       rr_ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                   SELECT q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                   FROM rr) WHERE rank <= $k),
+       ex AS (SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, nb.vec_id AS n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
+                FROM n q JOIN n nb ON nb.vec_id <> q.vec_id WHERE q.vec_id < 10)
+              WHERE rank <= $k),
+       n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
+       hits_a AS (SELECT a.q_id, COUNT(*) AS n_hit
+                  FROM adc_ap a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY a.q_id),
+       perq_a AS (SELECT n_ex.q_id,
+                    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall
+                  FROM n_ex LEFT JOIN hits_a h ON h.q_id = n_ex.q_id),
+       hits_r AS (SELECT a.q_id, COUNT(*) AS n_hit
+                  FROM rr_ap a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY a.q_id),
+       perq_r AS (SELECT n_ex.q_id,
+                    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall
+                  FROM n_ex LEFT JOIN hits_r h ON h.q_id = n_ex.q_id)
+       SELECT 'adc' AS variant, p.q_id, a.n_id, a.rank, p.recall
+       FROM perq_a p LEFT JOIN adc_ap a ON a.q_id = p.q_id
+       UNION ALL
+       SELECT 'rerank' AS variant, p.q_id, a.n_id, a.rank, p.recall
+       FROM perq_r p LEFT JOIN rr_ap a ON a.q_id = p.q_id"""
 
   /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
     * pre-aggregated to unique (user, ts) so tie resolution is
@@ -1457,6 +1511,103 @@ object SparkEntry {
           k = 5)
       }),
 
+    // PQ + exact re-rank (round 13, the standard production ANN
+    // discipline): ADC keeps a 4·k shortlist, one exact cosine per
+    // shortlisted pair re-ranks it. Both variants ship in one frame under
+    // a `variant` tag with their own recall@k (the d25 multi-config
+    // pattern), so the artifact MEASURES what the re-rank buys. Oracle is
+    // the generated full replay ([[pqRerankOracleSql]])
+    "d32_ann_pq_rerank" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val k = 5
+        val adc = Similarity.pqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
+        val rr = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = k, shortlist = 4)
+        if (!annRecall)
+          adc.withColumn("variant", lit("adc"))
+            .unionByName(rr.withColumn("variant", lit("rerank")))
+        else {
+          val exact = Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
+          Similarity.withRecallAtK(adc, exact, k).withColumn("variant", lit("adc"))
+            .unionByName(
+              Similarity.withRecallAtK(rr, exact, k).withColumn("variant", lit("rerank")))
+        }
+      }),
+
+    // incremental LSH band index (round 13): versioned-corpus near-dup —
+    // batch-2 (doc_id ≡ 0 mod 3) dedups against batch-1's PERSISTED band
+    // index without recomputing old signatures (probeBandIndex never sees
+    // corpus text). Oracle is the full-recompute twin: an all-pairs
+    // cross-split filter at >= 6/8 agreeing signature rows, which the
+    // banding provably equals at k=8/bands=4/t=0.7 (est >= .75 => some
+    // 2-row band agrees by pigeonhole; the d03 DedupSpec pin)
+    "d33_incremental_lsh" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val idx = Dedup.lshBandIndex(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+          k = 8, bands = 4, signature = Some(Dedup.md5MinhashSignature(_, 8)))
+        Dedup.probeBandIndex(idx,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.7,
+          signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      },
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh)
+         SELECT b.doc_id AS doc_id, a.doc_id AS corpus_id,
+                len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard
+         FROM sig a JOIN sig b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+         WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6"""),
+
+    // near-dup cluster-size distribution (round 13, filling the d29
+    // registry hole): every doc (singletons included) → its component →
+    // (cluster_size, n_clusters, n_docs) — the megacluster audit. Oracle
+    // = d11's recursive-CTE reachability + the same two rollups
+    "d29_cluster_sizes" -> entry(
+      (s, d) => graft.operators.Dedup.clusterSizeProfile(
+        t(s, d, "documents"), "doc_id", "text", k = 8, bands = 4,
+        threshold = 0.7, signature = Some(Dedup.md5MinhashSignature(_, 8))),
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src),
+         assigned AS (
+           SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           WHERE d.doc_id IS NOT NULL),
+         cl AS (SELECT rep, COUNT(*) AS cluster_size FROM assigned GROUP BY rep)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+                CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         FROM cl GROUP BY cluster_size"""),
+
     // content-defined-chunking sub-document dedup (round 12): boundaries
     // decided by token content (md5 order-hash ≡ 0 mod 8 — the
     // engine-replayable hash family), so edits never shift downstream
@@ -2484,6 +2635,37 @@ object SparkEntry {
              AS INT) AS n_valid
          FROM c"""),
 
+    // casing/digit composition profile (round 13, filling the t25
+    // registry hole): ALL-CAPS share, Capitalized share, digit share of
+    // non-whitespace chars, 30% shouting gate — the Gopher symbol rules
+    // t02's quality signals don't cover
+    "t25_casing_profile" -> entry(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id") +:
+          TextOps.casingColumnsFromTokens(col("text"), col("__toks")): _*),
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             regexp_replace(text, '\s+', '', 'g') AS nws
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]{2,}$'))) AS n_allcaps,
+             len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]'))) AS n_cap,
+             len(nws) AS n_nws,
+             len(nws) - len(regexp_replace(nws, '[0-9]', '', 'g')) AS n_dig
+           FROM w)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_allcaps AS DOUBLE) / NULLIF(n_tokens, 0) AS allcaps_ratio,
+                CAST(n_cap AS DOUBLE) / NULLIF(n_tokens, 0) AS capitalized_ratio,
+                CAST(n_dig AS DOUBLE) / NULLIF(n_nws, 0) AS digit_ratio,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE COALESCE(CAST(n_allcaps AS DOUBLE) / NULLIF(n_tokens, 0) > 0.3, FALSE)
+                END AS is_shouty
+         FROM c"""),
+
     // OOV rate vs the corpus top-20 vocabulary (round 12): the gate run
     // before committing to a fixed tokenizer — occurrences, not types;
     // vocab boundary pinned by the (count desc, token asc) total order
@@ -3247,6 +3429,26 @@ object SparkEntry {
              / COUNT(*) AS accuracy
          FROM obs o JOIN pr ON pr.from_type = o.from_type
          GROUP BY 1, 2"""),
+
+    // dormancy/resurrection audit (round 13, filling the s19 registry
+    // hole): per day, active users returning after >= 7 dormant days —
+    // growth accounting's churn-vs-resurrection split. Gap is exact
+    // integer division of midnight-truncated epochs; first-ever day is
+    // acquisition, not resurrection (NULL lag counts 0)
+    "s19_resurrection" -> entry(
+      (s, d) => graft.operators.EventOps.resurrections(
+        t(s, d, "events"), "user_id", "ts", dormantDays = 7),
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         lg AS (
+           SELECT day,
+             (epoch_us(day) - epoch_us(LAG(day) OVER (PARTITION BY user_id ORDER BY day)))
+               // 86400000000 AS gap
+           FROM ud)
+         SELECT day, COUNT(*) AS n_active,
+                CAST(SUM(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+         FROM lg GROUP BY day"""),
 
     // bot/automation gate (round 12): rate + metronome-regularity flags
     // per user, integer-exact closed forms (see EventOps.botGate). The
@@ -4512,7 +4714,9 @@ object SparkEntry {
               "d25_ivf_nprobe_curve" -> (() => ivfCurveOracleSql(s, d, Seq(1, 2, 4),
                 nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)),
               "d26_ann_pq" -> (() => pqOracleSql(s, d, m = 8, ksub = 16,
-                sampleSize = 1024, iters = 5, k = 5)))
+                sampleSize = 1024, iters = 5, k = 5)),
+              "d32_ann_pq_rerank" -> (() => pqRerankOracleSql(s, d, m = 8, ksub = 16,
+                sampleSize = 1024, iters = 5, k = 5, shortlist = 4)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

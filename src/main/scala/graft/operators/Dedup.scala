@@ -345,6 +345,72 @@ object Dedup {
     } finally sigs.unpersist(false)
   }
 
+  /** The PERSISTED LSH band index of a corpus snapshot — the incremental-
+    * dedup primitive for versioned corpora: build once per snapshot,
+    * write to parquet (partitioned by `band` if desired), and dedup every
+    * later batch against it with [[probeBandIndex]] WITHOUT recomputing a
+    * single old signature. One row per (band, doc): (corpus_id,
+    * corpus_sig, band, bucket). The signature rides every band row
+    * (bands× storage amplification — the standard band-table layout,
+    * same as [[graft.streaming.StreamingOps.corpusSignatureIndex]], whose
+    * stream-static gate this is the batch sibling of): probes verify
+    * est-Jaccard directly on the joined row instead of paying a second
+    * id-keyed join back to a signature table per probe batch.
+    *
+    * Append a new batch to the corpus index as
+    * `index.unionByName(lshBandIndex(newDocs, ...))` — signatures are
+    * per-doc pure functions, so the union IS the updated snapshot index.
+    */
+  def lshBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16,
+      signature: Option[Column => Column] = None): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
+    corpus.select(col(idCol).as("corpus_id"), sigOf(col(textCol)).as("corpus_sig"))
+      .filter(col("corpus_sig").isNotNull)
+      .select(col("corpus_id"), col("corpus_sig"),
+        bandBuckets(col("corpus_sig"), bands, r).as(Seq("band", "bucket")))
+  }
+
+  /** Incremental near-duplicate probe: a NEW batch of docs against an
+    * existing [[lshBandIndex]]. The index frame carries only ids,
+    * signatures and buckets — this function never sees the old corpus
+    * text, so recomputing old signatures is impossible by construction,
+    * not just avoided. Batch signatures are computed once, band-joined
+    * against the index on (band, bucket), deduped per pair (max is a
+    * no-op on the pair-determined estimate), and verified against
+    * `threshold`.
+    *
+    * Scale shape: the (band, bucket) equi-join is the only data-sized
+    * exchange and the batch side is the SMALL side by definition of
+    * incremental — at 100 TB corpus / 1 TB batch the probe touches the
+    * index partitions the batch's buckets hash to, never the corpus.
+    * `k`/`bands` must match the index's build parameters ([[bandHash]] is
+    * the single banding formula both sides share).
+    *
+    * @return (doc_id, corpus_id, est_jaccard) — batch docs paired with
+    *         the indexed near-duplicates that make them NOT novel
+    */
+  def probeBandIndex(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigOf = signature.getOrElse((t: Column) => minhashSignature(t, k))
+    val probes = batch.select(col(idCol).as("doc_id"), sigOf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        bandBuckets(col("sig"), bands, r).as(Seq("band", "bucket")))
+    probes.join(index, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        signatureSimilarity(col("sig"), col("corpus_sig")).as("est_jaccard"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Train/eval contamination detection: near-duplicate pairs ACROSS two
     * corpora, never within one — the "is my benchmark in my training set?"
     * check a training pipeline runs before any model sees the data.
@@ -771,6 +837,41 @@ object Dedup {
     withRep.withColumn("__rn", row_number().over(w))
       .select(col(idCol), col("rep"), col("quality"),
         (col("__rn") === 1).as("keep"))
+  }
+
+  /** Near-duplicate cluster-size distribution over the WHOLE corpus —
+    * the audit that finds megaclusters before they find you: every doc
+    * joins its connected component (docs in no pair are singleton
+    * clusters — a corpus-level distribution that ignored them would
+    * report "everything is duplicated"), clusters roll up to sizes,
+    * sizes to (cluster_size, n_clusters, n_docs). The head of this
+    * frame is the dedup rate; the tail is the boilerplate megacluster
+    * [[keepBestSurvivors]]'s aggregate policy and [[bandSensitivity]]'s
+    * pair math are built to survive.
+    *
+    * Scale shape: pairs + CC are the bounded banded pipeline; the
+    * profile itself is a left join on the doc id plus TWO hash
+    * aggregates (rep → size, size → count) — no windows, so a 10M-doc
+    * megacluster costs a long count, never a single-task sort.
+    *
+    * @return (cluster_size, n_clusters, n_docs) with n_docs =
+    *         cluster_size · n_clusters
+    */
+  def clusterSizeProfile(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      signature: Option[Column => Column] = None): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, idCol, textCol,
+      k = k, bands = bands, threshold = threshold, signature = signature)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cid"), col("component"))
+    val id = col(s"`$idCol`")
+    docs.filter(id.isNotNull).select(id.as("doc_id"))
+      .join(comp, col("doc_id") === col("__cid"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("rep"))
+      .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
   }
 
   /** Connected components over near-duplicate pairs — the transitive

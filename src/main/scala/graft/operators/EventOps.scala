@@ -641,6 +641,48 @@ object EventOps {
         (col("__any") === 1).as("drifted"))
   }
 
+  /** Dormancy/resurrection audit: per calendar day, how many active users
+    * are RETURNING after at least `dormantDays` of silence — the growth-
+    * accounting complement of [[retention]] (which asks "did the cohort
+    * come back on day k"; this asks "who came back from the dead at
+    * all"). A product whose DAU is flat can be churning badly while
+    * resurrecting heavily; only this split shows it.
+    *
+    * Gap rule in EXACT integer algebra: per (user, active-day) — the
+    * distinct collapse happens FIRST, so event volume never reaches the
+    * window — the previous active day is one `lag` over the user's day
+    * sequence, and the gap is `(epochUs(day) − epochUs(prev)) / 86400e6`:
+    * both days are midnight-truncated, so the division is exact integer
+    * division of exact multiples, engine-replayable bit-for-bit. A user's
+    * FIRST active day has no previous day and is NOT a resurrection (new
+    * users are acquisition, not resurrection — lag NULL → the comparison
+    * is NULL → counts 0).
+    *
+    * Scale shape: one (user, day) distinct (map-side partials over the
+    * event stream), one user-keyed window over ACTIVE DAYS (per-task
+    * state = one user's day list, bounded by the calendar), one day
+    * aggregate. dormantDays is a threshold on an integer gap — no date
+    * arithmetic conventions (DOW, week-start) can reach the result.
+    *
+    * @return (day, n_active, n_resurrected) for every observed day
+    */
+  def resurrections(events: DataFrame, userCol: String, tsCol: String,
+      dormantDays: Int = 7): DataFrame = {
+    require(dormantDays >= 1, s"dormantDays must be >= 1, got $dormantDays")
+    import org.apache.spark.sql.expressions.Window
+    val days = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user_id"), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("__gap",
+        (unix_micros(col("day")) - unix_micros(lag(col("day"), 1).over(w))) /
+          lit(86400000000L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__gap") > dormantDays, lit(1L)).otherwise(lit(0L)))
+          .as("n_resurrected"))
+  }
+
   /** Bot/automation gate over a user's event stream — the log-hygiene
     * filter a training pipeline runs before user-generated text enters a
     * corpus. Two independent integer-exact signals per user:

@@ -68,6 +68,36 @@ object TextOps {
       (nStop.cast("double") / nTok).as("stopword_ratio"))
   }
 
+  /** Casing/digit composition signals — the Gopher-family symbol rules
+    * [[qualityColumnsFromTokens]] does not cover: ALL-CAPS token share
+    * (shouting / scraped-header detection; single capital letters like
+    * "I" and "A" are legitimate English and excluded by the {2,} bound),
+    * Capitalized-token share (prose headline-ness), digit share of
+    * non-whitespace characters (table/log dumps masquerading as text),
+    * and a shouting verdict at the conventional 30% ALL-CAPS gate.
+    *
+    * Pure per-row column algebra (one regex pass per signal, codegen'd,
+    * zero shuffles added to whatever projection hosts it); ratios are
+    * exact-integer-over-exact-integer single divisions, so both engines
+    * produce identical doubles. NULL text yields NULL everywhere;
+    * token-less docs yield NULL ratios (nullif guards ANSI ÷0).
+    */
+  def casingColumnsFromTokens(text: Column, toks: Column): Seq[Column] = {
+    val nTok = nullif(size(toks), lit(0))
+    val nonWs = length(regexp_replace(text, "\\s+", ""))
+    val allcaps = size(filter(toks, w => w.rlike("^[A-Z]{2,}$")))
+    val capitalized = size(filter(toks, w => w.rlike("^[A-Z]")))
+    val digits = nonWs - length(regexp_replace(regexp_replace(text, "\\s+", ""), "[0-9]", ""))
+    Seq(
+      size(toks).as("n_tokens"),
+      (allcaps.cast("double") / nTok).as("allcaps_ratio"),
+      (capitalized.cast("double") / nTok).as("capitalized_ratio"),
+      (digits.cast("double") / nullif(nonWs, lit(0))).as("digit_ratio"),
+      when(toks.isNull, lit(null).cast("boolean"))
+        .otherwise(coalesce(allcaps.cast("double") / nTok > 0.3, lit(false)))
+        .as("is_shouty"))
+  }
+
   /** Within-document repetition signals (the Gopher-family quality rules
     * every corpus filter applies): the fraction of duplicate n-grams for
     * n = 1, 2, 3 — `1 − distinct/total` over the doc's n-gram stream.

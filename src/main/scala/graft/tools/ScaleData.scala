@@ -1,0 +1,153 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× scale-up of a driver testdata directory, for the
+  * bench's sf1 section (BENCH_NOTES.md round 13): every scale claim in the
+  * repo (banded LSH shuffle volume, PPJoin prefix pruning, checkpointed
+  * CC, MG sketch vs NDV groupBy) is design-argued and sf0.1-twinned; a 10×
+  * data point converts the arguments into measurements.
+  *
+  * NOT test input synthesis: correctness entries keep running ONLY on the
+  * driver's own parquet. This tool replicates that same data `copies`
+  * times with key-domain offsets so the result is a valid larger instance
+  * of the same schema:
+  *
+  *  - fact/dim keys are offset per copy by (max(key)+1), so intra-copy
+  *    join relationships are preserved exactly and cross-copy keys never
+  *    collide — selectivities and join fan-outs scale linearly;
+  *  - region/nation stay fixed (true dimensions — a bigger warehouse has
+  *    more orders, not more nations);
+  *  - events shift `ts` by 31 days per copy (longer history at the same
+  *    arrival density — windows grow in count, not in width) and offset
+  *    event/user ids;
+  *  - document TEXT is perturbed per copy with a token-keyed rename
+  *    (`tok` → `tok_c` for ~40% of the vocab, chosen by xxhash64(tok, c)):
+  *    within-copy Jaccard structure is preserved EXACTLY (the rename is a
+  *    bijection applied to both sides of any pair), while cross-copy
+  *    near-identity is destroyed (same-doc Jaccard ≈ 0.6/1.4 ≈ 0.43 vs
+  *    the unmodified copy 0, ≈ 0.36/1.64 ≈ 0.22 between two perturbed
+  *    copies — both below every dedup threshold in use, 0.7/0.8/0.9) —
+  *    without this, every doc would acquire `copies−1` exact clones and
+  *    pair volume would scale quadratically instead of like a real corpus;
+  *  - embeddings apply a per-copy SIGNED ROTATION (dimension rotation by
+  *    7·c plus xxhash64-keyed sign flips — an orthogonal map): within-copy
+  *    cosines are preserved EXACTLY (copy c is the same point cloud in a
+  *    rotated basis, so every ANN/semantic-dedup entry sees 10 independent
+  *    instances of the sf0.1 geometry — same cluster structure, same CC
+  *    diameter, same recall), while cross-copy similarity decorrelates to
+  *    ≈ 0 ± 1/√dim, far below the ≥0.9 thresholds. A noise perturbation
+  *    would do neither: it thins within-copy edges (changing operator
+  *    behavior vs sf0.1) while leaving ~0.76 cross-copy cosine.
+  *
+  * Everything is column algebra over xxhash64 — no RNG, no timestamps —
+  * so repeated runs produce byte-identical content (row order aside).
+  * Output layout mirrors the driver's (`<dest>/<table>.parquet`), written
+  * as parquet directories; a `_GRAFT_SCALE_OK` sentinel makes the
+  * generation run-once per workspace.
+  */
+object ScaleData {
+
+  val Tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Generate `destDir` from `srcDir` at `copies`× unless the sentinel
+    * already marks it complete. Returns true when generation ran.
+    */
+  def ensure(spark: SparkSession, srcDir: String, destDir: String,
+      copies: Int = 10, partitions: Int = 32): Boolean = {
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val sentinel = java.nio.file.Paths.get(destDir, "_GRAFT_SCALE_OK")
+    if (java.nio.file.Files.exists(sentinel)) return false
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    def src(n: String): DataFrame = spark.read.parquet(s"$srcDir/$n.parquet")
+    def write(n: String, df: DataFrame): Unit =
+      df.repartition(partitions).write.mode("overwrite").parquet(s"$destDir/$n.parquet")
+    def off(df: DataFrame, keyCol: String): Long =
+      df.agg(max(col(keyCol))).head().getLong(0) + 1L
+    // every copy of every row: one explode, no join
+    def fan(df: DataFrame): DataFrame =
+      df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+    def shifted(key: String, o: Long) = (col(key) + col("__c") * o).as(key)
+
+    val custOff = off(src("customer"), "c_custkey")
+    val ordOff = off(src("orders"), "o_orderkey")
+    val partOff = off(src("part"), "p_partkey")
+    val suppOff = off(src("supplier"), "s_suppkey")
+    val evOff = off(src("events"), "event_id")
+    val userOff = off(src("events"), "user_id")
+    val docOff = off(src("documents"), "doc_id")
+    val vecOff = off(src("embeddings"), "vec_id")
+
+    write("region", src("region"))
+    write("nation", src("nation"))
+
+    def keep(df: DataFrame, renamed: Map[String, org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
+      df.columns.toSeq.filterNot(_ == "__c").map(c => renamed.getOrElse(c, col(c)))
+
+    val cust = fan(src("customer"))
+    write("customer", cust.select(keep(cust, Map("c_custkey" -> shifted("c_custkey", custOff))): _*))
+    val supp = fan(src("supplier"))
+    write("supplier", supp.select(keep(supp, Map("s_suppkey" -> shifted("s_suppkey", suppOff))): _*))
+    val part = fan(src("part"))
+    write("part", part.select(keep(part, Map("p_partkey" -> shifted("p_partkey", partOff))): _*))
+    val ord = fan(src("orders"))
+    write("orders", ord.select(keep(ord, Map(
+      "o_orderkey" -> shifted("o_orderkey", ordOff),
+      "o_custkey" -> shifted("o_custkey", custOff))): _*))
+    val li = fan(src("lineitem"))
+    write("lineitem", li.select(keep(li, Map(
+      "l_orderkey" -> shifted("l_orderkey", ordOff),
+      "l_partkey" -> shifted("l_partkey", partOff),
+      "l_suppkey" -> shifted("l_suppkey", suppOff))): _*))
+
+    // events go through the same ts normalization batch reads use — the
+    // driver has shipped `ts` as both TIMESTAMP(NANOS) and NTZ micros
+    // (see GraftSession.eventsTsToMicros); the scaled copy is written as
+    // a plain UTC-micros TIMESTAMP either way
+    val ev = fan(graft.engine.GraftSession.eventsTsToMicros(src("events")))
+    write("events", ev.select(keep(ev, Map(
+      "event_id" -> shifted("event_id", evOff),
+      "user_id" -> shifted("user_id", userOff),
+      "ts" -> timestamp_micros(unix_micros(col("ts")) +
+        col("__c") * lit(31L * 86400L * 1000000L)).as("ts"))): _*))
+
+    val docs = fan(src("documents"))
+    val perturbedText = when(col("__c") === 0 || col("text").isNull, col("text"))
+      .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+        t => when(pmod(xxhash64(t, col("__c")), lit(5)) < 2,
+          concat(t, lit("_"), col("__c").cast("string"))).otherwise(t))))
+    write("documents", docs.select(keep(docs, Map(
+      "doc_id" -> shifted("doc_id", docOff),
+      "text" -> perturbedText.as("text"),
+      "n_chars" -> when(col("n_chars").isNull, lit(null).cast("long"))
+        .otherwise(length(perturbedText).cast("long")).as("n_chars"))): _*))
+
+    val emb = fan(src("embeddings"))
+    val dim = src("embeddings").select(size(col("embedding"))).filter(col("size(embedding)") > 0)
+      .head().getInt(0)
+    val perturbedVec = when(col("__c") === 0 || col("embedding").isNull, col("embedding"))
+      .otherwise(transform(sequence(lit(0), lit(dim - 1)), i =>
+        element_at(col("embedding"), (pmod(i + col("__c") * 7, lit(dim)) + 1).cast("int")) *
+          when(pmod(xxhash64(i, col("__c")), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+    write("embeddings", emb.select(keep(emb, Map(
+      "vec_id" -> shifted("vec_id", vecOff),
+      "embedding" -> perturbedVec.as("embedding"))): _*))
+
+    java.nio.file.Files.write(sentinel,
+      s"src=$srcDir copies=$copies\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    true
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val destDir = args.lift(1).getOrElse("benchdata/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.engine.GraftSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-scale-data")
+    val ran = ensure(spark, srcDir, destDir, copies)
+    println(s"[scale-data] $destDir ${if (ran) "generated" else "already present"}")
+    spark.stop()
+  }
+}

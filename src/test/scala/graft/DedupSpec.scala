@@ -586,6 +586,56 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  test("lshBandIndex/probeBandIndex: equals the cross-corpus recompute, survives a parquet round-trip") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today somehow"
+    val corpus = Seq(
+      (1L, base), (2L, base + " extra"),
+      (4L, "entirely different unrelated content with plenty of distinct words here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " x"), // near-dup of 1 and 2
+      (11L, "completely novel text nothing shares any shingle with this one at all"))
+      .toDF("doc_id", "text")
+    val sig = Some(Dedup.md5MinhashSignature(_: org.apache.spark.sql.Column, 8))
+    val idx = Dedup.lshBandIndex(corpus, "doc_id", "text", k = 8, bands = 4, signature = sig)
+    def pairsOf(index: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.probeBandIndex(index, batch, "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.7, signature = sig)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = pairsOf(idx)
+    // the full-recompute twin: crossCorpusContamination over the same split
+    val full = Dedup.crossCorpusContamination(corpus, batch, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.7, signature = sig)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(live == full, s"probe=$live recompute=$full")
+    assert(live.map(_._1) == Set(10L), "doc 10 matches, doc 11 is novel: " + live)
+    // the index is a PERSISTED artifact: write/read and probe again —
+    // identical result with the corpus text nowhere in reach
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    idx.write.mode("overwrite").parquet(dir)
+    assert(pairsOf(spark.read.parquet(dir)) == live, "parquet round-trip diverged")
+    // incremental append: indexing the batch and unioning = the index of
+    // the unioned corpus (signatures are per-doc pure functions)
+    val appended = idx.unionByName(
+      Dedup.lshBandIndex(batch, "doc_id", "text", k = 8, bands = 4, signature = sig))
+    val fromUnion = Dedup.lshBandIndex(corpus.unionByName(batch), "doc_id", "text",
+      k = 8, bands = 4, signature = sig)
+    assert(appended.exceptAll(fromUnion).isEmpty && fromUnion.exceptAll(appended).isEmpty)
+  }
+
+  test("clusterSizeProfile: singletons counted, sizes roll up, n_docs = size * clusters") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today somehow"
+    val docs = Seq(
+      (1L, base), (2L, base + " a"), (3L, base + " b"), // one 3-cluster
+      (7L, "entirely different unrelated content with plenty of distinct words here"),
+      (8L, "another singleton about completely disjoint topics and vocabulary sets"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterSizeProfile(docs, "doc_id", "text", k = 8, bands = 4,
+        threshold = 0.7, signature = Some(Dedup.md5MinhashSignature(_, 8)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L))), got.toString)
+  }
+
   test("pickBestPerCluster: synthetic megacluster — aggregate path equals windowed twin") {
     import org.apache.spark.sql.functions._
     // one boilerplate megacluster (rep 0, 100k members) plus 500 small

@@ -12,6 +12,29 @@ class EventOpsSpec extends AnyFunSuite {
 
   private def ts(m: Int) = new Timestamp(m * 60000L)
 
+  test("resurrections: first day is acquisition, gap > N resurrects, boundary gap does not") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val events = Seq(
+      // user 1: days 0, 1 (gap 1), 9 (gap 8 > 7 -> resurrection)
+      (1L, day(0)), (1L, day(1)), (1L, day(9)),
+      // user 2: days 0, 7 — gap EXACTLY 7 is NOT dormant (> is strict)
+      (2L, day(0)), (2L, day(7)),
+      // user 3: first-ever day 9 — acquisition, not resurrection
+      (3L, day(9)),
+      // same-day duplicates collapse before the window
+      (1L, new Timestamp(9 * 86400000L + 3600000L)),
+      // NULL user / NULL ts excluded
+      (0L, null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "ts")
+      .withColumn("user_id", when(col("user_id") === 0L, lit(null)).otherwise(col("user_id")))
+    val got = EventOps.resurrections(events, "user_id", "ts", dormantDays = 7)
+      .collect().map(r => r.getTimestamp(0).getTime / 86400000L ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 0L)), 1L -> ((1L, 0L)), 7L -> ((1L, 0L)),
+      9L -> ((2L, 1L))), got.toString)
+  }
+
   test("gapFillHourly: dense grid, zero-count gaps, forward-filled values") {
     def hr(h: Int) = new Timestamp(h * 3600000L)
     val events = Seq(

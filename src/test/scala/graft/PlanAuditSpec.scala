@@ -412,7 +412,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "y02_stream_dedup" -> (2, 0),
     // session twin: update-row fold agg + batch lag-window share one
     // user-keyed exchange pattern; two except sides
-    "y03_stream_sessions" -> (2, 0))
+    "y03_stream_sessions" -> (2, 0),
+    // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
+    // plan is the doc left-join + rep agg + size agg; comp side broadcasts
+    "d29_cluster_sizes" -> (4, 1),
+    // two ADC scans (adc + rerank variants) with broadcast query LUTs,
+    // rank windows, shortlist re-join + recall joins all |Q|·k-bounded
+    "d32_ann_pq_rerank" -> (3, 11),
+    // probe is ONE (band,bucket) exchange + the pair-dedup agg; the index
+    // side broadcasts at this SF
+    "d33_incremental_lsh" -> (1, 1),
+    // (user, day) distinct + the user window + the day agg
+    "s19_resurrection" -> (3, 0),
+    // pure per-row column algebra — zero exchanges
+    "t25_casing_profile" -> (0, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -314,4 +314,50 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.pqTopK(
       emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, sampleSize = 8))
   }
+
+  test("pqTopKReranked: full-corpus shortlist recovers exact ranking under a LOSSY codebook; recall never drops") {
+    val emb = Seq(
+      (0L, Array(5.0f, 1.0f, 0.0f, 2.0f)),
+      (1L, Array(4.0f, 2.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 7.0f, 3.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f, 6.0f, 2.0f)),
+      (4L, Array(2.0f, 3.0f, 0.0f, 5.0f)),
+      (5L, Array(0.0f, 1.0f, 2.0f, 7.0f)),
+      (6L, Array(3.0f, 0.0f, 4.0f, 1.0f)),
+      (7L, Array(1.0f, 5.0f, 1.0f, 3.0f))).toDF("vec_id", "embedding")
+    // ksub=2 is aggressively lossy (8 sub-vectors -> 2 centroids), but a
+    // shortlist of 3·3 >= the 7 possible neighbors means the re-rank sees
+    // EVERY candidate — the result must equal brute-force cosine exactly,
+    // independent of how bad the ADC order was
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rr = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3, shortlist = 3, m = 2, ksub = 2,
+        sampleSize = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rr == exact, s"full-shortlist re-rank must equal exact: rr=$rr exact=$exact")
+    // real embeddings, production-shaped config: the re-rank can only
+    // help — per-query hit count vs the exact top-k never decreases
+    val real = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val ex = Similarity.bruteForceTopK(real, "vec_id", "embedding",
+        col("vec_id") < 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def hitCounts(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, rs) =>
+          q -> rs.map(_._2).count(ex.getOrElse(q, Set.empty[Long]).contains)
+        }
+    val adcHits = hitCounts(
+      Similarity.pqTopK(real, "vec_id", "embedding", col("vec_id") < 5, k = 5))
+    val rrHits = hitCounts(Similarity.pqTopKReranked(real, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, shortlist = 4))
+    (0L until 5L).foreach { q =>
+      assert(rrHits.getOrElse(q, 0) >= adcHits.getOrElse(q, 0),
+        s"query $q: re-rank hits ${rrHits.get(q)} < adc hits ${adcHits.get(q)}")
+    }
+    intercept[IllegalArgumentException](Similarity.pqTopKReranked(
+      emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, shortlist = 0))
+  }
 }

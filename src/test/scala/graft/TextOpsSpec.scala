@@ -497,4 +497,30 @@ class TextOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextOps.sentenceChunks(docs, "doc_id", "text", budgetTokens = 0))
   }
+
+  test("casingColumns: allcaps/capitalized/digit ratios, shouting gate, NULL and empty discipline") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "BUY NOW limited OFFER today"),      // 3/5 allcaps (>0.3), 3/5 capitalized
+      (2L, "I am a normal sentence"),           // "I" is 1 char — not allcaps; 1/5 capitalized
+      (3L, "room 404 on floor 12"),             // digits 5 of 16 non-ws chars
+      (4L, ""),                                 // token-less: NULL ratios, not shouty
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id") +: TextOps.casingColumnsFromTokens(col("text"), col("__toks")): _*)
+      .collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) null else Double.box(r.getDouble(2)),
+          if (r.isNullAt(3)) null else Double.box(r.getDouble(3)),
+          if (r.isNullAt(4)) null else Double.box(r.getDouble(4)),
+          if (r.isNullAt(5)) null else Boolean.box(r.getBoolean(5))))
+      }.toMap
+    assert(got(1L) == ((5, Double.box(0.6), Double.box(0.6), Double.box(0.0), Boolean.box(true))), got(1L).toString)
+    assert(got(2L) == ((5, Double.box(0.0), Double.box(0.2), Double.box(0.0), Boolean.box(false))), got(2L).toString)
+    assert(got(3L)._4 == Double.box(5.0 / 16.0) && got(3L)._5 == Boolean.box(false), got(3L).toString)
+    assert(got(4L) == ((0, null, null, null, Boolean.box(false))), got(4L).toString)
+    assert(got(5L) == ((-1, null, null, null, null)), got(5L).toString)
+  }
 }
