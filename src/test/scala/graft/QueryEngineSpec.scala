@@ -295,4 +295,118 @@ class QueryEngineSpec extends AnyFunSuite {
     val b = spark.sql(rewritten).collect().map(_.toString).sorted
     assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
   }
+
+  test("rewrittenSql coverage ratchet: every Spark-runnable SparkEntry oracle is classified, regenerators can't silently regress") {
+    // The un-parser's coverage, pinned against the LIVE query registry:
+    // every SparkEntry oracle whose SQL also parses+analyzes on Spark (the
+    // shared-dialect surface) is run through QueryEngine and its
+    // regenerates-or-not status compared to this map. Adding SQL surface
+    // without classifying it here fails the diff; an un-parser regression
+    // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
+    // when coverage intentionally changes.
+    // 81 oracles are Spark-runnable; 49 regenerate. The false rows are
+    // un-parser gaps by DESIGN CHOICE (left/right anti, EXISTS/IN-subquery
+    // plans, UnionLoop, multi-join trees >3 relations) — each false that
+    // should be true is future un-parser work, visible here instead of
+    // silently absent.
+    val pinned: Map[String, Boolean] = Map(
+      "d01_dedup_exact" -> true,
+      "j02_range" -> true,
+      "m07_pair_audit" -> false,
+      "p05_correlation" -> false,
+      "p06_diversity" -> false,
+      "p09_mad" -> false,
+      "p13_winsorized" -> false,
+      "q01_scan_project" -> true,
+      "q02_filter_pushdown" -> true,
+      "q03_point_lookup" -> true,
+      "q04_like" -> true,
+      "q05_boolean" -> true,
+      "q06_arith" -> true,
+      "q07_between_in" -> true,
+      "q08_case" -> true,
+      "q09_distinct" -> true,
+      "q10_topk" -> true,
+      "q11_agg_group" -> true,
+      "q12_global_agg" -> true,
+      "q13_having" -> true,
+      "q14_join_inner" -> true,
+      "q15_join_left" -> true,
+      "q16_join_right" -> true,
+      "q17_join_full" -> false,
+      "q18_join_natural" -> true,
+      "q19_semi_in" -> false,
+      "q20_join_left_anti" -> false,
+      "q21_join_right_anti" -> false,
+      "q22_join_full_outer_anti" -> true,
+      "q23_cross" -> true,
+      "q24_comma_join" -> true,
+      "q25_scalar_subquery" -> false,
+      "q26_correlated_agg" -> false,
+      "q27_not_in" -> true,
+      "q28_star_agg" -> false,
+      "q29_flagship" -> false,
+      "q30_group_expr" -> true,
+      "q31_exists" -> false,
+      "q32_any_all" -> true,
+      "q33_kitchen_sink" -> true,
+      "q34_four_join_distinct" -> false,
+      "q35_rollup" -> true,
+      "q36_grouping_sets" -> true,
+      "q37_window_sql" -> true,
+      "q38_set_ops" -> true,
+      "q39_pivot" -> true,
+      "q40_unpivot" -> true,
+      "q41_window_frames" -> true,
+      "q42_cte" -> false,
+      "q43_set_ops_all" -> false,
+      "q44_date_functions" -> true,
+      "q45_string_functions" -> true,
+      "q47_values_inline" -> true,
+      "q48_filter_clause" -> true,
+      "q50_null_funcs" -> true,
+      "q51_group_by_all" -> true,
+      "q52_latest_per_key" -> false,
+      "q53_recursive_cte" -> false,
+      "q54_nulls_ordering" -> false,
+      "q55_cube" -> true,
+      "q56_lateral_subquery" -> false,
+      "q57_interval_range" -> true,
+      "s01_events_hourly" -> true,
+      "s04_funnel" -> false,
+      "s06_event_spikes" -> false,
+      "s10_transition_matrix" -> false,
+      "s14_longest_streak" -> false,
+      "s15_cooccurrence_lift" -> false,
+      "s17_cusum_drift" -> false,
+      "s21_markov_accuracy" -> false,
+      "s23_changepoint" -> false,
+      "t01_lang_id" -> true,
+      "t05_topk_per_source" -> false,
+      "t07_rolling_native" -> false,
+      "t18_code_detect" -> false,
+      "t24_lang_confusion" -> false,
+      "x01_salted_join" -> true,
+      "x10_grouped_split" -> true,
+      "y03_stream_sessions" -> false)
+    val results: Map[String, Boolean] =
+      SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+        val sparkRunnable =
+          try { spark.sql(sql).queryExecution.analyzed; true }
+          catch { case _: Throwable => false }
+        if (!sparkRunnable) None
+        else Some(name -> (
+          try QueryEngine.run(spark, s"EXPLAIN $sql").rewrittenSql.isDefined
+          catch { case _: Throwable => false }))
+      }.toMap
+    val fmt = results.toSeq.sorted.map { case (n, v) => s""""$n" -> $v""" }
+      .mkString(",\n      ")
+    assert(results == pinned,
+      s"""rewrittenSql coverage drifted.
+         |missing from pin: ${results.keySet -- pinned.keySet}
+         |stale in pin: ${pinned.keySet -- results.keySet}
+         |flipped: ${results.collect { case (k, v) if pinned.get(k).exists(_ != v) => k }}
+         |current classification (paste into `pinned`):
+         |      $fmt""".stripMargin)
+  }
 }
