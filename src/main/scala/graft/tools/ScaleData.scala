@@ -65,7 +65,7 @@ object ScaleData {
     def write(n: String, df: DataFrame): Unit =
       df.repartition(partitions).write.mode("overwrite").parquet(s"$destDir/$n.parquet")
     def off(df: DataFrame, keyCol: String): Long =
-      df.agg(max(col(keyCol))).head().getLong(0) + 1L
+      df.agg(max(col(keyCol)).cast("long")).head().getLong(0) + 1L
     // every copy of every row: one explode, no join
     def fan(df: DataFrame): DataFrame =
       df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
@@ -131,8 +131,16 @@ object ScaleData {
       .otherwise(transform(sequence(lit(0), lit(dim - 1)), i =>
         element_at(col("embedding"), (pmod(i + col("__c") * 7, lit(dim)) + 1).cast("int")) *
           when(pmod(xxhash64(i, col("__c")), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+    // label is a CLUSTER id: a 10× corpus grows new clusters, it does not
+    // stretch old ones across decorrelated vectors — an un-offset label
+    // would make every label-blocked pair join (d15's semantic dedup)
+    // compare cross-copy vectors whose ~N(0, 1/√dim) cosines sprinkle
+    // random edges through the block at low thresholds, chaining the
+    // copies into one giant component (observed: CC non-convergence)
+    val labelOff = off(src("embeddings"), "label")
     write("embeddings", emb.select(keep(emb, Map(
       "vec_id" -> shifted("vec_id", vecOff),
+      "label" -> (col("label") + col("__c") * labelOff).cast("int").as("label"),
       "embedding" -> perturbedVec.as("embedding"))): _*))
 
     java.nio.file.Files.write(sentinel,
