@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [onlyPrefixes]
 
 Re-implements the compare described in FIXTURES.md §5: run each
 oracle_sql.json query in DuckDB over the same parquet tables, sort columns
 by name, sort rows, normalize values, and diff against the Spark parquet
 output that graft.Verify wrote. Strictly a dev tool (driver-side python).
+
+Extras over the driver gate (round 13, for the sf1 correctness run):
+  - <sfDir> tables may be parquet DIRECTORIES (Spark-written, e.g.
+    ScaleData's benchdata/sf1) as well as single files;
+  - an optional comma-separated prefix list limits which entries are
+    compared (e.g. "q,s,t,p,x,j,m,y,z,d01,d02" skips the d-family
+    oracles that are all-pairs by construction and would be quadratic
+    in DuckDB at 10x data — their Spark sides still run via Verify).
 """
 import sys, json, glob, os, math
 from decimal import Decimal
@@ -90,14 +98,20 @@ def canon(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name in sorted(oracles):
+        if prefixes is not None and not any(name.startswith(p) for p in prefixes):
+            n_skip += 1
+            continue
         lint_hugeint(con, name, oracles[name])
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
@@ -154,7 +168,8 @@ def main():
         else:
             n_ok += 1
             print(f"ok   {name} ({len(sr)} rows)")
-    print(f"== {n_ok} ok, {n_bad} fail ==")
+    skip = f", {n_skip} skipped by prefix filter" if n_skip else ""
+    print(f"== {n_ok} ok, {n_bad} fail{skip} ==")
     sys.exit(1 if n_bad else 0)
 
 

@@ -234,8 +234,13 @@ object SparkEntry {
     * queries, ADC scores). Trains the SAME deterministic codebooks the
     * Spark plan uses and embeds them as literals.
     */
-  private def pqScoreCtes(spark: SparkSession, dir: String, m: Int, ksub: Int,
-      sampleSize: Int, iters: Int): String = {
+  /** The two PQ SQL fragments shared by the d26/d32/d34 replays: the
+    * per-subspace encode columns (`code0..code{m-1}` over a CTE aliased
+    * `u`) and the ADC score expression (expects table aliases `q` for
+    * the query units and `e` for the encoded candidates).
+    */
+  private def pqSqlParts(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int): (String, String) = {
     val books = graft.operators.Similarity.pqCodebooks(
       t(spark, dir, "embeddings"), "vec_id", "embedding", m, ksub, sampleSize, iters)
     val subDim = books(0)(0).length
@@ -254,6 +259,12 @@ object SparkEntry {
       val bookLit = books(j).map(lits).mkString("[", ", ", "]")
       s"list_dot_product(${subCol("q.u", j)}, $bookLit[e.code$j + 1])"
     }.mkString("\n            + ")
+    (codeCols, adc)
+  }
+
+  private def pqScoreCtes(spark: SparkSession, dir: String, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int): String = {
+    val (codeCols, adc) = pqSqlParts(spark, dir, m, ksub, sampleSize, iters)
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                    WHERE embedding IS NOT NULL),
        un AS (SELECT vec_id, v,
@@ -322,6 +333,60 @@ object SparkEntry {
        UNION ALL
        SELECT 'rerank' AS variant, p.q_id, a.n_id, a.rank, p.recall
        FROM perq_r p LEFT JOIN rr_ap a ON a.q_id = p.q_id"""
+
+  /** Generated DuckDB replay of d34's complete IVF-PQ + re-rank stack:
+    * the d09 centroid CTEs (cell sims on raw v, ROW_NUMBER assignment +
+    * probe lists) route candidates, the d26 PQ fragments encode and
+    * ADC-score ONLY the routed candidates, the c·k shortlist re-ranks by
+    * exact unit cosine (d32), and recall@k closes against the shared
+    * exact baseline. Centroids and codebooks are the identical
+    * deterministic constants the Spark plan trains.
+    */
+  private def ivfPqOracleSql(spark: SparkSession, dir: String, nCentroids: Int,
+      nProbe: Int, m: Int, ksub: Int, sampleSize: Int, iters: Int, k: Int,
+      shortlist: Int): String = {
+    val centroids = graft.operators.Similarity.ivfCentroids(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
+    val (codeCols, adc) = pqSqlParts(spark, dir, m, ksub, sampleSize, iters)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, list_dot_product(v, ${c.mkString("[", ", ", "]")}) AS sim FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       un AS (SELECT vec_id, v,
+                CASE WHEN list_dot_product(v, v) = 0 THEN v
+                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+              FROM n),
+       enc AS (SELECT vec_id,
+            $codeCols
+          FROM un),
+       sims AS (
+       $cellSims),
+       ranked AS (SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims),
+       assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $nProbe AND vec_id < 10),
+       q AS (SELECT vec_id AS q_id, u FROM un WHERE vec_id < 10),
+       sc AS (SELECT p.q_id, e.vec_id AS n_id,
+            $adc AS score
+          FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+            JOIN enc e ON e.vec_id = a.vec_id
+            JOIN q ON q.q_id = p.q_id),
+       adcrk AS (SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS r
+                 FROM sc),
+       short AS (SELECT q_id, n_id FROM adcrk WHERE r <= ${k * shortlist}),
+       rr AS (SELECT s.q_id, s.n_id, list_dot_product(qu.u, nu.u) AS cos
+              FROM short s JOIN un qu ON qu.vec_id = s.q_id
+                           JOIN un nu ON nu.vec_id = s.n_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM rr) WHERE rank <= $k),
+       ${annOracleTail(k)}"""
+  }
 
   /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
     * pre-aggregated to unique (user, ts) so tie resolution is
@@ -1534,6 +1599,23 @@ object SparkEntry {
             .unionByName(
               Similarity.withRecallAtK(rr, exact, k).withColumn("variant", lit("rerank")))
         }
+      }),
+
+    // IVF-PQ + exact re-rank (round 13): the complete production ANN
+    // stack composed from d09's cell routing, d26's ADC compression and
+    // d32's shortlist re-rank — cells bound what is READ, codes bound
+    // what a read COSTS, re-rank touches full vectors for |Q|·c·k ids
+    // only. Oracle is the generated full replay ([[ivfPqOracleSql]])
+    "d34_ann_ivfpq" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val k = 5
+        val approx = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = k)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = k),
+          k = k)
       }),
 
     // incremental LSH band index (round 13): versioned-corpus near-dup —
@@ -4716,7 +4798,10 @@ object SparkEntry {
               "d26_ann_pq" -> (() => pqOracleSql(s, d, m = 8, ksub = 16,
                 sampleSize = 1024, iters = 5, k = 5)),
               "d32_ann_pq_rerank" -> (() => pqRerankOracleSql(s, d, m = 8, ksub = 16,
-                sampleSize = 1024, iters = 5, k = 5, shortlist = 4)))
+                sampleSize = 1024, iters = 5, k = 5, shortlist = 4)),
+              "d34_ann_ivfpq" -> (() => ivfPqOracleSql(s, d, nCentroids = 16,
+                nProbe = 2, m = 8, ksub = 16, sampleSize = 1024, iters = 5,
+                k = 5, shortlist = 4)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

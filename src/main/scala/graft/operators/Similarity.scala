@@ -553,6 +553,80 @@ object Similarity {
     * IVF-PQ + re-rank discipline every production ANN service runs; the
     * d32 entry measures recall@k with and without it, DuckDB-replayed.
     */
+  /** IVF-PQ with exact re-rank — the full production ANN stack in one
+    * operator, composing the three pruning levers this file builds
+    * separately: [[ivfTopK]]'s cell routing prunes CANDIDATES (a query
+    * probes nProbe of nCentroids cells, touching ~nProbe/nCentroids of
+    * the corpus), [[pqTopK]]'s ADC compresses the SCAN (each probed
+    * candidate costs m table lookups over byte codes, never a dim-length
+    * dot), and the exact re-rank of the `shortlist`·k survivors restores
+    * the recall quantization gives up at a per-query-bounded cost
+    * ([[pqTopKReranked]]'s discipline). At a billion-vector corpus this
+    * is the only shape that works: cells bound what is read, codes bound
+    * what a read costs, and the re-rank touches full-precision vectors
+    * only for |Q|·c·k ids.
+    *
+    * Determinism: centroids and codebooks are the same deterministic
+    * plan constants d09/d26 embed ([[ivfCentroids]]/[[pqCodebooks]]),
+    * cell assignment and probe lists replay d09's struct ordering, ADC
+    * replays d26's fixed-order sum, the re-rank d32's — so the d34
+    * oracle is a generated full DuckDB replay of the complete stack.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 1024, iters: Int = 5, shortlist: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
+    require(shortlist >= 1, s"shortlist factor must be >= 1, got $shortlist")
+    require(m >= 1 && ksub >= 2 && ksub <= 256, s"bad PQ config m=$m ksub=$ksub")
+    require(sampleSize >= 4 * math.max(nCentroids, ksub) && sampleSize <= (1 << 20),
+      s"sampleSize=$sampleSize out of range (driver-collected training sample)")
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+    val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
+    val books = pqCodebooks(emb, idCol, vecCol, m, ksub, sampleSize, iters)
+    val subDim = books(0)(0).length
+    def sub(u: Column, j: Int): Column = slice(u, j * subDim + 1, subDim)
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+    }: _*)
+    val codes = array((0 until m).map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (c, ci) =>
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * dot(sub(col("unit"), j), typedlit(c.toSeq))).as("dist"),
+          lit(ci).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    val assigned = all.select(col("vec_id"),
+      array_min(cells).getField("cell").as("cell"), codes.as("codes"))
+    val luts = array((0 until m).map { j =>
+      array(books(j).map(c => dot(sub(col("unit"), j), typedlit(c.toSeq))): _*)
+    }: _*)
+    val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
+      .withColumn("probe", explode(slice(array_sort(cells), 1, nProbe)))
+      .select(col("probe.cell").as("cell"), col("vec_id").as("q_id"), luts.as("luts")))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    // one assigned cell per vector + distinct probe cells per query ⇒ a
+    // (q, n) pair matches at most once — no dedup exchange (d09's note)
+    val scored = assigned.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    val short = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * shortlist)
+    val rescored = short
+      .join(all.select(col("vec_id").as("q_id"), col("unit").as("q_unit")), "q_id")
+      .join(all.select(col("vec_id").as("n_id"), col("unit").as("n_unit")), "n_id")
+      .select(col("q_id"), col("n_id"), dot(col("q_unit"), col("n_unit")).as("cos"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, shortlist: Int = 4, m: Int = 8,
       ksub: Int = 16, sampleSize: Int = 1024, iters: Int = 5): DataFrame = {

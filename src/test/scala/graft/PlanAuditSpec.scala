@@ -425,7 +425,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (user, day) distinct + the user window + the day agg
     "s19_resurrection" -> (3, 0),
     // pure per-row column algebra — zero exchanges
-    "t25_casing_profile" -> (0, 0))
+    "t25_casing_profile" -> (0, 0),
+    // IVF-PQ + re-rank: cell-routed ADC scan (broadcast probe/LUT side)
+    // + the two rank windows; shortlist/recall joins broadcast at |Q|·c·k
+    "d34_ann_ivfpq" -> (2, 7))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -360,4 +360,40 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.pqTopKReranked(
       emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, shortlist = 0))
   }
+
+  test("ivfPqTopK: full-probe + full-shortlist degenerates to exact; defaults sane on real embeddings") {
+    val emb = Seq(
+      (0L, Array(5.0f, 1.0f, 0.0f, 2.0f)),
+      (1L, Array(4.0f, 2.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 7.0f, 3.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f, 6.0f, 2.0f)),
+      (4L, Array(2.0f, 3.0f, 0.0f, 5.0f)),
+      (5L, Array(0.0f, 1.0f, 2.0f, 7.0f)),
+      (6L, Array(3.0f, 0.0f, 4.0f, 1.0f)),
+      (7L, Array(1.0f, 5.0f, 1.0f, 3.0f))).toDF("vec_id", "embedding")
+    // probing EVERY cell + a shortlist covering every candidate must give
+    // the exact brute-force ranking, however lossy the ksub=2 codes are —
+    // the composition can only lose recall through the two prunes it owns
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 2,
+        k = 3, nCentroids = 2, nProbe = 2, m = 2, ksub = 2,
+        sampleSize = 8, iters = 3, shortlist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact, s"full-probe/full-shortlist must equal exact: got=$full exact=$exact")
+    // production-shaped defaults on the real embeddings: every query
+    // answered with contiguous ranks, result ids within the corpus
+    val real = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val got = Similarity.ivfPqTopK(real, "vec_id", "embedding", col("vec_id") < 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet, s"all queries answered: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks contiguous for $q")
+      assert(rows.forall(r => r._2 != q), s"query $q returned itself")
+    }
+    intercept[IllegalArgumentException](Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, nProbe = 99))
+  }
 }
