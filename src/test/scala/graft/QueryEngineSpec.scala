@@ -304,7 +304,10 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 81 oracles are Spark-runnable; 49 regenerate. The false rows are
+    // 80 oracles are Spark-runnable; 49 regenerate. (p05 left the set in
+    // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
+    // double hop, which Spark's parser rejects — exactly the
+    // classification this test exists to keep explicit.) The false rows are
     // un-parser gaps by DESIGN CHOICE (left/right anti, EXISTS/IN-subquery
     // plans, UnionLoop, multi-join trees >3 relations) — each false that
     // should be true is future un-parser work, visible here instead of
@@ -313,7 +316,6 @@ class QueryEngineSpec extends AnyFunSuite {
       "d01_dedup_exact" -> true,
       "j02_range" -> true,
       "m07_pair_audit" -> false,
-      "p05_correlation" -> false,
       "p06_diversity" -> false,
       "p09_mad" -> false,
       "p13_winsorized" -> false,
