@@ -229,11 +229,6 @@ object SparkEntry {
     * and recall@k against the shared exact baseline. ‖c‖² constants are
     * folded in Scala with the same left fold the Spark literal uses.
     */
-  /** Shared prefix of the d26/d32 PQ replays: CTEs `n`/`un`/`enc`/`q`/`sc`
-    * (normalized vectors, per-subspace codes from the embedded codebooks,
-    * queries, ADC scores). Trains the SAME deterministic codebooks the
-    * Spark plan uses and embeds them as literals.
-    */
   /** The two PQ SQL fragments shared by the d26/d32/d34 replays: the
     * per-subspace encode columns (`code0..code{m-1}` over a CTE aliased
     * `u`) and the ADC score expression (expects table aliases `q` for
@@ -262,6 +257,11 @@ object SparkEntry {
     (codeCols, adc)
   }
 
+  /** Shared prefix of the d26/d32 PQ replays: CTEs `n`/`un`/`enc`/`q`/`sc`
+    * (normalized vectors, per-subspace codes from the embedded codebooks,
+    * queries, FULL-corpus ADC scores — d34 routes candidates instead and
+    * composes [[pqSqlParts]] with the centroid CTEs directly).
+    */
   private def pqScoreCtes(spark: SparkSession, dir: String, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): String = {
     val (codeCols, adc) = pqSqlParts(spark, dir, m, ksub, sampleSize, iters)
@@ -1586,15 +1586,26 @@ object SparkEntry {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val k = 5
-        val adc = Similarity.pqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
-        val rr = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
-          col("vec_id") < 10, k = k, shortlist = 4)
+        // ONE ADC scan serves both variants: plain top-k is the head of
+        // the 4k-shortlist ranking (identical (score desc, id asc)
+        // order), so the codebooks train once and the encode scan runs
+        // once instead of twice
+        val short = Similarity.pqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = k * 4)
+        val adc = short.filter(col("rank") <= k)
+        val rr = Similarity.rerankExact(emb, "vec_id", "embedding", short, k)
         if (!annRecall)
           adc.withColumn("variant", lit("adc"))
             .unionByName(rr.withColumn("variant", lit("rerank")))
         else {
-          val exact = Similarity.bruteForceTopK(
+          // both variants' recall joins consume the exact baseline —
+          // checkpoint it eagerly (tiny: k·|Q| rows) so the O(|Q|·|N|)
+          // brute-force scan executes once, not once per union branch
+          val exactRaw = Similarity.bruteForceTopK(
             emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
+          val exact =
+            if (s.sparkContext.getCheckpointDir.isDefined) exactRaw.checkpoint(true)
+            else exactRaw.localCheckpoint(true)
           Similarity.withRecallAtK(adc, exact, k).withColumn("variant", lit("adc"))
             .unionByName(
               Similarity.withRecallAtK(rr, exact, k).withColumn("variant", lit("rerank")))
@@ -2729,13 +2740,13 @@ object SparkEntry {
       """WITH w AS (
            SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-             regexp_replace(text, '\s+', '', 'g') AS nws
+             regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g') AS nws
            FROM documents),
          c AS (
            SELECT doc_id, text, toks,
              len(toks) AS n_tokens,
-             len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]{2,}$'))) AS n_allcaps,
-             len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]'))) AS n_cap,
+             len(list_filter(toks, t -> regexp_matches(t, '\A[A-Z]{2,}\z'))) AS n_allcaps,
+             len(list_filter(toks, t -> regexp_matches(t, '\A[A-Z]'))) AS n_cap,
              len(nws) AS n_nws,
              len(nws) - len(regexp_replace(nws, '[0-9]', '', 'g')) AS n_dig
            FROM w)

@@ -674,9 +674,14 @@ object EventOps {
       .select(col(userCol).as("user_id"), date_trunc("day", col(tsCol)).as("day"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    // cast-to-long after the divide = truncation toward zero on the
+    // positive gap, matching the oracle's integer `//` — Spark's bare `/`
+    // alone is DOUBLE division (7.04 days would compare > 7 while the
+    // oracle's 7 would not, in any session where day-truncation isn't a
+    // whole multiple of 86400e6 µs, e.g. a DST-shifting timezone)
     days.withColumn("__gap",
-        (unix_micros(col("day")) - unix_micros(lag(col("day"), 1).over(w))) /
-          lit(86400000000L))
+        ((unix_micros(col("day")) - unix_micros(lag(col("day"), 1).over(w))) /
+          lit(86400000000L)).cast("long"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"),
         sum(when(col("__gap") > dormantDays, lit(1L)).otherwise(lit(0L)))

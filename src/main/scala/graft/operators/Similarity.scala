@@ -540,19 +540,26 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
-  /** [[pqTopK]] with the standard ANN re-rank stage: the ADC scan keeps a
-    * SHORTLIST of `shortlist`·k candidates per query, then exactly ONE
-    * exact cosine per shortlisted pair re-ranks them and the top k of the
-    * re-ranked order is returned. ADC ranking is bounded by quantization
-    * error — the true #1 neighbor is almost always WITHIN the top c·k by
-    * ADC even when it is not ADC-#1 — so the re-rank recovers most of the
-    * recall the codes give up, at a cost that is per-query bounded and
-    * independent of corpus size: |Q|·c·k exact dots, against the full-dim
-    * vectors of only the shortlisted ids (two slim equi-joins; the
-    * shortlist frame broadcasts at any corpus scale). This is the
-    * IVF-PQ + re-rank discipline every production ANN service runs; the
-    * d32 entry measures recall@k with and without it, DuckDB-replayed.
+  /** The shared exact re-rank stage behind [[pqTopKReranked]] and
+    * [[ivfPqTopK]]: one exact unit-cosine per candidate pair, top k of
+    * the (cos desc, id asc) order. Cost is |cand| exact dots against the
+    * full-precision vectors of only the candidate ids — two slim
+    * equi-joins that broadcast at any corpus scale when the candidate
+    * frame is a per-query-bounded shortlist.
     */
+  private[graft] def rerankExact(emb: DataFrame, idCol: String, vecCol: String,
+      cand: DataFrame, k: Int): DataFrame = {
+    val units = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+    val rescored = cand.select(col("q_id"), col("n_id"))
+      .join(units.select(col("vec_id").as("q_id"), col("unit").as("q_unit")), "q_id")
+      .join(units.select(col("vec_id").as("n_id"), col("unit").as("n_unit")), "n_id")
+      .select(col("q_id"), col("n_id"), dot(col("q_unit"), col("n_unit")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** IVF-PQ with exact re-rank — the full production ANN stack in one
     * operator, composing the three pruning levers this file builds
     * separately: [[ivfTopK]]'s cell routing prunes CANDIDATES (a query
@@ -617,30 +624,26 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
     val short = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k * shortlist)
-    val rescored = short
-      .join(all.select(col("vec_id").as("q_id"), col("unit").as("q_unit")), "q_id")
-      .join(all.select(col("vec_id").as("n_id"), col("unit").as("n_unit")), "n_id")
-      .select(col("q_id"), col("n_id"), dot(col("q_unit"), col("n_unit")).as("cos"))
-    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    rerankExact(emb, idCol, vecCol, short, k)
   }
 
+  /** [[pqTopK]] with the standard ANN re-rank stage: the ADC scan keeps a
+    * SHORTLIST of `shortlist`·k candidates per query, then exactly ONE
+    * exact cosine per shortlisted pair re-ranks them and the top k of the
+    * re-ranked order is returned. ADC ranking is bounded by quantization
+    * error — the true #1 neighbor is almost always WITHIN the top c·k by
+    * ADC even when it is not ADC-#1 — so the re-rank recovers most of the
+    * recall the codes give up, at a cost that is per-query bounded and
+    * independent of corpus size ([[rerankExact]]). This is the re-rank
+    * discipline every production ANN service runs; the d32 entry
+    * measures recall@k with and without it, DuckDB-replayed.
+    */
   def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, shortlist: Int = 4, m: Int = 8,
       ksub: Int = 16, sampleSize: Int = 1024, iters: Int = 5): DataFrame = {
     require(shortlist >= 1, s"shortlist factor must be >= 1, got $shortlist")
     val cand = pqTopK(emb, idCol, vecCol, queryPred, k * shortlist,
       m, ksub, sampleSize, iters)
-    val units = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
-    val rescored = cand
-      .join(units.select(col("vec_id").as("q_id"), col("unit").as("q_unit")), "q_id")
-      .join(units.select(col("vec_id").as("n_id"), col("unit").as("n_unit")), "n_id")
-      .select(col("q_id"), col("n_id"), dot(col("q_unit"), col("n_unit")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    rerankExact(emb, idCol, vecCol, cand, k)
   }
 }

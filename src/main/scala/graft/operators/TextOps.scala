@@ -81,13 +81,21 @@ object TextOps {
     * exact-integer-over-exact-integer single divisions, so both engines
     * produce identical doubles. NULL text yields NULL everywhere;
     * token-less docs yield NULL ratios (nullif guards ANSI ÷0).
+    *
+    * Regexes are pinned to the engine-agnostic subset: `\\A`/`\\z`
+    * anchors (Java's `$` matches BEFORE a trailing newline, RE2's does
+    * not — a token "HELLO\n" would count ALL-CAPS on one engine only)
+    * and an explicit whitespace class (Java `\\s` includes `\\x0B`,
+    * RE2's does not), so the DuckDB replay agrees character-for-
+    * character on any input, not just newline-free fixtures.
     */
   def casingColumnsFromTokens(text: Column, toks: Column): Seq[Column] = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
     val nTok = nullif(size(toks), lit(0))
-    val nonWs = length(regexp_replace(text, "\\s+", ""))
-    val allcaps = size(filter(toks, w => w.rlike("^[A-Z]{2,}$")))
-    val capitalized = size(filter(toks, w => w.rlike("^[A-Z]")))
-    val digits = nonWs - length(regexp_replace(regexp_replace(text, "\\s+", ""), "[0-9]", ""))
+    val nonWs = length(regexp_replace(text, ws, ""))
+    val allcaps = size(filter(toks, w => w.rlike("\\A[A-Z]{2,}\\z")))
+    val capitalized = size(filter(toks, w => w.rlike("\\A[A-Z]")))
+    val digits = nonWs - length(regexp_replace(regexp_replace(text, ws, ""), "[0-9]", ""))
     Seq(
       size(toks).as("n_tokens"),
       (allcaps.cast("double") / nTok).as("allcaps_ratio"),

@@ -50,9 +50,14 @@ object StreamingOps {
   private def stagedDir(f: java.io.File): String =
     staged.computeIfAbsent(f.getAbsolutePath, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.copy(f.toPath, d.resolve(f.getName),
+      val copy = d.resolve(f.getName)
+      java.nio.file.Files.copy(f.toPath, copy,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // deleteOnExit on a directory only works if it is EMPTY at exit —
+      // register the copied file too (deleteOnExit runs LIFO, so the file
+      // inside goes first and the directory delete then succeeds)
       d.toFile.deleteOnExit()
+      copy.toFile.deleteOnExit()
       d.toString
     })
 

@@ -75,8 +75,11 @@ object ScaleData {
     val ordOff = off(src("orders"), "o_orderkey")
     val partOff = off(src("part"), "p_partkey")
     val suppOff = off(src("supplier"), "s_suppkey")
-    val evOff = off(src("events"), "event_id")
-    val userOff = off(src("events"), "user_id")
+    def offEv(keyCol: String): Long =
+      graft.engine.GraftSession.table(spark, srcDir, "events")
+        .agg(max(col(keyCol)).cast("long")).head().getLong(0) + 1L
+    val evOff = offEv("event_id")
+    val userOff = offEv("user_id")
     val docOff = off(src("documents"), "doc_id")
     val vecOff = off(src("embeddings"), "vec_id")
 
@@ -102,11 +105,13 @@ object ScaleData {
       "l_partkey" -> shifted("l_partkey", partOff),
       "l_suppkey" -> shifted("l_suppkey", suppOff))): _*))
 
-    // events go through the same ts normalization batch reads use — the
-    // driver has shipped `ts` as both TIMESTAMP(NANOS) and NTZ micros
-    // (see GraftSession.eventsTsToMicros); the scaled copy is written as
-    // a plain UTC-micros TIMESTAMP either way
-    val ev = fan(graft.engine.GraftSession.eventsTsToMicros(src("events")))
+    // events go through GraftSession.table, not a bare read: the driver
+    // has shipped `ts` as both TIMESTAMP(NANOS) — where a plain
+    // spark.read THROWS before any conversion can run — and NTZ micros;
+    // table() sets the legacy-nanos conf and normalizes either to a
+    // UTC-micros TIMESTAMP, which is what the scaled copy is written as
+    val evSrc = graft.engine.GraftSession.table(spark, srcDir, "events")
+    val ev = fan(evSrc)
     write("events", ev.select(keep(ev, Map(
       "event_id" -> shifted("event_id", evOff),
       "user_id" -> shifted("user_id", userOff),
@@ -114,14 +119,21 @@ object ScaleData {
         col("__c") * lit(31L * 86400L * 1000000L)).as("ts"))): _*))
 
     val docs = fan(src("documents"))
+    // the empty-string guard matters: split on ' ' yields "" for runs of
+    // spaces, and renaming "" to "_c" would INSERT tokens the source
+    // never had — breaking the exact within-copy Jaccard bijection
     val perturbedText = when(col("__c") === 0 || col("text").isNull, col("text"))
       .otherwise(concat_ws(" ", transform(split(col("text"), " "),
-        t => when(pmod(xxhash64(t, col("__c")), lit(5)) < 2,
+        t => when(t =!= "" && pmod(xxhash64(t, col("__c")), lit(5)) < 2,
           concat(t, lit("_"), col("__c").cast("string"))).otherwise(t))))
+    // copy 0 keeps the SOURCE n_chars verbatim (even a fixture row where
+    // n_chars deliberately disagrees with length(text) must replicate
+    // un-"repaired" — profiling entries exist to catch exactly that);
+    // perturbed copies recompute it against their rewritten text
     write("documents", docs.select(keep(docs, Map(
       "doc_id" -> shifted("doc_id", docOff),
       "text" -> perturbedText.as("text"),
-      "n_chars" -> when(col("n_chars").isNull, lit(null).cast("long"))
+      "n_chars" -> when(col("__c") === 0 || col("n_chars").isNull, col("n_chars"))
         .otherwise(length(perturbedText).cast("long")).as("n_chars"))): _*))
 
     val emb = fan(src("embeddings"))

@@ -416,9 +416,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
     // plan is the doc left-join + rep agg + size agg; comp side broadcasts
     "d29_cluster_sizes" -> (4, 1),
-    // two ADC scans (adc + rerank variants) with broadcast query LUTs,
-    // rank windows, shortlist re-join + recall joins all |Q|·k-bounded
-    "d32_ann_pq_rerank" -> (3, 11),
+    // ONE shared ADC scan (round-13 review: both variants read the same
+    // 4k-shortlist ranking, codebooks train once) with broadcast query
+    // LUTs; rank windows + the rerank/recall joins on |Q|·k-bounded
+    // frames; the exact baseline is checkpointed (computed once)
+    "d32_ann_pq_rerank" -> (4, 10),
     // probe is ONE (band,bucket) exchange + the pair-dedup agg; the index
     // side broadcasts at this SF
     "d33_incremental_lsh" -> (1, 1),
