@@ -4734,6 +4734,33 @@ object SparkEntry {
                 CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
          WHERE FALSE"""),
 
+    // streaming near-dup gate vs the batch cross-corpus recompute: docs
+    // ≡ 0 mod 3 arrive as a file stream and are gated against the static
+    // corpus (the rest) through the stream-static LSH band join; the
+    // batch twin is crossCorpusContamination over the same split with
+    // the same production signature family — identical banding
+    // (bandHash is the single shared formula), identical verify, so the
+    // pair sets must agree row-for-row including the est_jaccard doubles
+    "y04_stream_neardup_gate" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val stream = StreamingOps.tableStream(s, s"$d/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.nearDupAgainstCorpus(stream, corpus, "doc_id", "text"),
+          "y04_gate_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        val batch = Dedup.crossCorpusContamination(
+            corpus, docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+          .select(col("eval_id").as("doc_id"), col("train_id").as("corpus_id"),
+            col("est_jaccard"))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS corpus_id,
+                CAST(NULL AS DOUBLE) AS est_jaccard
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,

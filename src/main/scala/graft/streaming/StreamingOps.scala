@@ -61,6 +61,19 @@ object StreamingOps {
       d.toString
     })
 
+  /** Generic file-stream over any parquet table path (directory, or a
+    * single file staged exactly like [[eventsStream]]); schema comes from
+    * a batch footer read. No column normalization — use [[eventsStream]]
+    * for the events table, whose `ts` physical type drifts across
+    * testdata generations.
+    */
+  def tableStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val streamPath = if (f.isFile) stagedDir(f) else path
+    spark.readStream.schema(schema).parquet(streamPath)
+  }
+
   /** Tumbling-window counts per event type with a watermark bounding state.
     * Works identically on a batch DataFrame (window() is just a grouping
     * expression there).

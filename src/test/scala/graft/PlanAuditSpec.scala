@@ -413,6 +413,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // session twin: update-row fold agg + batch lag-window share one
     // user-keyed exchange pattern; two except sides
     "y03_stream_sessions" -> (2, 0),
+    // near-dup gate twin: memory-sink gate result vs the checkpointed
+    // crossCorpusContamination scan; two except sides
+    "y04_stream_neardup_gate" -> (2, 0),
     // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
     // plan is the doc left-join + rep agg + size agg; comp side broadcasts
     "d29_cluster_sizes" -> (4, 1),

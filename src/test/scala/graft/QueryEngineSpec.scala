@@ -390,7 +390,8 @@ class QueryEngineSpec extends AnyFunSuite {
       "t24_lang_confusion" -> false,
       "x01_salted_join" -> true,
       "x10_grouped_split" -> true,
-      "y03_stream_sessions" -> false)
+      "y03_stream_sessions" -> false,
+      "y04_stream_neardup_gate" -> false)
     val results: Map[String, Boolean] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =
