@@ -460,24 +460,26 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "benchdata/sf1")).getAbsolutePath
         val genS = time(graft.tools.ScaleData.ensure(spark, sfDir, sf1Dir, copies = 10))
         sys.props("graft.ann.recall") = "off"
-        val qTimes = sf1Heavy.map { name =>
-          val fn = SparkEntry.queries(name)
-          val gc0 = gcMillis()
-          var ok = true
-          val t = time(
-            try materialize(fn(spark, sf1Dir))
-            catch { case e: Throwable =>
-              ok = false
-              failed += s"sf1:$name"
-              System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-            })
-          spark.catalog.clearCache()
-          (name, if (ok) t else -1.0, gcMillis() - gc0)
-        }
-        prevRecall match {
-          case Some(v) => sys.props("graft.ann.recall") = v
-          case None => sys.props.remove("graft.ann.recall")
-        }
+        // restore in finally: an exception from any sf1 query must not
+        // leave the recall toggle off for the rest of the process
+        val qTimes =
+          try sf1Heavy.map { name =>
+            val fn = SparkEntry.queries(name)
+            val gc0 = gcMillis()
+            var ok = true
+            val t = time(
+              try materialize(fn(spark, sf1Dir))
+              catch { case e: Throwable =>
+                ok = false
+                failed += s"sf1:$name"
+                System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+              })
+            spark.catalog.clearCache()
+            (name, if (ok) t else -1.0, gcMillis() - gc0)
+          } finally prevRecall match {
+            case Some(v) => sys.props("graft.ann.recall") = v
+            case None => sys.props.remove("graft.ann.recall")
+          }
         // best-of-3, no sub-second widening: at 10× volume every naive
         // side is multi-second (stable), and 21-sample widening of the
         // cheap opt sides would charge minutes for noise shaving

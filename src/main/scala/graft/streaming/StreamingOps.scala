@@ -46,9 +46,12 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(streamPath))
   }
 
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed on (path, mtime, length), not path alone: a source file
+  // regenerated in place mid-JVM must stage a FRESH copy — a path-only
+  // cache would silently replay the stale bytes into every later stream
+  private val staged = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
   private def stagedDir(f: java.io.File): String =
-    staged.computeIfAbsent(f.getAbsolutePath, _ => {
+    staged.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length), _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       val copy = d.resolve(f.getName)
       java.nio.file.Files.copy(f.toPath, copy,

@@ -53,13 +53,29 @@ object ScaleData {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Generate `destDir` from `srcDir` at `copies`× unless the sentinel
-    * already marks it complete. Returns true when generation ran.
+    * already marks it complete FOR THIS (src, copies) request — a sentinel
+    * recording a different source dir or copy count means the directory
+    * holds some OTHER instance, and silently benching it would mislabel
+    * every sf1 number; regenerate instead. Returns true when generation
+    * ran.
     */
   def ensure(spark: SparkSession, srcDir: String, destDir: String,
       copies: Int = 10, partitions: Int = 32): Boolean = {
     require(copies >= 1, s"copies must be >= 1, got $copies")
     val sentinel = java.nio.file.Paths.get(destDir, "_GRAFT_SCALE_OK")
-    if (java.nio.file.Files.exists(sentinel)) return false
+    // gen= is the generator version: bump it whenever the generation
+    // algebra changes (round 14: shared doc/vec offset), so directories
+    // produced by an older generator regenerate instead of being benched
+    // as if current
+    val stamp = s"src=$srcDir copies=$copies gen=2\n"
+    if (java.nio.file.Files.exists(sentinel)) {
+      val recorded = new String(java.nio.file.Files.readAllBytes(sentinel),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (recorded == stamp) return false
+      System.err.println(s"[scale-data] $destDir sentinel records " +
+        s"'${recorded.trim}' but '${stamp.trim}' was requested — regenerating")
+      java.nio.file.Files.delete(sentinel)
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
     def src(n: String): DataFrame = spark.read.parquet(s"$srcDir/$n.parquet")
     def write(n: String, df: DataFrame): Unit =
@@ -80,8 +96,14 @@ object ScaleData {
         .agg(max(col(keyCol)).cast("long")).head().getLong(0) + 1L
     val evOff = offEv("event_id")
     val userOff = offEv("user_id")
-    val docOff = off(src("documents"), "doc_id")
-    val vecOff = off(src("embeddings"), "vec_id")
+    // ONE shared offset across the doc_id and vec_id domains: the driver
+    // generates embeddings row i for document i, and doc↔embedding joins
+    // (m07-style doc-media audits) rely on that pairing — independent
+    // per-table offsets would break it for every copy c > 0 whenever the
+    // two key domains differ (e.g. fewer vectors than docs)
+    val docOff = math.max(off(src("documents"), "doc_id"),
+      off(src("embeddings"), "vec_id"))
+    val vecOff = docOff
 
     write("region", src("region"))
     write("nation", src("nation"))
@@ -156,7 +178,7 @@ object ScaleData {
       "embedding" -> perturbedVec.as("embedding"))): _*))
 
     java.nio.file.Files.write(sentinel,
-      s"src=$srcDir copies=$copies\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     true
   }
 

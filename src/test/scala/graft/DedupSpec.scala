@@ -797,6 +797,39 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashErrorAudit(df, "doc_id", "text", "src", k = 0))
   }
 
+  test("minhashErrorAudit pair budget: cap >= block is exact; capped audit carries rate² weights") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = (1L to 40L).map(i => (i, base + s" suffix$i word$i", "blk"))
+      .toDF("doc_id", "text", "src")
+    val exact = Dedup.minhashErrorAudit(df, "doc_id", "text", "src")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.values.sum == 40L * 39 / 2, exact.toString)
+    // cap >= block size: rate = 1, weight 1 — bit-identical to unsampled
+    val cap64 = Dedup.minhashErrorAudit(df, "doc_id", "text", "src",
+        maxBlockDocs = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cap64 == exact, s"cap64=$cap64 exact=$exact")
+    // cap 8 on a 40-doc block: rate = 5; survivors are the docs whose md5
+    // order-hash ≡ 0 mod 5, every kept pair weighs rate² = 25, so the
+    // weighted total is EXACTLY 25·s(s−1)/2 for s survivors — the
+    // inverse-probability estimate of the 780 true pairs
+    val s = df.filter(org.apache.spark.sql.functions.pmod(
+        graft.operators.SampleOps.md5OrderHash(
+          org.apache.spark.sql.functions.col("doc_id")),
+        org.apache.spark.sql.functions.lit(5L)) === 0)
+      .count()
+    assert(s >= 2, s"hash thinning left $s survivors — fixture too small")
+    val cap8 = Dedup.minhashErrorAudit(df, "doc_id", "text", "src",
+        maxBlockDocs = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cap8.keySet.forall(b => b >= 0 && b <= 9), cap8.toString)
+    assert(cap8.values.forall(_ % 25 == 0), s"weights must be rate²: $cap8")
+    assert(cap8.values.sum == 25L * s * (s - 1) / 2,
+      s"weighted total ${cap8.values.sum} != 25*${s}*${s - 1}/2")
+    intercept[IllegalArgumentException](
+      Dedup.minhashErrorAudit(df, "doc_id", "text", "src", maxBlockDocs = 1))
+  }
+
   test("tuneBanding: budget satisfied, minimal signature, sharpest curve on ties, tighter budget costs more") {
     def miss(b: Int, r: Int, j: Double) = math.pow(1.0 - math.pow(j, r), b)
     val (k, b, r, mp, mid) = Dedup.tuneBanding(0.7, 0.05)

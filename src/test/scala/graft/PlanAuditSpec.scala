@@ -53,8 +53,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // df agg + the doc rank/size window + candidate distinct + verify agg;
     // the token-df and arrs frames ride broadcasts at this SF
     "d28_containment" -> (4, 5),
-    // one blocked self-join (broadcast at this SF) + the 10-bucket agg
-    "d30_minhash_error" -> (1, 1),
+    // blocked self-join (broadcast at this SF) + 10-bucket agg, plus the
+    // round-14 pair budget's per-block count agg (ids-only, broadcast
+    // back) — the +1 shuffle that makes per-block cost O(cap²) at any SF
+    "d30_minhash_error" -> (2, 1),
     // per-round joins are checkpoint-truncated (the CC idiom): the
     // audited plan is the final rank scan
     "d31_dup_centrality" -> (0, 0),
