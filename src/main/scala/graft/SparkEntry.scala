@@ -4771,6 +4771,36 @@ object SparkEntry {
                 CAST(NULL AS DOUBLE) AS est_jaccard
          WHERE FALSE"""),
 
+    // stream-stream interval join (round 14): clicks and purchases arrive
+    // as two independent file streams, joined per user within a 1-hour
+    // event-time tolerance with both sides watermarked — the attribution
+    // join whose state Spark bounds from the watermark + range condition.
+    // Batch twin = the SAME intervalJoinStreams algebra over the events
+    // table (user_id equi-join, range residual — never an inequality
+    // nested loop); lag_us makes pair identity integer-exact.
+    "y05_stream_interval_join" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val tolUs = 3600L * 1000000L
+        val pick = (tp: String) => (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === tp)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.intervalJoinStreams(
+            pick("click")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            pick("purchase")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            tolUs),
+          "y05_ivj_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        val ev = t(s, d, "events")
+        val batch = StreamingOps.intervalJoinStreams(
+          pick("click")(ev), pick("purchase")(ev), tolUs)
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS left_id,
+                CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,

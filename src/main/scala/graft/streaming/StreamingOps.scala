@@ -322,6 +322,45 @@ object StreamingOps {
     }
   }
 
+  /** Stream-stream interval join — pair each left event with the SAME
+    * user's right events that follow within `toleranceUs` (the
+    * "click → purchase within the hour" attribution join; the remaining
+    * big structured-streaming operator class after windowed aggs, dedup,
+    * stateful sessions and the stream-static gate).
+    *
+    * Both sides are watermarked and the time-range condition rides the
+    * JOIN CONDITION itself, not a post-filter: Spark derives each side's
+    * state retention from (watermark delay + the ts range it appears in),
+    * so a year-long deployment buffers only ~tolerance+delay of history
+    * per side — bounded state by construction. Inner-join matches emit as
+    * found (no watermark gating on output); the watermark's job here is
+    * state eviction and late-input drop, which StreamingSpec pins.
+    *
+    * Batch/stream agnostic like every transform in this file: on batch
+    * frames the same expression is a user_id equi-join with the range as
+    * a join residual — the y05 disagreement entry pins the equivalence.
+    *
+    * @param left  (user_id, event_id, ts) frame, the earlier side
+    * @param right (user_id, event_id, ts) frame, the later side
+    * @return (user_id, left_id, right_id, lag_us) — one row per
+    *         qualifying pair, lag_us = right.ts − left.ts ∈ [0, tolerance]
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      toleranceUs: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val l0 = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
+    val r0 = if (right.isStreaming) right.withWatermark("ts", watermarkDelay) else right
+    val l = l0.select(col("user_id"), col("event_id").as("left_id"),
+      col("ts").as("left_ts"))
+    val r = r0.select(col("user_id").as("__r_user"),
+      col("event_id").as("right_id"), col("ts").as("right_ts"))
+    l.join(r, col("user_id") === col("__r_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        (unix_micros(col("right_ts")) - unix_micros(col("left_ts"))).as("lag_us"))
+  }
+
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
     * event pipeline needs): duplicates arriving within the watermark window
     * are dropped with bounded state.

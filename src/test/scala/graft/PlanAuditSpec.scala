@@ -418,6 +418,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // near-dup gate twin: memory-sink gate result vs the checkpointed
     // crossCorpusContamination scan; two except sides
     "y04_stream_neardup_gate" -> (2, 0),
+    // interval-join twin: memory-sink join result vs the batch user_id
+    // equi-join (range residual, no nested loop); two except sides
+    "y05_stream_interval_join" -> (3, 0),
     // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
     // plan is the doc left-join + rep agg + size agg; comp side broadcasts
     "d29_cluster_sizes" -> (4, 1),

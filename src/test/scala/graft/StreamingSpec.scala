@@ -223,4 +223,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((2L, B * 1000000L)),
       s"u1 cleared, u3 healed by the retained mark, u2 decided by the timer: $got")
   }
+
+  test("stream-stream interval join: on-time pairs emit, watermark drops late input and bounds state") {
+    import spark.implicits._
+    val H = 3600L
+    val tolUs = 3600L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ldir = Files.createTempDirectory("graft-ssj-left").toString
+    val rdir = Files.createTempDirectory("graft-ssj-right").toString
+    // batch 1 — left: click@10:00 plus another user's click@20:00; right:
+    // purchase@10:30 (in-tolerance match) and purchase@20:00. The 20:00
+    // rows on BOTH sides matter: the global watermark is the MIN over
+    // all watermarked inputs, so each side must advance past the first
+    // click's 1h join horizon for eviction to be provable
+    Seq((1L, 100L, ts(10 * H)), (2L, 101L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(ldir)
+    Seq((1L, 200L, ts(10 * H + 1800)), (1L, 201L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    val joined = StreamingOps.intervalJoinStreams(
+      spark.readStream.schema(schema).parquet(ldir),
+      spark.readStream.schema(schema).parquet(rdir), tolUs)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterB1 == Set((100L, 200L, 1800L * 1000000L)), afterB1.toString)
+      // batch 2: a LATE purchase@10:15 — batch semantics would pair it,
+      // but the watermark (20:00 after batch 1) already evicted the
+      // click's join state / drops the late input. No new row.
+      Seq((1L, 202L, ts(10 * H + 900))).toDF("user_id", "event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(rdir)
+      q.processAllAvailable()
+      val afterB2 = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterB2 == afterB1, s"late input must be dropped: $afterB2")
+      // state is BOUNDED: of the 4 inputs, only the right row the
+      // watermark hasn't passed (purchase@20:00) may remain buffered —
+      // unbounded-state retention would hold all of them
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.map(_.numRowsTotal).sum <= 2,
+        s"join state not bounded: ${state.map(_.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+    // the batch twin DOES pair the late purchase — the delta IS the
+    // documented watermark contract, nothing else
+    val batch = StreamingOps.intervalJoinStreams(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), tolUs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((100L, 200L), (100L, 202L)), batch.toString)
+  }
 }
