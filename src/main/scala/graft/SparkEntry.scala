@@ -388,6 +388,85 @@ object SparkEntry {
        ${annOracleTail(k)}"""
   }
 
+  /** Generated DuckDB replay of d35's (nProbe, shortlist) → recall curve
+    * for the COMPLETE IVF-PQ + re-rank stack: centroids and codebooks are
+    * trained ONCE and shared (they are pure functions of the data — the
+    * Spark side trains identical constants per config), then one d34-style
+    * CTE chain per config — probe list, routed ADC scoring, c·k shortlist,
+    * exact re-rank, recall@k against the one shared exact baseline —
+    * UNION ALL'd under (n_probe, shortlist). The d25 multi-config pattern
+    * applied to the production stack, so the artifact measures the two
+    * cost knobs (cells read, shortlist re-ranked) jointly.
+    */
+  private def ivfPqCurveOracleSql(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)], nCentroids: Int, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int, k: Int): String = {
+    val centroids = graft.operators.Similarity.ivfCentroids(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
+    val (codeCols, adc) = pqSqlParts(spark, dir, m, ksub, sampleSize, iters)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, list_dot_product(v, ${c.mkString("[", ", ", "]")}) AS sim FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    val perCfg = configs.map { case (np, sl) =>
+      val g = s"${np}_$sl"
+      s"""probes$g AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $np AND vec_id < 10),
+       sc$g AS (SELECT p.q_id, e.vec_id AS n_id,
+            $adc AS score
+          FROM probes$g p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+            JOIN enc e ON e.vec_id = a.vec_id
+            JOIN q ON q.q_id = p.q_id),
+       adcrk$g AS (SELECT q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS r
+                   FROM sc$g),
+       short$g AS (SELECT q_id, n_id FROM adcrk$g WHERE r <= ${k * sl}),
+       rr$g AS (SELECT s.q_id, s.n_id, list_dot_product(qu.u, nu.u) AS cos
+              FROM short$g s JOIN un qu ON qu.vec_id = s.q_id
+                             JOIN un nu ON nu.vec_id = s.n_id),
+       ap$g AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, n_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                  FROM rr$g) WHERE rank <= $k),
+       hits$g AS (SELECT a.q_id, COUNT(*) AS n_hit
+                  FROM ap$g a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY 1),
+       ret$g AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_returned
+                 FROM ap$g GROUP BY 1)"""
+    }.mkString(",\n       ")
+    val branches = configs.map { case (np, sl) =>
+      val g = s"${np}_$sl"
+      s"""SELECT $np AS n_probe, $sl AS shortlist, n_ex.q_id,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall,
+           COALESCE(r.n_returned, 0) AS n_returned
+         FROM n_ex LEFT JOIN hits$g h ON h.q_id = n_ex.q_id
+           LEFT JOIN ret$g r ON r.q_id = n_ex.q_id"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       un AS (SELECT vec_id, v,
+                CASE WHEN list_dot_product(v, v) = 0 THEN v
+                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+              FROM n),
+       enc AS (SELECT vec_id,
+            $codeCols
+          FROM un),
+       sims AS (
+       $cellSims),
+       ranked AS (SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims),
+       assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       q AS (SELECT vec_id AS q_id, u FROM un WHERE vec_id < 10),
+       ex AS (SELECT q_id, n_id FROM (
+                SELECT qq.vec_id AS q_id, nb.vec_id AS n_id,
+                  ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+                    ORDER BY list_cosine_similarity(qq.v, nb.v) DESC, nb.vec_id ASC) AS rank
+                FROM n qq JOIN n nb ON nb.vec_id <> qq.vec_id WHERE qq.vec_id < 10)
+              WHERE rank <= $k),
+       n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
+       $perCfg
+       $branches"""
+  }
+
   /** Shared frame prep for the j01/j03 as-of entries: purchases vs clicks
     * pre-aggregated to unique (user, ts) so tie resolution is
     * engine-independent; only the direction differs between the twins.
@@ -1639,6 +1718,37 @@ object SparkEntry {
           k = k)
       }),
 
+    // IVF-PQ cost/recall curve (round 14): the d25 multi-config discipline
+    // applied to the COMPLETE production stack — per (nProbe, shortlist)
+    // config, per-query recall@k of ivfPqTopK against one shared exact
+    // baseline, so the artifact measures the two knobs a deployment tunes
+    // (cells read × candidates re-ranked) end-to-end rather than for
+    // plain IVF only. Centroids/codebooks are pure functions of the data,
+    // identical across configs; oracle is the generated full replay
+    // ([[ivfPqCurveOracleSql]], trained once and shared)
+    "d35_ivfpq_curve" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val k = 5
+        // one exact baseline serves every config: checkpoint the tiny
+        // k·|Q| frame so the O(|Q|·|N|) brute-force scan runs once
+        val exactRaw = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
+        val exact =
+          if (s.sparkContext.getCheckpointDir.isDefined) exactRaw.checkpoint(true)
+          else exactRaw.localCheckpoint(true)
+        Seq((1, 4), (2, 2), (2, 4), (4, 4)).map { case (np, sl) =>
+          Similarity.withRecallAtK(
+              Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 10,
+                k = k, nProbe = np, shortlist = sl),
+              exact, k = k)
+            .groupBy(col("q_id"))
+            .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
+            .select(lit(np).as("n_probe"), lit(sl).as("shortlist"), col("q_id"),
+              col("recall"), col("n_returned"))
+        }.reduce(_ unionAll _)
+      }),
+
     // incremental LSH band index (round 13): versioned-corpus near-dup —
     // batch-2 (doc_id ≡ 0 mod 3) dedups against batch-1's PERSISTED band
     // index without recomputing old signatures (probeBandIndex never sees
@@ -1659,6 +1769,51 @@ object SparkEntry {
       },
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8), i ->
+             list_min(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)))) AS sig
+           FROM sh)
+         SELECT b.doc_id AS doc_id, a.doc_id AS corpus_id,
+                len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0 AS est_jaccard
+         FROM sig a JOIN sig b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+         WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) >= 6"""),
+
+    // index compaction / second generation (round 14): docs ≡ 1 mod 3 are
+    // RE-INGESTED with revised text as generation 2; compact(gen1 ∪ gen2)
+    // keeps only each id's latest rows (ids-only aggregate + equi-join,
+    // no window), and batch-3 probes the compacted index. Oracle is the
+    // d33-style full recompute over the EFFECTIVE corpus — latest text
+    // per id — so a stale gen-1 signature surviving compaction (or a
+    // gen-2 one dropped) breaks the hash gate
+    "d36_index_compaction" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = Some(Dedup.md5MinhashSignature(_: org.apache.spark.sql.Column, 8))
+        val gen1 = Dedup.lshBandIndex(
+            docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+            k = 8, bands = 4, signature = sig)
+          .withColumn("gen", lit(1L))
+        val gen2 = Dedup.lshBandIndex(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+              .withColumn("text", concat(col("text"), lit(" revised edition"))),
+            "doc_id", "text", k = 8, bands = 4, signature = sig)
+          .withColumn("gen", lit(2L))
+        Dedup.probeBandIndex(
+          Dedup.compactBandIndex(gen1.unionByName(gen2)).drop("gen"),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.7, signature = sig)
+      },
+      """WITH eff AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 1
+                  THEN text || ' revised edition' ELSE text END AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w FROM eff),
          sh AS (
            SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                 ELSE list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS shingles
@@ -3074,6 +3229,35 @@ object SparkEntry {
          t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
          SELECT c.cohort, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS share
          FROM c, t WHERE c.cnt * 17 > t.n"""),
+
+    // mergeable profile state (round 14): snapshot A and snapshot B
+    // (doc_id parity split) are profiled separately into bucketed
+    // sufficient-statistics states, then MERGED without rescanning either
+    // corpus — the d33 incremental idea applied to profiling. The oracle
+    // recomputes the same state from scratch over the full table, so the
+    // driver gate proves merge ≡ from-scratch under rows+schema+hash.
+    // Caller-fixed [0, 640) × 16 buckets (fixed bounds are what make
+    // shard states addable); NULLs bucket to −1; Σ/Σ² per-factor
+    // DECIMAL(18,0) — integer-exact and engine-portable
+    "p18_mergeable_profile" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Profile.mergeProfileStates(
+          graft.operators.Profile.numericProfileState(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "n_chars", 0L, 640L, 16),
+          graft.operators.Profile.numericProfileState(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars", 0L, 640L, 16))
+      },
+      """WITH v AS (
+           SELECT CASE WHEN n_chars IS NULL THEN -1
+                  ELSE LEAST(15, GREATEST(0, (CAST(n_chars AS BIGINT) * 16) // 640)) END AS bucket,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents)
+         SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_v,
+           CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sumsq_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM v GROUP BY 1"""),
 
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
@@ -4884,7 +5068,10 @@ object SparkEntry {
                 sampleSize = 1024, iters = 5, k = 5, shortlist = 4)),
               "d34_ann_ivfpq" -> (() => ivfPqOracleSql(s, d, nCentroids = 16,
                 nProbe = 2, m = 8, ksub = 16, sampleSize = 1024, iters = 5,
-                k = 5, shortlist = 4)))
+                k = 5, shortlist = 4)),
+              "d35_ivfpq_curve" -> (() => ivfPqCurveOracleSql(s, d,
+                Seq((1, 4), (2, 2), (2, 4), (4, 4)), nCentroids = 16, m = 8,
+                ksub = 16, sampleSize = 1024, iters = 5, k = 5)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

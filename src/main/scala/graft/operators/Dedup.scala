@@ -360,6 +360,9 @@ object Dedup {
     * Append a new batch to the corpus index as
     * `index.unionByName(lshBandIndex(newDocs, ...))` — signatures are
     * per-doc pure functions, so the union IS the updated snapshot index.
+    * When a batch RE-INGESTS existing ids (revised documents), tag each
+    * snapshot with a generation column and run [[compactBandIndex]] so
+    * probes see only the latest revision's signatures.
     */
   def lshBandIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16,
@@ -371,6 +374,29 @@ object Dedup {
       .filter(col("corpus_sig").isNotNull)
       .select(col("corpus_id"), col("corpus_sig"),
         bandBuckets(col("corpus_sig"), bands, r).as(Seq("band", "bucket")))
+  }
+
+  /** Compact a multi-generation [[lshBandIndex]]: re-ingested docs append
+    * a NEWER generation of index rows under the same `corpus_id`
+    * (`index.withColumn("gen", lit(g))` at build time, unioned across
+    * snapshots); compaction keeps only each id's latest generation, so a
+    * probe sees exactly the corpus's CURRENT text — stale signatures from
+    * superseded revisions can neither match nor mask.
+    *
+    * Scale shape: the latest-generation set is one ids-only hash
+    * aggregate (max per corpus_id — map-side partials, the d22
+    * keep-best idiom, no window), then one co-partitioned equi-join on
+    * (corpus_id, gen) filters the band rows. Both exchanges carry id+gen
+    * slivers, never signatures; a compaction over a 100 TB index shuffles
+    * ids only. Idempotent: compact(compact(x)) = compact(x), and
+    * compact(gen1 ∪ gen2) ≡ the index built directly from the effective
+    * (latest-text) corpus — DedupSpec pins both, the d36 entry pins the
+    * probe equivalence against the full recompute under the driver gate.
+    */
+  def compactBandIndex(index: DataFrame, genCol: String = "gen"): DataFrame = {
+    val latest = index.select(col("corpus_id"), col(genCol))
+      .groupBy(col("corpus_id")).agg(max(col(genCol)).as(genCol))
+    index.join(latest, Seq("corpus_id", genCol))
   }
 
   /** Incremental near-duplicate probe: a NEW batch of docs against an

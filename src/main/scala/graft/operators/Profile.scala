@@ -837,4 +837,100 @@ object Profile {
         (col("vmin") + col("bucket") * (col("vmax") - col("vmin")) / nBuckets).as("lo"),
         col("n"))
   }
+
+  /** MERGEABLE profile state of an integer column — the incremental
+    * sibling of [[describe]]/[[histogram]] (the d33 idea applied to
+    * profiling): profile each corpus snapshot ONCE, persist the state as
+    * a tiny parquet frame, and combine snapshots with
+    * [[mergeProfileStates]] — the union profile without rescanning a row
+    * of either corpus. At 100 TB-per-snapshot this turns "re-profile
+    * everything monthly" into "profile the new shard, merge".
+    *
+    * The state is a BUCKETED sufficient-statistics frame — one row per
+    * fixed-width bucket of [lo, hi) (out-of-range values clamp into the
+    * end buckets; NULLs take bucket −1): (bucket, n, sum_v, sumsq_v,
+    * min_v, max_v). One frame is simultaneously the p03-style histogram
+    * (the n column), the moment set (Σ, Σ² per bucket — corpus mean/
+    * variance fall out by summing buckets), and the range (min/max roll
+    * up) — and it is CLOSED UNDER UNION RE-AGGREGATION, which is the
+    * whole design: merge = groupBy(bucket) with (sum, sum, sum, min,
+    * max), associative and commutative, so any snapshot DAG folds to the
+    * same state. Bucket bounds are CALLER-FIXED, never data-derived —
+    * data-derived bounds (as [[histogram]] uses) differ per shard and
+    * make bucket counts un-addable.
+    *
+    * Exactness: counts are BIGINT; Σ and Σ² run per-factor in
+    * DECIMAL(18,0) (so any engine's decimal promotion fits: 18+18 digits
+    * of product, summed into DECIMAL(38,0)) — integer-exact as long as
+    * |v| < 10¹⁸, i.e. any count/length/token column. The only caveat a
+    * user needs: merging states built with DIFFERENT (lo, hi, nBuckets)
+    * is meaningless — enforced structurally by keeping those in the
+    * caller's hands.
+    *
+    * Scale shape: one hash aggregate with map-side partials; the state is
+    * nBuckets+1 rows however large the corpus.
+    *
+    * @return (bucket, n, sum_v, sumsq_v, min_v, max_v); sums/min/max are
+    *         NULL on the all-NULL bucket −1
+    */
+  def numericProfileState(df: DataFrame, valueCol: String,
+      lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val v = col(s"`$valueCol`").cast("long")
+    def dec18(c: Column) = c.cast(DecimalType(18, 0))
+    val bucket = when(v.isNull, lit(-1L))
+      .otherwise(least(lit(nBuckets - 1L), greatest(lit(0L),
+        expr(s"((CAST(`$valueCol` AS BIGINT) - ${lo}L) * ${nBuckets}L) div ${hi - lo}L"))))
+    df.select(bucket.as("bucket"), v.as("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec18(col("__v"))).cast(DecimalType(38, 0)).as("sum_v"),
+        sum(dec18(col("__v")) * dec18(col("__v"))).cast(DecimalType(38, 0)).as("sumsq_v"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
+  /** Fold any number of [[numericProfileState]] frames (built with the
+    * SAME bucket configuration) into the state of the unioned corpus —
+    * sums add, extrema combine, bucket rows absent from a snapshot simply
+    * contribute nothing. The result is again a valid state: merging is
+    * associative/commutative, so incremental pipelines can fold snapshot
+    * states in any order or tree shape (ProfileSpec pins
+    * merge ≡ from-scratch and the associativity).
+    */
+  def mergeProfileStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeProfileStates needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_v")).cast(DecimalType(38, 0)).as("sum_v"),
+        sum(col("sumsq_v")).cast(DecimalType(38, 0)).as("sumsq_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
+  /** Collapse a profile state to the one-row corpus profile — count,
+    * null count, mean, population variance, extrema — WITHOUT touching
+    * the corpus: Σ and Σ² over the handful of bucket rows. Variance via
+    * E[v²] − E[v]² on exactly-known integer sums (the only fp ops are
+    * divisions of exact decimals — deterministic IEEE); NULL when no
+    * non-null values exist.
+    */
+  def profileFromState(state: DataFrame): DataFrame = {
+    val nonNull = when(col("bucket") >= 0, col("n"))
+    state.agg(
+        sum(col("n")).cast("long").as("n_total"),
+        sum(when(col("bucket") === -1, col("n")).otherwise(lit(0L)))
+          .cast("long").as("n_null"),
+        sum(nonNull).cast("long").as("__nv"),
+        sum(col("sum_v")).cast(DecimalType(38, 0)).as("__s"),
+        sum(col("sumsq_v")).cast(DecimalType(38, 0)).as("__s2"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .select(col("n_total"), col("n_null"),
+        (col("__s").cast("double") / col("__nv")).as("mean"),
+        (col("__s2").cast("double") / col("__nv") -
+          (col("__s").cast("double") / col("__nv")) *
+          (col("__s").cast("double") / col("__nv"))).as("variance"),
+        col("min_v"), col("max_v"))
+  }
 }

@@ -621,6 +621,33 @@ class DedupSpec extends AnyFunSuite {
     val fromUnion = Dedup.lshBandIndex(corpus.unionByName(batch), "doc_id", "text",
       k = 8, bands = 4, signature = sig)
     assert(appended.exceptAll(fromUnion).isEmpty && fromUnion.exceptAll(appended).isEmpty)
+
+    // generation compaction: doc 1 re-ingested with REVISED text as gen 2;
+    // compact(gen1 ∪ gen2) must equal the index built directly from the
+    // effective corpus (doc 1 revised, others untouched) — and a parquet
+    // round-trip of the compacted index probes identically
+    import org.apache.spark.sql.functions.{col, lit}
+    val revised = Seq((1L, "entirely rewritten words sharing nothing with the original document text"))
+      .toDF("doc_id", "text")
+    val multiGen = idx.withColumn("gen", lit(1L)).unionByName(
+      Dedup.lshBandIndex(revised, "doc_id", "text", k = 8, bands = 4, signature = sig)
+        .withColumn("gen", lit(2L)))
+    val compacted = Dedup.compactBandIndex(multiGen)
+    val effective = Dedup.lshBandIndex(
+      revised.unionByName(corpus.filter(col("doc_id") =!= 1L)),
+      "doc_id", "text", k = 8, bands = 4, signature = sig)
+    val c = compacted.drop("gen")
+    assert(c.exceptAll(effective).isEmpty && effective.exceptAll(c).isEmpty,
+      "compacted index must equal the effective-corpus index")
+    // idempotence
+    val twice = Dedup.compactBandIndex(compacted)
+    assert(twice.exceptAll(compacted).isEmpty && compacted.exceptAll(twice).isEmpty)
+    // the revision removes doc 1 from doc 10's matches (its gen-1 rows are
+    // compacted away; doc 2 still matches), round-tripped through parquet
+    val cdir = java.nio.file.Files.createTempDirectory("graft-band-compact").toString
+    c.write.mode("overwrite").parquet(cdir)
+    assert(pairsOf(spark.read.parquet(cdir)) == Set((10L, 2L)),
+      "post-compaction probe must see only the surviving near-dup")
   }
 
   test("clusterSizeProfile: singletons counted, sizes roll up, n_docs = size * clusters") {

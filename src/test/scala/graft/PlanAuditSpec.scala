@@ -418,6 +418,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // near-dup gate twin: memory-sink gate result vs the checkpointed
     // crossCorpusContamination scan; two except sides
     "y04_stream_neardup_gate" -> (2, 0),
+    // two shard-state aggs (bucket exchange each) + the merge re-agg;
+    // the state frames are nBuckets-sized however large the corpus
+    "p18_mergeable_profile" -> (3, 0),
     // interval-join twin: memory-sink join result vs the batch user_id
     // equi-join (range residual, no nested loop); two except sides
     "y05_stream_interval_join" -> (3, 0),
@@ -432,13 +435,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // probe is ONE (band,bucket) exchange + the pair-dedup agg; the index
     // side broadcasts at this SF
     "d33_incremental_lsh" -> (1, 1),
+    // compaction's ids-only latest-gen agg + its equi-join, then the d33
+    // probe shape; the latest-gen and band joins broadcast at this SF
+    "d36_index_compaction" -> (2, 2),
     // (user, day) distinct + the user window + the day agg
     "s19_resurrection" -> (3, 0),
     // pure per-row column algebra — zero exchanges
     "t25_casing_profile" -> (0, 0),
     // IVF-PQ + re-rank: cell-routed ADC scan (broadcast probe/LUT side)
     // + the two rank windows; shortlist/recall joins broadcast at |Q|·c·k
-    "d34_ann_ivfpq" -> (2, 7))
+    "d34_ann_ivfpq" -> (2, 7),
+    // four (nProbe, shortlist) configs over the full IVF-PQ stack: per
+    // config the rank/re-rank windows share exchanges where AQE can and
+    // every |Q|·k-bounded recall frame rides a broadcast
+    "d35_ivfpq_curve" -> (6, 24))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -660,4 +660,45 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SampleOps.splitLeakage(docs, "doc_id", "text", trainPct = 0))
   }
+
+  test("mergeable profile state: merge == from-scratch, associative, nulls and clamps roll up") {
+    val vals = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i * 13 % 700).toLong - 20L)))
+      .toDF("id", "v") // some NULLs, some below lo=0, some above hi=512
+    def stateOf(d: org.apache.spark.sql.DataFrame) =
+      Profile.numericProfileState(d, "v", 0L, 512L, 8)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.get(2), r.get(3), r.get(4), r.get(5)))).toMap
+    val a = vals.filter(col("id") % 3 === 0)
+    val b = vals.filter(col("id") % 3 === 1)
+    val c = vals.filter(col("id") % 3 === 2)
+    val whole = rows(stateOf(vals))
+    // merge of the 3 shard states == the from-scratch state of the union
+    val merged = rows(Profile.mergeProfileStates(stateOf(a), stateOf(b), stateOf(c)))
+    assert(merged == whole, s"merged=$merged whole=$whole")
+    // associativity: ((a+b)+c) == (a+(b+c))
+    val left = rows(Profile.mergeProfileStates(
+      Profile.mergeProfileStates(stateOf(a), stateOf(b)), stateOf(c)))
+    val right = rows(Profile.mergeProfileStates(
+      stateOf(a), Profile.mergeProfileStates(stateOf(b), stateOf(c))))
+    assert(left == right && left == whole)
+    // structure: NULLs in bucket -1 with null sums; out-of-range clamps
+    // land in the end buckets; all 300 rows accounted for
+    assert(whole.contains(-1L) && whole(-1L)._2 == null)
+    assert(whole.keySet.forall(k => k >= -1 && k <= 7))
+    assert(whole.values.map(_._1).sum == 300L)
+    // the one-row corpus profile derives from state alone — against a
+    // directly computed check
+    val p = Profile.profileFromState(Profile.mergeProfileStates(
+        stateOf(a), stateOf(b), stateOf(c)))
+      .collect().head
+    val direct = vals.filter(col("v").isNotNull)
+      .agg(count(lit(1)), avg(col("v")), min(col("v")), max(col("v"))).head()
+    assert(p.getLong(0) == 300L && p.getLong(1) == vals.filter(col("v").isNull).count())
+    assert(math.abs(p.getDouble(2) - direct.getDouble(1)) < 1e-9)
+    assert(p.getLong(4) == direct.getLong(2) && p.getLong(5) == direct.getLong(3))
+    intercept[IllegalArgumentException](
+      Profile.numericProfileState(vals, "v", 10L, 10L, 8))
+  }
 }
