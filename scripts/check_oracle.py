@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [onlyPrefixes]
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [onlyPrefixes] [subset]
 
 Re-implements the compare described in FIXTURES.md §5: run each
 oracle_sql.json query in DuckDB over the same parquet tables, sort columns
@@ -14,7 +14,13 @@ Extras over the driver gate (round 13, for the sf1 correctness run):
   - an optional comma-separated prefix list limits which entries are
     compared (e.g. "q,s,t,p,x,j,m,y,z,d01,d02" skips the d-family
     oracles that are all-pairs by construction and would be quadratic
-    in DuckDB at 10x data — their Spark sides still run via Verify).
+    in DuckDB at 10x data — their Spark sides still run via Verify);
+  - (round 14) an optional subset spec "documents:16,embeddings:16"
+    filters those views to key % N = 0, mirroring the Spark side's
+    SPARK_GRAFT_SUBSET env — the deterministic doc-subset replay that
+    lets the all-pairs oracle families replay AT sf1 on a bounded pair
+    space instead of being skipped. Run Verify for the same entries
+    with the same SPARK_GRAFT_SUBSET value and pass the spec here.
 """
 import sys, json, glob, os, math
 from decimal import Decimal
@@ -96,16 +102,27 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+SUBSET_KEY = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
+    subset = {}
+    if len(sys.argv) > 4 and sys.argv[4]:
+        for part in sys.argv[4].split(","):
+            t, m = part.split(":")
+            assert t in SUBSET_KEY, f"no subset key for table {t}"
+            subset[t] = int(m)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        where = (f" WHERE {SUBSET_KEY[t]} % {subset[t]} = 0"
+                 if t in subset else "")
         if os.path.isdir(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet'){where}")
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}'){where}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
     for name in sorted(oracles):

@@ -23,8 +23,32 @@ import graft.operators.{Dedup, JoinOps, LayoutOps, Multimodal, Similarity, TextO
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    GraftSession.table(s, dir, name)
+  /** Deterministic doc-subset replay mode (round 14, dev-only — the
+    * driver never sets it): `SPARK_GRAFT_SUBSET=documents:16,embeddings:16`
+    * filters the named tables to `key % N = 0` at the scan, and
+    * `check_oracle.py`'s matching 4th argument applies the SAME filter to
+    * the DuckDB views — so the all-pairs-by-construction oracle families
+    * (minhash/simhash signatures, recursive reachability, block-pair
+    * audits), quadratic in DuckDB at 10× data, replay at sf1 on a bounded
+    * pair space instead of being skipped. The subset is pushed into the
+    * entry INPUT (a smaller corpus, not a truncated result), so every
+    * operator's semantics are exercised unchanged.
+    */
+  private def subsetMod(table: String): Option[Long] =
+    sys.env.get("SPARK_GRAFT_SUBSET").toSeq
+      .flatMap(_.split(','))
+      .map(_.trim.split(':'))
+      .collectFirst { case Array(t, m) if t == table => m.trim.toLong }
+
+  private val subsetKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val base = GraftSession.table(s, dir, name)
+    (subsetMod(name), subsetKey.get(name)) match {
+      case (Some(m), Some(key)) => base.filter(pmod(col(key), lit(m)) === 0)
+      case _ => base
+    }
+  }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 

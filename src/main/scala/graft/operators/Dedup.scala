@@ -1240,17 +1240,27 @@ object Dedup {
       maxBlockDocs: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     require(maxBlockDocs >= 2, s"need maxBlockDocs >= 2, got $maxBlockDocs")
-    val base = docs.filter(col(textCol).isNotNull)
+    // thinning happens BEFORE the signature/shingle projection: the rate
+    // aggregate reads ids only (column pruning keeps text out of that
+    // branch), survivors are selected on (doc_id, rate) alone, and only
+    // THEY pay the md5 signature + sorted-shingle-array compute — so the
+    // per-doc heavy stage is O(maxBlockDocs) per block too, not just the
+    // pair stage. Sampling is a pure function of doc_id, so projecting
+    // after the filter changes cost, never the result the oracle replays.
+    val base0 = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-        md5MinhashSignature(col(textCol), k, n).as("sig"),
-        sort_array(array_distinct(shingles(col(textCol), n))).as("sh"))
+        col(textCol).as("__text"))
     // per-block thinning rate: one tiny ids-only aggregate, broadcast back
-    val rates = base.groupBy(col("blk")).agg(count(lit(1)).as("__nb"))
+    val rates = base0.groupBy(col("blk")).agg(count(lit(1)).as("__nb"))
       .select(col("blk"),
         expr(s"(__nb + ${maxBlockDocs - 1}L) div ${maxBlockDocs}L").as("__rate"))
-    val sampled = base.join(broadcast(rates), Seq("blk"))
+    val sampled = base0.join(broadcast(rates), Seq("blk"))
       .filter(pmod(graft.operators.SampleOps.md5OrderHash(col("doc_id")),
         col("__rate")) === 0)
+      .select(col("blk"), col("doc_id"),
+        md5MinhashSignature(col("__text"), k, n).as("sig"),
+        sort_array(array_distinct(shingles(col("__text"), n))).as("sh"),
+        col("__rate"))
     val a = sampled.select(col("blk"), col("doc_id").as("doc_a"),
       col("sig").as("sig_a"), col("sh").as("sh_a"),
       (col("__rate") * col("__rate")).as("__w"))
