@@ -5009,6 +5009,43 @@ object SparkEntry {
                 CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
          WHERE FALSE"""),
 
+    // stream-stream LEFT OUTER interval join (round 14): the watermark-
+    // gated emission class — a click with no purchase inside the horizon
+    // emits its null row only once the watermark PROVES no purchase can
+    // arrive. The stream runs under Trigger.AvailableNow so the trailing
+    // no-data batches flush exactly the state the final watermark
+    // releases; the batch twin reproduces that contract explicitly
+    // (intervalJoinBatchLeftOuter: matched pairs + unmatched lefts with
+    // left_ts + tol strictly below the ms-floored min-policy watermark) —
+    // so the entry pins the EXACT decision boundary, not just the pairs
+    "y06_stream_interval_outer" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val tolUs = 3600L * 1000000L
+        val pick = (tp: String) => (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === tp)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.intervalJoinStreams(
+            pick("click")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            pick("purchase")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            tolUs, joinType = "left_outer"),
+          "y06_ivjo_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
+          availableNow = true)
+        val ev = t(s, d, "events")
+        val lb = pick("click")(ev)
+        val rb = pick("purchase")(ev)
+        def maxTsUs(df: DataFrame): Long =
+          df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val wmUs = (math.min(maxTsUs(lb), maxTsUs(rb)) / 1000L) * 1000L
+        val batch = StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS left_id,
+                CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,

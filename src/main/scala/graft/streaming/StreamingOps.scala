@@ -346,8 +346,11 @@ object StreamingOps {
     *         qualifying pair, lag_us = right.ts − left.ts ∈ [0, tolerance]
     */
   def intervalJoinStreams(left: DataFrame, right: DataFrame,
-      toleranceUs: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
+      toleranceUs: Long, watermarkDelay: String = "0 seconds",
+      joinType: String = "inner"): DataFrame = {
     require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val l0 = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
     val r0 = if (right.isStreaming) right.withWatermark("ts", watermarkDelay) else right
     val l = l0.select(col("user_id"), col("event_id").as("left_id"),
@@ -356,9 +359,37 @@ object StreamingOps {
       col("event_id").as("right_id"), col("ts").as("right_ts"))
     l.join(r, col("user_id") === col("__r_user") &&
         col("right_ts") >= col("left_ts") &&
-        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"))
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"),
+        joinType)
       .select(col("user_id"), col("left_id"), col("right_id"),
         (unix_micros(col("right_ts")) - unix_micros(col("left_ts"))).as("lag_us"))
+  }
+
+  /** Batch twin of the STREAMING left-outer interval join: the matched
+    * pairs are plain outer-join algebra, but a stream can declare "no
+    * right event followed within tolerance" only once the watermark has
+    * proven it — a left row whose horizon the final watermark never
+    * passed is still buffered, not emitted. This function reproduces that
+    * contract on a batch table so the y06 disagreement entry can compare
+    * stream ≡ batch EXACTLY: unmatched lefts emit (with null right_id /
+    * lag_us) only when `left_ts + tolerance` lies strictly below the
+    * final watermark — min of the two sides' max event times (Spark's
+    * multiple-watermark min policy), floored to the engine's millisecond
+    * watermark resolution.
+    *
+    * `finalWatermarkUs` is the ms-floored global watermark × 1000; pass
+    * the value computed from the SAME frames the stream consumed.
+    */
+  def intervalJoinBatchLeftOuter(left: DataFrame, right: DataFrame,
+      toleranceUs: Long, finalWatermarkUs: Long): DataFrame = {
+    val matched = intervalJoinStreams(left, right, toleranceUs)
+    val unmatched = left.select(col("user_id"), col("event_id").as("left_id"),
+        unix_micros(col("ts")).as("__lts"))
+      .join(matched.select(col("left_id")).distinct(), Seq("left_id"), "left_anti")
+      .filter(col("__lts") + lit(toleranceUs) < lit(finalWatermarkUs))
+      .select(col("user_id"), col("left_id"),
+        lit(null).cast("long").as("right_id"), lit(null).cast("long").as("lag_us"))
+    matched.unionByName(unmatched)
   }
 
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
@@ -442,13 +473,29 @@ object StreamingOps {
 
   /** Run a streaming DataFrame to a named in-memory table and block until
     * all available input is processed (local smoke path).
+    *
+    * @param availableNow use Trigger.AvailableNow instead of
+    *        processAllAvailable: the query processes everything AND runs
+    *        the trailing no-data micro-batches that advance the watermark
+    *        and flush watermark-gated state (outer-join null emissions,
+    *        final appends) before terminating itself — required whenever
+    *        the result depends on state the LAST watermark advance
+    *        releases, which processAllAvailable returns too early to see
     */
-  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode,
+      availableNow: Boolean = false): DataFrame = {
+    val writer = df.writeStream.format("memory").queryName(name).outputMode(outputMode)
     // finally: a failed query must not stay registered (it would collide
     // with the next start() under the same name and leak its sink state)
-    try q.processAllAvailable()
-    finally q.stop()
+    if (availableNow) {
+      val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally q.stop()
+    } else {
+      val q = writer.start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     df.sparkSession.table(name)
   }
 }

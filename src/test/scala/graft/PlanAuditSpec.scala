@@ -424,6 +424,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // interval-join twin: memory-sink join result vs the batch user_id
     // equi-join (range residual, no nested loop); two except sides
     "y05_stream_interval_join" -> (3, 0),
+    // outer twin adds the unmatched-left anti join (broadcast of the
+    // distinct matched ids at this SF) to the y05 shape
+    "y06_stream_interval_outer" -> (4, 0),
     // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
     // plan is the doc left-join + rep agg + size agg; comp side broadcasts
     "d29_cluster_sizes" -> (4, 1),

@@ -391,7 +391,9 @@ class QueryEngineSpec extends AnyFunSuite {
       "x01_salted_join" -> true,
       "x10_grouped_split" -> true,
       "y03_stream_sessions" -> false,
-      "y04_stream_neardup_gate" -> false)
+      "y04_stream_neardup_gate" -> false,
+      "y05_stream_interval_join" -> false,
+      "y06_stream_interval_outer" -> false)
     val results: Map[String, Boolean] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =

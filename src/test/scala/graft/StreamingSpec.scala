@@ -276,4 +276,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(batch == Set((100L, 200L), (100L, 202L)), batch.toString)
   }
+
+  test("stream-stream left-outer interval join: null rows emit only when the watermark proves them") {
+    import spark.implicits._
+    val H = 3600L
+    val tolUs = 3600L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ldir = Files.createTempDirectory("graft-ssjo-left").toString
+    val rdir = Files.createTempDirectory("graft-ssjo-right").toString
+    // u1 click has a purchase (pair); u2's click has none and its horizon
+    // (11:05) is proven by the final watermark (20:00) → null row; u4's
+    // horizon is EXACTLY the watermark (decision boundary); u3's (20:30)
+    // is beyond it → held in state, absent; u9@20:00 is the left-side
+    // heartbeat advancing that side's max event time
+    Seq((1L, 100L, ts(10 * H)), (2L, 101L, ts(10 * H + 300)),
+        (4L, 104L, ts(19 * H)), (3L, 102L, ts(19 * H + 1800)),
+        (9L, 103L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(ldir)
+    Seq((1L, 200L, ts(10 * H + 1800)), (8L, 201L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    val got = StreamingOps.runToMemory(
+      StreamingOps.intervalJoinStreams(
+        spark.readStream.schema(schema).parquet(ldir),
+        spark.readStream.schema(schema).parquet(rdir),
+        tolUs, joinType = "left_outer"),
+      "ssjo_out", OutputMode.Append(), availableNow = true)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // strict boundary: a horizon AT the watermark is not yet proven
+    assert(got == Set((100L, 200L), (101L, -1L)), got.toString)
+    // the batch twin under the same ms-floored min-policy watermark
+    // reproduces the decision set exactly — including the boundary row
+    val batch = StreamingOps.intervalJoinBatchLeftOuter(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), tolUs,
+        20 * H * 1000000L)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
 }
