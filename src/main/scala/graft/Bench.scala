@@ -215,6 +215,16 @@ object Bench {
     val spark = GraftSession.build(cpus, "graft-bench")
     val taskTimes = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTimes)
+    // the subset-replay env thins every documents/embeddings scan — a
+    // bench run with it exported would publish numbers for 1/N of the
+    // corpus labeled as the full SF (exactly the mislabeled-instance
+    // failure the ScaleData sentinel exists to prevent). Warn loudly AND
+    // stamp it into the artifact's env block so such a run is
+    // self-identifying even if the warning scrolls away.
+    val subsetEnv = sys.env.getOrElse("SPARK_GRAFT_SUBSET", "")
+    if (subsetEnv.nonEmpty)
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_SUBSET=$subsetEnv is set — " +
+        "every documents/embeddings scan is thinned; these numbers are NOT full-SF results")
     // task-end accumulator updates for localCheckpoint-truncated lineage
     // (dedup/CC queries) arrive after their accumulators are GC'd and log a
     // benign ERROR mid-run. Deny ONLY that message (root-logger regex
@@ -555,13 +565,16 @@ object Bench {
       val claim = baselineClaims.getOrElse(sr.name, 1.0)
       val sp = if (sr.opt <= 0) 0.0 else sr.naive / math.max(sr.opt, 1e-9)
       val subSecond = sr.opt > 0 && sr.opt < 1.0
+      // either config crashing means NO claim comparison ran — "failed",
+      // never a plan-quality miss
       val status =
-        if (sr.opt <= 0) "failed"
+        if (sr.opt <= 0 || sr.naive <= 0) "failed"
         else if (sp >= claim) "beats"
         else if (subSecond && sp >= claim / 2) "meets-within-noise"
         else if (shapeNotes.contains(sr.name)) "standing-honest-miss"
         else "misses"
       val reason = status match {
+        case "failed" => "a config crashed — no measurement ran; see failures[]"
         case "beats" => "measured speedup at or above the reference claim"
         case "meets-within-noise" =>
           "sub-second optimized minimum: best-of-N still carries ±40% session noise (BENCH_NOTES sub-second rule); within 2x of the claim"
@@ -593,7 +606,7 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tw = twinResults.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }.mkString("{", ",", "}")
-    val sweepEnv = s""""sweep_gc_ms":$sweepGcMs,"load_avg":[${num("%.2f", sweepLoadStart)},${num("%.2f", sweepLoadEnd)}]"""
+    val sweepEnv = s""""sweep_gc_ms":$sweepGcMs,"load_avg":[${num("%.2f", sweepLoadStart)},${num("%.2f", sweepLoadEnd)}],"subset":"$subsetEnv""""
     // sf1 JSON: full carries per-entry gc too; the compact line carries
     // times only (the scaling signal the judge grades)
     def sf1Json(slim: Boolean): String = sf1Result match {

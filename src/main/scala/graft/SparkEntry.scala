@@ -37,18 +37,24 @@ object SparkEntry {
   private def subsetMod(table: String): Option[Long] =
     sys.env.get("SPARK_GRAFT_SUBSET").toSeq
       .flatMap(_.split(','))
-      .map(_.trim.split(':'))
-      .collectFirst { case Array(t, m) if t == table => m.trim.toLong }
+      .map(_.trim.split(':').map(_.trim))
+      .collectFirst { case Array(t, m) if t == table => m.toLong }
 
   private val subsetKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val base = GraftSession.table(s, dir, name)
+  /** Apply the [[subsetMod]] filter to ANY frame of the named table —
+    * shared by [[t]] and the entries that scan a table outside t() (the
+    * y04 file stream), so a subset replay thins every path to a table,
+    * not just the batch one.
+    */
+  private def applySubset(name: String, df: DataFrame): DataFrame =
     (subsetMod(name), subsetKey.get(name)) match {
-      case (Some(m), Some(key)) => base.filter(pmod(col(key), lit(m)) === 0)
-      case _ => base
+      case (Some(m), Some(key)) => df.filter(pmod(col(key), lit(m)) === 0)
+      case _ => df
     }
-  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    applySubset(name, GraftSession.table(s, dir, name))
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
@@ -4964,7 +4970,11 @@ object SparkEntry {
         import graft.streaming.StreamingOps
         val docs = t(s, d, "documents")
         val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-        val stream = StreamingOps.tableStream(s, s"$d/documents.parquet")
+        // applySubset: the raw file stream bypasses t(), and a subset
+        // replay must thin BOTH twins or the disagreement check reports
+        // the unfiltered probes as failures
+        val stream = applySubset("documents",
+            StreamingOps.tableStream(s, s"$d/documents.parquet"))
           .filter(pmod(col("doc_id"), lit(3)) === 0)
         val streamed = StreamingOps.runToMemory(
           StreamingOps.nearDupAgainstCorpus(stream, corpus, "doc_id", "text"),
@@ -5036,8 +5046,12 @@ object SparkEntry {
         val ev = t(s, d, "events")
         val lb = pick("click")(ev)
         val rb = pick("purchase")(ev)
-        def maxTsUs(df: DataFrame): Long =
-          df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        // an empty side leaves the stream's watermark unset forever — no
+        // unmatched left is ever decided; Long.MinValue replays that
+        def maxTsUs(df: DataFrame): Long = {
+          val row = df.agg(max(unix_micros(col("ts")))).head()
+          if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+        }
         val wmUs = (math.min(maxTsUs(lb), maxTsUs(rb)) / 1000L) * 1000L
         val batch = StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)
         streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))

@@ -861,10 +861,14 @@ object Profile {
     *
     * Exactness: counts are BIGINT; Σ and Σ² run per-factor in
     * DECIMAL(18,0) (so any engine's decimal promotion fits: 18+18 digits
-    * of product, summed into DECIMAL(38,0)) — integer-exact as long as
-    * |v| < 10¹⁸, i.e. any count/length/token column. The only caveat a
-    * user needs: merging states built with DIFFERENT (lo, hi, nBuckets)
-    * is meaningless — enforced structurally by keeping those in the
+    * of product, summed into DECIMAL(38,0)). The exactness domain is
+    * bounded by Σv² < 10³⁸, not just |v| < 10¹⁸: a column of
+    * epoch-microsecond timestamps (v ≈ 10¹⁵, v² ≈ 10³⁰) overflows the
+    * accumulator past ~10⁸ rows — pre-scale such columns (e.g. to
+    * seconds) before profiling; count/length/token columns (v ≤ ~10⁹)
+    * are safe to ~10¹⁹ rows. Two caveats a user needs: that domain, and
+    * that merging states built with DIFFERENT (lo, hi, nBuckets) is
+    * meaningless — enforced structurally by keeping those in the
     * caller's hands.
     *
     * Scale shape: one hash aggregate with map-side partials; the state is
@@ -878,11 +882,21 @@ object Profile {
     require(nBuckets >= 1 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    // the bucket product is computed on the CLAMPED value, so its bound
+    // is (hi-lo)·nBuckets by construction — checked here, because an
+    // unclamped out-of-range value (the very case the end-bucket clamp
+    // exists for) could overflow BIGINT first and crash under ANSI mode
+    // (or wrap negative and land in bucket 0 instead of the top bucket)
+    require(hi - lo <= Long.MaxValue / nBuckets,
+      s"(hi - lo) * nBuckets overflows BIGINT: [$lo, $hi) x $nBuckets")
     val v = col(s"`$valueCol`").cast("long")
     def dec18(c: Column) = c.cast(DecimalType(18, 0))
+    // integer `div`, never `/`: double division rounds past 2^53 and an
+    // off-by-one bucket there would diverge from any integer-exact replay
     val bucket = when(v.isNull, lit(-1L))
-      .otherwise(least(lit(nBuckets - 1L), greatest(lit(0L),
-        expr(s"((CAST(`$valueCol` AS BIGINT) - ${lo}L) * ${nBuckets}L) div ${hi - lo}L"))))
+      .otherwise(expr(
+        s"((LEAST(GREATEST(CAST(`$valueCol` AS BIGINT), ${lo}L), ${hi - 1}L)" +
+          s" - ${lo}L) * ${nBuckets}L) div ${hi - lo}L"))
     df.select(bucket.as("bucket"), v.as("__v"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),

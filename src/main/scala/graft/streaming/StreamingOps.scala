@@ -46,23 +46,42 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(streamPath))
   }
 
-  // keyed on (path, mtime, length), not path alone: a source file
-  // regenerated in place mid-JVM must stage a FRESH copy — a path-only
-  // cache would silently replay the stale bytes into every later stream
-  private val staged = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
-  private def stagedDir(f: java.io.File): String =
-    staged.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length), _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      val copy = d.resolve(f.getName)
-      java.nio.file.Files.copy(f.toPath, copy,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // deleteOnExit on a directory only works if it is EMPTY at exit —
-      // register the copied file too (deleteOnExit runs LIFO, so the file
-      // inside goes first and the directory delete then succeeds)
-      d.toFile.deleteOnExit()
-      copy.toFile.deleteOnExit()
-      d.toString
-    })
+  // keyed per path with a (mtime, length) stamp: a source file
+  // regenerated in place mid-JVM must stage a FRESH copy (a path-only
+  // cache would silently replay the stale bytes into every later
+  // stream), and the SUPERSEDED copy is deleted eagerly — deleteOnExit
+  // alone would leak one full table copy per in-place regeneration for
+  // the whole process lifetime
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), String)]()
+  private def stagedDir(f: java.io.File): String = {
+    val stamp = (f.lastModified, f.length)
+    staged.compute(f.getAbsolutePath, (_, old) => {
+      if (old != null && old._1 == stamp) old
+      else {
+        if (old != null) {
+          // best-effort eviction of the stale copy (file, then dir)
+          try {
+            val od = java.nio.file.Paths.get(old._2)
+            val files = java.nio.file.Files.list(od)
+            try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally files.close()
+            java.nio.file.Files.deleteIfExists(od)
+          } catch { case _: java.io.IOException => () }
+        }
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        val copy = d.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, copy,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // deleteOnExit on a directory only works if it is EMPTY at exit —
+        // register the copied file too (deleteOnExit runs LIFO, so the
+        // file inside goes first and the directory delete then succeeds)
+        d.toFile.deleteOnExit()
+        copy.toFile.deleteOnExit()
+        (stamp, d.toString)
+      }
+    })._2
+  }
 
   /** Generic file-stream over any parquet table path (directory, or a
     * single file staged exactly like [[eventsStream]]); schema comes from
@@ -383,11 +402,20 @@ object StreamingOps {
   def intervalJoinBatchLeftOuter(left: DataFrame, right: DataFrame,
       toleranceUs: Long, finalWatermarkUs: Long): DataFrame = {
     val matched = intervalJoinStreams(left, right, toleranceUs)
-    val unmatched = left.select(col("user_id"), col("event_id").as("left_id"),
-        unix_micros(col("ts")).as("__lts"))
-      .join(matched.select(col("left_id")).distinct(), Seq("left_id"), "left_anti")
-      .filter(col("__lts") + lit(toleranceUs) < lit(finalWatermarkUs))
-      .select(col("user_id"), col("left_id"),
+    // unmatched = ROW-level left_anti on the join condition itself, not
+    // an id-keyed anti against the matched output: an id-keyed anti
+    // re-emits a matched row whose event_id is NULL (null never equals
+    // null) and swallows a genuinely unmatched row that shares its id
+    // with a matched one — the condition-anti has per-row semantics for
+    // any id content, exactly like the stream's state
+    val r = right.select(col("user_id").as("__r_user"), col("ts").as("right_ts"))
+    val unmatched = left
+      .join(r, col("user_id") === col("__r_user") &&
+        col("right_ts") >= col("ts") &&
+        col("right_ts") <= col("ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"),
+        "left_anti")
+      .filter(unix_micros(col("ts")) + lit(toleranceUs) < lit(finalWatermarkUs))
+      .select(col("user_id"), col("event_id").as("left_id"),
         lit(null).cast("long").as("right_id"), lit(null).cast("long").as("lag_us"))
     matched.unionByName(unmatched)
   }
