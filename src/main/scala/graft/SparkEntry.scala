@@ -5060,6 +5060,37 @@ object SparkEntry {
                 CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
          WHERE FALSE"""),
 
+    // native session_window aggregation (round 14): the engine-managed
+    // sessionization operator — Spark merges overlapping [ts, ts+gap)
+    // windows per user into sessions and, in append-mode streaming,
+    // emits a session once the watermark passes its end (sess_end <=
+    // final watermark, the StreamingSpec-pinned boundary). AvailableNow
+    // flushes exactly the decided sessions; the batch twin
+    // (sessionWindowBatchDecided) replicates the cutoff explicitly, so
+    // the entry pins both the session algebra and the emission contract
+    "y07_stream_session_window" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val clean = (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.sessionWindowCounts(
+            clean(StreamingOps.eventsStream(s, s"$d/events.parquet"))),
+          "y07_sessw_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
+          availableNow = true)
+        val ev = clean(t(s, d, "events"))
+        val wmRow = ev.agg(max(unix_micros(col("ts")))).head()
+        val wmUs =
+          if (wmRow.isNullAt(0)) Long.MinValue
+          else (wmRow.getLong(0) / 1000L) * 1000L
+        val batch = StreamingOps.sessionWindowBatchDecided(ev, 1800L * 1000000L, wmUs)
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
+                CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,

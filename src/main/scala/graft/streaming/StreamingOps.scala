@@ -108,6 +108,66 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Native session-window aggregation (`session_window(ts, gap)`): the
+    * engine-managed sibling of [[sessionCounts]]' hand-rolled
+    * mapGroupsWithState — Spark merges overlapping [ts, ts+gap) windows
+    * per key into sessions and, on streams, evicts a session's state once
+    * the watermark proves no event can extend it. Batch/stream agnostic:
+    * the same grouping expression on a batch frame computes the identical
+    * session set with no state machinery (the y07 entry pins the
+    * equivalence under the append-mode emission contract).
+    *
+    * @return (user_id, sess_start, sess_end, n_events); sess_end is the
+    *         session's last event time + gap (the session_window bound)
+    */
+  def sessionWindowCounts(events: DataFrame, gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+  }
+
+  /** Batch twin of the STREAMING append-mode session-window aggregation:
+    * the sessions are plain batch `session_window` algebra, but an
+    * append-mode stream emits a session only once the watermark has
+    * passed its end (no later event can merge into it); sessions the
+    * final watermark never proved stay in state, unemitted. Keep exactly
+    * the decided ones: session end ≤ `finalWatermarkUs` (ms-floored
+    * global watermark × 1000 — StreamingSpec pins the boundary
+    * orientation).
+    *
+    * OPTIMIZER HAZARD, the reason this does NOT filter on `sess_end`:
+    * `session_window` is planned as a per-row window assignment below a
+    * merging aggregate, and Catalyst pushes a deterministic filter on a
+    * grouping column below the aggregate — but for session windows the
+    * pre-merge per-event `[ts, ts+gap)` end is NOT the merged session's
+    * end, so the pushed filter deletes individual EVENTS whose
+    * provisional window crosses the cutoff and a session that should
+    * have been held (its true end past the watermark) comes back as a
+    * decided FRAGMENT of itself (observed on the sf0.01 events table:
+    * a 2-event session splitting into a 1-event "decided" row). The
+    * filter here is on `max(ts) + gap` — an AGGREGATE-derived column,
+    * identical in value to the session end, that no pushdown can move
+    * below the aggregate that defines it.
+    */
+  def sessionWindowBatchDecided(events: DataFrame, gapUs: Long,
+      finalWatermarkUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    events.groupBy(col("user_id"), session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("__last_us"))
+      .filter(col("__last_us") + lit(gapUs) <= lit(finalWatermarkUs))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+  }
+
   case class UserEvent(user_id: Long, tsUs: Long)
   case class UserSessionState(sessionCount: Long, lastTsUs: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -427,6 +427,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // outer twin adds the unmatched-left anti join (broadcast of the
     // distinct matched ids at this SF) to the y05 shape
     "y06_stream_interval_outer" -> (4, 0),
+    // session-window twin: batch session_window agg + two except sides
+    "y07_stream_session_window" -> (3, 0),
     // round 13: CC is checkpoint-truncated (the d11 idiom), so the audited
     // plan is the doc left-join + rep agg + size agg; comp side broadcasts
     "d29_cluster_sizes" -> (4, 1),

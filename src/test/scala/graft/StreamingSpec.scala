@@ -315,4 +315,74 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(batch == got, s"batch=$batch stream=$got")
   }
+
+  test("native session_window stream: sessions emit once the watermark passes their end; batch twin matches") {
+    import spark.implicits._
+    val H = 3600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("graft-sessw").toString
+    // u1's two events merge into [10:00, 10:40) — decided by the final
+    // watermark (20:00); u4's single event ends EXACTLY at the watermark
+    // (boundary orientation pin); u2's ends past it — held in state; the
+    // u9 heartbeat advances the watermark and is itself held. u5 is the
+    // session-SPLITTING regression: events at 19:29 and 19:50 merge into
+    // [19:29, 20:20) — held — but a filter on sess_end pushed below the
+    // merging aggregate would delete only the 19:50 event (pre-merge end
+    // 20:20 > wm) and resurface [19:29, 19:59) as a decided 1-event
+    // fragment, which is why the batch twin filters on max(ts) + gap
+    Seq((1L, ts(10 * H)), (1L, ts(10 * H + 600)), (4L, ts(19 * H + 1800)),
+        (2L, ts(19 * H + 3000)), (5L, ts(19 * H + 1740)), (5L, ts(19 * H + 3000)),
+        (9L, ts(20 * H)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+    val got = StreamingOps.runToMemory(
+        StreamingOps.sessionWindowCounts(stream), "sessw_out",
+        OutputMode.Append(), availableNow = true)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+    assert(got == Set((1L, 10 * H + 600 + 1800, 2L), (4L, 20 * H, 1L)), got.toString)
+    // batch twin under the same decided-by-watermark cutoff — no u5 row,
+    // whole or fragment
+    val batch = StreamingOps.sessionWindowBatchDecided(
+        spark.read.parquet(dir), 1800L * 1000000L, 20 * H * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
+
+  test("profile state folds over stream micro-batches: merged state equals the batch profile") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // three files -> three micro-batches under maxFilesPerTrigger=1: the
+    // p18 mergeable state is exactly what lets a stream profile a corpus
+    // incrementally — fold each batch's state into the running state and
+    // never revisit a processed row
+    val dir = Files.createTempDirectory("graft-profstream")
+    Seq.tabulate(3) { f =>
+      val scratch = Files.createTempDirectory(s"graft-prof-$f")
+      Seq.tabulate(100)(i => (f * 100L + i, (i * 7 % 300).toLong - 10L))
+        .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"f$f.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema("id LONG, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var nBatches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = Profile.numericProfileState(batch, "v", 0L, 256L, 8).localCheckpoint(true)
+        state = Some(state.map(p =>
+          Profile.mergeProfileStates(p, s).localCheckpoint(true)).getOrElse(s))
+        nBatches += 1
+        ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.get(2), r.get(3), r.get(4), r.get(5)))).toMap
+    val whole = rows(Profile.numericProfileState(
+      spark.read.parquet(dir.toString), "v", 0L, 256L, 8))
+    assert(rows(state.get) == whole, "streamed fold diverged from the batch state")
+  }
 }
