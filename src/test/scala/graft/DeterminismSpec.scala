@@ -27,7 +27,9 @@ class DeterminismSpec extends AnyFunSuite {
     "x16_source_report", // composed rates + min-struct tie break
     "x11_budget_select",  // two-level running sum under an integer budget
     "t28_sentence_chunks", // offset-sorted collect_list reassembly
-    "d31_dup_centrality")  // iterative integer rank over checkpointed rounds
+    "d31_dup_centrality",  // iterative integer rank over checkpointed rounds
+    "d30_minhash_error",   // rate²-weighted BIGINT histogram (round-14 pair budget)
+    "p18_mergeable_profile") // merged decimal Σ/Σ² state across shard aggs
 
   test("fp-sensitive entries are bit-identical across shuffle-partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
