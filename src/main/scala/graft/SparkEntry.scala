@@ -5046,13 +5046,10 @@ object SparkEntry {
         val ev = t(s, d, "events")
         val lb = pick("click")(ev)
         val rb = pick("purchase")(ev)
-        // an empty side leaves the stream's watermark unset forever — no
-        // unmatched left is ever decided; Long.MinValue replays that
-        def maxTsUs(df: DataFrame): Long = {
-          val row = df.agg(max(unix_micros(col("ts")))).head()
-          if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
-        }
-        val wmUs = (math.min(maxTsUs(lb), maxTsUs(rb)) / 1000L) * 1000L
+        // per-input final watermarks (0-clamped, ms-floored — the shared
+        // helper) combined under the min policy
+        val wmUs = math.min(
+          StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
         val batch = StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)
         streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
       },
@@ -5071,20 +5068,20 @@ object SparkEntry {
     "y07_stream_session_window" -> entry(
       (s, d) => {
         import graft.streaming.StreamingOps
+        // ONE gap constant feeds both twins — a default on one side and a
+        // literal on the other would let them silently drift apart
+        val gapUs = 1800L * 1000000L
         val clean = (df: DataFrame) => df
           .filter(col("ts").isNotNull && col("user_id").isNotNull)
           .select(col("user_id"), col("ts"))
         val streamed = StreamingOps.runToMemory(
           StreamingOps.sessionWindowCounts(
-            clean(StreamingOps.eventsStream(s, s"$d/events.parquet"))),
+            clean(StreamingOps.eventsStream(s, s"$d/events.parquet")), gapUs),
           "y07_sessw_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
           availableNow = true)
         val ev = clean(t(s, d, "events"))
-        val wmRow = ev.agg(max(unix_micros(col("ts")))).head()
-        val wmUs =
-          if (wmRow.isNullAt(0)) Long.MinValue
-          else (wmRow.getLong(0) / 1000L) * 1000L
-        val batch = StreamingOps.sessionWindowBatchDecided(ev, 1800L * 1000000L, wmUs)
+        val batch = StreamingOps.sessionWindowBatchDecided(ev, gapUs,
+          StreamingOps.finalWatermarkUs(ev))
         streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
       },
       """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,

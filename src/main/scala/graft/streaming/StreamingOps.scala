@@ -108,6 +108,21 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** The final event-time watermark (µs) a bounded run over `events`
+    * reaches — for batch twins of append-mode emission contracts
+    * (y06/y07): ms-floored max event time, CLAMPED AT ZERO, because
+    * Spark's watermark tracker starts at 0 and never goes negative — an
+    * empty or all-pre-epoch input leaves the watermark at 0, so its twin
+    * must too (a raw negative max-ts would hold sessions the stream
+    * emits). One bounded driver fetch of a single scalar. For queries
+    * with several watermarked inputs, combine per-input values with MIN
+    * (the multiple-watermark min policy) — each is already clamped.
+    */
+  def finalWatermarkUs(events: DataFrame): Long = {
+    val row = events.agg(max(unix_micros(col("ts")))).head()
+    if (row.isNullAt(0)) 0L else math.max(0L, (row.getLong(0) / 1000L) * 1000L)
+  }
+
   /** Native session-window aggregation (`session_window(ts, gap)`): the
     * engine-managed sibling of [[sessionCounts]]' hand-rolled
     * mapGroupsWithState — Spark merges overlapping [ts, ts+gap) windows

@@ -334,16 +334,19 @@ class StreamingSpec extends AnyFunSuite {
         (2L, ts(19 * H + 3000)), (5L, ts(19 * H + 1740)), (5L, ts(19 * H + 3000)),
         (9L, ts(20 * H)))
       .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    val gapUs = 1800L * 1000000L
     val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
     val got = StreamingOps.runToMemory(
-        StreamingOps.sessionWindowCounts(stream), "sessw_out",
+        StreamingOps.sessionWindowCounts(stream, gapUs), "sessw_out",
         OutputMode.Append(), availableNow = true)
       .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
     assert(got == Set((1L, 10 * H + 600 + 1800, 2L), (4L, 20 * H, 1L)), got.toString)
-    // batch twin under the same decided-by-watermark cutoff — no u5 row,
+    // batch twin under the same decided-by-watermark cutoff (shared
+    // helper: the fixture's max ts / min policy = 20:00) — no u5 row,
     // whole or fragment
+    assert(StreamingOps.finalWatermarkUs(spark.read.parquet(dir)) == 20 * H * 1000000L)
     val batch = StreamingOps.sessionWindowBatchDecided(
-        spark.read.parquet(dir), 1800L * 1000000L, 20 * H * 1000000L)
+        spark.read.parquet(dir), gapUs, 20 * H * 1000000L)
       .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
     assert(batch == got, s"batch=$batch stream=$got")
   }
