@@ -23,38 +23,18 @@ import graft.operators.{Dedup, JoinOps, LayoutOps, Multimodal, Similarity, TextO
   */
 object SparkEntry {
 
-  /** Deterministic doc-subset replay mode (round 14, dev-only — the
-    * driver never sets it): `SPARK_GRAFT_SUBSET=documents:16,embeddings:16`
-    * filters the named tables to `key % N = 0` at the scan, and
-    * `check_oracle.py`'s matching 4th argument applies the SAME filter to
-    * the DuckDB views — so the all-pairs-by-construction oracle families
-    * (minhash/simhash signatures, recursive reachability, block-pair
-    * audits), quadratic in DuckDB at 10× data, replay at sf1 on a bounded
-    * pair space instead of being skipped. The subset is pushed into the
-    * entry INPUT (a smaller corpus, not a truncated result), so every
-    * operator's semantics are exercised unchanged.
+  /** Deterministic doc-subset replay mode (round 14, dev-only): see
+    * [[GraftSession.applySubset]] — the filter lives in GraftSession so
+    * every path to a table (DataFrame entries, SQL-text entries' temp
+    * views, dynamic oracle generators) is thinned uniformly; the
+    * all-pairs-by-construction oracle families, quadratic in DuckDB at
+    * 10× data, replay at sf1 on a bounded pair space instead of being
+    * skipped. The subset is pushed into the entry INPUT (a smaller
+    * corpus, not a truncated result), so every operator's semantics are
+    * exercised unchanged.
     */
-  private def subsetMod(table: String): Option[Long] =
-    sys.env.get("SPARK_GRAFT_SUBSET").toSeq
-      .flatMap(_.split(','))
-      .map(_.trim.split(':').map(_.trim))
-      .collectFirst { case Array(t, m) if t == table => m.toLong }
-
-  private val subsetKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
-
-  /** Apply the [[subsetMod]] filter to ANY frame of the named table —
-    * shared by [[t]] and the entries that scan a table outside t() (the
-    * y04 file stream), so a subset replay thins every path to a table,
-    * not just the batch one.
-    */
-  private def applySubset(name: String, df: DataFrame): DataFrame =
-    (subsetMod(name), subsetKey.get(name)) match {
-      case (Some(m), Some(key)) => df.filter(pmod(col(key), lit(m)) === 0)
-      case _ => df
-    }
-
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    applySubset(name, GraftSession.table(s, dir, name))
+    GraftSession.table(s, dir, name)
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
@@ -4970,10 +4950,10 @@ object SparkEntry {
         import graft.streaming.StreamingOps
         val docs = t(s, d, "documents")
         val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-        // applySubset: the raw file stream bypasses t(), and a subset
+        // applySubset: the raw file stream bypasses table(), and a subset
         // replay must thin BOTH twins or the disagreement check reports
         // the unfiltered probes as failures
-        val stream = applySubset("documents",
+        val stream = GraftSession.applySubset("documents",
             StreamingOps.tableStream(s, s"$d/documents.parquet"))
           .filter(pmod(col("doc_id"), lit(3)) === 0)
         val streamed = StreamingOps.runToMemory(

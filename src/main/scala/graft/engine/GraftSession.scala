@@ -106,11 +106,41 @@ object GraftSession {
     }
   }
 
+  /** Deterministic doc-subset replay mode (round 14, dev-only — the
+    * driver never sets it): `SPARK_GRAFT_SUBSET=documents:16,embeddings:16`
+    * thins the named tables to `key % N = 0` at the scan. Living HERE —
+    * not in SparkEntry's t() — means every path to a table is covered
+    * uniformly: DataFrame entries, SQL-text entries (registerFor's temp
+    * views), and the dynamic ANN oracle generators. `check_oracle.py`'s
+    * matching 4th argument applies the identical filter to its DuckDB
+    * views. Bench warns and stamps env.subset when this is exported.
+    */
+  private val subsetKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+  private def subsetMod(table: String): Option[Long] =
+    sys.env.get("SPARK_GRAFT_SUBSET").toSeq
+      .flatMap(_.split(','))
+      .map(_.trim.split(':').map(_.trim))
+      .collectFirst { case Array(t, m) if t == table => m.toLong }
+
+  /** Apply the subset filter to ANY frame of the named table — shared by
+    * [[table]] and callers that scan a table outside it (file streams).
+    */
+  def applySubset(name: String, df: DataFrame): DataFrame =
+    (subsetMod(name), subsetKey.get(name)) match {
+      case (Some(m), Some(key)) =>
+        df.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col(key),
+          org.apache.spark.sql.functions.lit(m)) === 0)
+      case _ => df
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      eventsTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val base =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        eventsTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    applySubset(name, base)
   }
 
   /** Register every table as a temp view so `spark.sql` queries resolve —

@@ -62,6 +62,11 @@ object ScaleData {
   def ensure(spark: SparkSession, srcDir: String, destDir: String,
       copies: Int = 10, partitions: Int = 32): Boolean = {
     require(copies >= 1, s"copies must be >= 1, got $copies")
+    // the subset-replay env thins every documents/embeddings read through
+    // GraftSession.table — generating under it would silently bake the
+    // thinned corpus into the scaled instance as if it were the full one
+    require(!sys.env.contains("SPARK_GRAFT_SUBSET"),
+      "refusing to generate scaled data with SPARK_GRAFT_SUBSET set")
     val sentinel = java.nio.file.Paths.get(destDir, "_GRAFT_SCALE_OK")
     // gen= is the generator version: bump it whenever the generation
     // algebra changes (round 14: shared doc/vec offset), so directories
