@@ -79,6 +79,18 @@ def lint_hugeint(con, name, sql):
     if bad:
         print(f"warn {name}: HUGEINT output column(s) {bad} — wrap in "
               f"CAST(... AS BIGINT) or the driver's hash compare will fail")
+    # round-14 p18: DECIMAL output columns passed this script's value
+    # compare (and its scale-preserving canon_type) yet failed the
+    # driver's hash, which distinguishes decimal type classes the value
+    # normalization erases. No repo entry legitimately ships decimals —
+    # they all render through BIGINT/DOUBLE/VARCHAR at the boundary — so
+    # ANY decimal output is a warning.
+    decs = [c[0] for c in cols if "DECIMAL" in str(c[1]).upper()]
+    if decs:
+        print(f"warn {name}: DECIMAL output column(s) {decs} — the driver "
+              f"hash is sensitive to decimal type class even when values "
+              f"match (round-14 p18); render through CAST(... AS VARCHAR) "
+              f"(lossless) or BIGINT/DOUBLE at the oracle boundary")
 
 
 def norm(v):

@@ -1639,18 +1639,27 @@ object SparkEntry {
     // IVF probe-budget tuning curve (round 12): per-query recall@k for
     // nProbe in {1, 2, 4} — the ANN sibling of d23's LSH banding S-curve,
     // measuring the cost/recall knob an operator actually turns. One
-    // exact baseline serves all configs; recall is withRecallAtK's
-    // rational, so the full curve replays in the generated DuckDB oracle
-    // (same deterministic centroids as d09's replay)
+    // exact baseline serves all configs, and (round 15) so does one
+    // ivfAssign training + cell-assignment scan — each nProbe config is
+    // probe-only against the shared assigned frame; recall is
+    // withRecallAtK's rational, so the full curve replays in the
+    // generated DuckDB oracle (same deterministic centroids as d09's)
     "d25_ivf_nprobe_curve" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val exact = Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        // the assigned frame (vec_id, unit, cell) IS the inverted-file
+        // index a deployment persists; checkpoint it so the three probe
+        // configs share one assignment scan
+        val raw = Similarity.ivfAssign(emb, "vec_id", "embedding")
+        val model = raw.copy(assigned =
+          if (s.sparkContext.getCheckpointDir.isDefined) raw.assigned.checkpoint(true)
+          else raw.assigned.localCheckpoint(true))
         Seq(1, 2, 4).map { np =>
           Similarity.withRecallAtK(
-              Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10,
-                k = 5, nProbe = np),
+              Similarity.ivfProbe(emb, "vec_id", "embedding", model,
+                col("vec_id") < 10, k = 5, nProbe = np),
               exact, k = 5)
             .groupBy(col("q_id"))
             .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
@@ -1730,27 +1739,37 @@ object SparkEntry {
 
     // IVF-PQ cost/recall curve (round 14): the d25 multi-config discipline
     // applied to the COMPLETE production stack — per (nProbe, shortlist)
-    // config, per-query recall@k of ivfPqTopK against one shared exact
-    // baseline, so the artifact measures the two knobs a deployment tunes
-    // (cells read × candidates re-ranked) end-to-end rather than for
-    // plain IVF only. Centroids/codebooks are pure functions of the data,
-    // identical across configs; oracle is the generated full replay
+    // config, per-query recall@k of the IVF-PQ stack against one shared
+    // exact baseline, so the artifact measures the two knobs a deployment
+    // tunes (cells read × candidates re-ranked) end-to-end rather than
+    // for plain IVF only. Centroids/codebooks/encoded corpus are pure
+    // functions of the data, identical across configs — so the stack is
+    // trained and encoded ONCE via ivfPqEncode (the round-15 two-stage
+    // split) and each config pays only its probe/shortlist stage; the
+    // checkpoint pins the single corpus-encode scan the way the exact
+    // baseline's does. Oracle is the generated full replay
     // ([[ivfPqCurveOracleSql]], trained once and shared)
     "d35_ivfpq_curve" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val k = 5
+        def pin(df: DataFrame): DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+          else df.localCheckpoint(true)
         // one exact baseline serves every config: checkpoint the tiny
         // k·|Q| frame so the O(|Q|·|N|) brute-force scan runs once
-        val exactRaw = Similarity.bruteForceTopK(
-          emb, "vec_id", "embedding", col("vec_id") < 10, k = k)
-        val exact =
-          if (s.sparkContext.getCheckpointDir.isDefined) exactRaw.checkpoint(true)
-          else exactRaw.localCheckpoint(true)
+        val exact = pin(Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, k = k))
+        // one training + corpus encode serves every config: the encoded
+        // frame is (vec_id, cell, m byte-codes) — the ~1%-of-raw artifact
+        // a production deployment persists — checkpointed so the four
+        // configs probe it without re-scanning the corpus
+        val model = Similarity.ivfPqEncode(emb, "vec_id", "embedding")
+        val pinned = model.copy(encoded = pin(model.encoded))
         Seq((1, 4), (2, 2), (2, 4), (4, 4)).map { case (np, sl) =>
           Similarity.withRecallAtK(
-              Similarity.ivfPqTopK(emb, "vec_id", "embedding", col("vec_id") < 10,
-                k = k, nProbe = np, shortlist = sl),
+              Similarity.ivfPqProbe(emb, "vec_id", "embedding", pinned,
+                col("vec_id") < 10, k = k, nProbe = np, shortlist = sl),
               exact, k = k)
             .groupBy(col("q_id"))
             .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
@@ -3248,7 +3267,12 @@ object SparkEntry {
     // driver gate proves merge ≡ from-scratch under rows+schema+hash.
     // Caller-fixed [0, 640) × 16 buckets (fixed bounds are what make
     // shard states addable); NULLs bucket to −1; Σ/Σ² per-factor
-    // DECIMAL(18,0) — integer-exact and engine-portable
+    // DECIMAL(18,0) — integer-exact and engine-portable. The Σ/Σ²
+    // columns cross the oracle boundary as VARCHAR (the p05/p07 route:
+    // lossless for scale-0 decimals at any magnitude) because the
+    // driver's hash is sensitive to the decimal type CLASS even when
+    // every value matches — the operator's DECIMAL(38,0) accumulators
+    // are untouched; only the entry's rendering changes
     "p18_mergeable_profile" -> entry(
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -3257,6 +3281,8 @@ object SparkEntry {
             docs.filter(pmod(col("doc_id"), lit(2)) === 0), "n_chars", 0L, 640L, 16),
           graft.operators.Profile.numericProfileState(
             docs.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars", 0L, 640L, 16))
+          .withColumn("sum_v", col("sum_v").cast("string"))
+          .withColumn("sumsq_v", col("sumsq_v").cast("string"))
       },
       """WITH v AS (
            SELECT CASE WHEN n_chars IS NULL THEN -1
@@ -3264,10 +3290,87 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS v
            FROM documents)
          SELECT bucket, COUNT(*) AS n,
-           CAST(SUM(CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_v,
-           CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sumsq_v,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_v,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_v,
            MIN(v) AS min_v, MAX(v) AS max_v
          FROM v GROUP BY 1"""),
+
+    // generation-aware profile-state compaction (round 15): shard B's
+    // FIRST profile ran on a stale partial snapshot (only half its docs
+    // had landed — doc_id ≡ 1 mod 4); the re-profile at gen 2 covers the
+    // full shard. A naive mergeProfileStates over all three states would
+    // double-count B; compactProfileStates supersedes B's gen 1 (the
+    // d36 compactBandIndex idiom), so the merge equals the from-scratch
+    // state of the EFFECTIVE corpus — which is exactly what the oracle
+    // recomputes. Same [0, 640) × 16 config and VARCHAR Σ/Σ² boundary
+    // as p18
+    "p19_profile_compaction" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def st(pred: org.apache.spark.sql.Column) = graft.operators.Profile.numericProfileState(
+          docs.filter(pred), "n_chars", 0L, 640L, 16)
+        val stA = st(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("shard", lit("A")).withColumn("gen", lit(1))
+        val stB1 = st(pmod(col("doc_id"), lit(4)) === 1)
+          .withColumn("shard", lit("B")).withColumn("gen", lit(1))
+        val stB2 = st(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("shard", lit("B")).withColumn("gen", lit(2))
+        graft.operators.Profile.mergeProfileStates(
+          graft.operators.Profile.compactProfileStates(
+              stA.unionByName(stB1).unionByName(stB2))
+            .drop("shard", "gen"))
+          .withColumn("sum_v", col("sum_v").cast("string"))
+          .withColumn("sumsq_v", col("sumsq_v").cast("string"))
+      },
+      """WITH v AS (
+           SELECT CASE WHEN n_chars IS NULL THEN -1
+                  ELSE LEAST(15, GREATEST(0, (CAST(n_chars AS BIGINT) * 16) // 640)) END AS bucket,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents)
+         SELECT bucket, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_v,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM v GROUP BY 1"""),
+
+    // mergeable Misra-Gries state (round 15): the p18 persisted-state
+    // discipline applied to the heavy-hitters sketch. Each event-id-parity
+    // shard of p15's skewed corpus is sketched ONCE into a ≤k-row
+    // (item, cnt) state; the states merge via the Mergeable Summaries
+    // sum-then-cut (never re-reading shard data), and one candidate-
+    // filtered confirm pass makes the result exact. MG's merged one-sided
+    // guarantee (no item above n/(k+1) can be missing from the merged
+    // candidates, whatever the merge order) means the output EQUALS the
+    // from-scratch p15 answer — so p15's plain exact SQL oracle
+    // hash-matches it verbatim
+    "p20_mg_state_merge" -> entry(
+      (s, d) => {
+        val base = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(40L)).cast("string").as("cohort"))
+        val boost = base.filter(col("cohort").isin("7", "11"))
+        val skewed = base.union(boost).union(boost).union(boost)
+        // event-id parity, ORTHOGONAL to the cohort key: every heavy
+        // cohort spans both shards, so the merge genuinely sums partial
+        // counts rather than concatenating disjoint item sets
+        val stA = graft.operators.Profile.misraGriesState(
+          skewed.filter(pmod(col("event_id"), lit(2)) === 0), "cohort", 16)
+        val stB = graft.operators.Profile.misraGriesState(
+          skewed.filter(pmod(col("event_id"), lit(2)) === 1), "cohort", 16)
+        graft.operators.Profile.frequentItemsFromStates(skewed, "cohort", 16, stA, stB)
+      },
+      """WITH base AS (
+           SELECT CAST(user_id % 40 AS VARCHAR) AS cohort FROM events
+           WHERE user_id IS NOT NULL),
+         sk AS (
+           SELECT cohort FROM base
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')
+           UNION ALL SELECT cohort FROM base WHERE cohort IN ('7', '11')),
+         c AS (SELECT cohort, COUNT(*) AS cnt FROM sk GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+         SELECT c.cohort, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS share
+         FROM c, t WHERE c.cnt * 17 > t.n"""),
 
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
@@ -5066,6 +5169,41 @@ object SparkEntry {
       },
       """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
                 CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
+         WHERE FALSE"""),
+
+    // stream-stream FULL OUTER interval join (round 15): y06's emission-
+    // contract machinery generalized to both sides — an unmatched click
+    // emits its null row once the watermark passes click_ts + tolerance,
+    // an unmatched purchase once the watermark passes its OWN ts (the
+    // asymmetry falls out of the range condition: any click a purchase
+    // could pair with is at-or-before it). AvailableNow flushes exactly
+    // the state the final min-policy watermark releases; the batch twin
+    // (intervalJoinBatchFullOuter) reproduces both strict boundaries
+    "y08_stream_interval_full" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val tolUs = 3600L * 1000000L
+        val pick = (tp: String) => (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === tp)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.intervalJoinStreams(
+            pick("click")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            pick("purchase")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            tolUs, joinType = "full_outer"),
+          "y08_ivjf_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
+          availableNow = true)
+        val ev = t(s, d, "events")
+        val lb = pick("click")(ev)
+        val rb = pick("purchase")(ev)
+        val wmUs = math.min(
+          StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
+        val batch = StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS left_id,
+                CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
          WHERE FALSE"""),
 
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap

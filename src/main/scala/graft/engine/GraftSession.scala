@@ -116,11 +116,24 @@ object GraftSession {
     * views. Bench warns and stamps env.subset when this is exported.
     */
   private val subsetKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+  // eager validation: a malformed spec must fail loudly naming the env
+  // var, and N must be >= 1 — pmod by zero yields NULL, which the filter
+  // would silently drop to an EMPTY table (entries "pass" on no rows)
   private def subsetMod(table: String): Option[Long] =
     sys.env.get("SPARK_GRAFT_SUBSET").toSeq
       .flatMap(_.split(','))
-      .map(_.trim.split(':').map(_.trim))
-      .collectFirst { case Array(t, m) if t == table => m.toLong }
+      .filter(_.trim.nonEmpty)
+      .map { part =>
+        part.trim.split(':').map(_.trim) match {
+          case Array(t, m) if m.nonEmpty && m.length <= 18 &&
+              m.forall(_.isDigit) && m.toLong >= 1 =>
+            (t, m.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SUBSET: malformed part '$part' — expected table:N with N >= 1 " +
+              "(e.g. documents:16,embeddings:16)")
+        }
+      }
+      .collectFirst { case (t, m) if t == table => m }
 
   /** Apply the subset filter to ANY frame of the named table — shared by
     * [[table]] and callers that scan a table outside it (file streams).

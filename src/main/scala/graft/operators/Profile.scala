@@ -887,7 +887,12 @@ object Profile {
     // unclamped out-of-range value (the very case the end-bucket clamp
     // exists for) could overflow BIGINT first and crash under ANSI mode
     // (or wrap negative and land in bucket 0 instead of the top bucket)
-    require(hi - lo <= Long.MaxValue / nBuckets,
+    // subtractExact: hi - lo itself wraps in Long for pathological bounds
+    // (lo near Long.MinValue with large hi), which would let plain
+    // subtraction pass this require and silently mis-bucket
+    require(
+      try Math.subtractExact(hi, lo) <= Long.MaxValue / nBuckets
+      catch { case _: ArithmeticException => false },
       s"(hi - lo) * nBuckets overflows BIGINT: [$lo, $hi) x $nBuckets")
     val v = col(s"`$valueCol`").cast("long")
     def dec18(c: Column) = c.cast(DecimalType(18, 0))
@@ -921,6 +926,115 @@ object Profile {
         sum(col("sum_v")).cast(DecimalType(38, 0)).as("sum_v"),
         sum(col("sumsq_v")).cast(DecimalType(38, 0)).as("sumsq_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
+  /** Supersede stale snapshots before a state merge — the
+    * [[graft.operators.Dedup.compactBandIndex]] idiom applied to profile
+    * states. [[mergeProfileStates]] assumes DISJOINT snapshots: a shard
+    * that is RE-PROFILED (amended data, a corrected early partial) would
+    * double-count if both its generations reach the merge. Callers tag
+    * each state at build time (`.withColumn(shardCol, lit(id))
+    * .withColumn(genCol, lit(g))`); compaction keeps only each shard's
+    * latest generation of rows, so the subsequent merge sees exactly the
+    * CURRENT profile of every shard.
+    *
+    * Scale shape, inherited from compactBandIndex: the latest-gen set is
+    * one ids-only hash aggregate (max per shard — map-side partials, no
+    * window), then one equi-join on (shard, gen) filters the state rows.
+    * Both exchanges carry (shard, gen) slivers over nBuckets-row states —
+    * trivially small at any corpus size. Idempotent, and
+    * compact(gen1 ∪ gen2) merges to the from-scratch state of the
+    * effective corpus (SampleProfileSpec pins both; the p19 entry pins
+    * the merge equivalence under the driver gate).
+    */
+  def compactProfileStates(states: DataFrame, shardCol: String = "shard",
+      genCol: String = "gen"): DataFrame = {
+    val latest = states.select(col(s"`$shardCol`"), col(s"`$genCol`"))
+      .groupBy(col(s"`$shardCol`")).agg(max(col(s"`$genCol`")).as(genCol))
+    states.join(latest, Seq(shardCol, genCol))
+  }
+
+  /** Persisted Misra–Gries shard state: the ≤k-counter summary of one
+    * shard, as (item, cnt) ROWS a pipeline can write next to the shard
+    * (the [[numericProfileState]] discipline applied to the heavy-hitters
+    * sketch). Each shard is sketched ONCE, at ingest; any later global
+    * heavy-hitters question folds the persisted states via
+    * [[mergeMisraGriesStates]] without re-reading shard data. One total
+    * aggregation (k·partitions map entries on the shuffle, never the
+    * NDV histogram), ≤k output rows however large the shard.
+    */
+  def misraGriesState(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096,
+      s"k must be in [1, 4096], got $k — the summary is a driver-sized map")
+    import org.apache.spark.sql.functions.udaf
+    val rows = df.filter(col(s"`$valueCol`").isNotNull)
+      .select(col(s"`$valueCol`").cast("string").as("__v"))
+    val agg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    rows.agg(agg(col("__v")).as("__m"))
+      .select(explode(map_entries(coalesce(col("__m"),
+        map().cast("map<string,bigint>")))).as("__e"))
+      .select(col("__e.key").as("item"), col("__e.value").as("cnt"))
+  }
+
+  /** Fold any number of [[misraGriesState]] frames (built with the SAME
+    * k) into the MG summary of the unioned shards — the Mergeable
+    * Summaries merge (Agarwal et al., PODS'12) expressed as column
+    * algebra over state ROWS: sum counts per item, and if more than k
+    * items survive, subtract the (k+1)-th largest summed count from all
+    * and keep the positive — at most k can exceed that cut, and the
+    * subtraction adds the inputs' error bounds, preserving the combined
+    * n/(k+1) one-sided guarantee (every item whose TRUE total count
+    * exceeds n/(k+1) is present in the merged state, whatever the merge
+    * order). The cut is derived in-plan from a collect_list over the
+    * ≤ k·shards summed rows — bounded by construction, never data-sized.
+    */
+  def mergeMisraGriesStates(k: Int, states: DataFrame*): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    require(states.nonEmpty, "mergeMisraGriesStates needs at least one state")
+    val summed = states.reduce(_.unionByName(_))
+      .groupBy(col("item")).agg(sum(col("cnt")).cast("long").as("cnt"))
+    // (k+1)-th largest summed count, 0 when ≤ k items survive the sum —
+    // guarded when() so the out-of-bounds element_at never evaluates
+    // (ANSI mode errors on it rather than returning NULL)
+    val cut = summed.agg(
+      when(count(lit(1)) <= k, lit(0L))
+        .otherwise(element_at(reverse(array_sort(collect_list(col("cnt")))), k + 1))
+        .as("__cut"))
+    summed.crossJoin(broadcast(cut))
+      .filter(col("cnt") > col("__cut"))
+      .select(col("item"), (col("cnt") - col("__cut")).as("cnt"))
+  }
+
+  /** Exact heavy hitters from PERSISTED shard states — the
+    * [[frequentItems]] result (same column, same k, same exact counts and
+    * shares) computed without re-sketching: the merged state's ≤k items
+    * are the candidate set, and one confirm pass over the corpus (a
+    * broadcast semi-join on the tiny candidate frame) counts exactly the
+    * survivors, keeping those with cnt·(k+1) > n. The merged guarantee
+    * makes this EQUAL to the from-scratch answer: no true heavy hitter
+    * can be missing from the merged candidates, and the exact threshold
+    * discards any extras — so the p20 entry hash-matches p15's plain
+    * exact SQL oracle.
+    *
+    * What the states buy at scale: the sketch pass over each shard runs
+    * once at ingest; a monthly "global heavy hitters" question reads
+    * k·shards state rows plus ONE candidate-filtered counting scan,
+    * instead of re-aggregating every shard's value column.
+    */
+  def frequentItemsFromStates(corpus: DataFrame, valueCol: String, k: Int,
+      states: DataFrame*): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    val merged = mergeMisraGriesStates(k, states: _*)
+    val rows = corpus.filter(col(s"`$valueCol`").isNotNull)
+      .select(col(s"`$valueCol`").cast("string").as("__v"))
+    val n = rows.count()
+    val counts = rows
+      .join(broadcast(merged.select(col("item").as("__v"))), Seq("__v"), "left_semi")
+      .groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+    counts.filter(col("cnt") * (k + 1) > lit(n))
+      .select(col("__v").as(valueCol), col("cnt"),
+        (col("cnt").cast("double") / lit(n)).as("share"))
   }
 
   /** Collapse a profile state to the one-row corpus profile — count,

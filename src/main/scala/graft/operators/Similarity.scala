@@ -315,10 +315,26 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
-      iters: Int = 5): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
-      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
+      iters: Int = 5): DataFrame =
+    ivfProbe(emb, idCol, vecCol,
+      ivfAssign(emb, idCol, vecCol, nCentroids, sampleSize, iters),
+      queryPred, k, nProbe)
+
+  /** A trained IVF index: centroid plan constants plus the cell-assigned
+    * corpus frame (`assigned`: (vec_id, unit, cell)). Same split as
+    * [[IvfPqModel]] — train/assign once, probe per config — minus the PQ
+    * code compression (IVF alone scores probed candidates by exact dot).
+    */
+  final case class IvfModel(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Training + cell-assignment stage of [[ivfTopK]]: one bounded-sample
+    * driver k-means and ONE corpus scan labeling every vector with its
+    * nearest cell. A probe-budget sweep ([[ivfProbe]] per nProbe, d25)
+    * pays this once; checkpoint `assigned` to pin the single scan.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, sampleSize: Int = 1024, iters: Int = 5): IvfModel = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
     require(sampleSize >= 4 * nCentroids,
       s"sampleSize=$sampleSize cannot train nCentroids=$nCentroids cells: k-means needs " +
         "several samples per centroid (rule of thumb ~40x; 4x enforced). For a big corpus " +
@@ -331,19 +347,33 @@ object Similarity {
     // and could surface as a fabricated NULL-cos neighbor
     val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
-    // per-row cell assignment and per-query probe list, from broadcast
-    // centroid constants (struct ordering makes array_min/array_sort pick
-    // by similarity first)
+    // per-row cell assignment from broadcast centroid constants (struct
+    // ordering makes array_min pick by similarity first)
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
     }: _*)
-    val assigned = all.withColumn("cell", array_min(cells).getField("cell"))
+    IvfModel(centroids, all.withColumn("cell", array_min(cells).getField("cell")))
+  }
+
+  /** Query stage of [[ivfTopK]] against a pre-trained [[IvfModel]]: probe
+    * list from the model's centroids, equi-join on cell, exact dot on the
+    * probed candidates, per-query top-k.
+    */
+  def ivfProbe(emb: DataFrame, idCol: String, vecCol: String, model: IvfModel,
+      queryPred: Column, k: Int, nProbe: Int = 2): DataFrame = {
+    val nCentroids = model.centroids.length
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
+    val cells = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+    }: _*)
     // queryPred targets the caller's columns: filter emb BEFORE the rename
     val queries = normalized(emb.filter(queryPred), idCol, vecCol)
       .filter(col("unit").isNotNull)
       .withColumn("probe", explode(slice(array_sort(cells), 1, nProbe)))
       .select(col("probe.cell").as("cell"), col("vec_id").as("q_id"), col("unit").as("q_unit"))
-    val scored = assigned.join(queries, Seq("cell"))
+    val scored = model.assigned.join(queries, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         dot(col("q_unit"), col("unit")).as("cos"))
@@ -581,11 +611,37 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nCentroids: Int = 16, nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
-      sampleSize: Int = 1024, iters: Int = 5, shortlist: Int = 4): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
-      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
-    require(shortlist >= 1, s"shortlist factor must be >= 1, got $shortlist")
+      sampleSize: Int = 1024, iters: Int = 5, shortlist: Int = 4): DataFrame =
+    ivfPqProbe(emb, idCol, vecCol,
+      ivfPqEncode(emb, idCol, vecCol, nCentroids, m, ksub, sampleSize, iters),
+      queryPred, k, nProbe, shortlist)
+
+  /** A trained IVF-PQ index: the driver-side plan constants (`centroids`,
+    * `books`) plus the encoded corpus frame (`encoded`:
+    * (vec_id, cell, codes)). Train/encode ONCE, probe many times — the
+    * split a production deployment lives by: `encoded` is what gets
+    * persisted next to the corpus (a cell id + m bytes per vector, ~1% of
+    * the raw embedding bytes), and every query batch or (nProbe,
+    * shortlist) re-tune afterwards is probe-only, never a corpus rescan
+    * or a k-means retrain. [[ivfPqTopK]] is the one-shot composition;
+    * d35's config curve and d25-style probe sweeps share one model.
+    */
+  final case class IvfPqModel(
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      encoded: DataFrame)
+
+  /** Training + corpus-encode stage of [[ivfPqTopK]]: spherical-k-means
+    * cell centroids, per-subspace PQ codebooks (both deterministic
+    * driver-side constants from a bounded sample), and ONE full-corpus
+    * scan producing the encoded frame. Callers that sweep probe configs
+    * (or serve repeated query batches) should persist/checkpoint
+    * `encoded` so the scan is paid exactly once.
+    */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 1024, iters: Int = 5): IvfPqModel = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
     require(m >= 1 && ksub >= 2 && ksub <= 256, s"bad PQ config m=$m ksub=$ksub")
     require(sampleSize >= 4 * math.max(nCentroids, ksub) && sampleSize <= (1 << 20),
       s"sampleSize=$sampleSize out of range (driver-collected training sample)")
@@ -606,8 +662,32 @@ object Similarity {
     }: _*)
     val assigned = all.select(col("vec_id"),
       array_min(cells).getField("cell").as("cell"), codes.as("codes"))
+    IvfPqModel(centroids, books, assigned)
+  }
+
+  /** Query stage of [[ivfPqTopK]] against a pre-trained [[IvfPqModel]]:
+    * route each query to its nProbe nearest cells, ADC-score the probed
+    * codes, keep a `shortlist`·k shortlist, re-rank exactly. Everything
+    * config-specific lives here — nothing in this stage touches the
+    * corpus beyond the model's encoded frame and the |shortlist| ids the
+    * re-rank reads at full precision.
+    */
+  def ivfPqProbe(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel, queryPred: Column, k: Int,
+      nProbe: Int = 2, shortlist: Int = 4): DataFrame = {
+    val nCentroids = model.centroids.length
+    val m = model.books.length
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids, got nProbe=$nProbe nCentroids=$nCentroids")
+    require(shortlist >= 1, s"shortlist factor must be >= 1, got $shortlist")
+    val subDim = model.books(0)(0).length
+    def sub(u: Column, j: Int): Column = slice(u, j * subDim + 1, subDim)
+    val cells = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+    }: _*)
     val luts = array((0 until m).map { j =>
-      array(books(j).map(c => dot(sub(col("unit"), j), typedlit(c.toSeq))): _*)
+      array(model.books(j).map(c => dot(sub(col("unit"), j), typedlit(c.toSeq))): _*)
     }: _*)
     val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
       .filter(col("unit").isNotNull)
@@ -618,7 +698,7 @@ object Similarity {
     }.reduce(_ + _)
     // one assigned cell per vector + distinct probe cells per query ⇒ a
     // (q, n) pair matches at most once — no dedup exchange (d09's note)
-    val scored = assigned.join(queries, Seq("cell"))
+    val scored = model.encoded.join(queries, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), adc.as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)

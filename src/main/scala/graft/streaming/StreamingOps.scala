@@ -41,7 +41,7 @@ object StreamingOps {
     // pipeline step: a production deployment streams a real landing
     // directory and never hits this branch.
     val f = new java.io.File(dir)
-    val streamPath = if (f.isFile) stagedDir(f) else dir
+    val streamPath = if (f.isFile) stagedDir(spark, f) else dir
     graft.engine.GraftSession.eventsTsToMicros(
       spark.readStream.schema(schema).parquet(streamPath))
   }
@@ -51,23 +51,40 @@ object StreamingOps {
   // cache would silently replay the stale bytes into every later
   // stream), and the SUPERSEDED copy is deleted eagerly — deleteOnExit
   // alone would leak one full table copy per in-place regeneration for
-  // the whole process lifetime
+  // the whole process lifetime. Eager eviction is gated on the session
+  // having NO active streaming query: the file source re-lists its base
+  // path every micro-batch, so deleting a superseded copy that an
+  // earlier, still-running stream reads would fail that stream (or feed
+  // it an empty dir); with any stream live we fall back to deleteOnExit
+  // for the stale copy — a bounded leak (one table copy per in-place
+  // regeneration under a live stream) instead of a wrong answer.
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), String)]()
-  private def stagedDir(f: java.io.File): String = {
+  private def stagedDir(spark: SparkSession, f: java.io.File): String = {
     val stamp = (f.lastModified, f.length)
     staged.compute(f.getAbsolutePath, (_, old) => {
       if (old != null && old._1 == stamp) old
       else {
         if (old != null) {
-          // best-effort eviction of the stale copy (file, then dir)
-          try {
-            val od = java.nio.file.Paths.get(old._2)
-            val files = java.nio.file.Files.list(od)
-            try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
-            finally files.close()
-            java.nio.file.Files.deleteIfExists(od)
-          } catch { case _: java.io.IOException => () }
+          val od = java.nio.file.Paths.get(old._2)
+          if (spark.streams.active.nonEmpty) {
+            // a live query may hold this dir: defer (dir registered
+            // before file — deleteOnExit runs LIFO, file goes first)
+            od.toFile.deleteOnExit()
+            try {
+              val files = java.nio.file.Files.list(od)
+              try files.forEach(p => p.toFile.deleteOnExit())
+              finally files.close()
+            } catch { case _: java.io.IOException => () }
+          } else {
+            // best-effort eviction of the stale copy (file, then dir)
+            try {
+              val files = java.nio.file.Files.list(od)
+              try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally files.close()
+              java.nio.file.Files.deleteIfExists(od)
+            } catch { case _: java.io.IOException => () }
+          }
         }
         val d = java.nio.file.Files.createTempDirectory("graft-stream")
         val copy = d.resolve(f.getName)
@@ -92,7 +109,7 @@ object StreamingOps {
   def tableStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
-    val streamPath = if (f.isFile) stagedDir(f) else path
+    val streamPath = if (f.isFile) stagedDir(spark, f) else path
     spark.readStream.schema(schema).parquet(streamPath)
   }
 
@@ -443,8 +460,8 @@ object StreamingOps {
       toleranceUs: Long, watermarkDelay: String = "0 seconds",
       joinType: String = "inner"): DataFrame = {
     require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
+      s"joinType must be inner, left_outer or full_outer, got $joinType")
     val l0 = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
     val r0 = if (right.isStreaming) right.withWatermark("ts", watermarkDelay) else right
     val l = l0.select(col("user_id"), col("event_id").as("left_id"),
@@ -455,7 +472,10 @@ object StreamingOps {
         col("right_ts") >= col("left_ts") &&
         col("right_ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"),
         joinType)
-      .select(col("user_id"), col("left_id"), col("right_id"),
+      // coalesce: a full-outer right-unmatched row has NULL left columns,
+      // and its user lives only in the right side's key copy
+      .select(coalesce(col("user_id"), col("__r_user")).as("user_id"),
+        col("left_id"), col("right_id"),
         (unix_micros(col("right_ts")) - unix_micros(col("left_ts"))).as("lag_us"))
   }
 
@@ -493,6 +513,38 @@ object StreamingOps {
       .select(col("user_id"), col("event_id").as("left_id"),
         lit(null).cast("long").as("right_id"), lit(null).cast("long").as("lag_us"))
     matched.unionByName(unmatched)
+  }
+
+  /** Batch twin of the STREAMING full-outer interval join: [[
+    * intervalJoinBatchLeftOuter]]'s matched + left-unmatched algebra
+    * composed with its mirror on the RIGHT side, both under the same
+    * min-policy final watermark. The two null-row emission horizons are
+    * ASYMMETRIC, straight from the range condition `right_ts ∈ [left_ts,
+    * left_ts + tol]`: a LEFT row is provably unmatched only once the
+    * watermark passes `left_ts + tol` (a future right inside the horizon
+    * could still match), while a RIGHT row is provably unmatched once the
+    * watermark passes its OWN `right_ts` — any left it could pair with
+    * has `left_ts ≤ right_ts`, and inputs below the watermark are dropped
+    * as late. Both boundaries strict, matching the engine's state
+    * eviction (StreamingSpec pins rows held on each side past the
+    * watermark; the y08 entry pins the full contract under the driver
+    * gate).
+    */
+  def intervalJoinBatchFullOuter(left: DataFrame, right: DataFrame,
+      toleranceUs: Long, finalWatermarkUs: Long): DataFrame = {
+    val leftSide = intervalJoinBatchLeftOuter(left, right, toleranceUs, finalWatermarkUs)
+    // right-unmatched = the same condition-level anti join, mirrored
+    // (id-keyed anti has the identical null/shared-id traps on this side)
+    val l = left.select(col("user_id").as("__l_user"), col("ts").as("left_ts"))
+    val unmatchedR = right
+      .join(l, col("user_id") === col("__l_user") &&
+        col("ts") >= col("left_ts") &&
+        col("ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"),
+        "left_anti")
+      .filter(unix_micros(col("ts")) < lit(finalWatermarkUs))
+      .select(col("user_id"), lit(null).cast("long").as("left_id"),
+        col("event_id").as("right_id"), lit(null).cast("long").as("lag_us"))
+    leftSide.unionByName(unmatchedR)
   }
 
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every

@@ -29,7 +29,9 @@ class DeterminismSpec extends AnyFunSuite {
     "t28_sentence_chunks", // offset-sorted collect_list reassembly
     "d31_dup_centrality",  // iterative integer rank over checkpointed rounds
     "d30_minhash_error",   // rate²-weighted BIGINT histogram (round-14 pair budget)
-    "p18_mergeable_profile") // merged decimal Σ/Σ² state across shard aggs
+    "p18_mergeable_profile", // merged decimal Σ/Σ² state across shard aggs
+    "p19_profile_compaction", // supersede join + merged decimal state
+    "p20_mg_state_merge")  // order-dependent MG counters under an order-free gate
 
   test("fp-sensitive entries are bit-identical across shuffle-partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -40,10 +40,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "d07_ann_topk" -> (1, 1),
     "d08_ann_lsh" -> (3, 5),
     "d09_ann_ivf" -> (3, 5),
-    // three probe configs + one shared exact baseline unioned: per-config
-    // recall joins all broadcast (|Q|·k-bounded frames), the four
-    // exchanges are the per-config rank windows + final union agg
-    "d25_ivf_nprobe_curve" -> (4, 9),
+    // three probe configs share ONE ivfAssign training + cell-assignment
+    // scan (round 15: the checkpointed IvfModel — previously each config
+    // re-derived the assignment from the corpus); the per-config rank
+    // windows and union agg exchanges all ride |Q|·k-bounded or
+    // checkpoint-scan frames, recall joins broadcast
+    "d25_ivf_nprobe_curve" -> (6, 13),
     // encode projection + broadcast LUT join + rank window + recall joins
     // (all |Q|·k-bounded frames broadcast)
     "d26_ann_pq" -> (2, 5),
@@ -450,10 +452,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // IVF-PQ + re-rank: cell-routed ADC scan (broadcast probe/LUT side)
     // + the two rank windows; shortlist/recall joins broadcast at |Q|·c·k
     "d34_ann_ivfpq" -> (2, 7),
-    // four (nProbe, shortlist) configs over the full IVF-PQ stack: per
-    // config the rank/re-rank windows share exchanges where AQE can and
-    // every |Q|·k-bounded recall frame rides a broadcast
-    "d35_ivfpq_curve" -> (6, 24))
+    // four (nProbe, shortlist) configs over the full IVF-PQ stack,
+    // sharing ONE ivfPqEncode training + corpus-encode scan (round 15:
+    // the checkpointed IvfPqModel — the per-config retrain/re-encode is
+    // gone); per config the rank/re-rank windows share exchanges where
+    // AQE can and every |Q|·k-bounded recall frame rides a broadcast
+    "d35_ivfpq_curve" -> (6, 24),
+    // three shard-state aggs + the compaction's (shard, gen) sliver agg
+    // and equi-join + the merge re-agg — every exchange over
+    // nBuckets-row state frames however large the corpus
+    "p19_profile_compaction" -> (7, 1),
+    // two MG shard-state aggs (k-bounded map entries on the wire) + the
+    // confirm count agg; merged-candidate cut and semi-join frames all
+    // broadcast at <= k rows
+    "p20_mg_state_merge" -> (3, 6),
+    // full-outer twin: y06's unmatched-left anti + the mirrored
+    // unmatched-right anti, both broadcast at this SF; two except sides
+    "y08_stream_interval_full" -> (2, 6))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

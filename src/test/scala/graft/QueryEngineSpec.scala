@@ -394,7 +394,8 @@ class QueryEngineSpec extends AnyFunSuite {
       "y04_stream_neardup_gate" -> false,
       "y05_stream_interval_join" -> false,
       "y06_stream_interval_outer" -> false,
-      "y07_stream_session_window" -> false)
+      "y07_stream_session_window" -> false,
+      "y08_stream_interval_full" -> false)
     val results: Map[String, Boolean] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =

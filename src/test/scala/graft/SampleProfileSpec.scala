@@ -701,4 +701,70 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profile.numericProfileState(vals, "v", 10L, 10L, 8))
   }
+
+  test("profile-state compaction: superseded generation drops, compacted merge == effective from-scratch, idempotent") {
+    val vals = Seq.tabulate(240)(i => (i.toLong, (i * 11 % 500).toLong))
+      .toDF("id", "v")
+    def stateOf(d: org.apache.spark.sql.DataFrame) =
+      Profile.numericProfileState(d, "v", 0L, 512L, 8)
+    def tag(d: org.apache.spark.sql.DataFrame, sh: String, g: Int) =
+      d.withColumn("shard", lit(sh)).withColumn("gen", lit(g))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.get(2), r.get(3), r.get(4), r.get(5)))).toMap
+    val shardA = vals.filter(col("id") % 2 === 0)
+    val shardB = vals.filter(col("id") % 2 === 1)
+    // B's first profile ran on a stale partial (every 4th id); gen 2
+    // re-profiles the full shard — the supersede case
+    val stale = vals.filter(col("id") % 4 === 1)
+    val states = tag(stateOf(shardA), "A", 1)
+      .unionByName(tag(stateOf(stale), "B", 1))
+      .unionByName(tag(stateOf(shardB), "B", 2))
+    val compacted = Profile.compactProfileStates(states)
+    // only A gen-1 and B gen-2 rows survive
+    assert(compacted.select("shard", "gen").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet == Set(("A", 1), ("B", 2)))
+    // compacted merge == the from-scratch state of the EFFECTIVE corpus
+    val merged = rows(Profile.mergeProfileStates(compacted.drop("shard", "gen")))
+    assert(merged == rows(stateOf(vals)), "compacted merge != effective from-scratch")
+    // a NAIVE merge over all three states double-counts the stale shard
+    val naive = rows(Profile.mergeProfileStates(states.drop("shard", "gen")))
+    assert(naive.values.map(_._1).sum == 240L + 60L, "fixture must make naive wrong")
+    // idempotent
+    assert(rows(Profile.mergeProfileStates(
+        Profile.compactProfileStates(compacted).drop("shard", "gen")))
+      == merged)
+  }
+
+  test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
+    // p15's shape: 200-value noise floor + two heavy values, NDV >> k
+    val data = (1 to 200).map(i => s"noise$i") ++
+      Seq.fill(25)("hot") ++ Seq.fill(5)("warm")
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val expect = Profile.frequentItems(df, "v", k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expect == Seq(("hot", 25L, 25.0 / 230)))
+    // any shard split, any state order: the merged-state result is equal
+    Seq(2, 3, 5).foreach { shards =>
+      val states = (0 until shards).map(s =>
+        Profile.misraGriesState(df.filter(col("id") % shards === s), "v", 9))
+      // every persisted state is <= k rows however the shard looks
+      states.foreach(st => assert(st.count() <= 9))
+      Seq(states, states.reverse).foreach { order =>
+        val got = Profile.frequentItemsFromStates(df, "v", 9, order: _*)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(got == expect, s"shards=$shards -> $got")
+      }
+    }
+    // the merged STATE itself keeps the one-sided guarantee: hot present
+    val st = (0 until 3).map(s =>
+      Profile.misraGriesState(df.filter(col("id") % 3 === s), "v", 9))
+    val mergedItems = Profile.mergeMisraGriesStates(9, st: _*)
+      .collect().map(_.getString(0)).toSet
+    assert(mergedItems.contains("hot") && mergedItems.size <= 9)
+    // guards
+    intercept[IllegalArgumentException](Profile.misraGriesState(df, "v", 0))
+    intercept[IllegalArgumentException](Profile.mergeMisraGriesStates(9))
+  }
 }
