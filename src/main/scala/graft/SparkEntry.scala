@@ -3372,6 +3372,48 @@ object SparkEntry {
          SELECT c.cohort, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS share
          FROM c, t WHERE c.cnt * 17 > t.n"""),
 
+    // mergeable Bloom state (round 15): the membership member of the
+    // persisted-state family (moments p18/p19, heavy hitters p20). The
+    // eval side's two halves are sketched into per-shard (idx, word)
+    // Bloom states; the OR-merge is BIT-EXACT (set bits are per-key
+    // deterministic, OR is associative/commutative/idempotent), so the
+    // rehydrated union filter — and therefore the Bloom-pruned,
+    // exactly-confirmed decontamination it drives — is identical to the
+    // from-scratch d24 pipeline, and the plain exact n-gram SQL oracle
+    // replays it. n=5 / mod-5 split so the fixture differs from d14 (13,
+    // mod 3) and d24 (6, mod 7)
+    "p21_bloom_state_decontam" -> entry(
+      (s, d) => {
+        import graft.functions.BloomFilterOps
+        val docs = t(s, d, "documents")
+        val bits = 1L << 20
+        def shard(m: Long) = Dedup.bloomGramState(
+          docs.filter(pmod(col("doc_id"), lit(10)) === m), "doc_id", "text",
+          n = 5, numBits = bits, numHashes = 7)
+        val words = BloomFilterOps.wordsFromState(
+          BloomFilterOps.mergeBloomStates(shard(0L), shard(5L)), bits)
+        Dedup.bloomNgramContaminationWithFilter(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", n = 5, minShared = 1, words, numHashes = 7)
+      },
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 3),
+                           i -> array_to_string(list_slice(w, i, i + 4), ' '))
+               END)) AS gram
+             FROM toks)
+           WHERE gram <> '')
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+         FROM g t JOIN g e ON t.gram = e.gram
+         WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
+         GROUP BY 1, 2"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

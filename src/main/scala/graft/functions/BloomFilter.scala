@@ -166,4 +166,53 @@ object BloomFilterOps {
 
   def bloomMightContain(words: Array[Long], numHashes: Int, key: Column): Column =
     ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), words, numHashes))
+
+  /** Persisted Bloom shard state: the shard's filter as (idx, word) rows —
+    * numBits/64 rows however large the shard, the
+    * [[graft.operators.Profile.numericProfileState]] discipline applied to
+    * the membership sketch. BIT-EXACT mergeable, not just
+    * guarantee-preserving: each key's set bits are a deterministic
+    * function of the key alone and OR is associative/commutative/
+    * idempotent, so [[mergeBloomStates]] over any sharding, order, tree
+    * shape — or overlapping shards — equals the filter built from the
+    * unioned keys bit for bit (BloomSpec pins it; the p21 entry pins the
+    * composed decontamination under the driver gate). A decontamination
+    * pipeline persists one state per eval-benchmark revision: adding a
+    * benchmark sketches ITS keys only, and the union filter is one
+    * numBits/64-row aggregate away — no re-scan of the other benchmarks.
+    */
+  def bloomState(df: DataFrame, keyCol: Column, numBits: Long, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val agg = udaf(new BloomAggregator(numBits, numHashes), Encoders.scalaLong)
+    df.select(agg(keyCol).as("__w"))
+      .select(posexplode(col("__w")).as(Seq("idx", "word")))
+  }
+
+  /** OR-fold any number of [[bloomState]] frames built with the SAME
+    * (numBits, numHashes) — one word-keyed aggregate over numBits/64-row
+    * slivers, never the keyed data.
+    */
+  def mergeBloomStates(states: DataFrame*): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(states.nonEmpty, "mergeBloomStates needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("idx")).agg(expr("bit_or(word)").as("word"))
+  }
+
+  /** Rehydrate a state frame into the probe-side word array — the same
+    * bounded driver hop as [[buildBloom]]'s (numBits/8 bytes, the sketch's
+    * whole point). Rows absent from the state read as zero words, so a
+    * state thinned of empty words rehydrates identically.
+    */
+  def wordsFromState(state: DataFrame, numBits: Long): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numBits / 64 <= (1L << 27),
+      s"numBits=$numBits rehydrates over 1 GiB on the driver — too large for a probe array")
+    val words = new Array[Long]((numBits / 64).toInt)
+    state.select(col("idx").cast("int"), col("word").cast("long"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
 }

@@ -588,12 +588,51 @@ object Dedup {
   def bloomNgramContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 13, minShared: Int = 1,
       numBits: Long = 1L << 22, numHashes: Int = 7): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(minShared >= 1, s"minShared >= 1, got $minShared")
     import graft.functions.BloomFilterOps
     val evalGrams = docDistinctGrams(eval, idCol, textCol, n, "eval_id")
     val words = BloomFilterOps.buildBloom(
       evalGrams.select(xxhash64(col("gram")).as("h")), col("h"), numBits, numHashes)
+    bloomNgramContaminationWithFilter(train, eval, idCol, textCol,
+      n, minShared, words, numHashes)
+  }
+
+  /** Persisted Bloom state of one eval shard's distinct n-gram hashes —
+    * the [[graft.functions.BloomFilterOps.bloomState]] build over exactly
+    * the gram derivation the confirm path uses ([[docDistinctGrams]] +
+    * xxhash64), so a filter rehydrated from merged shard states probes
+    * the same key domain the one-shot [[bloomNgramContamination]] build
+    * would. One state per benchmark revision; numBits/64 rows each.
+    */
+  def bloomGramState(eval: DataFrame, idCol: String, textCol: String,
+      n: Int, numBits: Long, numHashes: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.functions.BloomFilterOps.bloomState(
+      docDistinctGrams(eval, idCol, textCol, n, "eval_id")
+        .select(xxhash64(col("gram")).as("h")),
+      col("h"), numBits, numHashes)
+  }
+
+  /** [[bloomNgramContamination]] with a CALLER-SUPPLIED filter word array
+    * — the probe/confirm stages against a filter that was built
+    * elsewhere: typically rehydrated from persisted, merged
+    * [[graft.functions.BloomFilterOps.bloomState]] shard states (one per
+    * eval-benchmark revision; merging is bit-exact, so this path's output
+    * is IDENTICAL to building the filter from the unioned eval side —
+    * which is why p21's plain exact SQL oracle replays it). The `eval`
+    * frame is still required: it feeds the exact confirm join that
+    * removes the one-sided FP error. The filter's numHashes must match
+    * the build's, and its word array must cover the same gram domain
+    * (xxhash64 of the [[docDistinctGrams]] shingles) — a mismatched
+    * filter silently drops true matches, the one error this composition
+    * cannot self-detect.
+    */
+  def bloomNgramContaminationWithFilter(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, minShared: Int,
+      words: Array[Long], numHashes: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    import graft.functions.BloomFilterOps
+    val evalGrams = docDistinctGrams(eval, idCol, textCol, n, "eval_id")
     docDistinctGrams(train, idCol, textCol, n, "train_id")
       .filter(BloomFilterOps.bloomMightContain(words, numHashes, xxhash64(col("gram"))))
       .join(evalGrams, "gram")

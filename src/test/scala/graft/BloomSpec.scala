@@ -95,4 +95,44 @@ class BloomSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(bloom == exact)
   }
+
+  test("bloom states merge bit-exactly: any sharding/order/overlap rehydrates the from-scratch filter") {
+    import graft.functions.BloomFilterOps
+    val bits = 1L << 10
+    val k = 5
+    val keys = (1L to 300L).map(_ * 0x9E3779B97F4A7C15L).toDF("h")
+    val whole = BloomFilterOps.buildBloom(keys, col("h"), bits, k).toSeq
+    // 3-way shard, reversed order, and an OVERLAPPING shard (idempotent
+    // OR): all rehydrate the identical word array
+    val plain = (0 until 3).map(i =>
+      BloomFilterOps.bloomState(keys.filter(pmod(col("h"), lit(3)) === i), col("h"), bits, k))
+    Seq(plain, plain.reverse).foreach { order =>
+      val words = BloomFilterOps.wordsFromState(
+        BloomFilterOps.mergeBloomStates(order: _*), bits).toSeq
+      assert(words == whole, "merged shard states != from-scratch filter")
+    }
+    val overlap = BloomFilterOps.mergeBloomStates(
+      plain(0), plain(1), plain(2),
+      BloomFilterOps.bloomState(keys.limit(50), col("h"), bits, k))
+    assert(BloomFilterOps.wordsFromState(overlap, bits).toSeq == whole,
+      "overlapping shard must be absorbed by idempotent OR")
+    // decontamination through merged states equals the one-shot pipeline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "gamma delta epsilon zeta unrelated tail words here"),
+      (10L, "totally different text with no shared grams at all")
+    ).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") === 1L)
+    val eval = docs.filter(col("doc_id") =!= 1L)
+    val st = Seq(5L, 10L).map(id => Dedup.bloomGramState(
+      docs.filter(col("doc_id") === id), "doc_id", "text", n = 3, bits, k))
+    val viaState = Dedup.bloomNgramContaminationWithFilter(
+        train, eval, "doc_id", "text", n = 3, minShared = 1,
+        BloomFilterOps.wordsFromState(BloomFilterOps.mergeBloomStates(st: _*), bits), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val oneShot = Dedup.bloomNgramContamination(train, eval, "doc_id", "text",
+        n = 3, numBits = bits, numHashes = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(viaState.nonEmpty && viaState == oneShot)
+  }
 }

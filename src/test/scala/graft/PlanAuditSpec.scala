@@ -468,7 +468,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "p20_mg_state_merge" -> (3, 6),
     // full-outer twin: y06's unmatched-left anti + the mirrored
     // unmatched-right anti, both broadcast at this SF; two except sides
-    "y08_stream_interval_full" -> (2, 6))
+    "y08_stream_interval_full" -> (2, 6),
+    // the audited plan is d24's probe/confirm shape (gram join broadcast
+    // at this SF + the pair-count agg); the shard-state builds and the
+    // numBits/64-row OR-merge run at plan construction, as the one-shot
+    // filter build does
+    "p21_bloom_state_decontam" -> (1, 1))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -304,7 +304,7 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 80 oracles are Spark-runnable; 49 regenerate. (p05 left the set in
+    // 83 oracles are Spark-runnable; 45 regenerate. (p05 left the set in
     // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
     // double hop, which Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
