@@ -694,14 +694,26 @@ object Bench {
           val walls = e.walls.map(num("%.2f", _)).mkString("[", ",", "]")
           s""""${e.name}":{"walls":$walls$band,"verdict":"${sf1Verdict(e)}"}"""
         }.mkString("{", ",", "}")
+        // the compact line must stay under the driver's ~2000-char tail
+        // capture, so its verdict block is exception-style: per-verdict
+        // counts always, per-entry names only for the (normally few)
+        // entries off their band — the full per-entry walls/band detail
+        // lives in bench_out.json
+        val slimVd = {
+          val counts = qTimes.groupBy(sf1Verdict).toSeq.sortBy(_._1)
+            .map { case (k, es) => s""""$k":${es.size}""" }.mkString("{", ",", "}")
+          val excs = qTimes.filter(e => sf1Verdict(e) != "in_band")
+          val ex = if (excs.isEmpty || excs.size > 5) ""
+            else s""","exceptions":${excs.map(e =>
+              s""""${e.name}":"${sf1Verdict(e)}"""").mkString("{", ",", "}")}"""
+          s"""{"counts":$counts$ex}"""
+        }
         val sh =
           if (slim) sf1Shapes.map(shapeSlim).mkString("{", ",", "}")
           else sf1Shapes.map(sr => s""""${sr.name}":{${shapeFields(sr)}}""").mkString("{", ",", "}")
-        // the verdict block rides BOTH forms — BENCH_r{N}.json is the
-        // compact line, and the self-adjudication is for its readers
         val gcPart = if (slim) ""
           else s""","query_gc_ms":$g,"query_task_ms":$tk,"dir":"$dir""""
-        s"""{"gen_s":${num("%.1f", genS)},"queries":$q,"query_verdict":$vd,"shapes":$sh$gcPart}"""
+        s"""{"gen_s":${num("%.1f", genS)},"queries":$q,"query_verdict":${if (slim) slimVd else vd},"shapes":$sh$gcPart}"""
     }
     val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"query_gc_ms":$qGc,"query_task_ms":$qTask,"twins":$tw,"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv,"shapes_measured":"pre+post-sweep, per-shape best-evidenced"},"baseline_shapes":$bs,"sf1":${sf1Json(slim = false)},"sf":"$sfDir"}"""
     // the full JSON (per-query times + per-query GC) goes to a FILE only

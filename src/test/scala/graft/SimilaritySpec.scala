@@ -396,4 +396,36 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.ivfPqTopK(
       emb, "vec_id", "embedding", col("vec_id") < 2, k = 3, nProbe = 99))
   }
+
+  test("two-stage models: probes against one shared encode equal the one-shot API per config") {
+    val real = TestSpark.spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    // one ivfPqEncode serves every (nProbe, shortlist) config — exactly
+    // d35's discipline — and each probe must equal the train-inside
+    // one-shot call, because centroids/codebooks are deterministic
+    // functions of the data and the probe stages share their algebra
+    val model = Similarity.ivfPqEncode(real, "vec_id", "embedding")
+    Seq((1, 4), (2, 2), (4, 4)).foreach { case (np, sl) =>
+      val viaModel = Similarity.ivfPqProbe(real, "vec_id", "embedding", model,
+          col("vec_id") < 5, k = 5, nProbe = np, shortlist = sl)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val oneShot = Similarity.ivfPqTopK(real, "vec_id", "embedding",
+          col("vec_id") < 5, k = 5, nProbe = np, shortlist = sl)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaModel == oneShot, s"config ($np, $sl) diverged")
+    }
+    // same contract for plain IVF (d25's discipline)
+    val ivf = Similarity.ivfAssign(real, "vec_id", "embedding")
+    Seq(1, 2, 4).foreach { np =>
+      val viaModel = Similarity.ivfProbe(real, "vec_id", "embedding", ivf,
+          col("vec_id") < 5, k = 5, nProbe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val oneShot = Similarity.ivfTopK(real, "vec_id", "embedding",
+          col("vec_id") < 5, k = 5, nProbe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaModel == oneShot, s"nProbe $np diverged")
+    }
+    intercept[IllegalArgumentException](Similarity.ivfPqProbe(
+      real, "vec_id", "embedding", model, col("vec_id") < 2, k = 3, nProbe = 99))
+  }
 }
