@@ -256,7 +256,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = graft.engine.GraftSession.envCpus(32)
     val spark = GraftSession.build(cpus, "graft-bench")
     val taskTimes = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTimes)

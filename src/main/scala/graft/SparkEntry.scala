@@ -1647,8 +1647,16 @@ object SparkEntry {
     "d25_ivf_nprobe_curve" -> noOracle(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val exact = Similarity.bruteForceTopK(
+        // checkpoint the tiny k·|Q| exact frame (the d35/d32 discipline)
+        // so the O(|Q|·|N|) brute-force scan runs once: without the pin,
+        // the three configs' shared exact subtree rides AQE exchange
+        // reuse, which is plan-context-sensitive — the audited shuffle
+        // count moved 6 -> 10 depending on what ran earlier in the JVM
+        val exactRaw = Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        val exact =
+          if (s.sparkContext.getCheckpointDir.isDefined) exactRaw.checkpoint(true)
+          else exactRaw.localCheckpoint(true)
         // the assigned frame (vec_id, unit, cell) IS the inverted-file
         // index a deployment persists; checkpoint it so the three probe
         // configs share one assignment scan

@@ -15,7 +15,7 @@ object Verify {
         (name: String) => ps.exists(name.startsWith)
       case None => (_: String) => true
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val cpus = graft.engine.GraftSession.envCpus(16)
     val spark = graft.engine.GraftSession.build(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -24,6 +24,20 @@ object GraftSession {
   /** Dimension tables small enough to broadcast at any scale factor. */
   val broadcastableDims: Set[String] = Set("region", "nation")
 
+  /** SPARK_GRAFT_CPUS parsed with a message naming the env var (the
+    * SPARK_GRAFT_SUBSET discipline): a malformed value fails loudly and
+    * actionably instead of surfacing as a bare NumberFormatException
+    * from deep inside a main.
+    */
+  def envCpus(default: Int): Int = sys.env.get("SPARK_GRAFT_CPUS") match {
+    case None => default
+    case Some(v) =>
+      val t = v.trim
+      require(t.nonEmpty && t.length <= 4 && t.forall(_.isDigit) && t.toInt >= 1,
+        s"SPARK_GRAFT_CPUS: expected a positive integer, got '$v'")
+      t.toInt
+  }
+
   def build(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

@@ -15,7 +15,7 @@ import graft.engine.{GraftSession, QueryEngine}
 object Cli {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-cli")
+    val spark = GraftSession.build(graft.engine.GraftSession.envCpus(8), "graft-cli")
     // ≙ reference startup stats harvest (statistics_manager.cpp): CBO row
     // counts + column stats make the plan tree print real row estimates
     println("harvesting table statistics (ANALYZE) ...")

@@ -13,7 +13,7 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1)
       else "/root/testdata/sf0.01"
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-explain")
+    val spark = GraftSession.build(graft.engine.GraftSession.envCpus(16), "graft-explain")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (args.contains("--count")) {

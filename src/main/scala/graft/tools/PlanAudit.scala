@@ -55,7 +55,7 @@ object PlanAudit extends AdaptiveSparkPlanHelper {
         (name: String) => ps.exists(name.startsWith)
       case None => (_: String) => true
     }
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "plan-audit")
+    val spark = GraftSession.build(graft.engine.GraftSession.envCpus(16), "plan-audit")
     println(f"${"query"}%-28s shuffles bcasts cartesian rows")
     SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -192,7 +192,7 @@ object ScaleData {
     val destDir = args.lift(1).getOrElse("benchdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = graft.engine.GraftSession.build(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-scale-data")
+      graft.engine.GraftSession.envCpus(16), "graft-scale-data")
     val ran = ensure(spark, srcDir, destDir, copies)
     println(s"[scale-data] $destDir ${if (ran) "generated" else "already present"}")
     spark.stop()

@@ -41,11 +41,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "d08_ann_lsh" -> (3, 5),
     "d09_ann_ivf" -> (3, 5),
     // three probe configs share ONE ivfAssign training + cell-assignment
-    // scan (round 15: the checkpointed IvfModel — previously each config
-    // re-derived the assignment from the corpus); the per-config rank
-    // windows and union agg exchanges all ride |Q|·k-bounded or
-    // checkpoint-scan frames, recall joins broadcast
-    "d25_ivf_nprobe_curve" -> (6, 13),
+    // scan AND one checkpointed exact baseline (round 15; the exact pin
+    // also makes the count deterministic — unpinned, the shared exact
+    // subtree rode AQE exchange reuse, which is plan-context-sensitive);
+    // remaining exchanges ride |Q|·k-bounded or checkpoint-scan frames,
+    // recall joins broadcast
+    "d25_ivf_nprobe_curve" -> (5, 12),
     // encode projection + broadcast LUT join + rank window + recall joins
     // (all |Q|·k-bounded frames broadcast)
     "d26_ann_pq" -> (2, 5),
