@@ -322,7 +322,34 @@ object QueryEngine {
   private def exprSql(e: Expression): String = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
       a.withQualifier(Nil)
+    // StringSplitSQL (what `split(str, delim)` analyzes to when element_at
+    // consumes it) has no parseable .sql form — `stringsplitsql(...)` is
+    // not a function. Render it back as the regex split it equals when the
+    // delimiter is a literal with no regex metacharacters; other
+    // delimiters keep the unparseable form and fail the runnable check
+    // honestly downstream (round 15: found by the ratchet's new
+    // executes-correctly sweep, q45)
+    case s: org.apache.spark.sql.catalyst.expressions.StringSplitSQL =>
+      s.delimiter match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(d: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType)
+            if d != null && d.toString.nonEmpty &&
+              d.toString.forall(c => !"\\.[]{}()*+-?^$|".contains(c)) =>
+          org.apache.spark.sql.catalyst.expressions.StringSplit(
+            s.str, org.apache.spark.sql.catalyst.expressions.Literal(d.toString),
+            org.apache.spark.sql.catalyst.expressions.Literal(-1))
+        case _ => s
+      }
   }.sql
+
+  /** Plans whose expressions embed subquery fragments (scalar subqueries,
+    * dynamic pruning) have no faithful expression-level SQL — Catalyst's
+    * .sql renders them as the non-function `scalarsubquery()` — so the
+    * un-parser declines them up front (round 15: q32's ANY/ALL MIN/MAX
+    * rewrite shipped that lie until the ratchet executed it).
+    */
+  private def hasSubqueryExpr(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
 
   private def tableName(l: LeafNode): Option[String] = l match {
     case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -402,12 +429,20 @@ object QueryEngine {
       loop(l).orElse(tableName(l)).map(t =>
         s"(SELECT ${selectList(cols)} FROM $t WHERE ${exprSql(cond)}) AS $t")
     case Join(left, right, joinType, cond, _) =>
+      // LeftSemi/LeftAnti (round 15): Catalyst lowers IN-subquery, EXISTS
+      // and NOT IN to these, and Spark SQL has native LEFT SEMI / LEFT
+      // ANTI JOIN syntax — so the subquery families regenerate as the
+      // join the optimizer actually chose, which is the transform-log
+      // story told in SQL. ExistenceJoin (EXISTS inside a disjunction)
+      // has no SQL join form and stays None.
       val kw = joinType match {
         case org.apache.spark.sql.catalyst.plans.Inner => Some("JOIN")
         case org.apache.spark.sql.catalyst.plans.LeftOuter => Some("LEFT JOIN")
         case org.apache.spark.sql.catalyst.plans.RightOuter => Some("RIGHT JOIN")
         case org.apache.spark.sql.catalyst.plans.FullOuter => Some("FULL JOIN")
         case org.apache.spark.sql.catalyst.plans.Cross => Some("CROSS JOIN")
+        case org.apache.spark.sql.catalyst.plans.LeftSemi => Some("LEFT SEMI JOIN")
+        case org.apache.spark.sql.catalyst.plans.LeftAnti => Some("LEFT ANTI JOIN")
         case _ => None
       }
       for {
@@ -415,10 +450,14 @@ object QueryEngine {
         ls <- fromSql(left, loop)
         rs <- fromSql(right, loop)
         // a condition-less OUTER join must not degrade to CROSS (a LEFT
-        // JOIN of an empty right side keeps rows; CROSS returns none)
+        // JOIN of an empty right side keeps rows; CROSS returns none);
+        // condition-less semi/anti (uncorrelated EXISTS) render bare —
+        // Spark's grammar makes joinCriteria optional
         rendered <- cond match {
           case Some(c) => Some(s"$ls $k $rs ON ${exprSql(c)}")
           case None if k == "JOIN" || k == "CROSS JOIN" => Some(s"$ls CROSS JOIN $rs")
+          case None if k == "LEFT SEMI JOIN" || k == "LEFT ANTI JOIN" =>
+            Some(s"$ls $k $rs")
           case None => None
         }
       } yield rendered
@@ -442,6 +481,23 @@ object QueryEngine {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         Seq((Some(valuesName(lr)), lr.output.map(_.name)))
       case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => Seq.empty
+      // pushed-down projections render as inline views, so what a relation
+      // EXPOSES to the outer scope is its projected (possibly aliased)
+      // names, not the leaf's — NATURAL JOIN aliases both sides' keys to
+      // one name, and the leaf-level check read right past the collision
+      // (round 15: q18 regenerated ambiguous SQL until the ratchet
+      // executed it)
+      // the relation NAME still comes from the leaf's own case (loop refs,
+      // VALUES and OneRowRelation name themselves), only the exposed
+      // column set is the projection's
+      case Project(cols, l: LeafNode) => rels(l) match {
+        case Seq((name, _)) => Seq((name, cols.map(_.name)))
+        case other => other
+      }
+      case Project(cols, Filter(_, l: LeafNode)) => rels(l) match {
+        case Seq((name, _)) => Seq((name, cols.map(_.name)))
+        case other => other
+      }
       case l: LeafNode => Seq((tableName(l), l.output.map(_.name)))
       case other => other.children.flatMap(rels)
     }
@@ -477,6 +533,7 @@ object QueryEngine {
     * render as `VALUES … AS name(cols)`.
     */
   def rewrittenSql(optimized: LogicalPlan): Option[String] = {
+    if (hasSubqueryExpr(optimized)) return None
     // peel LIMIT
     val (limitSql, p1) = optimized match {
       case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n, _),

@@ -238,6 +238,27 @@ class QueryEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritten SQL round-trips semi/anti joins (IN, EXISTS, NOT IN, native syntax)") {
+    val queries = Seq(
+      // IN (subquery) -> LeftSemi
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+      // correlated EXISTS -> LeftSemi with the correlation as the condition
+      "SELECT c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)",
+      // NOT IN -> LeftAnti with the null-safe disjunct
+      "SELECT c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')",
+      // native syntax round-trips to itself
+      "SELECT n_name FROM nation LEFT SEMI JOIN region ON n_regionkey = r_regionkey AND r_name LIKE 'A%'",
+      "SELECT n_name FROM nation LEFT ANTI JOIN region ON n_regionkey = r_regionkey")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      assert(rewritten.contains("SEMI JOIN") || rewritten.contains("ANTI JOIN"), rewritten)
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+  }
+
   test("rewritten SQL is None for self-joins (qualifier-stripped text would be ambiguous)") {
     val rep = QueryEngine.run(spark,
       "EXPLAIN SELECT a.o_orderkey FROM orders a JOIN orders b ON a.o_orderkey = b.o_custkey")
@@ -304,7 +325,7 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 83 oracles are Spark-runnable; 45 regenerate. (p05 left the set in
+    // 83 oracles are Spark-runnable; 47 regenerate. (p05 left the set in
     // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
     // double hop, which Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -336,10 +357,10 @@ class QueryEngineSpec extends AnyFunSuite {
       "q15_join_left" -> true,
       "q16_join_right" -> true,
       "q17_join_full" -> false,
-      "q18_join_natural" -> true,
-      "q19_semi_in" -> false,
-      "q20_join_left_anti" -> false,
-      "q21_join_right_anti" -> false,
+      "q18_join_natural" -> false,
+      "q19_semi_in" -> true,
+      "q20_join_left_anti" -> true,
+      "q21_join_right_anti" -> true,
       "q22_join_full_outer_anti" -> true,
       "q23_cross" -> true,
       "q24_comma_join" -> true,
@@ -349,8 +370,8 @@ class QueryEngineSpec extends AnyFunSuite {
       "q28_star_agg" -> false,
       "q29_flagship" -> false,
       "q30_group_expr" -> true,
-      "q31_exists" -> false,
-      "q32_any_all" -> true,
+      "q31_exists" -> true,
+      "q32_any_all" -> false,
       "q33_kitchen_sink" -> true,
       "q34_four_join_distinct" -> false,
       "q35_rollup" -> true,
@@ -396,24 +417,48 @@ class QueryEngineSpec extends AnyFunSuite {
       "y06_stream_interval_outer" -> false,
       "y07_stream_session_window" -> false,
       "y08_stream_interval_full" -> false)
-    val results: Map[String, Boolean] =
+    val results: Map[String, Option[String]] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =
           try { spark.sql(sql).queryExecution.analyzed; true }
           catch { case _: Throwable => false }
         if (!sparkRunnable) None
         else Some(name -> (
-          try QueryEngine.run(spark, s"EXPLAIN $sql").rewrittenSql.isDefined
-          catch { case _: Throwable => false }))
+          try QueryEngine.run(spark, s"EXPLAIN $sql").rewrittenSql
+          catch { case _: Throwable => None }))
       }.toMap
-    val fmt = results.toSeq.sorted.map { case (n, v) => s""""$n" -> $v""" }
+    val fmt = results.toSeq.sorted.map { case (n, v) => s""""$n" -> ${v.isDefined}""" }
       .mkString(",\n      ")
-    assert(results == pinned,
+    assert(results.view.mapValues(_.isDefined).toMap == pinned,
       s"""rewrittenSql coverage drifted.
          |missing from pin: ${results.keySet -- pinned.keySet}
          |stale in pin: ${pinned.keySet -- results.keySet}
-         |flipped: ${results.collect { case (k, v) if pinned.get(k).exists(_ != v) => k }}
+         |flipped: ${results.collect { case (k, v) if pinned.get(k).exists(_ != v.isDefined) => k }}
          |current classification (paste into `pinned`):
          |      $fmt""".stripMargin)
+    // coverage is only half the contract: every regenerated text must also
+    // RETURN the original's rows — "renders" without "renders correctly"
+    // is exactly the best-effort lie the un-parser promises never to tell.
+    // Executed here over the live registry so a new entry whose oracle
+    // regenerates subtly wrong can't ship green.
+    val mismatches = results.collect { case (name, Some(rewritten)) =>
+      // analyzable-but-not-executable originals (x10's 0x-hex CAST is
+      // DuckDB arithmetic that Spark's ANSI cast rejects at runtime) have
+      // nothing to hold the regenerated text against — skip, don't blame
+      val origRows =
+        try Some(spark.sql(SparkEntry.oracleSql(name)).collect().map(_.toString).sorted)
+        catch { case _: Throwable => None }
+      origRows.flatMap { a =>
+        try {
+          val b = spark.sql(rewritten).collect().map(_.toString).sorted
+          if (a.sameElements(b)) None else Some(s"$name: wrong rows: $rewritten")
+        } catch { case e: Throwable =>
+          // a regenerated text that does not even run is the worst lie
+          Some(s"$name: ${e.getMessage.linesIterator.next()}: $rewritten")
+        }
+      }
+    }.flatten
+    assert(mismatches.isEmpty,
+      s"regenerated SQL returned different rows:\n${mismatches.mkString("\n")}")
   }
 }
