@@ -32,7 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // DedupSpec's candidate-count and banding-equivalence tests)
     "d03_dedup_minhash" -> (0, 0),
     "d04_dedup_simhash" -> (1, 1),
-    "d05_ngram_jaccard" -> (2, 4),
+    // ngramJaccardPairs eagerly checkpoints its pair result (round 16,
+    // as d03/d06): the audited plan is the checkpoint scan; the persist-
+    // once verify shape is pinned by the reuse-off internal test below
+    "d05_ngram_jaccard" -> (0, 0),
     // cosineNearDupPairs eagerly checkpoints its pair result (round 11,
     // as d03): the audited plan is the checkpoint scan; the blocked-join
     // shape is pinned by PlanShapeSpec's d06 internal-pipeline test
@@ -493,6 +496,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(m.get.group(1).toInt == SparkEntry.queries.size,
       s"COVERAGE.md claims ${m.get.group(1)} entries, " +
         s"SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
+
+  test("d05 internal: both verify joins read the persisted token frame, reuse OFF") {
+    // round 16: ngramJaccardPairs persists its sorted-token frame so the
+    // compute-once cost is STRUCTURAL — before, it rode AQE exchange
+    // reuse, which flaps with JVM history (the d25 checkpoint pin
+    // exists for the same flap). Pin with reuse disabled: both verify
+    // sides must read the cache, and no sort_array compute may remain
+    // in the verify plan (it lives only in the one cache build).
+    val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+    val prev = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val arrs = graft.operators.Dedup.sortedTokenArrays(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val verified = graft.operators.Dedup.ngramJaccardVerified(
+          docs, arrs, "doc_id", "text", "source", 0.8)
+        verified.collect()
+        val p = verified.queryExecution.executedPlan.toString
+        assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+          s"expected both verify sides on the cache:\n$p")
+        // every sort_array in the string sits inside an InMemoryRelation
+        // print (the cache build plan, shown once per cache scan) — one
+        // MORE sort_array than relation prints would be a recompute
+        // outside the cache
+        assert("sort_array".r.findAllIn(p).size <= "InMemoryRelation".r.findAllIn(p).size,
+          s"sorted-token arrays recomputed outside the cache:\n$p")
+      } finally arrs.unpersist(true)
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
   test("every query: cartesian-free, within shuffle budget, broadcasts kept (finalized AQE plan)") {
