@@ -180,29 +180,71 @@ object BloomFilterOps {
     * pipeline persists one state per eval-benchmark revision: adding a
     * benchmark sketches ITS keys only, and the union filter is one
     * numBits/64-row aggregate away — no re-scan of the other benchmarks.
+    *
+    * Every row carries the filter geometry (`num_bits`, `num_hashes`) as
+    * provenance (round 16): a state built with a different geometry would
+    * OR bits at WRONG positions and probe as silent false negatives — the
+    * one error the word arrays alone cannot self-detect — so
+    * [[mergeBloomStates]] and [[wordsFromState]] check the stamp and turn
+    * that silence into a loud error.
     */
   def bloomState(df: DataFrame, keyCol: Column, numBits: Long, numHashes: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, posexplode}
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
     val agg = udaf(new BloomAggregator(numBits, numHashes), Encoders.scalaLong)
     df.select(agg(keyCol).as("__w"))
-      .select(posexplode(col("__w")).as(Seq("idx", "word")))
+      .select(posexplode(col("__w")).as(Seq("idx", "word")),
+        lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"))
   }
 
   /** OR-fold any number of [[bloomState]] frames built with the SAME
     * (numBits, numHashes) — one word-keyed aggregate over numBits/64-row
-    * slivers, never the keyed data.
+    * slivers, never the keyed data. Mixed geometries fail LOUDLY on the
+    * first action (one 1-row provenance aggregate broadcast back — the
+    * scalar-stats idiom) instead of merging into silent false negatives;
+    * the merged frame carries the shared stamp forward so chained merges
+    * and [[wordsFromState]] stay checkable.
     */
   def mergeBloomStates(states: DataFrame*): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions._
     require(states.nonEmpty, "mergeBloomStates needs at least one state")
-    states.reduce(_.unionByName(_))
-      .groupBy(col("idx")).agg(expr("bit_or(word)").as("word"))
+    val all = states.reduce(_.unionByName(_))
+    val prov = all.agg(
+      min(col("num_bits")).as("__bmin"), max(col("num_bits")).as("__bmax"),
+      min(col("num_hashes")).as("__hmin"), max(col("num_hashes")).as("__hmax"))
+    all.groupBy(col("idx")).agg(expr("bit_or(word)").as("word"))
+      // assert_true inside a FILTER: a dropped check column would be
+      // pruned away unevaluated, a filter cannot be
+      .crossJoin(broadcast(prov))
+      .filter(assert_true(
+        col("__bmin") === col("__bmax") && col("__hmin") === col("__hmax"),
+        concat(lit("mergeBloomStates: mixed filter geometry — num_bits ["),
+          col("__bmin"), lit(", "), col("__bmax"), lit("], num_hashes ["),
+          col("__hmin"), lit(", "), col("__hmax"),
+          lit("]; merging would probe as silent false negatives"))).isNull)
+      .select(col("idx"), col("word"),
+        col("__bmax").as("num_bits"), col("__hmax").as("num_hashes"))
+  }
+
+  /** The (numBits, numHashes) geometry stamped on a state frame — for
+    * probe sites that need to match their `numHashes` argument to the
+    * build's (a mismatch drops true matches silently).
+    */
+  def bloomStateParams(state: DataFrame): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    val rows = state.select(col("num_bits").cast("long"),
+      col("num_hashes").cast("int")).distinct().collect()
+    require(rows.length == 1,
+      s"state carries ${rows.length} distinct (num_bits, num_hashes) stamps — expected exactly 1")
+    (rows(0).getLong(0), rows(0).getInt(1))
   }
 
   /** Rehydrate a state frame into the probe-side word array — the same
     * bounded driver hop as [[buildBloom]]'s (numBits/8 bytes, the sketch's
     * whole point). Rows absent from the state read as zero words, so a
-    * state thinned of empty words rehydrates identically.
+    * state thinned of empty words rehydrates identically. The state's
+    * stamped `num_bits` must equal the requested size: rehydrating a
+    * smaller-geometry state into a larger array would place every bit at
+    * a wrong position and probe as silent false negatives.
     */
   def wordsFromState(state: DataFrame, numBits: Long): Array[Long] = {
     import org.apache.spark.sql.functions.col
@@ -211,8 +253,14 @@ object BloomFilterOps {
     require(numBits / 64 <= (1L << 27),
       s"numBits=$numBits rehydrates over 1 GiB on the driver — too large for a probe array")
     val words = new Array[Long]((numBits / 64).toInt)
-    state.select(col("idx").cast("int"), col("word").cast("long"))
-      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    state.select(col("idx").cast("int"), col("word").cast("long"),
+        col("num_bits").cast("long")).collect()
+      .foreach { r =>
+        require(r.getLong(2) == numBits,
+          s"state was built with num_bits=${r.getLong(2)} but is being rehydrated at " +
+            s"$numBits — bits would land at wrong positions (silent false negatives)")
+        words(r.getInt(0)) = r.getLong(1)
+      }
     words
   }
 }

@@ -623,8 +623,11 @@ object Dedup {
     * removes the one-sided FP error. The filter's numHashes must match
     * the build's, and its word array must cover the same gram domain
     * (xxhash64 of the [[docDistinctGrams]] shingles) — a mismatched
-    * filter silently drops true matches, the one error this composition
-    * cannot self-detect.
+    * filter silently drops true matches. State frames carry a
+    * (num_bits, num_hashes) provenance stamp (round 16) checked by
+    * `mergeBloomStates`/`wordsFromState` and readable via
+    * `bloomStateParams`, so the mismatch fails loudly at rehydration
+    * instead of probing wrong.
     */
   def bloomNgramContaminationWithFilter(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int, minShared: Int,

@@ -951,7 +951,26 @@ object Profile {
       genCol: String = "gen"): DataFrame = {
     val latest = states.select(col(s"`$shardCol`"), col(s"`$genCol`"))
       .groupBy(col(s"`$shardCol`")).agg(max(col(s"`$genCol`")).as(genCol))
-    states.join(latest, Seq(shardCol, genCol))
+    val kept = states.join(latest, Seq(shardCol, genCol))
+    // duplicate-inclusion guard (round 16): the same (shard, gen) state
+    // accidentally unioned TWICE by the caller matches its own max
+    // generation, survives the latest-gen filter, and double-counts in
+    // the downstream merge — the exact defect this function exists to
+    // prevent, one tag collision away. Within one honest state a bucket
+    // appears exactly once (it is a groupBy(bucket) output), so
+    // count > countDistinct(bucket) on a kept (shard, gen) proves a
+    // duplicate inclusion — fail loudly. One slivers-only aggregate over
+    // the kept rows; the check rides a FILTER (a dropped check column
+    // would be pruned away unevaluated, a filter cannot be).
+    val dupCheck = kept.groupBy(col(s"`$shardCol`"), col(s"`$genCol`"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("bucket")).as("__nd"))
+    kept.join(dupCheck, Seq(shardCol, genCol))
+      .filter(assert_true(col("__n") === col("__nd"),
+        concat(lit("compactProfileStates: duplicate state rows for "),
+          lit(s"$shardCol="), col(s"`$shardCol`").cast("string"),
+          lit(s" $genCol="), col(s"`$genCol`").cast("string"),
+          lit(" — the same (shard, gen) state was included more than once"))).isNull)
+      .drop("__n", "__nd")
   }
 
   /** Persisted Misra–Gries shard state: the ≤k-counter summary of one

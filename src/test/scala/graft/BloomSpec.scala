@@ -135,4 +135,29 @@ class BloomSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(viaState.nonEmpty && viaState == oneShot)
   }
+
+  test("mixed-geometry bloom states fail loudly instead of probing wrong") {
+    import graft.functions.BloomFilterOps
+    val keys = (1L to 100L).map(_ * 0x9E3779B97F4A7C15L).toDF("h")
+    val a = BloomFilterOps.bloomState(keys, col("h"), 1L << 10, 5)
+    val bBits = BloomFilterOps.bloomState(keys, col("h"), 1L << 12, 5)
+    val bHashes = BloomFilterOps.bloomState(keys, col("h"), 1L << 10, 3)
+    // the stamp is readable provenance
+    assert(BloomFilterOps.bloomStateParams(a) == ((1L << 10, 5)))
+    // merge across different num_bits or num_hashes must throw on action
+    for (bad <- Seq(bBits, bHashes)) {
+      val e = intercept[Exception] {
+        BloomFilterOps.mergeBloomStates(a, bad).collect()
+      }
+      assert(e.getMessage != null, "expected a loud geometry-mismatch error")
+    }
+    // rehydrating at the wrong size must throw, not misplace bits
+    val e2 = intercept[IllegalArgumentException] {
+      BloomFilterOps.wordsFromState(a, 1L << 12)
+    }
+    assert(e2.getMessage.contains("num_bits"))
+    // the merged frame carries the stamp forward
+    assert(BloomFilterOps.bloomStateParams(
+      BloomFilterOps.mergeBloomStates(a, a)) == ((1L << 10, 5)))
+  }
 }

@@ -463,9 +463,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // AQE can and every |Q|·k-bounded recall frame rides a broadcast
     "d35_ivfpq_curve" -> (6, 24),
     // three shard-state aggs + the compaction's (shard, gen) sliver agg
-    // and equi-join + the merge re-agg — every exchange over
+    // and equi-join + the merge re-agg, plus the round-16 duplicate-
+    // inclusion guard's countDistinct agg — every exchange over
     // nBuckets-row state frames however large the corpus
-    "p19_profile_compaction" -> (7, 1),
+    "p19_profile_compaction" -> (8, 1),
     // two MG shard-state aggs (k-bounded map entries on the wire) + the
     // confirm count agg; merged-candidate cut and semi-join frames all
     // broadcast at <= k rows

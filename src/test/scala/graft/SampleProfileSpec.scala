@@ -734,6 +734,13 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(rows(Profile.mergeProfileStates(
         Profile.compactProfileStates(compacted).drop("shard", "gen")))
       == merged)
+    // duplicate-inclusion guard (round 16): the same (shard, gen) state
+    // unioned twice survives a latest-gen filter and would double-count —
+    // compaction must fail loudly, not pass it through
+    val doubled = states.unionByName(tag(stateOf(shardA), "A", 1))
+    val e = intercept[Exception](Profile.compactProfileStates(doubled).collect())
+    assert(e.getMessage != null && e.getMessage.contains("duplicate state rows"),
+      s"expected the duplicate-inclusion error, got: ${e.getMessage}")
   }
 
   test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
