@@ -3422,6 +3422,51 @@ object SparkEntry {
          WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
          GROUP BY 1, 2"""),
 
+    // mergeable quantile/histogram state (round 16): the last member of
+    // the persisted-state family (moments p18/p19, heavy hitters p20,
+    // membership p21). The same generation story as p19 — shard B's gen-1
+    // profile ran on a stale partial, gen 2 re-profiled the full shard —
+    // but the read-out is QUANTILES: compaction supersedes B gen 1, the
+    // merged fixed-boundary bucket counts are exact, and each requested q
+    // resolves to the smallest bucket whose cumulative count reaches rank
+    // max(1, ceil(q*N)) with integer-exact `div` bounds. The oracle
+    // replays bucket/cumulative/rank from the RAW table, so the driver
+    // gate proves compact+merge+answer ≡ from-scratch at hash level.
+    // [0, 640) x 32 buckets (deliberately different from p18/p19's 16);
+    // qs cast to DOUBLE on both sides
+    "p22_quantile_state" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def st(pred: org.apache.spark.sql.Column) = graft.operators.Profile.numericProfileState(
+          docs.filter(pred), "n_chars", 0L, 640L, 32)
+        val stA = st(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("shard", lit("A")).withColumn("gen", lit(1))
+        val stB1 = st(pmod(col("doc_id"), lit(4)) === 1)
+          .withColumn("shard", lit("B")).withColumn("gen", lit(1))
+        val stB2 = st(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("shard", lit("B")).withColumn("gen", lit(2))
+        graft.operators.Profile.quantilesFromState(
+          graft.operators.Profile.mergeProfileStates(
+            graft.operators.Profile.compactProfileStates(
+                stA.unionByName(stB1).unionByName(stB2))
+              .drop("shard", "gen")),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99), 0L, 640L, 32)
+      },
+      """WITH v AS (
+           SELECT LEAST(31, GREATEST(0, (CAST(n_chars AS BIGINT) * 32) // 640)) AS bucket
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT bucket, COUNT(*) AS n FROM v GROUP BY 1),
+         cum AS (SELECT bucket, CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM c),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM v),
+         q AS (SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
+         SELECT q.q, MIN(cum.bucket) AS bucket,
+           (MIN(cum.bucket) * 640) // 32 AS lo_v,
+           ((MIN(cum.bucket) + 1) * 640) // 32 AS hi_v,
+           t.n_total
+         FROM q, cum, t
+         WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total) AS BIGINT))
+         GROUP BY q.q, t.n_total"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

@@ -973,6 +973,85 @@ object Profile {
       .drop("__n", "__nd")
   }
 
+  /** Histogram read-out of a [[numericProfileState]] (or a
+    * [[mergeProfileStates]] fold of many): (bucket, lo_v, hi_v, n) with
+    * INTEGER-EXACT bucket bounds re-derived from the caller's fixed
+    * (lo, hi, nBuckets) — the p03-style equi-width histogram answered
+    * from persisted state without rescanning a row. The NULL bucket (−1)
+    * reports NULL bounds. Bounds use the same `div` math family as the
+    * state's bucket assignment, so bounds and counts can never disagree
+    * and any engine replays them bit-for-bit.
+    */
+  def histogramFromState(state: DataFrame, lo: Long, hi: Long,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(
+      try Math.subtractExact(hi, lo) <= Long.MaxValue / (nBuckets + 1L)
+      catch { case _: ArithmeticException => false },
+      s"(hi - lo) * (nBuckets + 1) overflows BIGINT: [$lo, $hi) x $nBuckets")
+    state.select(col("bucket"),
+      when(col("bucket") >= 0,
+        expr(s"${lo}L + (bucket * ${hi - lo}L) div ${nBuckets}L")).as("lo_v"),
+      when(col("bucket") >= 0,
+        expr(s"${lo}L + ((bucket + 1) * ${hi - lo}L) div ${nBuckets}L")).as("hi_v"),
+      col("n"))
+  }
+
+  /** Bucket-resolution quantiles answered from a [[numericProfileState]]
+    * — the quantile/histogram member of the persisted-state family
+    * (moments p18/p19, heavy hitters p20, membership p21). For each q,
+    * the smallest bucket whose cumulative count reaches rank
+    * max(1, ceil(q·N)) over the N non-NULL values is reported with its
+    * integer-exact bounds: the true q-quantile of the profiled corpus
+    * lies in [lo_v, hi_v) (end-bucket clamping widens only the two clamp
+    * buckets to their clamp ranges), so the answer's error is bounded by
+    * one bucket width — the precision the fixed-boundary state bought at
+    * nBuckets rows, made explicit instead of interpolated away. Because
+    * the state merge is EXACT (bucket counts add), merging snapshot
+    * states first — compaction included — and answering equals answering
+    * the from-scratch state of the effective corpus (the p22 entry pins
+    * this under the driver gate; SampleProfileSpec pins the containment
+    * guarantee against sort-derived exact quantiles).
+    *
+    * Scale shape: one cumulative window over the ≤nBuckets+1-row state
+    * (bounded, never over data — the p02 lesson) and one broadcast of
+    * the qs; the corpus is never rescanned.
+    *
+    * @return (q, bucket, lo_v, hi_v, n_total), one row per requested q;
+    *         empty when the state holds no non-NULL values
+    */
+  def quantilesFromState(state: DataFrame, qs: Seq[Double],
+      lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(qs.nonEmpty, "quantilesFromState needs at least one q")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"every q must be in [0, 1], got $qs")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(
+      try Math.subtractExact(hi, lo) <= Long.MaxValue / (nBuckets + 1L)
+      catch { case _: ArithmeticException => false },
+      s"(hi - lo) * (nBuckets + 1) overflows BIGINT: [$lo, $hi) x $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = state.sparkSession
+    import spark.implicits._
+    val hist = state.filter(col("bucket") >= 0).select(col("bucket"), col("n"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_n", sum(col("n")).over(w))
+    val tot = hist.agg(sum(col("n")).cast("long").as("n_total"))
+    val qdf = qs.toDF("q")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cum_n") >=
+        greatest(lit(1L), ceil(col("q") * col("n_total")).cast("long")))
+      .groupBy(col("q"))
+      .agg(min(col("bucket")).as("bucket"), first(col("n_total")).as("n_total"))
+      .select(col("q"), col("bucket"),
+        expr(s"${lo}L + (bucket * ${hi - lo}L) div ${nBuckets}L").as("lo_v"),
+        expr(s"${lo}L + ((bucket + 1) * ${hi - lo}L) div ${nBuckets}L").as("hi_v"),
+        col("n_total"))
+  }
+
   /** Persisted Misra–Gries shard state: the ≤k-counter summary of one
     * shard, as (item, cnt) ROWS a pipeline can write next to the shard
     * (the [[numericProfileState]] discipline applied to the heavy-hitters

@@ -478,7 +478,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // at this SF + the pair-count agg); the shard-state builds and the
     // numBits/64-row OR-merge run at plan construction, as the one-shot
     // filter build does
-    "p21_bloom_state_decontam" -> (1, 1))
+    "p21_bloom_state_decontam" -> (1, 1),
+    // three shard-state aggs + compaction (sliver agg + join + dup
+    // guard) + merge re-agg + the bounded cum window + rank pick —
+    // every exchange over <=33-row state slivers however large the
+    // corpus; tot/qs ride broadcasts
+    "p22_quantile_state" -> (10, 7))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -743,6 +743,51 @@ class SampleProfileSpec extends AnyFunSuite {
       s"expected the duplicate-inclusion error, got: ${e.getMessage}")
   }
 
+  test("quantile/histogram state read-out: merge == from-scratch any order, exact quantile within bounds, bounds integer-exact") {
+    val vals = Seq.tabulate(500)(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("id", "v")
+    def stateOf(d: org.apache.spark.sql.DataFrame) =
+      Profile.numericProfileState(d, "v", 0L, 1024L, 16)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    def ans(st: org.apache.spark.sql.DataFrame) =
+      Profile.quantilesFromState(st, qs, 0L, 1024L, 16).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    // answering merged shard states == answering the from-scratch state,
+    // whatever the merge order (bucket counts add exactly)
+    val shards = (0 until 3).map(i => stateOf(vals.filter(col("id") % 3 === i)))
+    val fromScratch = ans(stateOf(vals))
+    assert(fromScratch.size == qs.size)
+    assert(ans(Profile.mergeProfileStates(shards: _*)) == fromScratch)
+    assert(ans(Profile.mergeProfileStates(shards.reverse: _*)) == fromScratch)
+    // containment: the sort-derived exact q-quantile (rank max(1,
+    // ceil(q*N)), the read-out's own rank rule) lies in [lo_v, hi_v)
+    val sorted = vals.select("v").collect().map(_.getLong(0)).sorted
+    fromScratch.foreach { case (q, _, loV, hiV, n) =>
+      assert(n == 500L)
+      val exact = sorted(math.max(1, math.ceil(q * n).toInt) - 1)
+      assert(exact >= loV && exact < hiV, s"q=$q exact=$exact not in [$loV, $hiV)")
+    }
+    // histogram read-out: counts match a direct recompute and bounds are
+    // the integer-exact bucket tiling of [lo, hi)
+    val hist = Profile.histogramFromState(stateOf(vals), 0L, 1024L, 16)
+      .filter(col("bucket") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val direct = vals
+      .select(expr("(LEAST(GREATEST(v, 0L), 1023L) * 16L) div 1024L").as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.map(_._1).toSet == direct.keySet)
+    hist.foreach { case (b, loV, hiV, n) =>
+      assert(direct(b) == n, s"bucket $b count $n != direct ${direct(b)}")
+      assert(loV == b * 64 && hiV == (b + 1) * 64, s"bucket $b bounds [$loV, $hiV)")
+    }
+    // an all-NULL/empty state answers no quantiles (no silent zero row)
+    assert(Profile.quantilesFromState(
+      stateOf(vals.filter(lit(false))), qs, 0L, 1024L, 16).count() == 0L)
+  }
+
   test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
     // p15's shape: 200-value noise floor + two heavy values, NDV >> k
     val data = (1 to 200).map(i => s"noise$i") ++
