@@ -5086,6 +5086,117 @@ object SparkEntry {
     // driver-visible per round.
     // ------------------------------------------------------------------
 
+    // twin guard (round 16): the y-family and t07 oracle as EMPTY-expected
+    // disagreement checks, which pass vacuously if the input goes empty or
+    // both twin sides break identically. This entry closes that window:
+    // one row per twin carrying its BATCH side's row count, computed by
+    // the same library functions the twins call and replayed INDEPENDENTLY
+    // by the DuckDB oracle (plain SQL: tumbling windows, gaps-and-islands
+    // sessions, interval-join counts incl. the watermark emission
+    // horizons) — a count drift or an empty batch side is a loud red, and
+    // the count-level replay re-verifies the interval-join algebra from
+    // scratch. y04's batch output count is NOT SQL-replayable (production
+    // xxhash64 minhash), so its guards are the two INPUT counts — the
+    // input-regression half; its both-sides-broken half stays pinned by
+    // DedupSpec/StreamingSpec. The assert_true filter makes an empty
+    // batch side a loud runtime error even before the oracle compare.
+    "y00_twin_guard" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val ev = t(s, d, "events")
+        val docs = t(s, d, "documents")
+        val tolUs = 3600L * 1000000L
+        val gapUs = 1800L * 1000000L
+        val pick = (tp: String) => ev
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === tp)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val lb = pick("click")
+        val rb = pick("purchase")
+        val wmUs = math.min(
+          StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
+        val sess = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"))
+        def cnt(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("batch_rows"))
+            .select(lit(name).as("twin"), col("batch_rows"))
+        Seq(
+          cnt("y01", StreamingOps.windowedCounts(ev.filter(col("ts").isNotNull)
+            .withColumn("value", col("value").cast(DecimalType(18, 6))))),
+          cnt("y02", ev.filter(col("event_id").isNotNull && col("ts").isNotNull)),
+          cnt("y03", sess.select(col("user_id")).distinct()),
+          cnt("y04_probe", docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+          cnt("y04_corpus", docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+          cnt("y05", StreamingOps.intervalJoinStreams(lb, rb, tolUs)),
+          cnt("y06", StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)),
+          cnt("y07", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
+            StreamingOps.finalWatermarkUs(sess))),
+          cnt("y08", StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)),
+          cnt("y09", StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)),
+          cnt("t07", docs))
+          .reduce(_.unionByName(_))
+          .filter(assert_true(col("batch_rows") > 0,
+            concat(lit("twin guard: empty batch side for "), col("twin"))).isNull)
+      },
+      """WITH clicks AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'click'),
+         purch AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'purchase'),
+         wm AS (SELECT LEAST(
+             GREATEST(0, COALESCE((SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM clicks), 0)),
+             GREATEST(0, COALESCE((SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM purch), 0))) AS wm),
+         sessin AS (
+           SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         sesswm AS (
+           SELECT GREATEST(0, COALESCE((MAX(us) // 1000) * 1000, 0)) AS wm FROM sessin),
+         isl AS (
+           SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM sessin WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         isl2 AS (
+           SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl),
+         sess AS (SELECT user_id, island, MAX(us) AS last_us FROM isl2 GROUP BY 1, 2),
+         npairs AS (
+           SELECT COUNT(*) AS n FROM clicks c JOIN purch p ON c.user_id = p.user_id
+             AND epoch_us(p.ts) >= epoch_us(c.ts)
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000),
+         unmatched_l AS (
+           SELECT COUNT(*) AS n FROM clicks c, wm
+           WHERE NOT EXISTS (SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+               AND epoch_us(p.ts) >= epoch_us(c.ts)
+               AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+             AND epoch_us(c.ts) + 3600000000 < wm.wm),
+         unmatched_r AS (
+           SELECT COUNT(*) AS n FROM purch p, wm
+           WHERE NOT EXISTS (SELECT 1 FROM clicks c WHERE c.user_id = p.user_id
+               AND epoch_us(p.ts) >= epoch_us(c.ts)
+               AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+             AND epoch_us(p.ts) < wm.wm)
+         SELECT 'y01' AS twin, (SELECT COUNT(*) FROM (
+             SELECT 1 FROM events WHERE ts IS NOT NULL
+             GROUP BY (epoch_us(ts) // 3600000000), event_type)) AS batch_rows
+         UNION ALL SELECT 'y02', (SELECT COUNT(*) FROM events
+           WHERE event_id IS NOT NULL AND ts IS NOT NULL)
+         UNION ALL SELECT 'y03', (SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         UNION ALL SELECT 'y04_probe', (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+         UNION ALL SELECT 'y04_corpus', (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0)
+         UNION ALL SELECT 'y05', (SELECT n FROM npairs)
+         UNION ALL SELECT 'y06', (SELECT npairs.n + unmatched_l.n FROM npairs, unmatched_l)
+         UNION ALL SELECT 'y07', (SELECT COUNT(*) FROM sess, sesswm
+           WHERE last_us + 1800000000 <= sesswm.wm)
+         UNION ALL SELECT 'y08', (SELECT npairs.n + unmatched_l.n + unmatched_r.n
+           FROM npairs, unmatched_l, unmatched_r)
+         UNION ALL SELECT 'y09', (SELECT npairs.n + unmatched_r.n FROM npairs, unmatched_r)
+         UNION ALL SELECT 't07', (SELECT COUNT(*) FROM documents)"""),
+
     // windowed aggregation: tumbling 1h counts+sums per event type.
     // `value` is pre-cast to DECIMAL(18,6) on BOTH sides so the sums are
     // exact and order-independent — a raw double sum would bit-diverge
@@ -5295,6 +5406,41 @@ object SparkEntry {
         val wmUs = math.min(
           StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
         val batch = StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS left_id,
+                CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
+         WHERE FALSE"""),
+
+    // stream-stream RIGHT OUTER interval join (round 16): the last
+    // Spark-supported interval-join type — matched pairs emit as found,
+    // and an unmatched purchase emits its null row once the watermark
+    // passes its OWN ts (the full-outer contract's right-side horizon:
+    // any click it could pair with is at-or-before it, and later inputs
+    // below the watermark drop as late). AvailableNow flushes exactly
+    // the state the final min-policy watermark releases; the batch twin
+    // (intervalJoinBatchRightOuter) reproduces the strict boundary
+    "y09_stream_interval_right" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val tolUs = 3600L * 1000000L
+        val pick = (tp: String) => (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === tp)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val streamed = StreamingOps.runToMemory(
+          StreamingOps.intervalJoinStreams(
+            pick("click")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            pick("purchase")(StreamingOps.eventsStream(s, s"$d/events.parquet")),
+            tolUs, joinType = "right_outer"),
+          "y09_ivjr_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
+          availableNow = true)
+        val ev = t(s, d, "events")
+        val lb = pick("click")(ev)
+        val rb = pick("purchase")(ev)
+        val wmUs = math.min(
+          StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
+        val batch = StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)
         streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
       },
       """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS left_id,

@@ -460,8 +460,9 @@ object StreamingOps {
       toleranceUs: Long, watermarkDelay: String = "0 seconds",
       joinType: String = "inner"): DataFrame = {
     require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
-    require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
-      s"joinType must be inner, left_outer or full_outer, got $joinType")
+    require(joinType == "inner" || joinType == "left_outer" ||
+        joinType == "right_outer" || joinType == "full_outer",
+      s"joinType must be inner, left_outer, right_outer or full_outer, got $joinType")
     val l0 = if (left.isStreaming) left.withWatermark("ts", watermarkDelay) else left
     val r0 = if (right.isStreaming) right.withWatermark("ts", watermarkDelay) else right
     val l = l0.select(col("user_id"), col("event_id").as("left_id"),
@@ -531,12 +532,32 @@ object StreamingOps {
     * gate).
     */
   def intervalJoinBatchFullOuter(left: DataFrame, right: DataFrame,
+      toleranceUs: Long, finalWatermarkUs: Long): DataFrame =
+    intervalJoinBatchLeftOuter(left, right, toleranceUs, finalWatermarkUs)
+      .unionByName(rightUnmatched(left, right, toleranceUs, finalWatermarkUs))
+
+  /** Batch twin of the STREAMING right-outer interval join (the last
+    * Spark-supported stream-stream interval-join type): matched pairs +
+    * unmatched rights under the full-outer contract's right-side horizon
+    * — a RIGHT row is provably unmatched once the watermark passes its
+    * OWN `right_ts` (any left it could pair with has `left_ts ≤
+    * right_ts`, and inputs below the watermark drop as late), strict
+    * boundary. The y09 entry pins the contract under the driver gate.
+    */
+  def intervalJoinBatchRightOuter(left: DataFrame, right: DataFrame,
+      toleranceUs: Long, finalWatermarkUs: Long): DataFrame =
+    intervalJoinStreams(left, right, toleranceUs)
+      .unionByName(rightUnmatched(left, right, toleranceUs, finalWatermarkUs))
+
+  /** Right-unmatched rows of the outer interval-join twins: the
+    * condition-level anti join mirrored onto the right side (an id-keyed
+    * anti has the identical null/shared-id traps on this side), gated at
+    * the right row's OWN ts against the final watermark.
+    */
+  private def rightUnmatched(left: DataFrame, right: DataFrame,
       toleranceUs: Long, finalWatermarkUs: Long): DataFrame = {
-    val leftSide = intervalJoinBatchLeftOuter(left, right, toleranceUs, finalWatermarkUs)
-    // right-unmatched = the same condition-level anti join, mirrored
-    // (id-keyed anti has the identical null/shared-id traps on this side)
     val l = left.select(col("user_id").as("__l_user"), col("ts").as("left_ts"))
-    val unmatchedR = right
+    right
       .join(l, col("user_id") === col("__l_user") &&
         col("ts") >= col("left_ts") &&
         col("ts") <= col("left_ts") + expr(s"INTERVAL $toleranceUs MICROSECOND"),
@@ -544,7 +565,6 @@ object StreamingOps {
       .filter(unix_micros(col("ts")) < lit(finalWatermarkUs))
       .select(col("user_id"), lit(null).cast("long").as("left_id"),
         col("event_id").as("right_id"), lit(null).cast("long").as("lag_us"))
-    leftSide.unionByName(unmatchedR)
   }
 
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every

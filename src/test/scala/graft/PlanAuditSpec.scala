@@ -474,6 +474,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // full-outer twin: y06's unmatched-left anti + the mirrored
     // unmatched-right anti, both broadcast at this SF; two except sides
     "y08_stream_interval_full" -> (2, 6),
+    // right-outer twin: matched join + the unmatched-right anti, both
+    // broadcast at this SF; two except sides
+    "y09_stream_interval_right" -> (2, 4),
+    // 11 unioned 1-row count aggregates (one per guarded twin batch
+    // side, interval joins + session islands included) — every exchange
+    // a sliver; the anti sides broadcast at this SF
+    "y00_twin_guard" -> (14, 8),
     // the audited plan is d24's probe/confirm shape (gram join broadcast
     // at this SF + the pair-count agg); the shard-state builds and the
     // numBits/64-row OR-merge run at plan construction, as the one-shot
@@ -482,8 +489,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // three shard-state aggs + compaction (sliver agg + join + dup
     // guard) + merge re-agg + the bounded cum window + rank pick —
     // every exchange over <=33-row state slivers however large the
-    // corpus; tot/qs ride broadcasts
-    "p22_quantile_state" -> (10, 7))
+    // corpus; tot/qs ride broadcasts. Band (11, 5): AQE's sliver-join
+    // strategy flaps between broadcast and shuffle with session history
+    // (measured 10sh/7bc and 11sh/5bc same-build)
+    "p22_quantile_state" -> (11, 5))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

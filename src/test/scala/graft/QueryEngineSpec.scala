@@ -416,7 +416,8 @@ class QueryEngineSpec extends AnyFunSuite {
       "y05_stream_interval_join" -> false,
       "y06_stream_interval_outer" -> false,
       "y07_stream_session_window" -> false,
-      "y08_stream_interval_full" -> false)
+      "y08_stream_interval_full" -> false,
+      "y09_stream_interval_right" -> false)
     val results: Map[String, Option[String]] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =

@@ -363,6 +363,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"batch=$batch stream=$got")
   }
 
+  test("stream-stream right-outer interval join: rights prove at their own ts, matched pairs emit, boundary row held") {
+    import spark.implicits._
+    val H = 3600L
+    val tolUs = 3600L * 1000000L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ldir = Files.createTempDirectory("graft-ssjr-left").toString
+    val rdir = Files.createTempDirectory("graft-ssjr-right").toString
+    // left: u1's click pairs; u2's click is unmatched — in a RIGHT outer
+    // it never emits a null row however far the watermark advances;
+    // u9@20:00 is the left heartbeat
+    Seq((1L, 100L, ts(10 * H)), (2L, 101L, ts(10 * H + 300)),
+        (9L, 103L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(ldir)
+    // right: u1's purchase pairs; u8's purchase is unmatched and its OWN
+    // ts (15:00) is below the final watermark (20:00) → null-left row;
+    // u7's unmatched purchase sits EXACTLY at the watermark — strict
+    // boundary → HELD
+    Seq((1L, 200L, ts(10 * H + 1800)), (8L, 201L, ts(15 * H)),
+        (7L, 202L, ts(20 * H)))
+      .toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    val got = StreamingOps.runToMemory(
+      StreamingOps.intervalJoinStreams(
+        spark.readStream.schema(schema).parquet(ldir),
+        spark.readStream.schema(schema).parquet(rdir),
+        tolUs, joinType = "right_outer"),
+      "ssjr_out", OutputMode.Append(), availableNow = true)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // pair + right-null horizon; NO left-null rows in a right outer
+    assert(got == Set((1L, 100L, 200L), (8L, -1L, 201L)), got.toString)
+    // the batch twin under the same watermark reproduces the decision
+    // set exactly, boundary row included
+    val batch = StreamingOps.intervalJoinBatchRightOuter(
+        spark.read.parquet(ldir), spark.read.parquet(rdir), tolUs,
+        20 * H * 1000000L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
+
   test("native session_window stream: sessions emit once the watermark passes their end; batch twin matches") {
     import spark.implicits._
     val H = 3600L
