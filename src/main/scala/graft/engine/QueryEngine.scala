@@ -341,15 +341,88 @@ object QueryEngine {
       }
   }.sql
 
-  /** Plans whose expressions embed subquery fragments (scalar subqueries,
-    * dynamic pruning) have no faithful expression-level SQL — Catalyst's
-    * .sql renders them as the non-function `scalarsubquery()` — so the
-    * un-parser declines them up front (round 15: q32's ANY/ALL MIN/MAX
-    * rewrite shipped that lie until the ratchet executed it).
+  /** Plans whose expressions embed subquery fragments (correlated scalar
+    * subqueries, EXISTS/IN leftovers, dynamic pruning) have no faithful
+    * expression-level SQL — Catalyst's .sql renders them as the
+    * non-function `scalarsubquery()` — so the un-parser declines them
+    * (round 15: q32's ANY/ALL MIN/MAX rewrite shipped that lie until the
+    * ratchet executed it). Round 16: UNCORRELATED scalar subqueries are
+    * inlined as real `(SELECT …)` text first ([[inlineScalarSubqueries]]),
+    * so this gate sees only the genuinely unrenderable leftovers.
     */
   private def hasSubqueryExpr(p: LogicalPlan): Boolean =
     p.exists(_.expressions.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+
+  /** A pre-rendered SQL fragment carried through expression trees: its
+    * .sql IS the text. Used only by [[inlineScalarSubqueries]]; never
+    * evaluated.
+    */
+  private case class RawSqlExpr(rendered: String,
+      dataType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def nullable: Boolean = true
+    override def sql: String = rendered
+  }
+
+  /** Inline surviving UNCORRELATED scalar subqueries as real `(SELECT …)`
+    * expression text (round 16): the optimizer decorrelates what it can,
+    * but e.g. ANY/ALL's MIN/MAX rewrite legitimately keeps an
+    * uncorrelated scalar subquery in the optimized plan, and the
+    * round-15 gate declined the whole plan. Each subquery plan is its
+    * own naming scope, so it renders through the full [[rewrittenSql]]
+    * recursion (its ambiguity check runs per scope; a name shared with
+    * the outer scope is legal SQL — inner scope shadows). A subquery
+    * that does not render keeps its node and the [[hasSubqueryExpr]]
+    * gate declines the plan as before — never a best-effort lie, and
+    * the coverage ratchet EXECUTES every regenerated text, so a wrong
+    * rendering cannot ship silently. Correlated leftovers (outer refs
+    * have no qualifier story in the stripped rendering) stay declined.
+    */
+  private def inlineScalarSubqueries(p: LogicalPlan): LogicalPlan =
+    p.transformAllExpressions {
+      // MergeScalarSubqueries rewrites N sibling subqueries over the same
+      // source into ONE struct-returning plan plus GetStructField
+      // extractions per site — there is no SQL for the struct form, but
+      // the UNMERGED per-site subquery is exactly what the user wrote:
+      // re-narrow the merged global Aggregate to the one referenced
+      // field and render that (the merge is a physical-sharing
+      // optimization; row equality of the regenerated text is what the
+      // ratchet executes)
+      case gsf @ org.apache.spark.sql.catalyst.expressions.GetStructField(
+            s: ScalarSubquery, ordinal, _)
+          if s.outerAttrs.isEmpty && s.joinCond.isEmpty =>
+        unmergedField(s.plan, ordinal).flatMap(rewrittenSql) match {
+          case Some(sqlText) => RawSqlExpr(s"($sqlText)", gsf.dataType)
+          case None => gsf
+        }
+      case s: ScalarSubquery if s.outerAttrs.isEmpty && s.joinCond.isEmpty =>
+        rewrittenSql(s.plan) match {
+          case Some(sqlText) => RawSqlExpr(s"($sqlText)", s.dataType)
+          case None => s
+        }
+    }
+
+  /** The single-field un-merge of a MergeScalarSubqueries plan:
+    * `Project [named_struct(…) AS mergedValue] over Aggregate` narrowed
+    * to ordinal's aggregate expression alone — a global one-row
+    * aggregate, so dropping the sibling fields cannot change the kept
+    * one. None for any other shape (the gate declines the plan).
+    */
+  private def unmergedField(plan: LogicalPlan, ordinal: Int): Option[LogicalPlan] =
+    plan match {
+      case Project(Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+            cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct, _)),
+          agg: Aggregate) if agg.groupingExpressions.isEmpty =>
+        cns.valExprs.lift(ordinal).flatMap {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            agg.aggregateExpressions.find(_.toAttribute.exprId == ar.exprId)
+              .map(ne => agg.copy(aggregateExpressions = Seq(ne)))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def tableName(l: LeafNode): Option[String] = l match {
     case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -533,9 +606,12 @@ object QueryEngine {
     * render as `VALUES … AS name(cols)`.
     */
   def rewrittenSql(optimized: LogicalPlan): Option[String] = {
-    if (hasSubqueryExpr(optimized)) return None
+    // uncorrelated scalar subqueries render inline (round 16); anything
+    // the inliner could not render keeps its PlanExpression and declines
+    val inlined = inlineScalarSubqueries(optimized)
+    if (hasSubqueryExpr(inlined)) return None
     // peel LIMIT
-    val (limitSql, p1) = optimized match {
+    val (limitSql, p1) = inlined match {
       case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n, _),
           LocalLimit(_, child)) => (s" LIMIT $n", child)
       case other => ("", other)

@@ -159,6 +159,34 @@ class QueryEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritten SQL: uncorrelated scalar subqueries inline and round-trip (merged and plain)") {
+    val queries = Seq(
+      // plain surviving subquery
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+      // two sibling subqueries over the same source: MergeScalarSubqueries
+      // rewrites them into one struct plan + GetStructField extractions;
+      // the rendering must be the UNMERGED per-site subqueries
+      "SELECT p_partkey FROM part WHERE p_retailprice >= (SELECT MAX(p_retailprice) FROM part) OR p_retailprice < (SELECT MIN(p_retailprice) + 1.0 FROM part)")
+    queries.foreach { q =>
+      val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+      val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql for: $q\n${rep.planTree}"))
+      assert(rewritten.contains("(SELECT"), rewritten)
+      assert(!rewritten.contains("scalarsubquery"), rewritten)
+      val a = spark.sql(q).collect().map(_.toString).sorted
+      val b = spark.sql(rewritten).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
+    }
+    // correlated leftovers still decline honestly — never a lie: LATERAL
+    // keeps an outer reference the stripped rendering can't qualify
+    val corr = QueryEngine.run(spark,
+      "EXPLAIN SELECT c_name, (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = c_name) FROM customer")
+    corr.rewrittenSql.foreach { r =>
+      // if the optimizer decorrelated it fully, regeneration is fine —
+      // but any rendered text must never contain the non-function form
+      assert(!r.contains("scalarsubquery"), r)
+    }
+  }
+
   test("rewritten SQL round-trips GROUP BY + HAVING over a join (optimizer.cpp:133-188 parity)") {
     val q =
       """SELECT c_nationkey, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey
@@ -325,7 +353,7 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 83 oracles are Spark-runnable; 47 regenerate. (p05 left the set in
+    // 83 oracles are Spark-runnable; 48 regenerate. (p05 left the set in
     // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
     // double hop, which Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -371,7 +399,10 @@ class QueryEngineSpec extends AnyFunSuite {
       "q29_flagship" -> false,
       "q30_group_expr" -> true,
       "q31_exists" -> true,
-      "q32_any_all" -> false,
+      // round 16: ANY/ALL's MIN/MAX rewrite keeps uncorrelated scalar
+      // subqueries (merged by MergeScalarSubqueries); the un-parser now
+      // un-merges and inlines them as real (SELECT ...) text
+      "q32_any_all" -> true,
       "q33_kitchen_sink" -> true,
       "q34_four_join_distinct" -> false,
       "q35_rollup" -> true,
