@@ -480,6 +480,13 @@ object QueryEngine {
     }
   }
 
+  /** Inline-view name for an Aggregate rendered in FROM position:
+    * deterministic per aggregate (first output's exprId) so
+    * [[unambiguous]] and [[fromSql]] agree.
+    */
+  private def aggViewName(agg: Aggregate): String =
+    s"__agg${agg.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
   /** @param loop rendering hook for recursive-CTE nodes (UnionLoop /
     *        UnionLoopRef): supplied by [[rewrittenSql]], which collects the
     *        WITH RECURSIVE definitions as a side effect. Default: reject.
@@ -516,6 +523,15 @@ object QueryEngine {
         case org.apache.spark.sql.catalyst.plans.Cross => Some("CROSS JOIN")
         case org.apache.spark.sql.catalyst.plans.LeftSemi => Some("LEFT SEMI JOIN")
         case org.apache.spark.sql.catalyst.plans.LeftAnti => Some("LEFT ANTI JOIN")
+        // LeftSingle is what a decorrelated scalar subquery becomes: a
+        // LEFT JOIN whose right side the engine additionally PROVES has
+        // at most one match per row (erroring otherwise). SQL has no
+        // SINGLE syntax; LEFT JOIN is row-identical on every input where
+        // the original query runs at all (a duplicate match would have
+        // failed it), so this is the join the optimizer chose told in
+        // SQL — the semi/anti precedent — and the ratchet executes the
+        // regenerated text for row equality as with every rendering
+        case org.apache.spark.sql.catalyst.plans.LeftSingle => Some("LEFT JOIN")
         case _ => None
       }
       for {
@@ -534,6 +550,20 @@ object QueryEngine {
           case None => None
         }
       } yield rendered
+    // pure column-pruning Project INSIDE the join tree (Catalyst inserts
+    // one below every join): the outer SELECT governs the output, so the
+    // node needs no SQL of its own — round 16, unlocks >2-relation trees
+    case Project(cols, child: Join)
+        if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+      fromSql(child, loop)
+    // Aggregate in FROM position (a decorrelated COUNT/SUM subquery, a
+    // pre-aggregated CTE branch): an inline view through the full
+    // un-parser recursion — its own naming scope, like a set-op branch
+    // (round 16). Filter-over-Aggregate renders as the HAVING family.
+    case agg: Aggregate =>
+      rewrittenSql(agg).map(s => s"($s) AS ${aggViewName(agg)}")
+    case f @ Filter(_, agg: Aggregate) =>
+      rewrittenSql(f).map(s => s"($s) AS ${aggViewName(agg)}")
     case _ => None
   }
 
@@ -546,7 +576,12 @@ object QueryEngine {
     // scope — it participates here as one relation named __loop<id>, and
     // its anchor/recursion branches are checked when they render.
     // OneRowRelation has no name and no columns — nothing to collide with.
-    def rels(pl: LogicalPlan): Seq[(Option[String], Seq[String])] = pl match {
+    // `inFrom` marks join-subtree positions: an Aggregate there renders
+    // as an inline view (round 16) — its own scope, exposing its NAME
+    // and aggregate-output columns, with its internals checked by the
+    // recursive rewrittenSql call; an Aggregate at the plan head stays
+    // transparent (body renders it directly over its child's relations).
+    def rels(pl: LogicalPlan, inFrom: Boolean): Seq[(Option[String], Seq[String])] = pl match {
       case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop =>
         Seq((Some(s"__loop${ul.id}"), ul.output.map(_.name)))
       case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef =>
@@ -554,6 +589,10 @@ object QueryEngine {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         Seq((Some(valuesName(lr)), lr.output.map(_.name)))
       case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => Seq.empty
+      case agg: Aggregate if inFrom =>
+        Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
+      case Filter(_, agg: Aggregate) if inFrom =>
+        Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
       // pushed-down projections render as inline views, so what a relation
       // EXPOSES to the outer scope is its projected (possibly aliased)
       // names, not the leaf's — NATURAL JOIN aliases both sides' keys to
@@ -563,18 +602,19 @@ object QueryEngine {
       // the relation NAME still comes from the leaf's own case (loop refs,
       // VALUES and OneRowRelation name themselves), only the exposed
       // column set is the projection's
-      case Project(cols, l: LeafNode) => rels(l) match {
+      case Project(cols, l: LeafNode) => rels(l, inFrom) match {
         case Seq((name, _)) => Seq((name, cols.map(_.name)))
         case other => other
       }
-      case Project(cols, Filter(_, l: LeafNode)) => rels(l) match {
+      case Project(cols, Filter(_, l: LeafNode)) => rels(l, inFrom) match {
         case Seq((name, _)) => Seq((name, cols.map(_.name)))
         case other => other
       }
       case l: LeafNode => Seq((tableName(l), l.output.map(_.name)))
-      case other => other.children.flatMap(rels)
+      case j: Join => j.children.flatMap(rels(_, inFrom = true))
+      case other => other.children.flatMap(rels(_, inFrom))
     }
-    val leaves = rels(p)
+    val leaves = rels(p, inFrom = false)
     val names = leaves.flatMap(_._1)
     val colNames = leaves.flatMap(_._2)
     names.distinct.size == leaves.size && colNames.distinct.size == colNames.size
@@ -669,8 +709,31 @@ object QueryEngine {
     def aggregateSql(groups: Seq[Expression],
         selectAggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
         allAggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
-        child: LogicalPlan, having: Option[Expression]): Option[String] =
-      selectFrom(child).map { f =>
+        child: LogicalPlan, having: Option[Expression]): Option[String] = child match {
+      // the optimizer stages computed group keys (`year(o_orderdate) AS
+      // yr`) in a Project below the Aggregate; inline the definitions
+      // back into the grouping/aggregate/having expressions and recurse
+      // (round 16) — the rendered SQL is the single SELECT the user
+      // wrote. Alias exprIds are preserved so HAVING's alias expansion
+      // still matches. Pure-pruning projects keep the selectFrom path.
+      case Project(pcols, pchild)
+          if pcols.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]) =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
+        val defs = pcols.collect {
+          case a: Alias => a.toAttribute.exprId -> a.child
+        }.toMap
+        def subst(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if defs.contains(ar.exprId) => defs(ar.exprId)
+        }
+        def substNamed(ne: NamedExpression): NamedExpression = ne match {
+          case ar: AttributeReference if defs.contains(ar.exprId) =>
+            Alias(subst(ar), ar.name)(exprId = ar.exprId)
+          case a: Alias => Alias(subst(a.child), a.name)(exprId = a.exprId)
+          case other => other
+        }
+        aggregateSql(groups.map(subst), selectAggs.map(substNamed),
+          allAggs.map(substNamed), pchild, having.map(subst))
+      case _ => selectFrom(child).map { f =>
         val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
         val byId = allAggs.collect {
           case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute.exprId -> a.child
@@ -682,8 +745,13 @@ object QueryEngine {
           }
           s" HAVING ${exprSql(expanded)}"
         }.getOrElse("")
-        s"SELECT ${selectAggs.map(exprSql).mkString(", ")} FROM $f$g$h"
+        // a ZERO-output aggregate (outer consumer pruned every column but
+        // still counts its rows — one per group) must emit valid SQL:
+        // SELECT 1 preserves the per-group row, like selectList's rule
+        val sel = if (selectAggs.isEmpty) "1" else selectAggs.map(exprSql).mkString(", ")
+        s"SELECT $sel FROM $f$g$h"
       }
+    }
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BitwiseAnd,
       Cast, EqualNullSafe, ExprId, Grouping, Lag, Lead, Literal, NTile, NamedExpression,
       ShiftRight, SortOrder, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}

@@ -176,14 +176,18 @@ class QueryEngineSpec extends AnyFunSuite {
       val b = spark.sql(rewritten).collect().map(_.toString).sorted
       assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
     }
-    // correlated leftovers still decline honestly — never a lie: LATERAL
-    // keeps an outer reference the stripped rendering can't qualify
-    val corr = QueryEngine.run(spark,
-      "EXPLAIN SELECT c_name, (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = c_name) FROM customer")
+    // a correlated subquery decorrelates to a LeftSingle join over an
+    // aggregate view — if the un-parser renders it (round 16: it does),
+    // the regenerated text must EXECUTE row-equal. (The analyzer names
+    // the output column `scalarsubquery(...)`, so a substring check on
+    // the alias would false-alarm; execution is the real contract.)
+    val corrQ =
+      "SELECT c_name, (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = c_name) FROM customer"
+    val corr = QueryEngine.run(spark, s"EXPLAIN $corrQ")
     corr.rewrittenSql.foreach { r =>
-      // if the optimizer decorrelated it fully, regeneration is fine —
-      // but any rendered text must never contain the non-function form
-      assert(!r.contains("scalarsubquery"), r)
+      val a = spark.sql(corrQ).collect().map(_.toString).sorted
+      val b = spark.sql(r).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"mismatch for rewritten: $r")
     }
   }
 
@@ -353,7 +357,9 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 83 oracles are Spark-runnable; 48 regenerate. (p05 left the set in
+    // 83 oracles are Spark-runnable; 58 regenerate (round 16: aggregate
+    // inline views, LeftSingle, pruning projects inside join trees, and
+    // computed group keys flipped ten). (p05 left the set in
     // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
     // double hop, which Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -364,8 +370,8 @@ class QueryEngineSpec extends AnyFunSuite {
     val pinned: Map[String, Boolean] = Map(
       "d01_dedup_exact" -> true,
       "j02_range" -> true,
-      "m07_pair_audit" -> false,
-      "p06_diversity" -> false,
+      "m07_pair_audit" -> true,
+      "p06_diversity" -> true,
       "p09_mad" -> false,
       "p13_winsorized" -> false,
       "q01_scan_project" -> true,
@@ -384,7 +390,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q14_join_inner" -> true,
       "q15_join_left" -> true,
       "q16_join_right" -> true,
-      "q17_join_full" -> false,
+      "q17_join_full" -> true,
       "q18_join_natural" -> false,
       "q19_semi_in" -> true,
       "q20_join_left_anti" -> true,
@@ -392,11 +398,11 @@ class QueryEngineSpec extends AnyFunSuite {
       "q22_join_full_outer_anti" -> true,
       "q23_cross" -> true,
       "q24_comma_join" -> true,
-      "q25_scalar_subquery" -> false,
+      "q25_scalar_subquery" -> true,
       "q26_correlated_agg" -> false,
       "q27_not_in" -> true,
-      "q28_star_agg" -> false,
-      "q29_flagship" -> false,
+      "q28_star_agg" -> true,
+      "q29_flagship" -> true,
       "q30_group_expr" -> true,
       "q31_exists" -> true,
       // round 16: ANY/ALL's MIN/MAX rewrite keeps uncorrelated scalar
@@ -404,7 +410,7 @@ class QueryEngineSpec extends AnyFunSuite {
       // un-merges and inlines them as real (SELECT ...) text
       "q32_any_all" -> true,
       "q33_kitchen_sink" -> true,
-      "q34_four_join_distinct" -> false,
+      "q34_four_join_distinct" -> true,
       "q35_rollup" -> true,
       "q36_grouping_sets" -> true,
       "q37_window_sql" -> true,
@@ -412,7 +418,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q39_pivot" -> true,
       "q40_unpivot" -> true,
       "q41_window_frames" -> true,
-      "q42_cte" -> false,
+      "q42_cte" -> true,
       "q43_set_ops_all" -> false,
       "q44_date_functions" -> true,
       "q45_string_functions" -> true,
@@ -427,7 +433,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q56_lateral_subquery" -> false,
       "q57_interval_range" -> true,
       "s01_events_hourly" -> true,
-      "s04_funnel" -> false,
+      "s04_funnel" -> true,
       "s06_event_spikes" -> false,
       "s10_transition_matrix" -> false,
       "s14_longest_streak" -> false,
@@ -438,7 +444,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "t01_lang_id" -> true,
       "t05_topk_per_source" -> false,
       "t07_rolling_native" -> false,
-      "t18_code_detect" -> false,
+      "t18_code_detect" -> true,
       "t24_lang_confusion" -> false,
       "x01_salted_join" -> true,
       "x10_grouped_split" -> true,
