@@ -163,8 +163,11 @@ object Bench {
   private[graft] val sf1Bands: Map[String, (Double, Long)] = Map(
     "d03_dedup_minhash" -> (1.7, 37000L),
     // task band lowered 144k -> 119k: the round-15 judge's quiet
-    // official-config run measured 118,987 ms (min-across-sessions rule)
-    "d05_ngram_jaccard" -> (16.6, 119000L),
+    // official-config run measured 118,987 ms (min-across-sessions rule).
+    // Wall band lowered 16.6 -> 11.7 (round 16): persisting the verify
+    // AND prefix frames made the single-compute structural — quiet sf1
+    // probe walls [11.7, 9.3] on the same data
+    "d05_ngram_jaccard" -> (11.7, 119000L),
     "d11_dedup_components" -> (3.7, 42000L),
     "d13_dedup_transitive" -> (4.8, 96000L),
     "d15_semantic_dedup" -> (3.7, 69000L),

@@ -1157,6 +1157,16 @@ object Dedup {
     *         prefix, positional, and size-ratio filters.
     */
   private[graft] def ppjoinCandidates(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    ppjoinCandidatesFrom(ppjoinPrefix(docs, idCol, textCol, blockCol, threshold), threshold)
+
+  /** The ranked-prefix token frame the PPJoin candidate join reads on BOTH
+    * sides — split out (round 16) so [[ngramJaccardPairs]] can persist it:
+    * it is the expensive half of the pipeline (tokenize + global-df join +
+    * two per-doc windows), and uncached its compute-once cost rode on AQE
+    * exchange reuse exactly like the sorted-token verify frame's did.
+    */
+  private[graft] def ppjoinPrefix(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
@@ -1170,8 +1180,14 @@ object Dedup {
     // ceil(55.000000000000007) = 56 in doubles and silently drops pairs
     // whose Jaccard equals the threshold (standard PPJoin-impl trick)
     val EPS = 1e-9
-    val prefix = ranked.filter(
-      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
+    ranked.filter(
+        col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
+      .select(col("blk"), col("tok"), col("doc_id"), col("sz"), col("pos"))
+  }
+
+  /** The candidate join over a pre-built [[ppjoinPrefix]] frame. */
+  private[graft] def ppjoinCandidatesFrom(prefix: DataFrame, threshold: Double): DataFrame = {
+    val EPS = 1e-9
     val pa = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_a"),
       col("sz").as("sz_a"), col("pos").as("pos_a"))
     val pb = prefix.select(col("blk"), col("tok"), col("doc_id").as("doc_b"),
@@ -1198,16 +1214,16 @@ object Dedup {
       sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
 
   /** The lazy candidate-generate + exact-verify pipeline of
-    * [[ngramJaccardPairs]] over a PRE-BUILT sorted-token frame — exposed
-    * (like d03's band join and d06's block pipeline) so the persist-once
-    * claim is PINNABLE: PlanAuditSpec runs it with AQE exchange reuse
-    * disabled and asserts both verify-side joins read the `arrs` cache,
-    * not a recomputed scan.
+    * [[ngramJaccardPairs]] over PRE-BUILT sorted-token and ranked-prefix
+    * frames — exposed (like d03's band join and d06's block pipeline) so
+    * the persist-once claims are PINNABLE: PlanAuditSpec runs it with AQE
+    * exchange reuse disabled and asserts all four double-consumed sides
+    * (two verify joins on `arrs`, two candidate sides on `prefix`) read
+    * their caches, not a recomputed scan.
     */
-  private[graft] def ngramJaccardVerified(docs: DataFrame, arrs: DataFrame,
-      idCol: String, textCol: String, blockCol: String,
+  private[graft] def ngramJaccardVerified(arrs: DataFrame, prefix: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = ppjoinCandidates(docs, idCol, textCol, blockCol, threshold)
+    val cands = ppjoinCandidatesFrom(prefix, threshold)
     val verified = cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
@@ -1220,18 +1236,25 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    // persist: the sorted-token frame feeds BOTH verify-side joins;
-    // without it the single-scan cost rides on AQE exchange reuse, which
-    // flaps with JVM history in long sessions (the reason d25 carries a
-    // checkpoint pin). Same idiom as the minhash signature frame above:
-    // MEMORY_AND_DISK (spills, never recomputes), eager pair
-    // materialization, cache released in the finally — the pair set is
-    // tiny next to the token arrays, so repeated calls in a long-lived
-    // session do not accumulate persisted blocks.
+    // persist both double-consumed frames: the sorted-token verify frame
+    // feeds BOTH verify-side joins, and the ranked-prefix frame feeds
+    // BOTH candidate-join sides; without the persists their compute-once
+    // cost rides on AQE exchange reuse, which flaps with JVM history in
+    // long sessions (the reason d25 carries a checkpoint pin). Same
+    // idiom as the minhash signature frame above: MEMORY_AND_DISK
+    // (spills, never recomputes), eager pair materialization, caches
+    // released in the finally — the pair set is tiny next to the cached
+    // frames, so repeated calls in a long-lived session do not
+    // accumulate persisted blocks.
     val arrs = sortedTokenArrays(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try eagerPairs(ngramJaccardVerified(docs, arrs, idCol, textCol, blockCol, threshold))
-    finally arrs.unpersist(false)
+    val prefix = ppjoinPrefix(docs, idCol, textCol, blockCol, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try eagerPairs(ngramJaccardVerified(arrs, prefix, threshold))
+    finally {
+      arrs.unpersist(false)
+      prefix.unpersist(false)
+    }
   }
 
   /** LSH banding auto-tuner — the actionable end of d23's S-curve audit:

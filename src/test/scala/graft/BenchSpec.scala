@@ -70,8 +70,9 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.needsRetime("d30_minhash_error", 1.8))
     assert(!Bench.needsRetime("d30_minhash_error", 1.4))
     // a banded entry inside 1.5x its band never re-times, even over 3 s
-    assert(!Bench.needsRetime("d05_ngram_jaccard", 18.0))
-    assert(Bench.needsRetime("d05_ngram_jaccard", 29.0))
+    val (d05Wall, _) = Bench.sf1Bands("d05_ngram_jaccard")
+    assert(!Bench.needsRetime("d05_ngram_jaccard", 1.4 * d05Wall))
+    assert(Bench.needsRetime("d05_ngram_jaccard", 1.6 * d05Wall))
     // unbanded entries keep the absolute rule
     assert(Bench.needsRetime("zz_not_a_real_entry", 3.5))
     assert(!Bench.needsRetime("zz_not_a_real_entry", 2.5))

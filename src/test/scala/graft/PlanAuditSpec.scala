@@ -513,33 +513,42 @@ class PlanAuditSpec extends AnyFunSuite {
         s"SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 
-  test("d05 internal: both verify joins read the persisted token frame, reuse OFF") {
-    // round 16: ngramJaccardPairs persists its sorted-token frame so the
+  test("d05 internal: verify and candidate joins read their persisted frames, reuse OFF") {
+    // round 16: ngramJaccardPairs persists its two double-consumed frames
+    // (sorted-token verify frame; ranked-prefix candidate frame) so the
     // compute-once cost is STRUCTURAL — before, it rode AQE exchange
-    // reuse, which flaps with JVM history (the d25 checkpoint pin
-    // exists for the same flap). Pin with reuse disabled: both verify
-    // sides must read the cache, and no sort_array compute may remain
-    // in the verify plan (it lives only in the one cache build).
+    // reuse, which flaps with JVM history (the d25 checkpoint pin exists
+    // for the same flap). Pin with reuse disabled: all four cache-fed
+    // sides read InMemoryTableScans, and neither the sort_array verify
+    // compute nor the row_number prefix ranking may appear outside a
+    // cache build.
     val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
     val prev = spark.conf.get("spark.sql.exchange.reuse")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
       val arrs = graft.operators.Dedup.sortedTokenArrays(docs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prefix = graft.operators.Dedup.ppjoinPrefix(docs, "doc_id", "text", "source", 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val verified = graft.operators.Dedup.ngramJaccardVerified(
-          docs, arrs, "doc_id", "text", "source", 0.8)
+        val verified = graft.operators.Dedup.ngramJaccardVerified(arrs, prefix, 0.8)
         verified.collect()
         val p = verified.queryExecution.executedPlan.toString
-        assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-          s"expected both verify sides on the cache:\n$p")
-        // every sort_array in the string sits inside an InMemoryRelation
-        // print (the cache build plan, shown once per cache scan) — one
-        // MORE sort_array than relation prints would be a recompute
-        // outside the cache
-        assert("sort_array".r.findAllIn(p).size <= "InMemoryRelation".r.findAllIn(p).size,
+        assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+          s"expected both verify sides and both candidate sides on caches:\n$p")
+        // every sort_array / row_number in the string sits inside an
+        // InMemoryRelation print (a cache build plan, shown once per
+        // cache scan) — more occurrences than relation prints would be a
+        // recompute outside the caches
+        val rels = "InMemoryRelation".r.findAllIn(p).size
+        assert("sort_array".r.findAllIn(p).size <= rels,
           s"sorted-token arrays recomputed outside the cache:\n$p")
-      } finally arrs.unpersist(true)
+        assert("row_number".r.findAllIn(p).size <= rels,
+          s"prefix ranking recomputed outside the cache:\n$p")
+      } finally {
+        arrs.unpersist(true)
+        prefix.unpersist(true)
+      }
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
