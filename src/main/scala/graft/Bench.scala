@@ -174,7 +174,10 @@ object Bench {
     "d22_keep_best" -> (4.9, 100000L),
     "d25_ivf_nprobe_curve" -> (3.0, 51000L),
     "d26_ann_pq" -> (3.4, 227000L),
-    "d28_containment" -> (10.2, 322000L),
+    // wall band lowered 10.2 -> 7.6 (round 16): ranked + sorted-token
+    // frames persisted (the d05 discipline) — quiet sf1 probe walls
+    // [7.6, 5.9] on the same data
+    "d28_containment" -> (7.6, 322000L),
     "d30_minhash_error" -> (1.0, 30000L),
     "d31_dup_centrality" -> (3.5, 73000L),
     "p15_heavy_hitters" -> (4.4, 153000L),

@@ -1168,21 +1168,12 @@ object Dedup {
     */
   private[graft] def ppjoinPrefix(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-    val tokenDf = toks0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = toks0.join(tokenDf, "tok")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // EPS guards the exact-integral boundary: ceil(0.55 * 100) evaluates
     // ceil(55.000000000000007) = 56 in doubles and silently drops pairs
     // whose Jaccard equals the threshold (standard PPJoin-impl trick)
     val EPS = 1e-9
-    ranked.filter(
-        col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
-      .select(col("blk"), col("tok"), col("doc_id"), col("sz"), col("pos"))
+    ppjoinPrefixRanked(docs, idCol, textCol, blockCol).filter(
+      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
   }
 
   /** The candidate join over a pre-built [[ppjoinPrefix]] frame. */
@@ -1400,14 +1391,45 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // the d05 discipline (round 16): the ranked token frame feeds BOTH
+    // candidate sides (the prefix-filtered probes AND the full
+    // directional index) and the sorted-token frame both verify sides —
+    // persist each for the call's duration so the single-compute cost
+    // is structural, not AQE-exchange-reuse weather
+    val ranked = ppjoinPrefixRanked(docs, idCol, textCol, blockCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrs = sortedTokenArrays(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try eagerPairs(containmentVerified(ranked, arrs, threshold))
+    finally {
+      ranked.unpersist(false)
+      arrs.unpersist(false)
+    }
+  }
+
+  /** The full ranked token frame (blk, tok, doc_id, sz, pos) — rare-first
+    * global-df ranking with per-doc size, the shared input of PPJoin's
+    * symmetric prefix ([[ppjoinPrefix]]) and d28's asymmetric one.
+    */
+  private[graft] def ppjoinPrefixRanked(docs: DataFrame, idCol: String,
+      textCol: String, blockCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
     val tokenDf = toks0.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = toks0.join(tokenDf, "tok")
+    toks0.join(tokenDf, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("blk"), col("tok"), col("doc_id"), col("sz"), col("pos"))
+  }
+
+  /** The lazy candidate-generate + exact-verify pipeline of
+    * [[containmentPairs]] over PRE-BUILT ranked and sorted-token frames —
+    * exposed for the reuse-OFF PlanAuditSpec pin, like d05's.
+    */
+  private[graft] def containmentVerified(ranked: DataFrame, arrs: DataFrame,
+      threshold: Double): DataFrame = {
     val EPS = 1e-9
     val pa = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
@@ -1418,8 +1440,6 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b")
         && col("sz_b") >= ceil(lit(threshold) * col("sz_a") - EPS))
       .select(col("doc_a"), col("doc_b"), col("sz_a")).distinct()
-    val arrs = docs.select(col(idCol).as("doc_id"),
-      sort_array(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
     cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")

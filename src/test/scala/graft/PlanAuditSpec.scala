@@ -57,8 +57,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // regroup; + the chunk-fp agg; counts come back broadcast at this SF
     "d27_cdc_chunks" -> (2, 1),
     // df agg + the doc rank/size window + candidate distinct + verify agg;
-    // the token-df and arrs frames ride broadcasts at this SF
-    "d28_containment" -> (4, 5),
+    // containmentPairs eagerly checkpoints its pair result (round 16,
+    // as d05): the audited plan is the checkpoint scan; the persist-once
+    // candidate/verify shape is pinned by the reuse-off internal test
+    "d28_containment" -> (0, 0),
     // blocked self-join (broadcast at this SF) + 10-bucket agg, plus the
     // round-14 pair budget's per-block count agg (ids-only, broadcast
     // back) — the +1 shuffle that makes per-block cost O(cap²) at any SF
@@ -548,6 +550,37 @@ class PlanAuditSpec extends AnyFunSuite {
       } finally {
         arrs.unpersist(true)
         prefix.unpersist(true)
+      }
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
+  test("d28 internal: candidate and verify joins read their persisted frames, reuse OFF") {
+    // the d05 discipline applied to the asymmetric containment pipeline
+    // (round 16): the ranked frame feeds the prefix-filtered probe side
+    // AND the full directional index, the sorted-token frame both verify
+    // sides — all four must read caches with exchange reuse disabled
+    val docs = graft.engine.GraftSession.table(spark, TestSpark.sfDir, "documents")
+    val prev = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val ranked = graft.operators.Dedup.ppjoinPrefixRanked(docs, "doc_id", "text", "source")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val arrs = graft.operators.Dedup.sortedTokenArrays(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val verified = graft.operators.Dedup.containmentVerified(ranked, arrs, 0.9)
+        verified.collect()
+        val p = verified.queryExecution.executedPlan.toString
+        assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+          s"expected both candidate sides and both verify sides on caches:\n$p")
+        val rels = "InMemoryRelation".r.findAllIn(p).size
+        assert("sort_array".r.findAllIn(p).size <= rels,
+          s"sorted-token arrays recomputed outside the cache:\n$p")
+        assert("row_number".r.findAllIn(p).size <= rels,
+          s"token ranking recomputed outside the cache:\n$p")
+      } finally {
+        ranked.unpersist(true)
+        arrs.unpersist(true)
       }
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
