@@ -487,6 +487,20 @@ object QueryEngine {
   private def aggViewName(agg: Aggregate): String =
     s"__agg${agg.output.headOption.map(_.exprId.id).getOrElse(0L)}"
 
+  /** Inline-view name for a window-stack subtree rendered in FROM
+    * position — same exprId-derived determinism as [[aggViewName]]. */
+  private def winViewName(p: LogicalPlan): String =
+    s"__win${p.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** [Project]* over Window — the FROM-position twin of rewrittenSql's
+    * internal isWindowStack (that one lives in the closure; this is the
+    * plan-shape test [[fromSql]]/[[unambiguous]] need). */
+  private def isWindowStackPlan(p: LogicalPlan): Boolean = p match {
+    case _: Window => true
+    case Project(_, c) => isWindowStackPlan(c)
+    case _ => false
+  }
+
   /** @param loop rendering hook for recursive-CTE nodes (UnionLoop /
     *        UnionLoopRef): supplied by [[rewrittenSql]], which collects the
     *        WITH RECURSIVE definitions as a side effect. Default: reject.
@@ -564,6 +578,19 @@ object QueryEngine {
       rewrittenSql(agg).map(s => s"($s) AS ${aggViewName(agg)}")
     case f @ Filter(_, agg: Aggregate) =>
       rewrittenSql(f).map(s => s"($s) AS ${aggViewName(agg)}")
+    // window stacks in FROM position (a windowed derivation joined,
+    // filtered, or re-aggregated — medians, streak anchors): inline view
+    // through the full recursion; rewrittenSql's window family renders
+    // the inner SELECT, so none of these re-enter fromSql on the same
+    // node (round 16)
+    case f @ Filter(_, stack) if isWindowStackPlan(stack) =>
+      rewrittenSql(f).map(s => s"($s) AS ${winViewName(f)}")
+    case pr @ Project(_, Filter(_, stack)) if isWindowStackPlan(stack) =>
+      rewrittenSql(pr).map(s => s"($s) AS ${winViewName(pr)}")
+    case pr @ Project(_, stack) if isWindowStackPlan(stack) =>
+      rewrittenSql(pr).map(s => s"($s) AS ${winViewName(pr)}")
+    case w: Window =>
+      rewrittenSql(w).map(s => s"($s) AS ${winViewName(w)}")
     case _ => None
   }
 
@@ -593,6 +620,17 @@ object QueryEngine {
         Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
       case Filter(_, agg: Aggregate) if inFrom =>
         Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
+      // window-stack inline views (round 16): scope boundaries exactly
+      // like in-FROM aggregates; what the view EXPOSES is its outermost
+      // projection's names
+      case f @ Filter(_, stack) if inFrom && isWindowStackPlan(stack) =>
+        Seq((Some(winViewName(f)), f.output.map(_.name)))
+      case pr @ Project(cols, Filter(_, stack)) if inFrom && isWindowStackPlan(stack) =>
+        Seq((Some(winViewName(pr)), cols.map(_.name)))
+      case pr @ Project(cols, stack) if inFrom && isWindowStackPlan(stack) =>
+        Seq((Some(winViewName(pr)), cols.map(_.name)))
+      case w: Window if inFrom =>
+        Seq((Some(winViewName(w)), w.output.map(_.name)))
       // pushed-down projections render as inline views, so what a relation
       // EXPOSES to the outer scope is its projected (possibly aliased)
       // names, not the leaf's — NATURAL JOIN aliases both sides' keys to
@@ -817,6 +855,11 @@ object QueryEngine {
         case Project(cols, child) =>
           val (m, b) = peel(child)
           (m ++ cols.collect { case a: Alias => a.toAttribute.exprId -> a.child }, b)
+        // WindowGroupLimit is the optimizer's rank-pushdown (rn <= k
+        // evaluated before the full window) — pure optimization; the
+        // Filter above reproduces its semantics, so it needs no SQL
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          peel(wgl.child)
         case other => (Map.empty, other)
       }
       val (selectCols: Seq[NamedExpression], stack: LogicalPlan) = top match {
@@ -1024,6 +1067,17 @@ object QueryEngine {
       case p: Project if isPivotStack(p) => pivotSql(p)
       case p @ Project(_, child) if isWindowStack(child) => windowSql(p)
       case w: Window => windowSql(w)
+      // filter ON a window column (latest-per-key's `rn = 1`): SQL can't
+      // reference a window function in WHERE of the same SELECT, so the
+      // stack renders as a subquery and the condition applies outside
+      // (round 16) — the shape the optimizer leaves for QUALIFY-style
+      // queries, with any WindowGroupLimit pushdown skipped by peel
+      case Project(cols, Filter(cond, stack)) if isWindowStack(stack) =>
+        windowSql(stack).map(inner =>
+          s"SELECT ${selectList(cols)} FROM ($inner) AS __win WHERE ${exprSql(cond)}")
+      case Filter(cond, stack) if isWindowStack(stack) =>
+        windowSql(stack).map(inner =>
+          s"SELECT * FROM ($inner) AS __win WHERE ${exprSql(cond)}")
       case Filter(cond, Aggregate(groups, aggs, child, _)) =>
         aggregateSql(groups, aggs, aggs, child, Some(cond))
       case Project(cols, Filter(cond, Aggregate(groups, aggs, child, _)))
@@ -1089,8 +1143,33 @@ object QueryEngine {
           }
         }
       }
-      def branch(pl: LogicalPlan): Option[String] =
-        setOpSql(pl).orElse(if (unambiguous(pl)) body(pl) else None)
+      // a set-op branch may carry its OWN ORDER BY / LIMIT (a per-leg
+      // top-k unioned with another): peel them like the top level does
+      // and re-attach inside the branch's parentheses (round 16)
+      def branch(pl: LogicalPlan): Option[String] = {
+        val (limitSql, b1) = pl match {
+          case GlobalLimit(Literal(n, _), LocalLimit(_, c)) => (s" LIMIT $n", c)
+          case other => ("", other)
+        }
+        val (orderSql, b2) = b1 match {
+          case Sort(order, true, c, _) =>
+            (s" ORDER BY ${order.map(exprSql).mkString(", ")}", c)
+          // a projection ABOVE the sort (branch-tagging aliases like
+          // `'nf' AS leg`): ORDER BY binds to the outer select, which is
+          // row-identical — but only when every sort reference passes
+          // through the projection unrenamed, else the rendered ORDER BY
+          // names a column the outer scope no longer has
+          case Project(cols, Sort(order, true, c, _))
+              if order.flatMap(_.references.toSeq).forall(r => cols.exists {
+                case ar: AttributeReference => ar.exprId == r.exprId
+                case _ => false
+              }) =>
+            (s" ORDER BY ${order.map(exprSql).mkString(", ")}", Project(cols, c))
+          case other => ("", other)
+        }
+        setOpSql(b2).orElse(if (unambiguous(b2)) body(b2) else None)
+          .map(b => s"$b$orderSql$limitSql")
+      }
       def setOp(l: LogicalPlan, r: LogicalPlan, kw: String): Option[String] =
         for { ls <- branch(l); rs <- branch(r) } yield s"($ls) $kw ($rs)"
       p match {

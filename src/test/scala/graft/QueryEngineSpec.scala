@@ -357,9 +357,10 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 83 oracles are Spark-runnable; 58 regenerate (round 16: aggregate
+    // 83 oracles are Spark-runnable; 64 regenerate (round 16: aggregate
     // inline views, LeftSingle, pruning projects inside join trees, and
-    // computed group keys flipped ten). (p05 left the set in
+    // computed group keys, window-column filters and per-branch sort/limit
+    // flipped sixteen). (p05 left the set in
     // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
     // double hop, which Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -372,7 +373,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "j02_range" -> true,
       "m07_pair_audit" -> true,
       "p06_diversity" -> true,
-      "p09_mad" -> false,
+      "p09_mad" -> true,
       "p13_winsorized" -> false,
       "q01_scan_project" -> true,
       "q02_filter_pushdown" -> true,
@@ -426,23 +427,23 @@ class QueryEngineSpec extends AnyFunSuite {
       "q48_filter_clause" -> true,
       "q50_null_funcs" -> true,
       "q51_group_by_all" -> true,
-      "q52_latest_per_key" -> false,
+      "q52_latest_per_key" -> true,
       "q53_recursive_cte" -> false,
-      "q54_nulls_ordering" -> false,
+      "q54_nulls_ordering" -> true,
       "q55_cube" -> true,
       "q56_lateral_subquery" -> false,
       "q57_interval_range" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
       "s06_event_spikes" -> false,
-      "s10_transition_matrix" -> false,
-      "s14_longest_streak" -> false,
+      "s10_transition_matrix" -> true,
+      "s14_longest_streak" -> true,
       "s15_cooccurrence_lift" -> false,
       "s17_cusum_drift" -> false,
       "s21_markov_accuracy" -> false,
       "s23_changepoint" -> false,
       "t01_lang_id" -> true,
-      "t05_topk_per_source" -> false,
+      "t05_topk_per_source" -> true,
       "t07_rolling_native" -> false,
       "t18_code_detect" -> true,
       "t24_lang_confusion" -> false,
