@@ -3464,7 +3464,7 @@ object SparkEntry {
            ((MIN(cum.bucket) + 1) * 640) // 32 AS hi_v,
            t.n_total
          FROM q, cum, t
-         WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total) AS BIGINT))
+         WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total - 1e-9) AS BIGINT))
          GROUP BY q.q, t.n_total"""),
 
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
@@ -5103,40 +5103,55 @@ object SparkEntry {
     "y00_twin_guard" -> entry(
       (s, d) => {
         import graft.streaming.StreamingOps
-        val ev = t(s, d, "events")
-        val docs = t(s, d, "documents")
+        import org.apache.spark.storage.StorageLevel
         val tolUs = 3600L * 1000000L
         val gapUs = 1800L * 1000000L
-        val pick = (tp: String) => ev
-          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-            col("event_type") === tp)
+        // round 17: the guard's cost must stay FLAT as y-entries grow —
+        // persist the frames every branch re-derives (events-with-ts,
+        // the click/purchase interval-join sides, the session input,
+        // docs) once, compute the 11-row guard eagerly, release in
+        // finally (the d05/d28 idiom). The collect is bounded by
+        // construction: one row per twin, never data-sized.
+        val evTs = t(s, d, "events").filter(col("ts").isNotNull)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val docs = t(s, d, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+        val pick = (tp: String) => evTs
+          .filter(col("user_id").isNotNull && col("event_type") === tp)
           .select(col("user_id"), col("event_id"), col("ts"))
-        val lb = pick("click")
-        val rb = pick("purchase")
-        val wmUs = math.min(
-          StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
-        val sess = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val lb = pick("click").persist(StorageLevel.MEMORY_AND_DISK)
+        val rb = pick("purchase").persist(StorageLevel.MEMORY_AND_DISK)
+        val sess = evTs.filter(col("user_id").isNotNull)
           .select(col("user_id"), col("ts"))
-        def cnt(name: String, df: DataFrame) =
-          df.agg(count(lit(1)).as("batch_rows"))
-            .select(lit(name).as("twin"), col("batch_rows"))
-        Seq(
-          cnt("y01", StreamingOps.windowedCounts(ev.filter(col("ts").isNotNull)
-            .withColumn("value", col("value").cast(DecimalType(18, 6))))),
-          cnt("y02", ev.filter(col("event_id").isNotNull && col("ts").isNotNull)),
-          cnt("y03", sess.select(col("user_id")).distinct()),
-          cnt("y04_probe", docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
-          cnt("y04_corpus", docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
-          cnt("y05", StreamingOps.intervalJoinStreams(lb, rb, tolUs)),
-          cnt("y06", StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)),
-          cnt("y07", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
-            StreamingOps.finalWatermarkUs(sess))),
-          cnt("y08", StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)),
-          cnt("y09", StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)),
-          cnt("t07", docs))
-          .reduce(_.unionByName(_))
-          .filter(assert_true(col("batch_rows") > 0,
-            concat(lit("twin guard: empty batch side for "), col("twin"))).isNull)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val wmUs = math.min(
+            StreamingOps.finalWatermarkUs(lb), StreamingOps.finalWatermarkUs(rb))
+          def cnt(name: String, df: DataFrame) =
+            df.agg(count(lit(1)).as("batch_rows"))
+              .select(lit(name).as("twin"), col("batch_rows"))
+          val guard = Seq(
+            cnt("y01", StreamingOps.windowedCounts(evTs
+              .withColumn("value", col("value").cast(DecimalType(18, 6))))),
+            cnt("y02", evTs.filter(col("event_id").isNotNull)),
+            cnt("y03", sess.select(col("user_id")).distinct()),
+            cnt("y04_probe", docs.filter(pmod(col("doc_id"), lit(3)) === 0)),
+            cnt("y04_corpus", docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+            cnt("y05", StreamingOps.intervalJoinStreams(lb, rb, tolUs)),
+            cnt("y06", StreamingOps.intervalJoinBatchLeftOuter(lb, rb, tolUs, wmUs)),
+            cnt("y07", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
+              StreamingOps.finalWatermarkUs(sess))),
+            cnt("y08", StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)),
+            cnt("y09", StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)),
+            cnt("t07", docs))
+            .reduce(_.unionByName(_))
+            .filter(assert_true(col("batch_rows") > 0,
+              concat(lit("twin guard: empty batch side for "), col("twin"))).isNull)
+          import s.implicits._
+          guard.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+            .toDF("twin", "batch_rows")
+        } finally {
+          Seq(evTs, docs, lb, rb, sess).foreach(_.unpersist(false))
+        }
       },
       """WITH clicks AS (
            SELECT user_id, event_id, ts FROM events

@@ -544,7 +544,11 @@ object QueryEngine {
         // the original query runs at all (a duplicate match would have
         // failed it), so this is the join the optimizer chose told in
         // SQL — the semi/anti precedent — and the ratchet executes the
-        // regenerated text for row equality as with every rendering
+        // regenerated text for row equality as with every rendering.
+        // Documented trade-off: ERROR semantics differ — on data where
+        // the right side has >1 match the original errors while the
+        // regenerated LEFT JOIN silently duplicates rows; row equality
+        // holds on every input where the original succeeds.
         case org.apache.spark.sql.catalyst.plans.LeftSingle => Some("LEFT JOIN")
         case _ => None
       }

@@ -225,6 +225,30 @@ object BloomFilterOps {
         col("__bmax").as("num_bits"), col("__hmax").as("num_hashes"))
   }
 
+  /** Migration shim for pre-stamp persisted states: stamp a legacy
+    * (idx, word)-only frame with a CALLER-SUPPLIED geometry so it flows
+    * through the checked [[mergeBloomStates]]/[[wordsFromState]] paths.
+    * The caller asserts the geometry — it is provenance the legacy frame
+    * never recorded, so it can only come from the pipeline that built
+    * it. A frame that already carries a stamp is rejected rather than
+    * silently re-stamped (overwriting real provenance with a wrong
+    * claim is exactly the silent-false-negative hole the stamp closed).
+    */
+  def stampLegacyBloomState(state: DataFrame, numBits: Long, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val cols = state.columns.toSet
+    require(!cols.contains("num_bits") && !cols.contains("num_hashes"),
+      "state already carries a (num_bits, num_hashes) stamp — re-stamping would " +
+        "overwrite recorded provenance; use the frame as-is")
+    require(cols.contains("idx") && cols.contains("word"),
+      s"legacy state needs (idx, word) columns, got ${state.columns.mkString(", ")}")
+    state.select(col("idx"), col("word"),
+      lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"))
+  }
+
   /** The (numBits, numHashes) geometry stamped on a state frame — for
     * probe sites that need to match their `numHashes` argument to the
     * build's (a mismatch drops true matches silently).

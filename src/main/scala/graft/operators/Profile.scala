@@ -1002,7 +1002,8 @@ object Profile {
     * — the quantile/histogram member of the persisted-state family
     * (moments p18/p19, heavy hitters p20, membership p21). For each q,
     * the smallest bucket whose cumulative count reaches rank
-    * max(1, ceil(q·N)) over the N non-NULL values is reported with its
+    * max(1, ceil(q·N − ε)) — ε = 1e-9 guarding the exactly-integral
+    * q·N double boundary — over the N non-NULL values is reported with its
     * integer-exact bounds: the true q-quantile of the profiled corpus
     * lies in [lo_v, hi_v) (end-bucket clamping widens only the two clamp
     * buckets to their clamp ranges), so the answer's error is bounded by
@@ -1042,8 +1043,12 @@ object Profile {
     val tot = hist.agg(sum(col("n")).cast("long").as("n_total"))
     val qdf = qs.toDF("q")
     cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      // EPS guards the exact-integral boundary (the PPJoin idiom,
+      // Dedup.scala): ceil(0.55 * 100) evaluates as ceil(55.000...007)
+      // = 56 in doubles, shifting the rank — and the bucket — by one.
+      // The p22 oracle and SampleProfileSpec subtract the same EPS.
       .filter(col("cum_n") >=
-        greatest(lit(1L), ceil(col("q") * col("n_total")).cast("long")))
+        greatest(lit(1L), ceil(col("q") * col("n_total") - 1e-9).cast("long")))
       .groupBy(col("q"))
       .agg(min(col("bucket")).as("bucket"), first(col("n_total")).as("n_total"))
       .select(col("q"), col("bucket"),

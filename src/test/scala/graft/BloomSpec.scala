@@ -160,4 +160,31 @@ class BloomSpec extends AnyFunSuite {
     assert(BloomFilterOps.bloomStateParams(
       BloomFilterOps.mergeBloomStates(a, a)) == ((1L << 10, 5)))
   }
+
+  test("legacy (idx, word) states re-stamp and flow through the checked paths") {
+    import graft.functions.BloomFilterOps
+    val bits = 1L << 10
+    val k = 5
+    val keys = (1L to 200L).map(_ * 0x9E3779B97F4A7C15L).toDF("h")
+    val stamped = BloomFilterOps.bloomState(keys, col("h"), bits, k)
+    // simulate a pre-round-16 persisted frame: stamp columns absent
+    val legacy = stamped.select(col("idx"), col("word"))
+    val restamped = BloomFilterOps.stampLegacyBloomState(legacy, bits, k)
+    assert(BloomFilterOps.bloomStateParams(restamped) == ((bits, k)))
+    // the re-stamped frame merges with a native-stamped frame and
+    // rehydrates the identical word array
+    assert(BloomFilterOps.wordsFromState(
+      BloomFilterOps.mergeBloomStates(restamped, stamped), bits).toSeq ==
+      BloomFilterOps.buildBloom(keys, col("h"), bits, k).toSeq)
+    // an already-stamped frame must NOT be silently re-stamped
+    val e = intercept[IllegalArgumentException] {
+      BloomFilterOps.stampLegacyBloomState(stamped, bits, k)
+    }
+    assert(e.getMessage.contains("already carries"))
+    // a frame missing the word columns is rejected
+    val e2 = intercept[IllegalArgumentException] {
+      BloomFilterOps.stampLegacyBloomState(keys, bits, k)
+    }
+    assert(e2.getMessage.contains("idx"))
+  }
 }

@@ -765,7 +765,7 @@ class SampleProfileSpec extends AnyFunSuite {
     val sorted = vals.select("v").collect().map(_.getLong(0)).sorted
     fromScratch.foreach { case (q, _, loV, hiV, n) =>
       assert(n == 500L)
-      val exact = sorted(math.max(1, math.ceil(q * n).toInt) - 1)
+      val exact = sorted(math.max(1, math.ceil(q * n - 1e-9).toInt) - 1)
       assert(exact >= loV && exact < hiV, s"q=$q exact=$exact not in [$loV, $hiV)")
     }
     // histogram read-out: counts match a direct recompute and bounds are
