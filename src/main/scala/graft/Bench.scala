@@ -249,6 +249,28 @@ object Bench {
     }
   }
 
+  /** Sweep-end audit for the hand-maintained sf1Heavy list (round 17):
+    * names of non-member entries whose sweep wall exceeds 1.5× the
+    * SLOWEST member's — an entry that heavy deserves sf1 band/trend
+    * coverage, and the hand-maintained list would otherwise miss it
+    * silently. The y-family is excluded by design: its cost is per-entry
+    * micro-batch startup + twin re-execution, not data volume, so sf1
+    * trend coverage would measure the streaming machinery twice. The
+    * 1.5× margin keeps session timing noise from firing the audit on
+    * near-ties; failed walls (−1) never participate.
+    */
+  private[graft] def heavyCoverageGaps(walls: Seq[(String, Double)],
+      heavy: Seq[String]): Seq[String] = {
+    val memberWalls = walls.collect { case (n, w) if heavy.contains(n) && w >= 0 => w }
+    if (memberWalls.isEmpty) Seq.empty
+    else {
+      val threshold = memberWalls.max * 1.5
+      walls.collect {
+        case (n, w) if w > threshold && !heavy.contains(n) && !n.startsWith("y") => n
+      }
+    }
+  }
+
   /** Total stop-the-world GC time since JVM start, across all collectors. */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -629,8 +651,16 @@ object Bench {
       "d11_dedup_components", "d13_dedup_transitive", "d15_semantic_dedup",
       "d22_keep_best", "d25_ivf_nprobe_curve", "d26_ann_pq",
       "d28_containment", "d30_minhash_error", "d31_dup_centrality",
-      "p15_heavy_hitters", "q29_flagship", "q53_recursive_cte",
-      "x15_curriculum_pack")
+      "d35_ivfpq_curve", "p15_heavy_hitters", "q29_flagship",
+      "q53_recursive_cte", "x15_curriculum_pack")
+    // sweep-end audit (round 17): sf1Heavy is hand-maintained, so a future
+    // heavy entry could silently miss band/trend coverage. Any non-member
+    // whose sweep wall exceeds 1.5x the slowest member's is a gap — loud
+    // on stderr AND stamped into the artifact's env block.
+    val heavyGaps = heavyCoverageGaps(results.map(r => (r._1, r._2)), sf1Heavy)
+    if (heavyGaps.nonEmpty)
+      System.err.println(s"[bench] WARNING: heavy-coverage gap — ${heavyGaps.mkString(", ")} " +
+        "exceed 1.5x the slowest sf1Heavy member's sweep wall; add them to sf1Heavy")
     val sf1Enabled = !sys.env.get("SPARK_GRAFT_SF1").contains("off") &&
       (sys.env.get("SPARK_GRAFT_SF1").contains("on") ||
         sfDir.stripSuffix("/").endsWith("sf0.1"))
@@ -770,7 +800,8 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tw = twinResults.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }.mkString("{", ",", "}")
-    val sweepEnv = s""""sweep_gc_ms":$sweepGcMs,"load_avg":[${num("%.2f", sweepLoadStart)},${num("%.2f", sweepLoadEnd)}],"subset":"${jesc(subsetEnv)}""""
+    val gapsJson = heavyGaps.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
+    val sweepEnv = s""""sweep_gc_ms":$sweepGcMs,"load_avg":[${num("%.2f", sweepLoadStart)},${num("%.2f", sweepLoadEnd)}],"heavy_coverage_gaps":$gapsJson,"subset":"${jesc(subsetEnv)}""""
     // sf1 JSON: full carries per-entry gc too; the compact line carries
     // times only (the scaling signal the judge grades)
     def sf1Json(slim: Boolean): String = sf1Result match {

@@ -103,4 +103,23 @@ class BenchSpec extends AnyFunSuite {
     assert(allFailed)
     assert(e.wall == -1.0 && e.walls == Seq(-1.0))
   }
+
+  test("heavyCoverageGaps fires on a non-member heavier than 1.5x the slowest member") {
+    val heavy = Seq("d22_keep_best", "d35_ivfpq_curve")
+    val walls = Seq(
+      "d22_keep_best" -> 2.5, "d35_ivfpq_curve" -> 4.0,
+      "new_heavy_entry" -> 6.5, // > 4.0 * 1.5 — the silent miss the audit exists for
+      "x13_dedup_closed_split" -> 2.4, // heavy-ish but under the margin
+      "y06_stream_interval_outer" -> 11.5, // y-family: excluded by design
+      "broken_entry" -> -1.0)
+    assert(Bench.heavyCoverageGaps(walls, heavy) == Seq("new_heavy_entry"))
+  }
+
+  test("heavyCoverageGaps is quiet when every heavy entry is a member") {
+    val heavy = Seq("a", "b")
+    assert(Bench.heavyCoverageGaps(
+      Seq("a" -> 3.0, "b" -> 2.0, "c" -> 4.4, "y01_x" -> 9.0), heavy).isEmpty)
+    // no member measured (all failed) => nothing comparable, no gaps
+    assert(Bench.heavyCoverageGaps(Seq("a" -> -1.0, "c" -> 9.0), heavy).isEmpty)
+  }
 }
