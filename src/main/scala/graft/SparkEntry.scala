@@ -3467,6 +3467,50 @@ object SparkEntry {
          WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total - 1e-9) AS BIGINT))
          GROUP BY q.q, t.n_total"""),
 
+    // bound-free mergeable quantile state (round 17): p22's fixed-boundary
+    // buckets need a-priori [lo, hi) — a corpus with unknown range needs a
+    // pre-scan. p23 is the log-bucketed (HdrHistogram/DDSketch-style)
+    // sibling: integer-exact bucket function over the whole long domain,
+    // exact count-addition merge, quantile read-out with a 2^-subBits
+    // value-relative width guarantee. Three shard states built
+    // independently, merged, answered — the oracle replays bucket
+    // assignment, cumulative rank (shared EPS ceil idiom), and the
+    // integer bucket bounds from the RAW table, so the driver gate proves
+    // build+merge+answer ≡ from-scratch at hash level. subBits=6.
+    "p23_logbucket_quantiles" -> entry(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val st = (i: Int) => graft.operators.Profile.logBucketState(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), "n_chars", 6)
+        graft.operators.Profile.quantilesFromLogBucketState(
+          graft.operators.Profile.mergeLogBucketStates(st(0), st(1), st(2)),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      },
+      """WITH raw AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL),
+         b AS (SELECT v,
+             CASE WHEN v > 0 THEN 1 WHEN v = 0 THEN 0 ELSE -1 END AS sign,
+             CASE WHEN v = 0 THEN 0
+                  ELSE GREATEST(LENGTH(bin(ABS(v))) - 7, 0) END AS shift,
+             CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                  ELSE ABS(v) >> GREATEST(LENGTH(bin(ABS(v))) - 7, 0) END AS sub
+           FROM raw),
+         st AS (SELECT sign, shift, sub, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+         bounds AS (SELECT n,
+             CASE WHEN sign > 0 THEN sub << shift WHEN sign = 0 THEN 0
+                  ELSE 1 - ((sub + 1) << shift) END AS lo_v,
+             CASE WHEN sign > 0 THEN (sub + 1) << shift WHEN sign = 0 THEN 1
+                  ELSE 1 - (sub << shift) END AS hi_v
+           FROM st),
+         cum AS (SELECT lo_v, hi_v,
+             CAST(SUM(n) OVER (ORDER BY lo_v) AS BIGINT) AS cum_n FROM bounds),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM st),
+         q AS (SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
+         SELECT q.q, MIN(cum.lo_v) AS lo_v, MIN_BY(cum.hi_v, cum.lo_v) AS hi_v, t.n_total
+         FROM q, cum, t
+         WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total - 1e-9) AS BIGINT))
+         GROUP BY q.q, t.n_total"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

@@ -1057,6 +1057,150 @@ object Profile {
         col("n_total"))
   }
 
+  /** BOUND-FREE mergeable quantile state (round 17) — the member of the
+    * persisted-state family for corpora whose value RANGE is unknown at
+    * profile time, where [[numericProfileState]]'s caller-fixed [lo, hi)
+    * would need a pre-scan. One row per occupied LOG-SCALE bucket of the
+    * long domain — the public HdrHistogram / DDSketch design (Masson,
+    * Rim & Lee, VLDB'19) with the bucket function restated in INTEGER
+    * arithmetic so any engine replays it bit-for-bit: for v ≠ 0 with
+    * a = |v| and e = ⌊log₂ a⌋ (bit length of a, minus one),
+    * shift = max(e − subBits, 0) and sub = a >> shift; bucket
+    * (sign, shift, sub) covers the value interval
+    * [sub << shift, (sub+1) << shift) on the positive side, mirrored
+    * half-open and gap-free on the negative side
+    * ([1−((sub+1)<<shift), 1−(sub<<shift))); 0 takes (0, 0, 0). Values
+    * with e ≤ subBits are EXACT (one value per bucket); every wider
+    * bucket has relative width (hi−lo)/lo = 1/sub ≤ 2^−subBits — the
+    * sketch's guarantee, with NO a-priori bounds.
+    *
+    * Why not KLL/GK, the rank-error classics the quantile literature
+    * reaches for first: both are randomized and/or merge-order-
+    * dependent, so "merge ≡ from-scratch" could only hold in
+    * distribution. This bucket function is a pure per-value map and the
+    * merge is exact count addition — associative and commutative — so
+    * merged states equal the from-scratch state of the union
+    * HASH-FOR-HASH, the property the p18–p22 family's driver gate
+    * checks. The trade: the error bound is value-relative, not
+    * rank-relative (the reported quantile interval is within 2^−subBits
+    * of the true value, however skewed the ranks).
+    *
+    * State size: ≤ 2·(63 − subBits)·2^(subBits+1) + 2^(subBits+2) + 1
+    * occupied rows by construction, independent of corpus size —
+    * subBits = 6 caps it under ~15k rows and locates every quantile
+    * within 1.6%. NULLs are excluded (count them with [[describe]]).
+    * The domain guard |v| < 2^62 rides an assert_true FILTER (column
+    * pruning cannot skip it), so a corpus of near-Long extremes fails
+    * loudly instead of overflowing the bound arithmetic at read-out.
+    *
+    * Every row carries the `sub_bits` geometry stamp (the
+    * [[graft.functions.BloomFilterOps.bloomState]] idiom): states built
+    * at different resolutions must not merge — the same (sign, shift,
+    * sub) key means a different value interval at a different subBits,
+    * and adding such counts would answer quantiles of no corpus.
+    *
+    * Scale shape: one hash aggregate with map-side partials over a
+    * 3-int-column projection; the state is bounded rows however large
+    * the corpus.
+    *
+    * @return (sign, shift, sub, n, sub_bits), one row per occupied bucket
+    */
+  def logBucketState(df: DataFrame, valueCol: String, subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 12,
+      s"subBits must be in [1, 12], got $subBits — the state is a bounded frame")
+    val v = col(s"`$valueCol`").cast("long")
+    df.filter(v.isNotNull).select(v.as("__v"))
+      .filter(assert_true(
+        col("__v") > lit(-(1L << 62)) && col("__v") < lit(1L << 62),
+        concat(lit("logBucketState: |value| must be < 2^62, got "),
+          col("__v").cast("string"))).isNull)
+      .withColumn("__a", abs(col("__v")))
+      .withColumn("shift", when(col("__v") === 0, lit(0))
+        .otherwise(greatest(length(bin(col("__a"))) - lit(1 + subBits), lit(0)))
+        .cast("int"))
+      .withColumn("sub", when(col("__v") === 0, lit(0L))
+        .otherwise(expr("shiftright(__a, shift)")))
+      .groupBy(signum(col("__v")).cast("int").as("sign"), col("shift"), col("sub"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sub_bits", lit(subBits))
+  }
+
+  /** Fold any number of [[logBucketState]] frames built at the SAME
+    * subBits into the state of the unioned corpus — counts add per
+    * (sign, shift, sub), associative/commutative, so any snapshot DAG
+    * folds to the from-scratch state hash-for-hash. Mixed `sub_bits`
+    * stamps fail LOUDLY on the first action (one 1-row provenance
+    * aggregate broadcast back, checked in a FILTER — the
+    * [[graft.functions.BloomFilterOps.mergeBloomStates]] idiom) instead
+    * of colliding bucket keys across meanings; the merged frame carries
+    * the shared stamp forward so chained merges stay checkable.
+    */
+  def mergeLogBucketStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeLogBucketStates needs at least one state")
+    val all = states.reduce(_.unionByName(_))
+    val prov = all.agg(
+      min(col("sub_bits")).as("__smin"), max(col("sub_bits")).as("__smax"))
+    all.groupBy(col("sign"), col("shift"), col("sub"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .crossJoin(broadcast(prov))
+      .filter(assert_true(col("__smin") === col("__smax"),
+        concat(lit("mergeLogBucketStates: mixed sub_bits geometry ["),
+          col("__smin"), lit(", "), col("__smax"),
+          lit("] — bucket keys mean different value intervals"))).isNull)
+      .select(col("sign"), col("shift"), col("sub"), col("n"),
+        col("__smax").as("sub_bits"))
+  }
+
+  /** Quantiles answered from a [[logBucketState]] — for each q, the
+    * VALUE-ORDERED bucket whose cumulative count first reaches rank
+    * max(1, ceil(q·N − ε)) (ε = 1e-9, the shared double-ceil idiom) is
+    * reported with its integer-exact bounds: the true q-quantile lies in
+    * [lo_v, hi_v), an interval of relative width ≤ 2^−subBits — the
+    * bound-free sibling of [[quantilesFromState]], no (lo, hi, nBuckets)
+    * argument to supply or get wrong. Because the merge is exact,
+    * merging snapshot states first and answering equals answering the
+    * from-scratch state of the union (the p23 entry pins this under the
+    * driver gate; SampleProfileSpec pins containment and the relative-
+    * width bound against sort-derived exact quantiles).
+    *
+    * Scale shape: one cumulative window over the bounded state (never
+    * over data) and one broadcast of the qs; the corpus is never
+    * rescanned.
+    *
+    * @return (q, lo_v, hi_v, n_total), one row per requested q; empty
+    *         when the state is empty
+    */
+  def quantilesFromLogBucketState(state: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "quantilesFromLogBucketState needs at least one q")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"every q must be in [0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = state.sparkSession
+    import spark.implicits._
+    val bounds = state.select(col("sign"), col("shift"), col("sub"), col("n"))
+      .withColumn("lo_v",
+        when(col("sign") > 0, expr("shiftleft(sub, shift)"))
+          .when(col("sign") === 0, lit(0L))
+          .otherwise(expr("1 - shiftleft(sub + 1, shift)")))
+      .withColumn("hi_v",
+        when(col("sign") > 0, expr("shiftleft(sub + 1, shift)"))
+          .when(col("sign") === 0, lit(1L))
+          .otherwise(expr("1 - shiftleft(sub, shift)")))
+    val w = Window.orderBy(col("lo_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bounds.withColumn("cum_n", sum(col("n")).over(w))
+    val tot = bounds.agg(sum(col("n")).cast("long").as("n_total"))
+    val qdf = qs.toDF("q")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cum_n") >=
+        greatest(lit(1L), ceil(col("q") * col("n_total") - 1e-9).cast("long")))
+      .groupBy(col("q"))
+      .agg(min(col("lo_v")).as("lo_v"),
+        expr("min_by(hi_v, lo_v)").as("hi_v"),
+        first(col("n_total")).as("n_total"))
+      .select(col("q"), col("lo_v"), col("hi_v"), col("n_total"))
+  }
+
   /** Persisted Misra–Gries shard state: the ≤k-counter summary of one
     * shard, as (item, cnt) ROWS a pipeline can write next to the shard
     * (the [[numericProfileState]] discipline applied to the heavy-hitters

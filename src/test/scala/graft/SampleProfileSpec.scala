@@ -788,6 +788,67 @@ class SampleProfileSpec extends AnyFunSuite {
       stateOf(vals.filter(lit(false))), qs, 0L, 1024L, 16).count() == 0L)
   }
 
+  test("log-bucket state: bound-free merge == from-scratch, containment, relative width, bounded size, geometry check") {
+    // magnitudes spanning 9 decades plus zero and negatives — exactly the
+    // corpus where fixed [lo, hi) buckets would need a pre-scan
+    val raw = Seq(-1000000L, -777L, -3L, 0L, 0L, 1L, 2L, 3L, 63L, 64L, 65L,
+      1000L, 12345L, 999999L, 123456789L, 4000000000L) ++
+      Seq.tabulate(300)(i => (i * i * 37 + 1).toLong)
+    val vals = raw.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val subBits = 4
+    def stateOf(d: org.apache.spark.sql.DataFrame) =
+      Profile.logBucketState(d, "v", subBits)
+    def rows(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    // merge == from-scratch hash-for-hash, any shard split and order
+    val whole = rows(stateOf(vals))
+    Seq(2, 3, 5).foreach { shards =>
+      val states = (0 until shards).map(s => stateOf(vals.filter(col("id") % shards === s)))
+      Seq(states, states.reverse).foreach { order =>
+        assert(rows(Profile.mergeLogBucketStates(order: _*)) == whole,
+          s"merged $shards-way state != from-scratch")
+      }
+    }
+    // state is bounded and far smaller than the documented worst case
+    assert(whole.size <= 2 * (63 - subBits) * (1 << (subBits + 1)) + (1 << (subBits + 2)) + 1)
+    // the total count is preserved
+    assert(whole.toSeq.map(_._4).sum == raw.size)
+    // containment + relative width: the sort-derived exact q-quantile
+    // (the read-out's shared EPS rank rule) lies in [lo_v, hi_v), and the
+    // interval's width obeys the 2^-subBits relative bound
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val sorted = raw.sorted
+    val got = Profile.quantilesFromLogBucketState(stateOf(vals), qs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == qs.size)
+    got.foreach { case (q, loV, hiV, n) =>
+      assert(n == raw.size.toLong)
+      val exact = sorted(math.max(1, math.ceil(q * n - 1e-9).toInt) - 1)
+      assert(exact >= loV && exact < hiV, s"q=$q exact=$exact not in [$loV, $hiV)")
+      // relative width: exact for small magnitudes, <= |lo|/2^subBits wide
+      assert(hiV - loV == 1L ||
+        (hiV - loV).toDouble <= math.max(math.abs(loV), math.abs(hiV)) / (1 << subBits),
+        s"q=$q interval [$loV, $hiV) wider than the relative bound")
+    }
+    // buckets tile the line: values on EXACT bucket boundaries (powers of
+    // two and their neighbors, negatives) each land in exactly one bucket
+    val boundary = Seq(-65L, -64L, -63L, -1L, 0L, 1L, 15L, 16L, 17L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 1)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    assert(rows(stateOf(boundary)).toSeq.map(_._4).sum == 12L)
+    // mixed sub_bits geometries fail loudly instead of colliding keys
+    val e = intercept[Exception](Profile.mergeLogBucketStates(
+      stateOf(vals), Profile.logBucketState(vals, "v", 5)).collect())
+    assert(e.getMessage != null && e.getMessage.contains("sub_bits"))
+    // values at the domain guard fail loudly, not silently mis-bucket
+    val huge = Seq((1L, 1L << 62)).toDF("id", "v")
+    val e2 = intercept[Exception](Profile.logBucketState(huge, "v", subBits).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("2^62"))
+    // empty input answers no quantiles (no silent zero row)
+    assert(Profile.quantilesFromLogBucketState(
+      stateOf(vals.filter(lit(false))), qs).count() == 0L)
+  }
+
   test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
     // p15's shape: 200-value noise floor + two heavy values, NDV >> k
     val data = (1 to 200).map(i => s"noise$i") ++
