@@ -5506,6 +5506,42 @@ object SparkEntry {
                 CAST(NULL AS BIGINT) AS right_id, CAST(NULL AS BIGINT) AS lag_us
          WHERE FALSE"""),
 
+    // RocksDB state-store twin (round 17): every y-entry runs on the
+    // default HDFS-backed (executor-heap) state store — the test rig, not
+    // the 100 TB deployment, where state must live off-heap in RocksDB.
+    // This entry re-runs y07's computation (engine-managed session
+    // windows, append mode, AvailableNow flush — the heaviest state
+    // contract: merging windows, watermark-gated emission) with the
+    // provider swapped to RocksDBStateStoreProvider, against the same
+    // batch twin: green iff the provider changes NOTHING about emitted
+    // rows. Default-provider ≡ batch is y07's pin; RocksDB ≡ batch here
+    // closes the provider-independence triangle. StreamingSpec pins that
+    // RocksDB is actually ENGAGED (rocksdb* custom metrics reported),
+    // so this can't pass by silently falling back to the default store.
+    "y10_rocksdb_state_store" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val gapUs = 1800L * 1000000L
+        val clean = (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"))
+        val streamed = StreamingOps.withStateStoreProvider(
+          s, StreamingOps.RocksDbStateStoreProvider) {
+          StreamingOps.runToMemory(
+            StreamingOps.sessionWindowCounts(
+              clean(StreamingOps.eventsStream(s, s"$d/events.parquet")), gapUs),
+            "y10_rocksdb_mem", org.apache.spark.sql.streaming.OutputMode.Append(),
+            availableNow = true)
+        }
+        val ev = clean(t(s, d, "events"))
+        val batch = StreamingOps.sessionWindowBatchDecided(ev, gapUs,
+          StreamingOps.finalWatermarkUs(ev))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
+                CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,

@@ -658,19 +658,60 @@ object StreamingOps {
     *        releases, which processAllAvailable returns too early to see
     */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode,
-      availableNow: Boolean = false): DataFrame = {
+      availableNow: Boolean = false): DataFrame =
+    runToMemoryStateMetrics(df, name, outputMode, availableNow)._1
+
+  /** [[runToMemory]] plus the per-operator state-store progress the query
+    * reported — numRowsTotal, memory/disk usage, and the provider's
+    * custom metrics (a RocksDB-backed run reports rocksdb* keys). This is
+    * how a 100 TB deployment watches its state: the same
+    * StreamingQueryProgress a production listener would export, captured
+    * from the bounded smoke so provider behavior is PINNABLE in tests
+    * (StreamingSpec asserts RocksDB is actually engaged, not silently
+    * defaulted) rather than inferred.
+    */
+  def runToMemoryStateMetrics(df: DataFrame, name: String, outputMode: OutputMode,
+      availableNow: Boolean = false)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StateOperatorProgress]) = {
     val writer = df.writeStream.format("memory").queryName(name).outputMode(outputMode)
     // finally: a failed query must not stay registered (it would collide
     // with the next start() under the same name and leak its sink state)
-    if (availableNow) {
-      val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      finally q.stop()
-    } else {
-      val q = writer.start()
-      try q.processAllAvailable()
-      finally q.stop()
+    val q =
+      if (availableNow)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      else writer.start()
+    try { if (availableNow) q.awaitTermination() else q.processAllAvailable() }
+    finally q.stop()
+    (df.sparkSession.table(name), q.recentProgress.toSeq.flatMap(_.stateOperators))
+  }
+
+  /** Spark's RocksDB state-store provider (public class, Spark 3.2+) —
+    * the 100 TB streaming answer: keyed state lives in a local RocksDB
+    * instance (off-heap block cache + SST files on local disk,
+    * incremental checkpoints) instead of the default provider's
+    * executor-HEAP hash map, so state size is bounded by local disk, not
+    * by heap — the difference between a watermark-bounded join state
+    * that fits and an executor OOM at production stream volumes.
+    */
+  val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's streaming state-store provider swapped
+    * to `providerClass`, restoring the previous setting in finally. The
+    * conf is read at query START, so every stream started inside `body`
+    * uses the given provider while already-running queries keep theirs.
+    * The y-family's contracts are provider-INDEPENDENT — y10 pins that
+    * under the driver gate; this helper keeps the swap scoped so one
+    * entry's provider choice can't leak into the rest of a sweep.
+    */
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
-    df.sparkSession.table(name)
   }
 }

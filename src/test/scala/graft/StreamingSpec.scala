@@ -443,6 +443,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"batch=$batch stream=$got")
   }
 
+  test("RocksDB state store: provider actually engaged, emitted rows identical to the default provider") {
+    import spark.implicits._
+    val H = 3600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("graft-rocksdb").toString
+    // the session_window fixture: merged sessions, a boundary session, a
+    // held session — the state shapes that would surface a provider
+    // behavior difference if one existed
+    Seq((1L, ts(10 * H)), (1L, ts(10 * H + 600)), (4L, ts(19 * H + 1800)),
+        (2L, ts(19 * H + 3000)), (5L, ts(19 * H + 1740)), (5L, ts(19 * H + 3000)),
+        (9L, ts(20 * H)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    val gapUs = 1800L * 1000000L
+    def run(name: String) = {
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+      val (out, metrics) = StreamingOps.runToMemoryStateMetrics(
+        StreamingOps.sessionWindowCounts(stream, gapUs), name,
+        OutputMode.Append(), availableNow = true)
+      (out.collect().map(r =>
+        (r.getLong(0), r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet, metrics)
+    }
+    val (defaultRows, defaultMetrics) = run("rocksdb_default_out")
+    val (rocksRows, rocksMetrics) =
+      StreamingOps.withStateStoreProvider(spark, StreamingOps.RocksDbStateStoreProvider) {
+        run("rocksdb_rocks_out")
+      }
+    // identical emitted rows — the provider-independence contract
+    assert(rocksRows == defaultRows && rocksRows.nonEmpty,
+      s"rocksdb=$rocksRows default=$defaultRows")
+    // RocksDB was ENGAGED, not silently defaulted: the provider reports
+    // rocksdb* custom metrics the default provider never emits, and the
+    // state operator saw rows
+    import scala.jdk.CollectionConverters._
+    val rocksKeys = rocksMetrics.flatMap(_.customMetrics.keySet().asScala)
+    assert(rocksKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb custom metrics — provider not engaged? keys=$rocksKeys")
+    assert(rocksMetrics.exists(_.numRowsTotal > 0), "state operator saw no rows")
+    assert(!defaultMetrics.flatMap(_.customMetrics.keySet().asScala)
+      .exists(_.toLowerCase.contains("rocksdb")),
+      "default-provider run unexpectedly reports rocksdb metrics — the swap leaked")
+    // the swap restored the session conf
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("profile state folds over stream micro-batches: merged state equals the batch profile") {
     import spark.implicits._
     import graft.operators.Profile
