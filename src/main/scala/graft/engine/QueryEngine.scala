@@ -456,8 +456,11 @@ object QueryEngine {
 
   /** `VALUES (…), (…) AS name(cols)` for a small all-atomic LocalRelation —
     * the faithful rendering of an inline table the optimizer has folded to
-    * rows (q47's VALUES, a recursive CTE's edge list). None for empty or
-    * non-atomic relations: an empty VALUES has no SQL form.
+    * rows (q47's VALUES, a recursive CTE's edge list). An EMPTY relation
+    * (round 17: what a provably-false filter folds to — the y-family's
+    * `WHERE FALSE` schema oracles) has no VALUES form, so it renders as a
+    * typed-null FROM-less SELECT under LIMIT 0 — same schema, zero rows,
+    * valid in FROM position. None for non-atomic or oversized relations.
     */
   private def valuesSql(lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation): Option[String] = {
     import org.apache.spark.sql.catalyst.util.quoteIfNeeded
@@ -467,7 +470,12 @@ object QueryEngine {
            _: TimestampType | TimestampNTZType => true
       case _ => false
     })
-    if (lr.data.isEmpty || lr.data.size > 1000 || !atomic) None
+    if (!atomic || lr.data.size > 1000) None
+    else if (lr.data.isEmpty) {
+      val cols = lr.output.map(a =>
+        s"CAST(NULL AS ${a.dataType.sql}) AS ${quoteIfNeeded(a.name)}").mkString(", ")
+      Some(s"(SELECT $cols LIMIT 0) AS ${valuesName(lr)}")
+    }
     else {
       val rows = lr.data.map { r =>
         lr.output.zipWithIndex.map { case (a, i) =>
@@ -491,6 +499,21 @@ object QueryEngine {
     * position — same exprId-derived determinism as [[aggViewName]]. */
   private def winViewName(p: LogicalPlan): String =
     s"__win${p.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** Inline-view name for a recognized INTERSECT ALL / EXCEPT ALL rewrite
+    * (a ReplicateRows Generate) rendered in FROM position. */
+  private def setOpViewName(g: org.apache.spark.sql.catalyst.plans.logical.Generate): String =
+    s"__setop${g.generatorOutput.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** The ReplicateRows Generate produced by Catalyst's RewriteIntersectAll
+    * / RewriteExceptAll — recognized as a set-operation scope boundary by
+    * [[unambiguous]] (both branches legally read the same table; each
+    * branch is its own SELECT scope, checked when it renders). */
+  private def isReplicateSetOp(p: LogicalPlan): Boolean = p match {
+    case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+      g.generator.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ReplicateRows]
+    case _ => false
+  }
 
   /** [Project]* over Window — the FROM-position twin of rewrittenSql's
     * internal isWindowStack (that one lives in the closure; this is the
@@ -635,6 +658,11 @@ object QueryEngine {
         Seq((Some(winViewName(pr)), cols.map(_.name)))
       case w: Window if inFrom =>
         Seq((Some(winViewName(w)), w.output.map(_.name)))
+      // INTERSECT ALL / EXCEPT ALL rewrites (round 17): one scope named
+      // like a set operation's result — its branches legally re-read the
+      // same table and are ambiguity-checked per branch when rendered
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate if isReplicateSetOp(g) =>
+        Seq((Some(setOpViewName(g)), g.generatorOutput.map(_.name)))
       // pushed-down projections render as inline views, so what a relation
       // EXPOSES to the outer scope is its projected (possibly aliased)
       // names, not the leaf's — NATURAL JOIN aliases both sides' keys to
@@ -1100,7 +1128,59 @@ object QueryEngine {
       case other =>
         selectFrom(other).map(f => s"SELECT * FROM $f")
     }
+    /** Un-parse Catalyst's RewriteIntersectAll / RewriteExceptAll output
+      * back to the set operation the user wrote (round 17). The rewrite is
+      * a tagged union — EXCEPT ALL prepends `1L AS vcol` / `-1L AS vcol`,
+      * INTERSECT ALL `(true, null)` / `(null, true)` vcol pairs — under an
+      * Aggregate that sums/counts the tags, a Filter on the counts, and a
+      * ReplicateRows Generate that re-expands each row to its multiplicity.
+      * The literal tags identify the operator; the branches are the tag
+      * Projects minus their tags (CollapseProject may have merged the tag
+      * into the branch's own projection — dropping by position is exact
+      * because the rewrite PREPENDS). Row equality of the regenerated text
+      * is executed by the coverage ratchet, as everywhere.
+      */
+    def replicateRowsSetOp(g: org.apache.spark.sql.catalyst.plans.logical.Generate)
+        : Option[String] = {
+      if (!isReplicateSetOp(g)) return None
+      def unionOf(pl: LogicalPlan): Option[Union] = pl match {
+        case u: Union => Some(u)
+        case Project(_, c) => unionOf(c)
+        case Filter(_, c) => unionOf(c)
+        case Aggregate(_, _, c, _) => unionOf(c)
+        case _ => None
+      }
+      unionOf(g.child).filter(_.children.size == 2).flatMap { u =>
+        (u.children(0), u.children(1)) match {
+          case (Project(c1, l), Project(c2, r)) =>
+            def lit(ne: NamedExpression): Option[Any] = ne match {
+              case Alias(Literal(v, _), _) => Some(v)
+              case _ => None
+            }
+            val op: Option[(String, Int)] = (lit(c1.head), lit(c2.head)) match {
+              case (Some(1L), Some(-1L)) => Some(("EXCEPT ALL", 1))
+              case (Some(true), Some(null))
+                  if c1.size >= 2 && c2.size >= 2 &&
+                    lit(c1(1)).contains(null) && lit(c2(1)).contains(true) =>
+                Some(("INTERSECT ALL", 2))
+              case _ => None
+            }
+            op.flatMap { case (kw, nTags) =>
+              for {
+                ls <- branchSql(Project(c1.drop(nTags), l))
+                rs <- branchSql(Project(c2.drop(nTags), r))
+              } yield s"($ls) $kw ($rs)"
+            }
+          case _ => None
+        }
+      }
+    }
     def selectFrom(n: LogicalPlan): Option[String] = n match {
+      // a recognized INTERSECT ALL / EXCEPT ALL rewrite in FROM position
+      // renders as an inline view (the outer SELECT may carry computed
+      // columns CollapseProject pushed above the Generate)
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate if isReplicateSetOp(g) =>
+        replicateRowsSetOp(g).map(s => s"($s) AS ${setOpViewName(g)}")
       case Filter(cond, child @ (_: Join)) =>
         fromSql(child, loopHandler).map(f => s"$f WHERE ${exprSql(cond)}")
       case Project(cols, child @ (_: Join | Filter(_, _: Join)))
@@ -1200,6 +1280,13 @@ object QueryEngine {
         case DistinctOf(Project(cols, Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
             Some(cond), _))) if pairsAllColumns(cond, l, r) =>
           setOp(Project(cols, l), r, "EXCEPT")
+        // a pure pass-through Project over a recognized INTERSECT ALL /
+        // EXCEPT ALL rewrite IS the set operation (round 17)
+        case Project(cols, g: org.apache.spark.sql.catalyst.plans.logical.Generate)
+            if isReplicateSetOp(g) && cols.forall(_.isInstanceOf[AttributeReference]) =>
+          replicateRowsSetOp(g)
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate if isReplicateSetOp(g) =>
+          replicateRowsSetOp(g)
         case _ => None
       }
     }

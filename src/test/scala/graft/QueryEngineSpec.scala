@@ -357,12 +357,15 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 83 oracles are Spark-runnable; 64 regenerate (round 16: aggregate
-    // inline views, LeftSingle, pruning projects inside join trees, and
-    // computed group keys, window-column filters and per-branch sort/limit
-    // flipped sixteen). (p05 left the set in
-    // round 13: its oracle now carries the DuckDB-only decimal→VARCHAR→
-    // double hop, which Spark's parser rejects — exactly the
+    // 84 oracles are Spark-runnable; 74 regenerate (round 17: empty
+    // LocalRelations render as typed-null LIMIT-0 selects — flipping the
+    // seven y-family WHERE-FALSE schema oracles, t07 and y10 — and the
+    // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
+    // back to INTERSECT ALL / EXCEPT ALL, flipping q43; round 16 flipped
+    // sixteen via aggregate inline views, LeftSingle, pruning projects,
+    // computed group keys, window-column filters, per-branch sort/limit).
+    // (p05 left the set in round 13, p23 never entered it: their oracles
+    // carry DuckDB-only syntax Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
     // un-parser gaps by DESIGN CHOICE (left/right anti, EXISTS/IN-subquery
     // plans, UnionLoop, multi-join trees >3 relations) — each false that
@@ -420,7 +423,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q40_unpivot" -> true,
       "q41_window_frames" -> true,
       "q42_cte" -> true,
-      "q43_set_ops_all" -> false,
+      "q43_set_ops_all" -> true,
       "q44_date_functions" -> true,
       "q45_string_functions" -> true,
       "q47_values_inline" -> true,
@@ -444,18 +447,19 @@ class QueryEngineSpec extends AnyFunSuite {
       "s23_changepoint" -> false,
       "t01_lang_id" -> true,
       "t05_topk_per_source" -> true,
-      "t07_rolling_native" -> false,
+      "t07_rolling_native" -> true,
       "t18_code_detect" -> true,
       "t24_lang_confusion" -> false,
       "x01_salted_join" -> true,
       "x10_grouped_split" -> true,
-      "y03_stream_sessions" -> false,
-      "y04_stream_neardup_gate" -> false,
-      "y05_stream_interval_join" -> false,
-      "y06_stream_interval_outer" -> false,
-      "y07_stream_session_window" -> false,
-      "y08_stream_interval_full" -> false,
-      "y09_stream_interval_right" -> false)
+      "y03_stream_sessions" -> true,
+      "y04_stream_neardup_gate" -> true,
+      "y05_stream_interval_join" -> true,
+      "y06_stream_interval_outer" -> true,
+      "y07_stream_session_window" -> true,
+      "y08_stream_interval_full" -> true,
+      "y09_stream_interval_right" -> true,
+      "y10_rocksdb_state_store" -> true)
     val results: Map[String, Option[String]] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =
