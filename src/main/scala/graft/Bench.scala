@@ -140,7 +140,8 @@ object Bench {
     * contention signal).
     */
   private[graft] case class Sf1Entry(name: String, wall: Double, gcMs: Long,
-      taskMs: Long, walls: Seq[Double], extCores: Double = -1.0)
+      taskMs: Long, walls: Seq[Double], extCores: Double = -1.0,
+      shufReadB: Long = 0L, shufWriteB: Long = 0L)
 
   /** Recorded quiet-session sf1 bands: (wall s, executor task ms) per
     * heavy entry, the best-evidenced cross-round position (round-13/14
@@ -180,6 +181,10 @@ object Bench {
     "d28_containment" -> (7.6, 322000L),
     "d30_minhash_error" -> (1.0, 30000L),
     "d31_dup_centrality" -> (3.5, 73000L),
+    // joined the heavy list in round 17 (it was the slowest non-member in
+    // the r16 sweep); band from the round-17 measured run (wall 5.44 under
+    // moderate load — re-tighten from a quiet session if it proves loose)
+    "d35_ivfpq_curve" -> (5.5, 64000L),
     "p15_heavy_hitters" -> (4.4, 153000L),
     "q29_flagship" -> (2.2, 108000L),
     "q53_recursive_cte" -> (0.8, 2600L),
@@ -214,8 +219,15 @@ object Bench {
     }
 
   /** One observation of an sf1 heavy entry. */
+  /** One sf10 (copies=100) measurement: wall + settled task time +
+    * shuffle read/write volume + peak per-task execution memory — the
+    * per-entry evidence the 100×-direction scale claim rests on.
+    */
+  private[graft] case class Sf10Row(name: String, wall: Double, taskMs: Long,
+      shufReadB: Long, shufWriteB: Long, peakMemB: Long)
+
   private[graft] case class Sf1Run(wall: Double, gcMs: Long, taskMs: Long,
-      ok: Boolean, extCores: Double)
+      ok: Boolean, extCores: Double, shufReadB: Long = 0L, shufWriteB: Long = 0L)
 
   /** Whether a first sf1 observation warrants the single re-time.
     * Band-relative (round 16): re-time exactly when the single
@@ -242,10 +254,12 @@ object Bench {
     val ok = runs.filter(_.ok)
     if (ok.isEmpty) {
       val b = runs.head
-      (Sf1Entry(name, -1.0, b.gcMs, b.taskMs, Seq(-1.0), b.extCores), true)
+      (Sf1Entry(name, -1.0, b.gcMs, b.taskMs, Seq(-1.0), b.extCores,
+        b.shufReadB, b.shufWriteB), true)
     } else {
       val b = ok.minBy(_.wall)
-      (Sf1Entry(name, b.wall, b.gcMs, b.taskMs, ok.map(_.wall), b.extCores), false)
+      (Sf1Entry(name, b.wall, b.gcMs, b.taskMs, ok.map(_.wall), b.extCores,
+        b.shufReadB, b.shufWriteB), false)
     }
   }
 
@@ -315,9 +329,20 @@ object Bench {
     */
   private class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
     val runTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // shuffle volume + per-task peak execution memory (round 17): the
+    // sf10 section's scale evidence — wall alone can't distinguish
+    // "linear in data" from "quadratic but still fits"; shuffle bytes can
+    val shuffleReadB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakTaskMemB = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) runTimeMs.addAndGet(m.executorRunTime)
+      if (m != null) {
+        runTimeMs.addAndGet(m.executorRunTime)
+        shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakTaskMemB.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
     }
   }
 
@@ -681,6 +706,8 @@ object Bench {
             def runOnce(): Sf1Run = {
               externalCores() // reset the interval-average window
               val task0 = settledTaskMs(taskTimes)
+              val sr0 = taskTimes.shuffleReadB.get()
+              val sw0 = taskTimes.shuffleWriteB.get()
               val gc0 = gcMillis()
               var ok = true
               val t = time(
@@ -691,7 +718,8 @@ object Bench {
                 })
               val ext = externalCores()
               spark.catalog.clearCache()
-              Sf1Run(t, gcMillis() - gc0, settledTaskMs(taskTimes) - task0, ok, ext)
+              Sf1Run(t, gcMillis() - gc0, settledTaskMs(taskTimes) - task0, ok, ext,
+                taskTimes.shuffleReadB.get() - sr0, taskTimes.shuffleWriteB.get() - sw0)
             }
             // contention robustness (round 15): single-timed sf1 walls
             // published 2-3x inflated under another tenant's load (r14:
@@ -721,6 +749,67 @@ object Bench {
       } catch { case e: Throwable =>
         failed += "sf1:section"
         System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+        None
+      }
+
+    // ---- sf10 scale section (round 17): the 100×-direction point the
+    // sf1 section extrapolates toward. copies=100 over THIS sfDir,
+    // documents + events only (what the heavy dedup/profile family scans
+    // — generating 100× lineitem would dominate the section for nothing;
+    // the sentinel records the subset so the directory can't be mistaken
+    // for a full instance). Gated behind SPARK_GRAFT_SF10=on: the driver
+    // sweep never pays it; a builder runs it per round and records the
+    // table in BENCH_NOTES. Each entry runs ONCE (compute-bound at this
+    // volume) with wall, settled task time, shuffle read/write bytes and
+    // peak per-task execution memory captured — "growth ~linear in data
+    // size" is the claim under test, and shuffle bytes are what separate
+    // linear from quadratic-but-still-fits.
+    val sf10Heavy = Seq("d03_dedup_minhash", "d05_ngram_jaccard",
+      "d11_dedup_components", "d13_dedup_transitive", "d28_containment",
+      "p15_heavy_hitters")
+    val sf10Result: Option[(String, Double, Seq[Sf10Row])] =
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("on")) None
+      else try {
+        val sf10Dir = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "benchdata/sf10")).getAbsolutePath
+        val genS = time(graft.tools.ScaleData.ensure(spark, sfDir, sf10Dir,
+          copies = 100, tables = Seq("documents", "events")))
+        // Partition count must SCALE WITH DATA — the first 100 TB lesson
+        // this section taught (round 17): at copies=100 the session's
+        // sf0.1-sized 32 shuffle partitions hold 100× the bytes each, and
+        // d28 OOMed the 8 GiB heap (JVM exit 52, GCLocker alloc failures)
+        // exactly as an undersized production job would. 1024 initial
+        // partitions restore per-partition volume to ~3× the sf0.1 sizing;
+        // AQE coalesces the small shuffles back down, so cheap stages pay
+        // nothing. Restored in finally — the sf0.1 sweep's sizing is
+        // correct for its own volume.
+        val shufKey = "spark.sql.shuffle.partitions"
+        val prevShuf = spark.conf.get(shufKey)
+        spark.conf.set(shufKey, "1024")
+        val rows = try sf10Heavy.map { name =>
+          val fn = SparkEntry.queries(name)
+          val task0 = settledTaskMs(taskTimes)
+          val sr0 = taskTimes.shuffleReadB.get()
+          val sw0 = taskTimes.shuffleWriteB.get()
+          taskTimes.peakTaskMemB.set(0L)
+          var ok = true
+          val t = time(
+            try materialize(fn(spark, sf10Dir))
+            catch { case e: Throwable =>
+              ok = false
+              failed += s"sf10:$name"
+              System.err.println(s"[bench] sf10 $name failed: ${e.getMessage}")
+            })
+          spark.catalog.clearCache()
+          val task = settledTaskMs(taskTimes) - task0
+          Sf10Row(name, if (ok) t else -1.0, task,
+            taskTimes.shuffleReadB.get() - sr0, taskTimes.shuffleWriteB.get() - sw0,
+            taskTimes.peakTaskMemB.get())
+        } finally spark.conf.set(shufKey, prevShuf)
+        Some((sf10Dir, genS, rows))
+      } catch { case e: Throwable =>
+        failed += "sf10:section"
+        System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
         None
       }
 
@@ -839,11 +928,21 @@ object Bench {
         val sh =
           if (slim) sf1Shapes.map(shapeSlim).mkString("{", ",", "}")
           else sf1Shapes.map(sr => s""""${sr.name}":{${shapeFields(sr)}}""").mkString("{", ",", "}")
+        val shuf = qTimes.map(e =>
+          s""""${e.name}":[${e.shufReadB},${e.shufWriteB}]""").mkString("{", ",", "}")
         val gcPart = if (slim) ""
-          else s""","query_gc_ms":$g,"query_task_ms":$tk,"dir":"${jesc(dir)}""""
+          else s""","query_gc_ms":$g,"query_task_ms":$tk,"query_shuffle_b":$shuf,"dir":"${jesc(dir)}""""
         s"""{"gen_s":${num("%.1f", genS)},"queries":$q,"query_verdict":${if (slim) slimVd else vd},"shapes":$sh$gcPart}"""
     }
-    val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"query_gc_ms":$qGc,"query_task_ms":$qTask,"twins":$tw,"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv,"shapes_measured":"pre+post-sweep, per-shape best-evidenced"},"baseline_shapes":$bs,"sf1":${sf1Json(slim = false)},"sf":"${jesc(sfDir)}"}"""
+    val sf10Json: String = sf10Result match {
+      case None => "null"
+      case Some((dir, genS, rows)) =>
+        val q = rows.map(r =>
+          s""""${r.name}":{"wall_s":${num("%.2f", r.wall)},"task_ms":${r.taskMs},"shuffle_read_b":${r.shufReadB},"shuffle_write_b":${r.shufWriteB},"peak_task_mem_b":${r.peakMemB}}""")
+          .mkString("{", ",", "}")
+        s"""{"gen_s":${num("%.1f", genS)},"copies":100,"tables":"documents,events","shuffle_partitions":1024,"queries":$q,"dir":"${jesc(dir)}"}"""
+    }
+    val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"query_gc_ms":$qGc,"query_task_ms":$qTask,"twins":$tw,"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv,"shapes_measured":"pre+post-sweep, per-shape best-evidenced"},"baseline_shapes":$bs,"sf1":${sf1Json(slim = false)},"sf10":$sf10Json,"sf":"${jesc(sfDir)}"}"""
     // the full JSON (per-query times + per-query GC) goes to a FILE only
     // (SPARK_GRAFT_BENCH_OUT, default bench_out.json). The driver keeps
     // only the LAST 2000 chars of stdout (BENCH_r12's "tail" — its parse

@@ -53,15 +53,24 @@ object ScaleData {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Generate `destDir` from `srcDir` at `copies`× unless the sentinel
-    * already marks it complete FOR THIS (src, copies) request — a sentinel
-    * recording a different source dir or copy count means the directory
-    * holds some OTHER instance, and silently benching it would mislabel
-    * every sf1 number; regenerate instead. Returns true when generation
-    * ran.
+    * already marks it complete FOR THIS (src, copies, tables) request — a
+    * sentinel recording a different source dir, copy count, or table set
+    * means the directory holds some OTHER instance, and silently benching
+    * it would mislabel every scaled number; regenerate instead. Returns
+    * true when generation ran.
+    *
+    * `tables` (round 17) restricts generation to a subset — the sf10
+    * (copies=100) scale point only needs the tables its heavy entries
+    * scan (documents, events), and generating 100× lineitem for nothing
+    * would dominate the section's cost. The sentinel records the subset,
+    * so an sf10 directory can never be mistaken for a full instance.
     */
   def ensure(spark: SparkSession, srcDir: String, destDir: String,
-      copies: Int = 10, partitions: Int = 32): Boolean = {
+      copies: Int = 10, partitions: Int = 32,
+      tables: Seq[String] = Tables): Boolean = {
     require(copies >= 1, s"copies must be >= 1, got $copies")
+    require(tables.nonEmpty && tables.forall(Tables.contains),
+      s"tables must be a nonempty subset of $Tables, got $tables")
     // the subset-replay env thins every documents/embeddings read through
     // GraftSession.table — generating under it would silently bake the
     // thinned corpus into the scaled instance as if it were the full one
@@ -72,7 +81,12 @@ object ScaleData {
     // algebra changes (round 14: shared doc/vec offset), so directories
     // produced by an older generator regenerate instead of being benched
     // as if current
-    val stamp = s"src=$srcDir copies=$copies gen=2\n"
+    // the tables tag is omitted for the full set so pre-round-17 sf1
+    // sentinels stay valid (no pointless regeneration)
+    val tablesTag =
+      if (tables.toSet == Tables.toSet) ""
+      else s" tables=${tables.distinct.sorted.mkString(",")}"
+    val stamp = s"src=$srcDir copies=$copies gen=2$tablesTag\n"
     if (java.nio.file.Files.exists(sentinel)) {
       val recorded = new String(java.nio.file.Files.readAllBytes(sentinel),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -92,59 +106,76 @@ object ScaleData {
       df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
     def shifted(key: String, o: Long) = (col(key) + col("__c") * o).as(key)
 
-    val custOff = off(src("customer"), "c_custkey")
-    val ordOff = off(src("orders"), "o_orderkey")
-    val partOff = off(src("part"), "p_partkey")
-    val suppOff = off(src("supplier"), "s_suppkey")
+    val want = tables.toSet
+    // offsets are LAZY: a subset generation (sf10's documents+events) must
+    // not pay a scan of every other source table just to compute offsets
+    // it never uses
+    lazy val custOff = off(src("customer"), "c_custkey")
+    lazy val ordOff = off(src("orders"), "o_orderkey")
+    lazy val partOff = off(src("part"), "p_partkey")
+    lazy val suppOff = off(src("supplier"), "s_suppkey")
     def offEv(keyCol: String): Long =
       graft.engine.GraftSession.table(spark, srcDir, "events")
         .agg(max(col(keyCol)).cast("long")).head().getLong(0) + 1L
-    val evOff = offEv("event_id")
-    val userOff = offEv("user_id")
+    lazy val evOff = offEv("event_id")
+    lazy val userOff = offEv("user_id")
     // ONE shared offset across the doc_id and vec_id domains: the driver
     // generates embeddings row i for document i, and doc↔embedding joins
     // (m07-style doc-media audits) rely on that pairing — independent
     // per-table offsets would break it for every copy c > 0 whenever the
     // two key domains differ (e.g. fewer vectors than docs)
-    val docOff = math.max(off(src("documents"), "doc_id"),
+    lazy val docOff = math.max(off(src("documents"), "doc_id"),
       off(src("embeddings"), "vec_id"))
-    val vecOff = docOff
+    lazy val vecOff = docOff
 
-    write("region", src("region"))
-    write("nation", src("nation"))
+    if (want("region")) write("region", src("region"))
+    if (want("nation")) write("nation", src("nation"))
 
     def keep(df: DataFrame, renamed: Map[String, org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
       df.columns.toSeq.filterNot(_ == "__c").map(c => renamed.getOrElse(c, col(c)))
 
-    val cust = fan(src("customer"))
-    write("customer", cust.select(keep(cust, Map("c_custkey" -> shifted("c_custkey", custOff))): _*))
-    val supp = fan(src("supplier"))
-    write("supplier", supp.select(keep(supp, Map("s_suppkey" -> shifted("s_suppkey", suppOff))): _*))
-    val part = fan(src("part"))
-    write("part", part.select(keep(part, Map("p_partkey" -> shifted("p_partkey", partOff))): _*))
-    val ord = fan(src("orders"))
-    write("orders", ord.select(keep(ord, Map(
-      "o_orderkey" -> shifted("o_orderkey", ordOff),
-      "o_custkey" -> shifted("o_custkey", custOff))): _*))
-    val li = fan(src("lineitem"))
-    write("lineitem", li.select(keep(li, Map(
-      "l_orderkey" -> shifted("l_orderkey", ordOff),
-      "l_partkey" -> shifted("l_partkey", partOff),
-      "l_suppkey" -> shifted("l_suppkey", suppOff))): _*))
+    if (want("customer")) {
+      val cust = fan(src("customer"))
+      write("customer", cust.select(keep(cust, Map("c_custkey" -> shifted("c_custkey", custOff))): _*))
+    }
+    if (want("supplier")) {
+      val supp = fan(src("supplier"))
+      write("supplier", supp.select(keep(supp, Map("s_suppkey" -> shifted("s_suppkey", suppOff))): _*))
+    }
+    if (want("part")) {
+      val part = fan(src("part"))
+      write("part", part.select(keep(part, Map("p_partkey" -> shifted("p_partkey", partOff))): _*))
+    }
+    if (want("orders")) {
+      val ord = fan(src("orders"))
+      write("orders", ord.select(keep(ord, Map(
+        "o_orderkey" -> shifted("o_orderkey", ordOff),
+        "o_custkey" -> shifted("o_custkey", custOff))): _*))
+    }
+    if (want("lineitem")) {
+      val li = fan(src("lineitem"))
+      write("lineitem", li.select(keep(li, Map(
+        "l_orderkey" -> shifted("l_orderkey", ordOff),
+        "l_partkey" -> shifted("l_partkey", partOff),
+        "l_suppkey" -> shifted("l_suppkey", suppOff))): _*))
+    }
 
     // events go through GraftSession.table, not a bare read: the driver
     // has shipped `ts` as both TIMESTAMP(NANOS) — where a plain
     // spark.read THROWS before any conversion can run — and NTZ micros;
     // table() sets the legacy-nanos conf and normalizes either to a
     // UTC-micros TIMESTAMP, which is what the scaled copy is written as
-    val evSrc = graft.engine.GraftSession.table(spark, srcDir, "events")
-    val ev = fan(evSrc)
-    write("events", ev.select(keep(ev, Map(
-      "event_id" -> shifted("event_id", evOff),
-      "user_id" -> shifted("user_id", userOff),
-      "ts" -> timestamp_micros(unix_micros(col("ts")) +
-        col("__c") * lit(31L * 86400L * 1000000L)).as("ts"))): _*))
+    if (want("events")) {
+      val evSrc = graft.engine.GraftSession.table(spark, srcDir, "events")
+      val ev = fan(evSrc)
+      write("events", ev.select(keep(ev, Map(
+        "event_id" -> shifted("event_id", evOff),
+        "user_id" -> shifted("user_id", userOff),
+        "ts" -> timestamp_micros(unix_micros(col("ts")) +
+          col("__c") * lit(31L * 86400L * 1000000L)).as("ts"))): _*))
+    }
 
+    if (want("documents")) {
     val docs = fan(src("documents"))
     // the empty-string guard matters: split on ' ' yields "" for runs of
     // spaces, and renaming "" to "_c" would INSERT tokens the source
@@ -162,7 +193,9 @@ object ScaleData {
       "text" -> perturbedText.as("text"),
       "n_chars" -> when(col("__c") === 0 || col("n_chars").isNull, col("n_chars"))
         .otherwise(length(perturbedText).cast("long")).as("n_chars"))): _*))
+    }
 
+    if (want("embeddings")) {
     val emb = fan(src("embeddings"))
     val dim = src("embeddings").select(size(col("embedding"))).filter(col("size(embedding)") > 0)
       .head().getInt(0)
@@ -181,6 +214,7 @@ object ScaleData {
       "vec_id" -> shifted("vec_id", vecOff),
       "label" -> (col("label") + col("__c") * labelOff).cast("int").as("label"),
       "embedding" -> perturbedVec.as("embedding"))): _*))
+    }
 
     java.nio.file.Files.write(sentinel,
       stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
