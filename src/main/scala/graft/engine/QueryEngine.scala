@@ -505,6 +505,11 @@ object QueryEngine {
   private def setOpViewName(g: org.apache.spark.sql.catalyst.plans.logical.Generate): String =
     s"__setop${g.generatorOutput.headOption.map(_.exprId.id).getOrElse(0L)}"
 
+  /** Inline-view name for a COMPUTED Project over a join subtree rendered
+    * in FROM position (round 17) — same exprId determinism as the others. */
+  private def prjViewName(p: LogicalPlan): String =
+    s"__prj${p.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
   /** The ReplicateRows Generate produced by Catalyst's RewriteIntersectAll
     * / RewriteExceptAll — recognized as a set-operation scope boundary by
     * [[unambiguous]] (both branches legally read the same table; each
@@ -597,6 +602,17 @@ object QueryEngine {
     case Project(cols, child: Join)
         if cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
       fromSql(child, loop)
+    // COMPUTED Project over a join subtree in FROM position (round 17):
+    // what decorrelating a correlated COUNT leaves between two LeftOuter
+    // joins (`if(isnull(alwaysTrue)) 0 else cnt` computed over the inner
+    // join, consumed by the outer one — q26's shape). An inline view
+    // through the full recursion — its own naming scope, the round-16
+    // aggregate-view precedent. Pure-pruning projects keep the
+    // transparent path above.
+    case pr @ Project(_, _: Join) =>
+      rewrittenSql(pr).map(s => s"($s) AS ${prjViewName(pr)}")
+    case pr @ Project(_, Filter(_, _: Join)) =>
+      rewrittenSql(pr).map(s => s"($s) AS ${prjViewName(pr)}")
     // Aggregate in FROM position (a decorrelated COUNT/SUM subquery, a
     // pre-aggregated CTE branch): an inline view through the full
     // un-parser recursion — its own naming scope, like a set-op branch
@@ -647,6 +663,16 @@ object QueryEngine {
         Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
       case Filter(_, agg: Aggregate) if inFrom =>
         Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
+      // computed Project over a join subtree in FROM position (round 17):
+      // a scope boundary exposing the projection's names — the fromSql
+      // case renders it as an inline view; pure-pruning projects stay
+      // transparent via the generic fall-through
+      case pr @ Project(cols, _: Join) if inFrom &&
+          !cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        Seq((Some(prjViewName(pr)), cols.map(_.name)))
+      case pr @ Project(cols, Filter(_, _: Join)) if inFrom &&
+          !cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        Seq((Some(prjViewName(pr)), cols.map(_.name)))
       // window-stack inline views (round 16): scope boundaries exactly
       // like in-FROM aggregates; what the view EXPOSES is its outermost
       // projection's names

@@ -357,11 +357,13 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 84 oracles are Spark-runnable; 74 regenerate (round 17: empty
+    // 84 oracles are Spark-runnable; 75 regenerate (round 17: empty
     // LocalRelations render as typed-null LIMIT-0 selects — flipping the
     // seven y-family WHERE-FALSE schema oracles, t07 and y10 — and the
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
-    // back to INTERSECT ALL / EXCEPT ALL, flipping q43; round 16 flipped
+    // back to INTERSECT ALL / EXCEPT ALL, flipping q43, and computed
+    // Projects over join subtrees render as inline views, flipping q26's
+    // decorrelated correlated-COUNT/SUM shape; round 16 flipped
     // sixteen via aggregate inline views, LeftSingle, pruning projects,
     // computed group keys, window-column filters, per-branch sort/limit).
     // (p05 left the set in round 13, p23 never entered it: their oracles
@@ -403,7 +405,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q23_cross" -> true,
       "q24_comma_join" -> true,
       "q25_scalar_subquery" -> true,
-      "q26_correlated_agg" -> false,
+      "q26_correlated_agg" -> true,
       "q27_not_in" -> true,
       "q28_star_agg" -> true,
       "q29_flagship" -> true,
