@@ -510,6 +510,21 @@ object QueryEngine {
   private def prjViewName(p: LogicalPlan): String =
     s"__prj${p.output.headOption.map(_.exprId.id).getOrElse(0L)}"
 
+  /** Inline-view name for a set operation rendered in FROM position
+    * (round 17: an Aggregate over a UNION ALL of two sources). */
+  private def unionViewName(p: LogicalPlan): String =
+    s"__union${p.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** Relation name for a Range leaf (Spark's `range(...)` table-valued
+    * function — what `FROM range(0, 15)` optimizes to). */
+  private def rangeName(r: org.apache.spark.sql.catalyst.plans.logical.Range): String =
+    s"__range${r.output.headOption.map(_.exprId.id).getOrElse(0L)}"
+
+  /** `range(start, end, step) AS name` — the TVF text a Range leaf
+    * re-parses from; numSlices is a parallelism hint, not semantics. */
+  private def rangeSql(r: org.apache.spark.sql.catalyst.plans.logical.Range): String =
+    s"range(${r.start}, ${r.end}, ${r.step}) AS ${rangeName(r)}"
+
   /** The ReplicateRows Generate produced by Catalyst's RewriteIntersectAll
     * / RewriteExceptAll — recognized as a set-operation scope boundary by
     * [[unambiguous]] (both branches legally read the same table; each
@@ -537,6 +552,14 @@ object QueryEngine {
       loop: LogicalPlan => Option[String] = _ => None): Option[String] = p match {
     case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop => loop(ul)
     case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => valuesSql(lr)
+    // Range leaves re-parse as the range() TVF (round 17); they must
+    // precede the generic LeafNode cases, whose tableName has no name
+    // for them
+    case r: org.apache.spark.sql.catalyst.plans.logical.Range => Some(rangeSql(r))
+    case Project(cols, r: org.apache.spark.sql.catalyst.plans.logical.Range) =>
+      Some(s"(SELECT ${selectList(cols)} FROM ${rangeSql(r)}) AS ${rangeName(r)}")
+    case Filter(cond, r: org.apache.spark.sql.catalyst.plans.logical.Range) =>
+      Some(s"(SELECT * FROM ${rangeSql(r)} WHERE ${exprSql(cond)}) AS ${rangeName(r)}")
     case l: LeafNode => loop(l).orElse(tableName(l))
     case Filter(cond, lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) =>
       valuesSql(lr).map(v =>
@@ -706,6 +729,12 @@ object QueryEngine {
         case Seq((name, _)) => Seq((name, cols.map(_.name)))
         case other => other
       }
+      // a set operation is ONE scope wherever it sits (round 17): its
+      // branches legally re-read the same tables and are checked per
+      // branch when setOpSql renders them
+      case u: Union => Seq((Some(unionViewName(u)), u.output.map(_.name)))
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        Seq((Some(rangeName(r)), r.output.map(_.name)))
       case l: LeafNode => Seq((tableName(l), l.output.map(_.name)))
       case j: Join => j.children.flatMap(rels(_, inFrom = true))
       case other => other.children.flatMap(rels(_, inFrom))
@@ -932,11 +961,21 @@ object QueryEngine {
         }
         if (once.fastEquals(e)) e else inline(once)
       }
-      def itemSql(e: Expression): Option[String] = inline(e) match {
-        case we: WindowExpression => overSql(we)
-        case Cast(we: WindowExpression, dt, _, _) => overSql(we).map(s => s"CAST($s AS ${dt.sql})")
-        case other if !other.exists(_.isInstanceOf[WindowExpression]) => Some(exprSql(other))
-        case _ => None // window nested deeper inside an expression
+      // windows nested ANYWHERE inside an expression (round 17): a
+      // z-score `(cnt - avg OVER w) / stddev OVER w`, a CASE over a LAG —
+      // each WindowExpression renders through overSql and substitutes
+      // back as pre-rendered text (the RawSqlExpr idiom the subquery
+      // inliner uses), parenthesized so operator precedence survives the
+      // re-parse; any unrenderable window function still declines the item
+      def itemSql(e: Expression): Option[String] = {
+        var ok = true
+        val replaced = inline(e).transformUp {
+          case we: WindowExpression => overSql(we) match {
+            case Some(s) => RawSqlExpr(s"($s)", we.dataType)
+            case None => ok = false; we
+          }
+        }
+        if (!ok) None else Some(exprSql(replaced))
       }
       val rendered = selectCols.map {
         case ar: AttributeReference if defs.contains(ar.exprId) =>
@@ -1207,6 +1246,10 @@ object QueryEngine {
       // columns CollapseProject pushed above the Generate)
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate if isReplicateSetOp(g) =>
         replicateRowsSetOp(g).map(s => s"($s) AS ${setOpViewName(g)}")
+      // a set operation in FROM position (round 17: an aggregation over a
+      // UNION ALL of two sources) renders as an inline view; per-branch
+      // scoping comes with setOpSql
+      case u: Union => setOpSql(u).map(s => s"($s) AS ${unionViewName(u)}")
       case Filter(cond, child @ (_: Join)) =>
         fromSql(child, loopHandler).map(f => s"$f WHERE ${exprSql(cond)}")
       case Project(cols, child @ (_: Join | Filter(_, _: Join)))

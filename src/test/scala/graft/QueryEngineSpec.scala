@@ -357,15 +357,20 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 84 oracles are Spark-runnable; 75 regenerate (round 17: empty
-    // LocalRelations render as typed-null LIMIT-0 selects — flipping the
-    // seven y-family WHERE-FALSE schema oracles, t07 and y10 — and the
+    // 85 oracles are Spark-runnable; 79 regenerate. Round 17 flipped
+    // fourteen: empty LocalRelations render as typed-null LIMIT-0 selects
+    // (the seven y-family WHERE-FALSE schema oracles, t07, y10);
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
-    // back to INTERSECT ALL / EXCEPT ALL, flipping q43, and computed
-    // Projects over join subtrees render as inline views, flipping q26's
-    // decorrelated correlated-COUNT/SUM shape; round 16 flipped
-    // sixteen via aggregate inline views, LeftSingle, pruning projects,
-    // computed group keys, window-column filters, per-branch sort/limit).
+    // back to INTERSECT ALL / EXCEPT ALL (q43); computed Projects over
+    // join subtrees render as inline views (q26's decorrelated
+    // correlated-COUNT/SUM); window expressions nested inside arbitrary
+    // expressions render via per-window OVER substitution (t24's
+    // confusion shares, s06's z-score spikes); and set operations render
+    // as inline views in FROM position with Range leaves as the range()
+    // TVF (s06/s17/s23's union-sourced aggregate under window stacks).
+    // Round 16 flipped sixteen via aggregate inline views, LeftSingle,
+    // pruning projects, computed group keys, window-column filters,
+    // per-branch sort/limit.
     // (p05 left the set in round 13, p23 never entered it: their oracles
     // carry DuckDB-only syntax Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -440,18 +445,18 @@ class QueryEngineSpec extends AnyFunSuite {
       "q57_interval_range" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
-      "s06_event_spikes" -> false,
+      "s06_event_spikes" -> true,
       "s10_transition_matrix" -> true,
       "s14_longest_streak" -> true,
       "s15_cooccurrence_lift" -> false,
-      "s17_cusum_drift" -> false,
+      "s17_cusum_drift" -> true,
       "s21_markov_accuracy" -> false,
-      "s23_changepoint" -> false,
+      "s23_changepoint" -> true,
       "t01_lang_id" -> true,
       "t05_topk_per_source" -> true,
       "t07_rolling_native" -> true,
       "t18_code_detect" -> true,
-      "t24_lang_confusion" -> false,
+      "t24_lang_confusion" -> true,
       "x01_salted_join" -> true,
       "x10_grouped_split" -> true,
       "y03_stream_sessions" -> true,
