@@ -315,13 +315,21 @@ object QueryEngine {
   // views, join order is the optimizer's)
   // ------------------------------------------------------------------
 
-  /** Expression → SQL with alias qualifiers stripped: the regenerated FROM
-    * clause re-aliases every relation to its table name, so original query
-    * aliases (`c.c_acctbal`) must not leak into the rendered expressions.
+  /** Expression → SQL with alias qualifiers REWRITTEN to the regenerated
+    * FROM clause's relation aliases: original query aliases
+    * (`c.c_acctbal`) must not leak, and since round 17 a reference whose
+    * relation is in the active [[qualScope]] renders qualified by that
+    * relation's rendered alias — which is what lets two relations in one
+    * scope expose the same column name. References outside the map (the
+    * current SELECT's own computed aliases, window columns addressed
+    * through a subquery alias) stay unqualified.
     */
   private def exprSql(e: Expression): String = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-      a.withQualifier(Nil)
+      qualScope.value.get(a.exprId.id) match {
+        case Some(rel) => a.withQualifier(Seq(rel))
+        case None => a.withQualifier(Nil)
+      }
     // StringSplitSQL (what `split(str, delim)` analyzes to when element_at
     // consumes it) has no parseable .sql form — `stringsplitsql(...)` is
     // not a function. Render it back as the regex split it equals when the
@@ -660,58 +668,63 @@ object QueryEngine {
     case _ => None
   }
 
-  /** Qualifier-stripped rendering is only unambiguous when every relation
-    * name appears once and no column name is shared between two relations
-    * (a self-join rendered as `orders JOIN orders` has no way to qualify).
+  /** The relations a rendered FROM clause exposes to its SELECT scope:
+    * (relation alias, exposed (column name, exprId) pairs) — the shared
+    * walk behind [[unambiguous]] (name-collision policy) and
+    * [[fromTreeMap]] (qualified rendering).
+    *
+    * Scope-aware: a UnionLoop (recursive CTE body) is its OWN naming
+    * scope — it participates here as one relation named __loop<id>, and
+    * its anchor/recursion branches are checked when they render.
+    * OneRowRelation has no name and no columns — nothing to collide with.
+    * `inFrom` marks join-subtree positions: an Aggregate there renders
+    * as an inline view (round 16) — its own scope, exposing its NAME
+    * and aggregate-output columns, with its internals checked by the
+    * recursive rewrittenSql call; an Aggregate at the plan head stays
+    * transparent (body renders it directly over its child's relations).
     */
-  private def unambiguous(p: LogicalPlan): Boolean = {
-    // scope-aware: a UnionLoop (recursive CTE body) is its OWN naming
-    // scope — it participates here as one relation named __loop<id>, and
-    // its anchor/recursion branches are checked when they render.
-    // OneRowRelation has no name and no columns — nothing to collide with.
-    // `inFrom` marks join-subtree positions: an Aggregate there renders
-    // as an inline view (round 16) — its own scope, exposing its NAME
-    // and aggregate-output columns, with its internals checked by the
-    // recursive rewrittenSql call; an Aggregate at the plan head stays
-    // transparent (body renders it directly over its child's relations).
-    def rels(pl: LogicalPlan, inFrom: Boolean): Seq[(Option[String], Seq[String])] = pl match {
+  private def scopeRels(pl: LogicalPlan, inFrom: Boolean)
+      : Seq[(Option[String], Seq[(String, Long)])] = {
+    def expose(attrs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
+      attrs.map(a => a.name -> a.toAttribute.exprId.id)
+    pl match {
       case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop =>
-        Seq((Some(s"__loop${ul.id}"), ul.output.map(_.name)))
+        Seq((Some(s"__loop${ul.id}"), expose(ul.output)))
       case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef =>
-        Seq((Some(s"__loop${ref.loopId}"), ref.output.map(_.name)))
+        Seq((Some(s"__loop${ref.loopId}"), expose(ref.output)))
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        Seq((Some(valuesName(lr)), lr.output.map(_.name)))
+        Seq((Some(valuesName(lr)), expose(lr.output)))
       case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => Seq.empty
       case agg: Aggregate if inFrom =>
-        Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
+        Seq((Some(aggViewName(agg)), expose(agg.output)))
       case Filter(_, agg: Aggregate) if inFrom =>
-        Seq((Some(aggViewName(agg)), agg.output.map(_.name)))
+        Seq((Some(aggViewName(agg)), expose(agg.output)))
       // computed Project over a join subtree in FROM position (round 17):
       // a scope boundary exposing the projection's names — the fromSql
       // case renders it as an inline view; pure-pruning projects stay
       // transparent via the generic fall-through
       case pr @ Project(cols, _: Join) if inFrom &&
           !cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
-        Seq((Some(prjViewName(pr)), cols.map(_.name)))
+        Seq((Some(prjViewName(pr)), expose(cols)))
       case pr @ Project(cols, Filter(_, _: Join)) if inFrom &&
           !cols.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
-        Seq((Some(prjViewName(pr)), cols.map(_.name)))
+        Seq((Some(prjViewName(pr)), expose(cols)))
       // window-stack inline views (round 16): scope boundaries exactly
       // like in-FROM aggregates; what the view EXPOSES is its outermost
       // projection's names
       case f @ Filter(_, stack) if inFrom && isWindowStackPlan(stack) =>
-        Seq((Some(winViewName(f)), f.output.map(_.name)))
+        Seq((Some(winViewName(f)), expose(f.output)))
       case pr @ Project(cols, Filter(_, stack)) if inFrom && isWindowStackPlan(stack) =>
-        Seq((Some(winViewName(pr)), cols.map(_.name)))
+        Seq((Some(winViewName(pr)), expose(cols)))
       case pr @ Project(cols, stack) if inFrom && isWindowStackPlan(stack) =>
-        Seq((Some(winViewName(pr)), cols.map(_.name)))
+        Seq((Some(winViewName(pr)), expose(cols)))
       case w: Window if inFrom =>
-        Seq((Some(winViewName(w)), w.output.map(_.name)))
+        Seq((Some(winViewName(w)), expose(w.output)))
       // INTERSECT ALL / EXCEPT ALL rewrites (round 17): one scope named
       // like a set operation's result — its branches legally re-read the
       // same table and are ambiguity-checked per branch when rendered
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate if isReplicateSetOp(g) =>
-        Seq((Some(setOpViewName(g)), g.generatorOutput.map(_.name)))
+        Seq((Some(setOpViewName(g)), expose(g.generatorOutput)))
       // pushed-down projections render as inline views, so what a relation
       // EXPOSES to the outer scope is its projected (possibly aliased)
       // names, not the leaf's — NATURAL JOIN aliases both sides' keys to
@@ -721,29 +734,63 @@ object QueryEngine {
       // the relation NAME still comes from the leaf's own case (loop refs,
       // VALUES and OneRowRelation name themselves), only the exposed
       // column set is the projection's
-      case Project(cols, l: LeafNode) => rels(l, inFrom) match {
-        case Seq((name, _)) => Seq((name, cols.map(_.name)))
+      case Project(cols, l: LeafNode) => scopeRels(l, inFrom) match {
+        case Seq((name, _)) => Seq((name, expose(cols)))
         case other => other
       }
-      case Project(cols, Filter(_, l: LeafNode)) => rels(l, inFrom) match {
-        case Seq((name, _)) => Seq((name, cols.map(_.name)))
+      case Project(cols, Filter(_, l: LeafNode)) => scopeRels(l, inFrom) match {
+        case Seq((name, _)) => Seq((name, expose(cols)))
         case other => other
       }
       // a set operation is ONE scope wherever it sits (round 17): its
       // branches legally re-read the same tables and are checked per
       // branch when setOpSql renders them
-      case u: Union => Seq((Some(unionViewName(u)), u.output.map(_.name)))
+      case u: Union => Seq((Some(unionViewName(u)), expose(u.output)))
       case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
-        Seq((Some(rangeName(r)), r.output.map(_.name)))
-      case l: LeafNode => Seq((tableName(l), l.output.map(_.name)))
-      case j: Join => j.children.flatMap(rels(_, inFrom = true))
-      case other => other.children.flatMap(rels(_, inFrom))
+        Seq((Some(rangeName(r)), expose(r.output)))
+      case l: LeafNode => Seq((tableName(l), expose(l.output)))
+      case j: Join => j.children.flatMap(scopeRels(_, inFrom = true))
+      case other => other.children.flatMap(scopeRels(_, inFrom))
     }
-    val leaves = rels(p, inFrom = false)
-    val names = leaves.flatMap(_._1)
-    val colNames = leaves.flatMap(_._2)
-    names.distinct.size == leaves.size && colNames.distinct.size == colNames.size
   }
+
+  /** A rendering is possible when every relation is named, relation names
+    * are unique in their scope (a self-join rendered as `orders JOIN
+    * orders` has no way to qualify), and no single relation exposes the
+    * same column name twice (qualification cannot split those apart).
+    * Cross-RELATION column collisions are fine since round 17: references
+    * render qualified by their relation's alias ([[fromTreeMap]]).
+    */
+  private def unambiguous(p: LogicalPlan): Boolean = {
+    val leaves = scopeRels(p, inFrom = false)
+    val names = leaves.flatMap(_._1)
+    names.distinct.size == leaves.size && leaves.forall { case (_, cols) =>
+      cols.map(_._1).distinct.size == cols.size
+    }
+  }
+
+  /** exprId → relation-alias map for the SELECT scope whose FROM clause
+    * renders plan `p` (round 17): every attribute a relation exposes
+    * renders qualified by that relation's alias, which is what lets two
+    * relations legally expose the same column name (NATURAL JOIN's
+    * coalesced keys, two distinct-aggregate views over the same table).
+    * Installed via [[qualScope]] by each SELECT renderer right where its
+    * FROM subtree is known; nested inline views install their own scope
+    * and the DynamicVariable restores the outer one on return.
+    */
+  private def fromTreeMap(p: LogicalPlan): Map[Long, String] =
+    scopeRels(p, inFrom = true).flatMap {
+      case (Some(name), cols) => cols.map { case (_, id) => id -> name }
+      case _ => Nil
+    }.toMap
+
+  /** The active SELECT scope's qualification map — consumed by
+    * [[exprSql]]. Rendering is single-threaded per query, and
+    * DynamicVariable.withValue nests/restores across inline-view
+    * recursion.
+    */
+  private val qualScope =
+    new scala.util.DynamicVariable[Map[Long, String]](Map.empty)
 
   /** Regenerated optimized SQL for the supported plan family:
     * [Limit] [Sort] (Project | Aggregate | Window stack | grouping-sets
@@ -770,7 +817,11 @@ object QueryEngine {
     * rendering and stay None), and folded inline tables (LocalRelation)
     * render as `VALUES … AS name(cols)`.
     */
-  def rewrittenSql(optimized: LogicalPlan): Option[String] = {
+  def rewrittenSql(optimized: LogicalPlan): Option[String] = qualScope.withValue(Map.empty) {
+    // fresh qualification scope per SELECT-tree render (round 17): an
+    // inline view's internals must never see — or qualify by — the
+    // ENCLOSING scope's relation aliases; each renderer below installs
+    // its own map right where its FROM subtree is known.
     // uncorrelated scalar subqueries render inline (round 16); anything
     // the inliner could not render keeps its PlanExpression and declines
     val inlined = inlineScalarSubqueries(optimized)
@@ -858,7 +909,7 @@ object QueryEngine {
         }
         aggregateSql(groups.map(subst), selectAggs.map(substNamed),
           allAggs.map(substNamed), pchild, having.map(subst))
-      case _ => selectFrom(child).map { f =>
+      case _ => qualScope.withValue(fromTreeMap(child)) { selectFrom(child).map { f =>
         val g = if (groups.isEmpty) "" else s" GROUP BY ${groups.map(exprSql).mkString(", ")}"
         val byId = allAggs.collect {
           case a: org.apache.spark.sql.catalyst.expressions.Alias => a.toAttribute.exprId -> a.child
@@ -875,7 +926,7 @@ object QueryEngine {
         // SELECT 1 preserves the per-group row, like selectList's rule
         val sel = if (selectAggs.isEmpty) "1" else selectAggs.map(exprSql).mkString(", ")
         s"SELECT $sel FROM $f$g$h"
-      }
+      } }
     }
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BitwiseAnd,
       Cast, EqualNullSafe, ExprId, Grouping, Lag, Lead, Literal, NTile, NamedExpression,
@@ -977,15 +1028,17 @@ object QueryEngine {
         }
         if (!ok) None else Some(exprSql(replaced))
       }
-      val rendered = selectCols.map {
-        case ar: AttributeReference if defs.contains(ar.exprId) =>
-          itemSql(ar).map(s => s"$s AS ${ar.name}")
-        case ar: AttributeReference => Some(exprSql(ar))
-        case a: Alias => itemSql(a.child).map(s => s"$s AS ${a.name}")
-        case _ => None
+      qualScope.withValue(fromTreeMap(bottom)) {
+        val rendered = selectCols.map {
+          case ar: AttributeReference if defs.contains(ar.exprId) =>
+            itemSql(ar).map(s => s"$s AS ${ar.name}")
+          case ar: AttributeReference => Some(exprSql(ar))
+          case a: Alias => itemSql(a.child).map(s => s"$s AS ${a.name}")
+          case _ => None
+        }
+        if (rendered.exists(_.isEmpty)) None
+        else selectFrom(bottom).map(f => s"SELECT ${rendered.flatten.mkString(", ")} FROM $f")
       }
-      if (rendered.exists(_.isEmpty)) None
-      else selectFrom(bottom).map(f => s"SELECT ${rendered.flatten.mkString(", ")} FROM $f")
     }
 
     /** GROUP BY ROLLUP/CUBE/GROUPING SETS: the analyzer lowers all three to
@@ -1023,6 +1076,7 @@ object QueryEngine {
         val m = groupAttrs.size
         def groupingColForBit(sh: Long): Option[Expression] =
           if (sh >= 0 && sh < m) sources.get(groupAttrs((m - 1 - sh).toInt).exprId) else None
+        qualScope.withValue(fromTreeMap(ex.child)) {
         val renderedAggs = agg.aggregateExpressions.map { ne =>
           val replaced = (ne: Expression).transformUp {
             case Cast(BitwiseAnd(ShiftRight(g: AttributeReference, Literal(sh, _)),
@@ -1046,6 +1100,7 @@ object QueryEngine {
           val setsSql = sets.map(s =>
             s"(${s.map(ga => exprSql(sources(ga.exprId))).mkString(", ")})").mkString(", ")
           s"SELECT ${renderedAggs.flatten.mkString(", ")} FROM $f GROUP BY GROUPING SETS ($setsSql)"
+        }
         }
       case _ => None
     }
@@ -1170,11 +1225,13 @@ object QueryEngine {
       // (round 16) — the shape the optimizer leaves for QUALIFY-style
       // queries, with any WindowGroupLimit pushdown skipped by peel
       case Project(cols, Filter(cond, stack)) if isWindowStack(stack) =>
-        windowSql(stack).map(inner =>
-          s"SELECT ${selectList(cols)} FROM ($inner) AS __win WHERE ${exprSql(cond)}")
+        windowSql(stack).map(inner => qualScope.withValue(
+            stack.output.map(a => a.exprId.id -> "__win").toMap)(
+          s"SELECT ${selectList(cols)} FROM ($inner) AS __win WHERE ${exprSql(cond)}"))
       case Filter(cond, stack) if isWindowStack(stack) =>
-        windowSql(stack).map(inner =>
-          s"SELECT * FROM ($inner) AS __win WHERE ${exprSql(cond)}")
+        windowSql(stack).map(inner => qualScope.withValue(
+            stack.output.map(a => a.exprId.id -> "__win").toMap)(
+          s"SELECT * FROM ($inner) AS __win WHERE ${exprSql(cond)}"))
       case Filter(cond, Aggregate(groups, aggs, child, _)) =>
         aggregateSql(groups, aggs, aggs, child, Some(cond))
       case Project(cols, Filter(cond, Aggregate(groups, aggs, child, _)))
@@ -1188,10 +1245,12 @@ object QueryEngine {
         else None
       case Aggregate(groups, aggs, child, _) =>
         aggregateSql(groups, aggs, aggs, child, None)
-      case Project(cols, child) =>
+      case Project(cols, child) => qualScope.withValue(fromTreeMap(child)) {
         selectFrom(child).map(f => s"SELECT ${selectList(cols)} FROM $f")
-      case other =>
+      }
+      case other => qualScope.withValue(fromTreeMap(other)) {
         selectFrom(other).map(f => s"SELECT * FROM $f")
+      }
     }
     /** Un-parse Catalyst's RewriteIntersectAll / RewriteExceptAll output
       * back to the set operation the user wrote (round 17). The rewrite is

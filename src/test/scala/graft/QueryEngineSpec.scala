@@ -357,20 +357,26 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 85 oracles are Spark-runnable; 79 regenerate. Round 17 flipped
-    // fourteen: empty LocalRelations render as typed-null LIMIT-0 selects
+    // 85 oracles are Spark-runnable; 84 regenerate. Round 17 flipped
+    // nineteen: empty LocalRelations render as typed-null LIMIT-0 selects
     // (the seven y-family WHERE-FALSE schema oracles, t07, y10);
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
     // back to INTERSECT ALL / EXCEPT ALL (q43); computed Projects over
     // join subtrees render as inline views (q26's decorrelated
-    // correlated-COUNT/SUM); window expressions nested inside arbitrary
-    // expressions render via per-window OVER substitution (t24's
-    // confusion shares, s06's z-score spikes); and set operations render
-    // as inline views in FROM position with Range leaves as the range()
-    // TVF (s06/s17/s23's union-sourced aggregate under window stacks).
+    // correlated-COUNT/SUM, q56's decorrelated LATERAL); window
+    // expressions nested inside arbitrary expressions render via
+    // per-window OVER substitution (t24, s06); set operations render as
+    // inline views in FROM position with Range leaves as the range() TVF
+    // (s06/s17/s23's union-sourced aggregates under window stacks); and
+    // attribute references render QUALIFIED by their relation's rendered
+    // alias (per-scope exprId→alias map), so cross-relation column-name
+    // collisions are no longer declines (q18's NATURAL JOIN coalesced
+    // keys, s15/s21's same-table view joins, p13's quantile-bounds join).
     // Round 16 flipped sixteen via aggregate inline views, LeftSingle,
     // pruning projects, computed group keys, window-column filters,
-    // per-branch sort/limit.
+    // per-branch sort/limit. The single remaining decline (q53) is
+    // honestly ambiguous: its recursive loop exposes two columns both
+    // named "0", which no qualification can split apart.
     // (p05 left the set in round 13, p23 never entered it: their oracles
     // carry DuckDB-only syntax Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -384,7 +390,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "m07_pair_audit" -> true,
       "p06_diversity" -> true,
       "p09_mad" -> true,
-      "p13_winsorized" -> false,
+      "p13_winsorized" -> true,
       "q01_scan_project" -> true,
       "q02_filter_pushdown" -> true,
       "q03_point_lookup" -> true,
@@ -402,7 +408,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q15_join_left" -> true,
       "q16_join_right" -> true,
       "q17_join_full" -> true,
-      "q18_join_natural" -> false,
+      "q18_join_natural" -> true,
       "q19_semi_in" -> true,
       "q20_join_left_anti" -> true,
       "q21_join_right_anti" -> true,
@@ -441,16 +447,16 @@ class QueryEngineSpec extends AnyFunSuite {
       "q53_recursive_cte" -> false,
       "q54_nulls_ordering" -> true,
       "q55_cube" -> true,
-      "q56_lateral_subquery" -> false,
+      "q56_lateral_subquery" -> true,
       "q57_interval_range" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
       "s06_event_spikes" -> true,
       "s10_transition_matrix" -> true,
       "s14_longest_streak" -> true,
-      "s15_cooccurrence_lift" -> false,
+      "s15_cooccurrence_lift" -> true,
       "s17_cusum_drift" -> true,
-      "s21_markov_accuracy" -> false,
+      "s21_markov_accuracy" -> true,
       "s23_changepoint" -> true,
       "t01_lang_id" -> true,
       "t05_topk_per_source" -> true,
