@@ -479,10 +479,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // right-outer twin: matched join + the unmatched-right anti, both
     // broadcast at this SF; two except sides
     "y09_stream_interval_right" -> (2, 4),
-    // 11 unioned 1-row count aggregates (one per guarded twin batch
-    // side, interval joins + session islands included) — every exchange
-    // a sliver; the anti sides broadcast at this SF
-    "y00_twin_guard" -> (14, 8),
+    // round 17: the guard computes eagerly over persisted shared frames
+    // and returns the 11-row collected result as a local relation — the
+    // audited plan is that local relation (the guard's own exchanges run
+    // inside the builder, all slivers over the persisted event frames)
+    "y00_twin_guard" -> (0, 0),
     // the audited plan is d24's probe/confirm shape (gram join broadcast
     // at this SF + the pair-count agg); the shard-state builds and the
     // numBits/64-row OR-merge run at plan construction, as the one-shot
@@ -494,7 +495,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus; tot/qs ride broadcasts. Band (11, 5): AQE's sliver-join
     // strategy flaps between broadcast and shuffle with session history
     // (measured 10sh/7bc and 11sh/5bc same-build)
-    "p22_quantile_state" -> (11, 5))
+    "p22_quantile_state" -> (11, 5),
+    // three shard-state log-bucket aggs + merge re-agg + the bounded cum
+    // window + rank pick — every exchange over bounded bucket slivers
+    // however large the corpus; tot/qs ride broadcasts (band like p22:
+    // AQE sliver-join strategy flaps with session history)
+    "p23_logbucket_quantiles" -> (10, 3),
+    // y07's session-window twin under the RocksDB provider: the streaming
+    // run completes before the audited frame exists, so the audited plan
+    // is the memory-sink scan + batch twin + two except sides (the anti
+    // sides can demote from broadcast under AQE at this sliver size)
+    "y10_rocksdb_state_store" -> (4, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
