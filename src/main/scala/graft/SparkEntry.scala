@@ -1139,6 +1139,36 @@ object SparkEntry {
          WHERE bit_count(xor(a.sh, b.sh)) <= 3"""),
 
     // exact n-gram Jaccard >= 0.5, blocked by source (inverted-index join)
+    // PPJoin candidate-volume bound (round 17): the 1-aggregate estimate a
+    // 100 TB pipeline checks BEFORE paying d05's candidate join — per
+    // (block, prefix-token) bucket of dfP documents the join emits exactly
+    // C(dfP, 2) pairs pre-filter, so the per-block sum bounds the join's
+    // volume with plain integer arithmetic (the sf10 run measured d05
+    // going quadratic on the no-vocabulary-growth fixture; this makes
+    // that cliff a 1-row answer instead of a discovered outage). The
+    // oracle replays tokenize -> global df -> (df, tok) prefix ranking ->
+    // EPS-ceil prefix cut -> bucket combinatorics from the raw table.
+    "d37_ppjoin_budget" -> entry(
+      (s, d) => graft.operators.Dedup.ppjoinCandidateBound(
+        t(s, d, "documents"), "doc_id", "text", "source", 0.5),
+      """WITH toks AS (
+           SELECT doc_id, source AS blk,
+             unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok
+           FROM documents),
+         df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT t.doc_id, t.blk, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS pos,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+           FROM toks t JOIN df d ON d.tok = t.tok),
+         pref AS (SELECT blk, tok FROM ranked
+           WHERE pos <= sz - CEIL(0.5 * sz - 1e-9) + 1),
+         b AS (SELECT blk, tok, COUNT(*) AS dfp FROM pref GROUP BY 1, 2)
+         SELECT blk, CAST(SUM((dfp * (dfp - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(dfp) AS BIGINT) AS max_prefix_df,
+           COUNT(*) AS n_prefix_tokens
+         FROM b GROUP BY blk"""),
+
     "d05_ngram_jaccard" -> entry(
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),

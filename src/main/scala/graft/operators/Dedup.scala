@@ -1197,6 +1197,38 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT per-block upper bound on [[ngramJaccardPairs]]'s candidate-join
+    * volume, computed BEFORE paying the join — the estimate a 100 TB
+    * pipeline checks first. Per (block, prefix-token) the prefix frame
+    * holds dfP documents, and the candidate self-join emits exactly
+    * C(dfP, 2) ordered pairs from that bucket before the positional/
+    * size-ratio filters prune; summing per block bounds the join's row
+    * volume from above with plain integer arithmetic over the SAME
+    * prefix frame the join would read (one aggregate — ~free next to the
+    * join itself).
+    *
+    * Why it earns its keep: PPJoin's prefix filter assumes rare tokens
+    * stay rare. On a corpus with NO vocabulary growth every token's df
+    * scales with corpus size and candidate volume turns quadratic —
+    * measured at copies=100: d05's wall went 8 s (sf1) → 483 s (sf10)
+    * with 34 GB of shuffle (BENCH_NOTES round 17). This bound makes that
+    * cliff a 1-row answer instead of a discovered outage: a pipeline
+    * reads (candidate_pairs, max_prefix_df) per block and decides — run,
+    * re-block, raise the threshold, or switch to MinHash banding.
+    *
+    * @return (blk, candidate_pairs, max_prefix_df, n_prefix_tokens), one
+    *         row per block; candidate_pairs is exact for the join's
+    *         pre-filter volume, an upper bound on surviving candidates
+    */
+  def ppjoinCandidateBound(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    ppjoinPrefix(docs, idCol, textCol, blockCol, threshold)
+      .groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("dfp"))
+      .groupBy(col("blk"))
+      .agg(sum(expr("(dfp * (dfp - 1)) div 2")).cast("long").as("candidate_pairs"),
+        max(col("dfp")).cast("long").as("max_prefix_df"),
+        count(lit(1)).as("n_prefix_tokens"))
+
   /** Per-doc sorted distinct-token arrays, straight from text — the exact-
     * verify frame both [[ngramJaccardPairs]] join sides read. */
   private[graft] def sortedTokenArrays(docs: DataFrame, idCol: String,

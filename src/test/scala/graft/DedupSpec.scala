@@ -371,6 +371,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute, s"ppjoin=${got.size} brute=${brute.size}")
   }
 
+  test("ppjoinCandidateBound: exact on a hand fixture, upper-bounds the real candidate join") {
+    // hand fixture at threshold 0.5: each doc has 2 distinct tokens, so
+    // the prefix keeps pos <= 2 - ceil(1) + 1 = 2 — BOTH tokens. Buckets:
+    // blk x (shared token 'x' df=3 -> C(3,2)=3 pairs) + three singleton
+    // tokens -> candidate_pairs = 3, max_prefix_df = 3, 4 prefix tokens.
+    val hand = Seq((1L, "x a", "b1"), (2L, "x b", "b1"), (3L, "x c", "b1"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.ppjoinCandidateBound(hand, "doc_id", "text", "source", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("b1", 3L, 3L, 4L)), got.mkString(", "))
+    // on the Zipfian corpus the bound dominates the real (positional +
+    // size-filtered, deduplicated) candidate count — the property a
+    // pipeline relies on when it reads the bound INSTEAD of running the
+    // join
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 120L).map { id =>
+      val toks = scala.collection.mutable.LinkedHashSet[String]()
+      while (toks.size < 15) toks += s"tok${rnd.nextInt(300)}"
+      (id, toks.mkString(" "), s"blk${id % 2}")
+    }
+    val df = corpus.toDF("doc_id", "text", "source")
+    val bound = Dedup.ppjoinCandidateBound(df, "doc_id", "text", "source", 0.7)
+      .agg(org.apache.spark.sql.functions.sum("candidate_pairs")).head().getLong(0)
+    val actual = Dedup.ppjoinCandidates(df, "doc_id", "text", "source", 0.7).count()
+    assert(bound >= actual, s"bound $bound < actual candidates $actual")
+  }
+
   test("connectedComponents throws instead of returning split clusters at maxIter") {
     val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {

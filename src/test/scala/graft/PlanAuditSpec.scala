@@ -505,7 +505,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // run completes before the audited frame exists, so the audited plan
     // is the memory-sink scan + batch twin + two except sides (the anti
     // sides can demote from broadcast under AQE at this sliver size)
-    "y10_rocksdb_state_store" -> (4, 0))
+    "y10_rocksdb_state_store" -> (4, 0),
+    // tokenize + global-df agg + the df join + per-doc rank window + the
+    // two bucket aggs — every post-tokenize exchange carries (blk, tok)
+    // slivers; the df join broadcasts at this SF (band allows the AQE
+    // demotion at scale)
+    "d37_ppjoin_budget" -> (6, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
