@@ -1169,6 +1169,33 @@ object SparkEntry {
            COUNT(*) AS n_prefix_tokens
          FROM b GROUP BY blk"""),
 
+    // the asymmetric budget for d28's containment pipeline (round 17):
+    // probe side prefix-filtered, index side full — a bucket with dfP
+    // probe and dfF index rows emits exactly dfP*(dfF - 1) directional
+    // pairs pre-filter (prefix ⊆ full, so the doc_a ≠ doc_b cut removes
+    // exactly dfP self-meets). One pass over the ranked frame; oracle
+    // replays ranking + prefix cut + the asymmetric combinatorics.
+    "d38_containment_budget" -> entry(
+      (s, d) => graft.operators.Dedup.containmentCandidateBound(
+        t(s, d, "documents"), "doc_id", "text", "source", 0.9),
+      """WITH toks AS (
+           SELECT doc_id, source AS blk,
+             unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok
+           FROM documents),
+         df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT t.doc_id, t.blk, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS pos,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+           FROM toks t JOIN df d ON d.tok = t.tok),
+         b AS (SELECT blk, tok, COUNT(*) AS dff,
+             SUM(CASE WHEN pos <= sz - CEIL(0.9 * sz - 1e-9) + 1 THEN 1 ELSE 0 END) AS dfp
+           FROM ranked GROUP BY 1, 2)
+         SELECT blk, CAST(SUM(dfp * (dff - 1)) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(dff) AS BIGINT) AS max_index_df,
+           COUNT(*) AS n_shared_tokens
+         FROM b WHERE dfp > 0 GROUP BY blk"""),
+
     "d05_ngram_jaccard" -> entry(
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
       """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),

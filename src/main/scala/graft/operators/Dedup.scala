@@ -1229,6 +1229,38 @@ object Dedup {
         max(col("dfp")).cast("long").as("max_prefix_df"),
         count(lit(1)).as("n_prefix_tokens"))
 
+  /** [[ppjoinCandidateBound]]'s asymmetric twin for [[containmentPairs]]
+    * (d28's pipeline): the probe side is prefix-filtered, the index side
+    * is the FULL token frame, so a (block, token) bucket with dfP probe
+    * rows and dfF index rows emits exactly dfP·(dfF − 1) candidate pairs
+    * (prefix ⊆ full, so each probe doc meets itself once in the index
+    * bucket and the `doc_a ≠ doc_b` filter removes exactly dfP
+    * self-pairs). Same 1-aggregate cost over the same ranked frame the
+    * join would read; same decision it buys — run, re-block, raise the
+    * threshold — before paying a join the sf10 measurement showed going
+    * quadratic on a no-vocabulary-growth corpus (d28 6.5 s → 403 s,
+    * 20 GB shuffle; BENCH_NOTES round 17).
+    *
+    * @return (blk, candidate_pairs, max_index_df, n_shared_tokens), one
+    *         row per block; exact for the join's pre-filter volume
+    */
+  def containmentCandidateBound(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val EPS = 1e-9
+    // ONE pass over the ranked frame: per bucket, dfF is the row count and
+    // dfP the rows meeting the prefix cut — no second tokenize, no join
+    ppjoinPrefixRanked(docs, idCol, textCol, blockCol)
+      .groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("dff"),
+        sum(when(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1,
+          lit(1L)).otherwise(lit(0L))).as("dfp"))
+      .filter(col("dfp") > 0)
+      .groupBy(col("blk"))
+      .agg(sum(expr("dfp * (dff - 1)")).cast("long").as("candidate_pairs"),
+        max(col("dff")).cast("long").as("max_index_df"),
+        count(lit(1)).as("n_shared_tokens"))
+  }
+
   /** Per-doc sorted distinct-token arrays, straight from text — the exact-
     * verify frame both [[ngramJaccardPairs]] join sides read. */
   private[graft] def sortedTokenArrays(docs: DataFrame, idCol: String,

@@ -398,6 +398,26 @@ class DedupSpec extends AnyFunSuite {
     assert(bound >= actual, s"bound $bound < actual candidates $actual")
   }
 
+  test("containmentCandidateBound: asymmetric combinatorics exact, prefix prune visible") {
+    // threshold 0.9 on 2-token docs keeps exactly ONE prefix token (the
+    // rarest). Fixture A: the shared token 'x' is every doc's COMMONEST,
+    // so it never reaches a prefix — dfp>0 buckets are the three
+    // singletons, zero candidate pairs (the asymmetric prune at work)
+    val a = Seq((1L, "x a", "b1"), (2L, "x b", "b1"), (3L, "x c", "b1"))
+      .toDF("doc_id", "text", "source")
+    val gotA = Dedup.containmentCandidateBound(a, "doc_id", "text", "source", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotA.toSeq == Seq(("b1", 0L, 1L, 3L)), gotA.mkString(", "))
+    // Fixture B: two docs share their RAREST token 'q' (df ties break by
+    // token asc) — bucket q has dff=2, dfp=2 → 2*(2-1) = 2 DIRECTIONAL
+    // pairs; doc 3's prefix singleton contributes none
+    val b = Seq((1L, "q x", "b1"), (2L, "q x", "b1"), (3L, "z w", "b1"))
+      .toDF("doc_id", "text", "source")
+    val gotB = Dedup.containmentCandidateBound(b, "doc_id", "text", "source", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotB.toSeq == Seq(("b1", 2L, 2L, 2L)), gotB.mkString(", "))
+  }
+
   test("connectedComponents throws instead of returning split clusters at maxIter") {
     val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {

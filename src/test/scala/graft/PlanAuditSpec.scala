@@ -510,7 +510,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // two bucket aggs — every post-tokenize exchange carries (blk, tok)
     // slivers; the df join broadcasts at this SF (band allows the AQE
     // demotion at scale)
-    "d37_ppjoin_budget" -> (6, 0))
+    "d37_ppjoin_budget" -> (6, 0),
+    // single pass: tokenize + df agg + df join + rank window + bucket agg
+    // + block agg; slivers throughout, df join broadcasts at this SF
+    "d38_containment_budget" -> (6, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
