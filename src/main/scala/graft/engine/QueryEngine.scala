@@ -326,9 +326,12 @@ object QueryEngine {
     */
   private def exprSql(e: Expression): String = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      val named = renameScope.value.get(a.exprId.id)
+        .map(n => a.withName(n).asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference])
+        .getOrElse(a)
       qualScope.value.get(a.exprId.id) match {
-        case Some(rel) => a.withQualifier(Seq(rel))
-        case None => a.withQualifier(Nil)
+        case Some(rel) => named.withQualifier(Seq(rel))
+        case None => named.withQualifier(Nil)
       }
     // StringSplitSQL (what `split(str, delim)` analyzes to when element_at
     // consumes it) has no parseable .sql form — `stringsplitsql(...)` is
@@ -559,6 +562,11 @@ object QueryEngine {
   private def fromSql(p: LogicalPlan,
       loop: LogicalPlan => Option[String] = _ => None): Option[String] = p match {
     case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop => loop(ul)
+    // a renaming Project over a recursive loop (round 17: re-aliasing the
+    // loop's synthesized __c<i> columns back to the user's names) renders
+    // as a subselect over the loop name, the leaf-project convention
+    case Project(cols, ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop) =>
+      loop(ul).map(t => s"(SELECT ${selectList(cols)} FROM $t) AS $t")
     case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => valuesSql(lr)
     // Range leaves re-parse as the range() TVF (round 17); they must
     // precede the generic LeafNode cases, whose tableName has no name
@@ -686,8 +694,13 @@ object QueryEngine {
   private def scopeRels(pl: LogicalPlan, inFrom: Boolean)
       : Seq[(Option[String], Seq[(String, Long)])] = {
     def expose(attrs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
-      attrs.map(a => a.name -> a.toAttribute.exprId.id)
+      attrs.map { a =>
+        val id = a.toAttribute.exprId.id
+        renameScope.value.getOrElse(id, a.name) -> id
+      }
     pl match {
+      case Project(cols, ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop) =>
+        Seq((Some(s"__loop${ul.id}"), expose(cols)))
       case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop =>
         Seq((Some(s"__loop${ul.id}"), expose(ul.output)))
       case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef =>
@@ -792,6 +805,38 @@ object QueryEngine {
   private val qualScope =
     new scala.util.DynamicVariable[Map[Long, String]](Map.empty)
 
+  /** exprId → synthesized column name, for recursive loops whose output
+    * exposes DUPLICATE names (round 17: a `WITH RECURSIVE r(a, b) AS
+    * (SELECT 0, 0 ...)` loop keeps the literal names "0", "0" in the
+    * optimized UnionLoop — un-addressable as-is). The CTE column list
+    * renames the loop's columns to `__c<i>`, and every reference — the
+    * loop's own output and each UnionLoopRef's, mapped positionally —
+    * renders the synthesized name. Populated per rewrittenSql call from
+    * [[loopRenames]]; empty for plans without such loops, so ordinary
+    * renders are untouched.
+    */
+  private val renameScope =
+    new scala.util.DynamicVariable[Map[Long, String]](Map.empty)
+
+  /** Synthesized names for every duplicate-named loop in `p` — the loop's
+    * output attrs and each of its refs' outputs, positionally. */
+  private def loopRenames(p: LogicalPlan): Map[Long, String] = {
+    val m = scala.collection.mutable.Map[Long, String]()
+    p.foreach {
+      case ul: org.apache.spark.sql.catalyst.plans.logical.UnionLoop
+          if ul.output.map(_.name).distinct.size != ul.output.size =>
+        ul.output.zipWithIndex.foreach { case (a, i) => m(a.exprId.id) = s"__c$i" }
+        ul.foreach {
+          case ref: org.apache.spark.sql.catalyst.plans.logical.UnionLoopRef
+              if ref.loopId == ul.id =>
+            ref.output.zipWithIndex.foreach { case (a, i) => m(a.exprId.id) = s"__c$i" }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    m.toMap
+  }
+
   /** Regenerated optimized SQL for the supported plan family:
     * [Limit] [Sort] (Project | Aggregate | Window stack | grouping-sets
     * Aggregate-over-Expand | set-operation tree) [Filter] join-tree. None
@@ -818,6 +863,7 @@ object QueryEngine {
     * render as `VALUES … AS name(cols)`.
     */
   def rewrittenSql(optimized: LogicalPlan): Option[String] = qualScope.withValue(Map.empty) {
+    renameScope.withValue(renameScope.value ++ loopRenames(optimized)) {
     // fresh qualification scope per SELECT-tree render (round 17): an
     // inline view's internals must never see — or qualify by — the
     // ENCLOSING scope's relation aliases; each renderer below installs
@@ -858,7 +904,8 @@ object QueryEngine {
             r <- branchSql(ul.recursion)
           } yield {
             val cols = ul.output.map(o =>
-              org.apache.spark.sql.catalyst.util.quoteIfNeeded(o.name)).mkString(", ")
+              org.apache.spark.sql.catalyst.util.quoteIfNeeded(
+                renameScope.value.getOrElse(o.exprId.id, o.name))).mkString(", ")
             s"$name ($cols) AS (($a) UNION ALL ($r))"
           }
           rendered match {
@@ -1423,6 +1470,7 @@ object QueryEngine {
       .map(b => s"$b$orderSql$limitSql")
       .map(sql => if (cteDefs.isEmpty) sql
         else s"WITH RECURSIVE ${cteDefs.values.mkString(", ")} $sql")
+    }
   }
 
   // ------------------------------------------------------------------

@@ -328,15 +328,21 @@ class QueryEngineSpec extends AnyFunSuite {
     }
   }
 
-  test("rewritten SQL is None when loop columns share a name (no faithful rendering)") {
-    // the anchor `SELECT 0, 0` names BOTH loop columns `0`; name-based SQL
-    // cannot address them separately, so the honest answer is None — the
-    // contract is no best-effort lies
-    val rep = QueryEngine.run(spark,
-      """EXPLAIN WITH RECURSIVE t(node, depth) AS (SELECT 0, 0
+  test("loops with duplicate column names render via synthesized __c<i> CTE columns") {
+    // the anchor `SELECT 0, 0` names BOTH loop columns `0` — name-based
+    // SQL cannot address them as-is, and this declined through round 16.
+    // Round 17: the CTE column list renames the loop's columns to __c<i>
+    // and every loop/ref reference renders the synthesized name; the
+    // regenerated text must EXECUTE to the original rows, as everywhere
+    val q = """WITH RECURSIVE t(node, depth) AS (SELECT 0, 0
            UNION ALL SELECT node + 1, depth + 1 FROM t WHERE node < 3)
-         SELECT node, depth FROM t""")
-    assert(rep.rewrittenSql.isEmpty, rep.rewrittenSql)
+         SELECT node, depth FROM t"""
+    val rep = QueryEngine.run(spark, s"EXPLAIN $q")
+    val rewritten = rep.rewrittenSql.getOrElse(fail(s"no rewritten sql\n${rep.planTree}"))
+    assert(rewritten.contains("__c0") && rewritten.contains("__c1"), rewritten)
+    val a = spark.sql(q).collect().map(_.toString).sorted
+    val b = spark.sql(rewritten).collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"mismatch for rewritten: $rewritten")
   }
 
   test("rewritten SQL round-trips inline VALUES") {
@@ -357,8 +363,8 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 85 oracles are Spark-runnable; 84 regenerate. Round 17 flipped
-    // nineteen: empty LocalRelations render as typed-null LIMIT-0 selects
+    // 85 oracles are Spark-runnable; ALL 85 regenerate. Round 17 flipped
+    // twenty: empty LocalRelations render as typed-null LIMIT-0 selects
     // (the seven y-family WHERE-FALSE schema oracles, t07, y10);
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
     // back to INTERSECT ALL / EXCEPT ALL (q43); computed Projects over
@@ -372,11 +378,12 @@ class QueryEngineSpec extends AnyFunSuite {
     // alias (per-scope exprId→alias map), so cross-relation column-name
     // collisions are no longer declines (q18's NATURAL JOIN coalesced
     // keys, s15/s21's same-table view joins, p13's quantile-bounds join).
-    // Round 16 flipped sixteen via aggregate inline views, LeftSingle,
-    // pruning projects, computed group keys, window-column filters,
-    // per-branch sort/limit. The single remaining decline (q53) is
-    // honestly ambiguous: its recursive loop exposes two columns both
-    // named "0", which no qualification can split apart.
+    // Finally, loops whose output exposes DUPLICATE column names (q53's
+    // `SELECT 0, 0` anchor) get synthesized `__c<i>` names via the CTE
+    // column list, with every loop/ref attribute reference renamed to
+    // match — the last decline closed. Round 16 flipped sixteen via
+    // aggregate inline views, LeftSingle, pruning projects, computed
+    // group keys, window-column filters, per-branch sort/limit.
     // (p05 left the set in round 13, p23 never entered it: their oracles
     // carry DuckDB-only syntax Spark's parser rejects — exactly the
     // classification this test exists to keep explicit.) The false rows are
@@ -444,7 +451,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q50_null_funcs" -> true,
       "q51_group_by_all" -> true,
       "q52_latest_per_key" -> true,
-      "q53_recursive_cte" -> false,
+      "q53_recursive_cte" -> true,
       "q54_nulls_ordering" -> true,
       "q55_cube" -> true,
       "q56_lateral_subquery" -> true,
