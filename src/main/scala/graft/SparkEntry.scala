@@ -3568,6 +3568,55 @@ object SparkEntry {
          WHERE cum.cum_n >= GREATEST(1, CAST(CEIL(q.q * t.n_total - 1e-9) AS BIGINT))
          GROUP BY q.q, t.n_total"""),
 
+    // mergeable HyperLogLog distinct-count state (round 17): the
+    // cardinality member of the persisted-sketch family — estimate unique
+    // users from per-shard register states without re-reading shard data
+    // (at 100 TB: size the dedup job from kilobytes of state). Three shard
+    // states built independently, merged (register-wise max), answered.
+    // The oracle replays hash, register assignment (bit-length rank), the
+    // integer-exact scaled harmonic sum, and the estimator from the RAW
+    // table, so the driver gate proves build+merge+answer ≡ from-scratch
+    // at hash level. p=9 (512 registers, ~4.6% standard error); the only
+    // library-float step (linear counting's ln) is rounded to 4 decimals
+    // on both sides, with the exact rational inputs alongside.
+    "p24_hll_distinct" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val st = (i: Int) => graft.operators.Profile.hllState(
+          ev.filter(pmod(col("user_id"), lit(3)) === i), "user_id", 9)
+        graft.operators.Profile.distinctFromHllState(
+          graft.operators.Profile.mergeHllStates(st(0), st(1), st(2)), 9)
+      },
+      """WITH h AS (
+           SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (
+           SELECT h % 512 AS idx,
+             MAX(CASE WHEN h // 512 = 0 THEN 52
+                      ELSE 52 - LENGTH(bin(h // 512)) END) AS reg
+           FROM h GROUP BY 1),
+         a AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS present,
+             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (52 - reg)), 0) AS BIGINT) AS z_present
+           FROM r),
+         sc AS (
+           SELECT CAST(512 AS BIGINT) AS m,
+             CAST(512 - present AS BIGINT) AS n_zero,
+             CAST(z_present + (512 - present) * (CAST(1 AS BIGINT) << 52) AS BIGINT) AS z_scaled
+           FROM a),
+         e AS (
+           SELECT m, n_zero, z_scaled,
+             ((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0) * 4503599627370496.0
+               / CAST(z_scaled AS DOUBLE) AS est_raw
+           FROM sc)
+         SELECT m, n_zero, z_scaled, est_raw,
+           CASE WHEN est_raw <= 2.5 * CAST(m AS DOUBLE) AND n_zero > 0
+                THEN 'linear' ELSE 'raw' END AS method,
+           CASE WHEN est_raw <= 2.5 * CAST(m AS DOUBLE) AND n_zero > 0
+                THEN ROUND(CAST(m AS DOUBLE) * LN(CAST(m AS DOUBLE) / CAST(n_zero AS DOUBLE)), 4)
+                ELSE est_raw END AS est
+         FROM e"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

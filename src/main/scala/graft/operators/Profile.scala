@@ -1201,6 +1201,153 @@ object Profile {
       .select(col("q"), col("lo_v"), col("hi_v"), col("n_total"))
   }
 
+  /** Mergeable HYPERLOGLOG distinct-count state (round 17) — the
+    * cardinality member of the persisted-sketch family (moments p18/p19,
+    * heavy hitters p20, membership p21, quantiles p22/p23): ≤ 2^p register
+    * ROWS a pipeline writes next to each shard at ingest, so any later
+    * "how many distinct X across shards" question folds states via
+    * [[mergeHllStates]] without re-reading shard data. The classic use at
+    * 100 TB: estimate the unique-document or unique-user count BEFORE
+    * committing to the dedup shuffle, from kilobytes of persisted state.
+    *
+    * The sketch is Flajolet et al.'s HyperLogLog (AofA'07) restated over
+    * the md5-60 oracle hash family so any engine replays it bit-for-bit
+    * (the [[graft.operators.SampleOps.md5OrderHash]] map, DuckDB twin
+    * `CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)`):
+    * h is 60 uniform bits; register index = h mod 2^p; the remaining
+    * w = h div 2^p has 60−p bits and its rank is restated in INTEGER
+    * arithmetic via the [[logBucketState]] bit-length idiom —
+    * rho = (61−p) − length(bin(w)) for w > 0 (= leading-zero count of the
+    * (60−p)-bit suffix, plus one) and rho = 61−p for w = 0. The state is
+    * one row per OCCUPIED register: (idx, reg = max rho seen, hll_p).
+    *
+    * Why not `approx_count_distinct`'s internal HLL++ buffer: its
+    * registers live in an opaque binary aggregation buffer tied to Spark's
+    * implementation (dense words, version-stamped), not a frame another
+    * engine — or a later Spark version — can audit or replay; this state
+    * is plain rows under the same driver gate as every other sketch.
+    *
+    * Merge is register-wise MAX — associative, commutative, idempotent —
+    * so merged shard states equal the from-scratch state of the union
+    * HASH-FOR-HASH (stronger than HLL's usual in-distribution claim: the
+    * hash family is fixed, so equality is exact). Duplicate values change
+    * nothing (max is idempotent), which is the point of a distinct sketch.
+    *
+    * Every row carries the `hll_p` geometry stamp (the
+    * [[graft.functions.BloomFilterOps.bloomState]] idiom): states built at
+    * different precisions must not merge — the same idx names a different
+    * hash prefix at a different p, and max over such rows answers the
+    * cardinality of no corpus.
+    *
+    * Scale shape: one hash aggregate with map-side partials over a
+    * 2-int-column projection; ≤ 2^p output rows however large the corpus.
+    * Standard error of the read-out is ~1.04/√(2^p) (p = 9 → ~4.6%).
+    *
+    * @return (idx, reg, hll_p), one row per occupied register
+    */
+  def hllState(df: DataFrame, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14,
+      s"p must be in [4, 14], got $p — the state is a bounded frame")
+    val m = 1L << p
+    val kMax = 61 - p
+    val h = conv(substring(md5(col(s"`$valueCol`").cast("string")), 1, 15),
+      16, 10).cast("long")
+    df.filter(col(s"`$valueCol`").isNotNull)
+      .select(h.as("__h"))
+      .withColumn("idx", pmod(col("__h"), lit(m)).cast("int"))
+      .withColumn("__w", expr(s"__h div ${m}L"))
+      .withColumn("reg", when(col("__w") === 0, lit(kMax))
+        .otherwise(lit(kMax) - length(bin(col("__w")))).cast("int"))
+      .groupBy(col("idx"))
+      .agg(max(col("reg")).as("reg"))
+      .withColumn("hll_p", lit(p))
+  }
+
+  /** Fold any number of [[hllState]] frames built at the SAME precision
+    * into the state of the unioned corpora — register-wise max per idx.
+    * Mixed `hll_p` stamps fail LOUDLY on the first action (one 1-row
+    * provenance aggregate broadcast back, checked in a FILTER — the
+    * [[mergeLogBucketStates]] idiom); the merged frame carries the shared
+    * stamp forward so chained merges stay checkable.
+    */
+  def mergeHllStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeHllStates needs at least one state")
+    val all = states.reduce(_.unionByName(_))
+    val prov = all.agg(
+      min(col("hll_p")).as("__pmin"), max(col("hll_p")).as("__pmax"))
+    all.groupBy(col("idx"))
+      .agg(max(col("reg")).as("reg"))
+      .crossJoin(broadcast(prov))
+      .filter(assert_true(col("__pmin") === col("__pmax"),
+        concat(lit("mergeHllStates: mixed hll_p geometry ["),
+          col("__pmin"), lit(", "), col("__pmax"),
+          lit("] — register indexes mean different hash prefixes"))).isNull)
+      .select(col("idx"), col("reg"), col("__pmax").as("hll_p"))
+  }
+
+  /** Distinct-count estimate answered from a [[hllState]] — the standard
+    * HLL read-out with the harmonic denominator kept INTEGER-EXACT: with
+    * K = 61−p, Σⱼ 2^(−Mⱼ) is computed scaled by 2^K as
+    * `z_scaled = Σ_occupied 2^(K−reg) + n_zero · 2^K` (a BIGINT ≤ 2^61 —
+    * absent registers are rho 0), so the only floating-point steps are the
+    * final constant-multiply/divide, bit-deterministic across engines.
+    * `est_raw = α_m · m² · 2^K / z_scaled`; when est_raw ≤ 2.5m and zero
+    * registers remain, the read-out switches to linear counting
+    * `m · ln(m / n_zero)` (Flajolet et al.'s small-range correction) —
+    * that branch's ln is the one library-function float in the family, so
+    * `est` is rounded to 4 decimals and the exact rational inputs
+    * (m, n_zero, z_scaled) ride alongside in the output for any consumer
+    * that wants to re-derive at full precision. An EMPTY state answers
+    * est = 0.0 (n_zero = m, the linear branch's fixed point), not a
+    * silent non-row. The 60-bit hash makes HLL's large-range collision
+    * correction (2^32-hash artifact) unnecessary.
+    *
+    * `p` must match the state's stamp — checked in-plan (assert_true in a
+    * FILTER over the 1-row aggregate), failing loudly on a state built at
+    * another precision.
+    *
+    * Scale shape: one aggregate over the ≤ 2^p-row state; the corpus is
+    * never rescanned.
+    *
+    * @return one row: (m, n_zero, z_scaled, est_raw, method, est)
+    */
+  def distinctFromHllState(state: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val m = 1L << p
+    val kMax = 61 - p
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val alphaMM = alpha * m.toDouble * m.toDouble
+    val twoPowK = math.pow(2.0, kMax.toDouble)
+    state
+      .agg(
+        count(lit(1)).as("__present"),
+        coalesce(sum(expr(s"shiftleft(1L, $kMax - reg)")), lit(0L))
+          .as("__z_present"),
+        coalesce(min(col("hll_p")), lit(p)).as("__pmin"),
+        coalesce(max(col("hll_p")), lit(p)).as("__pmax"))
+      .filter(assert_true(col("__pmin") === lit(p) && col("__pmax") === lit(p),
+        concat(lit("distinctFromHllState: state built at hll_p ["),
+          col("__pmin"), lit(", "), col("__pmax"),
+          lit(s"], read-out expected $p"))).isNull)
+      .select(
+        lit(m).as("m"),
+        (lit(m) - col("__present")).cast("long").as("n_zero"),
+        (col("__z_present") + (lit(m) - col("__present")) * lit(1L << kMax))
+          .cast("long").as("z_scaled"))
+      .withColumn("est_raw",
+        lit(alphaMM) * lit(twoPowK) / col("z_scaled").cast("double"))
+      .withColumn("method",
+        when(col("est_raw") <= lit(2.5) * col("m").cast("double") &&
+          col("n_zero") > 0, lit("linear")).otherwise(lit("raw")))
+      .withColumn("est",
+        when(col("method") === "linear",
+          round(col("m").cast("double") *
+            log(col("m").cast("double") / col("n_zero").cast("double")), 4))
+          .otherwise(col("est_raw")))
+  }
+
   /** Persisted Misra–Gries shard state: the ≤k-counter summary of one
     * shard, as (item, cnt) ROWS a pipeline can write next to the shard
     * (the [[numericProfileState]] discipline applied to the heavy-hitters

@@ -849,6 +849,62 @@ class SampleProfileSpec extends AnyFunSuite {
       stateOf(vals.filter(lit(false))), qs).count() == 0L)
   }
 
+  test("hll state: merge == from-scratch, duplicate-invariance, both estimator regimes within error, geometry checks") {
+    val p = 9
+    val m = 1 << p
+    def stateOf(d: org.apache.spark.sql.DataFrame) = Profile.hllState(d, "v", p)
+    def rows(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    def est(st: org.apache.spark.sql.DataFrame) = {
+      val r = Profile.distinctFromHllState(st, p).collect()
+      assert(r.length == 1)
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getString(4), r(0).getDouble(5))
+    }
+    // RAW regime: 5000 distinct values >> 2.5m = 1280
+    val big = (0 until 5000).map(i => (i.toLong, s"val_$i")).toDF("id", "v")
+    val whole = rows(stateOf(big))
+    assert(whole.size <= m)
+    assert(whole.forall { case (idx, reg, hp) =>
+      idx >= 0 && idx < m && reg >= 1 && reg <= 61 - p && hp == p })
+    // merge == from-scratch hash-for-hash, any shard split and order
+    Seq(2, 3, 5).foreach { shards =>
+      val states = (0 until shards).map(s =>
+        stateOf(big.filter(col("id") % shards === s)))
+      Seq(states, states.reverse).foreach { order =>
+        assert(rows(Profile.mergeHllStates(order: _*)) == whole,
+          s"merged $shards-way state != from-scratch")
+      }
+    }
+    // duplicates change nothing: the sketch counts DISTINCT values
+    assert(rows(stateOf(big.unionAll(big).unionAll(big))) == whole)
+    // raw-regime accuracy: within 3 standard errors (1.04/sqrt(m))
+    val (m1, _, _, method1, e1) = est(stateOf(big))
+    assert(m1 == m.toLong && method1 == "raw")
+    assert(math.abs(e1 - 5000.0) / 5000.0 <= 3.0 * 1.04 / math.sqrt(m.toDouble),
+      s"raw estimate $e1 off by more than 3 sigma from 5000")
+    // LINEAR regime: 100 distinct values (duplicated) << 2.5m
+    val small = (0 until 400).map(i => (i.toLong, s"u_${i % 100}")).toDF("id", "v")
+    val (_, nz2, _, method2, e2) = est(stateOf(small))
+    assert(method2 == "linear" && nz2 > 0)
+    assert(math.abs(e2 - 100.0) / 100.0 <= 0.15,
+      s"linear estimate $e2 off by more than 15% from 100")
+    // empty input: est = 0.0 via the linear fixed point, never a non-row
+    val (_, nz3, _, method3, e3) = est(stateOf(big.filter(lit(false))))
+    assert(nz3 == m.toLong && method3 == "linear" && e3 == 0.0)
+    // mixed hll_p geometries fail loudly instead of colliding registers
+    val e4 = intercept[Exception](Profile.mergeHllStates(
+      stateOf(big), Profile.hllState(big, "v", 8)).collect())
+    assert(e4.getMessage != null && e4.getMessage.contains("hll_p"))
+    // a read-out at the wrong p fails loudly too
+    val e5 = intercept[Exception](
+      Profile.distinctFromHllState(stateOf(big), 10).collect())
+    assert(e5.getMessage != null && e5.getMessage.contains("hll_p"))
+    // guards
+    intercept[IllegalArgumentException](Profile.hllState(big, "v", 3))
+    intercept[IllegalArgumentException](Profile.mergeHllStates())
+  }
+
   test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
     // p15's shape: 200-value noise floor + two heavy values, NDV >> k
     val data = (1 to 200).map(i => s"noise$i") ++
