@@ -5259,7 +5259,7 @@ object SparkEntry {
         // round 17: the guard's cost must stay FLAT as y-entries grow —
         // persist the frames every branch re-derives (events-with-ts,
         // the click/purchase interval-join sides, the session input,
-        // docs) once, compute the 11-row guard eagerly, release in
+        // docs) once, compute the 12-row guard eagerly, release in
         // finally (the d05/d28 idiom). The collect is bounded by
         // construction: one row per twin, never data-sized.
         val evTs = t(s, d, "events").filter(col("ts").isNotNull)
@@ -5292,6 +5292,8 @@ object SparkEntry {
               StreamingOps.finalWatermarkUs(sess))),
             cnt("y08", StreamingOps.intervalJoinBatchFullOuter(lb, rb, tolUs, wmUs)),
             cnt("y09", StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)),
+            cnt("y11", evTs.filter(col("user_id").isNotNull &&
+              col("event_type").isNotNull).select(col("user_id")).distinct()),
             cnt("t07", docs))
             .reduce(_.unionByName(_))
             .filter(assert_true(col("batch_rows") > 0,
@@ -5360,6 +5362,8 @@ object SparkEntry {
          UNION ALL SELECT 'y08', (SELECT npairs.n + unmatched_l.n + unmatched_r.n
            FROM npairs, unmatched_l, unmatched_r)
          UNION ALL SELECT 'y09', (SELECT npairs.n + unmatched_r.n FROM npairs, unmatched_r)
+         UNION ALL SELECT 'y11', (SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL)
          UNION ALL SELECT 't07', (SELECT COUNT(*) FROM documents)"""),
 
     // windowed aggregation: tumbling 1h counts+sums per event type.
@@ -5646,6 +5650,49 @@ object SparkEntry {
       },
       """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
                 CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
+         WHERE FALSE"""),
+
+    // transformWithState (round 17): Spark 4's arbitrary-state API — the
+    // successor to mapGroupsWithState (y03) / flatMapGroupsWithState (t07's
+    // operator), with NAMED typed state variables (ValueState running count
+    // + MapState first-seen-ts per event type) instead of one opaque state
+    // blob per key. Requires — and therefore also exercises — the RocksDB
+    // provider (Spark rejects it on the default store). Update-mode rows
+    // fold per user (max running counts; first_type from the final batch
+    // via max_by) so the check is correct however the file source batches
+    // the input; the batch twin is one aggregate with the same
+    // lexicographic (ts, type) tie-break. StreamingSpec pins cross-batch
+    // state accumulation and the engaged-provider metrics.
+    "y11_transform_with_state" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val clean = (df: DataFrame) => df
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+        val streamed = StreamingOps.withStateStoreProvider(
+          s, StreamingOps.RocksDbStateStoreProvider) {
+          StreamingOps.runToMemory(
+            StreamingOps.typeProfileStream(
+              clean(StreamingOps.eventsStream(s, s"$d/events.parquet"))).toDF(),
+            "y11_tws_mem", org.apache.spark.sql.streaming.OutputMode.Update(),
+            availableNow = true)
+        }
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_types")).as("n_types"),
+            expr("max_by(first_type, n_events)").as("first_type"))
+        val batch = clean(t(s, d, "events"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsUs"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            min(struct(col("tsUs"), col("event_type")))
+              .getField("event_type").as("first_type"))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS n_events,
+                CAST(NULL AS BIGINT) AS n_types, CAST(NULL AS STRING) AS first_type
          WHERE FALSE"""),
 
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap

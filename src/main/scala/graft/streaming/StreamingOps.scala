@@ -567,6 +567,80 @@ object StreamingOps {
         col("event_id").as("right_id"), lit(null).cast("long").as("lag_us"))
   }
 
+  case class TypeProfile(user_id: Long, n_events: Long, n_types: Long,
+      first_type: String)
+
+  /** The [[typeProfileStream]] processor — Spark 4's `transformWithState`
+    * arbitrary-state API (StatefulProcessor, SPARK-46815), the successor
+    * to mapGroupsWithState/flatMapGroupsWithState used elsewhere in this
+    * file: instead of ONE opaque state case class serialized whole per
+    * key per batch, the handle exposes NAMED, individually-typed state
+    * variables — here a ValueState[Long] running event count and a
+    * MapState[String, Long] of first-seen event time per event type. At
+    * 100 TB the distinction is structural: a MapState entry is its own
+    * RocksDB key, so touching one event type reads/writes one entry, not
+    * a whole per-user blob (the mapGroupsWithState failure mode when the
+    * per-key state grows wide).
+    *
+    * Per input batch it emits the key's RUNNING profile (update-mode
+    * semantics): total events, distinct types, and the type whose first
+    * occurrence is earliest (ties broken by type name — the batch twin's
+    * lexicographic (ts, type) min, so stream ≡ batch holds exactly
+    * however the file source batches the input).
+    */
+  class TypeProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, TypeProfile] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var firstSeen: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState("n_events", E.scalaLong, TTLConfig.NONE)
+      firstSeen = getHandle.getMapState("first_seen",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeProfile] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        // keep the MIN ts per type: file-source batches need not arrive
+        // in event-time order, and the batch twin takes the true min
+        if (!firstSeen.containsKey(r.event_type) ||
+            r.tsUs < firstSeen.getValue(r.event_type))
+          firstSeen.updateValue(r.event_type, r.tsUs)
+      }
+      nEvents.update(n)
+      val entries = firstSeen.iterator().toSeq // bounded: distinct types
+      val first = entries.minBy { case (tp, ts) => (ts, tp) }._1
+      Iterator.single(TypeProfile(key, n, entries.size.toLong, first))
+    }
+  }
+
+  /** Per-user event-type profile via `transformWithState` — see
+    * [[TypeProfileProcessor]]. TimeMode.None: the profile is
+    * monotone-accumulating, no timers or watermark needed; state is
+    * bounded at (1 value + n_distinct_types map entries) per user by
+    * construction. REQUIRES the RocksDB state-store provider (Spark
+    * rejects transformWithState on the default HDFS-backed provider) —
+    * scope the call inside [[withStateStoreProvider]]. Batch/stream
+    * agnostic like the rest of this file is not possible here (the
+    * operator is stream-only), so the y11 entry compares against the
+    * single-aggregate batch twin instead.
+    */
+  def typeProfileStream(events: DataFrame): Dataset[TypeProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup on a key (the at-least-once-delivery dedup every
     * event pipeline needs): duplicates arriving within the watermark window
     * are dropped with bounded state.

@@ -363,7 +363,9 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 85 oracles are Spark-runnable; ALL 85 regenerate. Round 17 flipped
+    // 86 oracles are Spark-runnable; ALL 86 regenerate (y11's empty-
+    // LocalRelation schema oracle joined the set already-rendering, riding
+    // the round-17 typed-null LIMIT-0 form). Round 17 flipped
     // twenty: empty LocalRelations render as typed-null LIMIT-0 selects
     // (the seven y-family WHERE-FALSE schema oracles, t07, y10);
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
@@ -479,7 +481,8 @@ class QueryEngineSpec extends AnyFunSuite {
       "y07_stream_session_window" -> true,
       "y08_stream_interval_full" -> true,
       "y09_stream_interval_right" -> true,
-      "y10_rocksdb_state_store" -> true)
+      "y10_rocksdb_state_store" -> true,
+      "y11_transform_with_state" -> true)
     val results: Map[String, Option[String]] =
       SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
         val sparkRunnable =

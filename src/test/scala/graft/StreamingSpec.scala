@@ -488,6 +488,50 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState: named state accumulates across batches, first-type heals on late arrival, RocksDB engaged") {
+    import spark.implicits._
+    val H = 3600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dir = Files.createTempDirectory("graft-tws").toString
+    // file 1: user 1 clicks twice, user 2 views
+    Seq((1L, "click", ts(10 * H)), (1L, "click", ts(10 * H + 600)),
+        (2L, "view", ts(11 * H)))
+      .toDF("user_id", "event_type", "ts").coalesce(1).write.mode("append").parquet(dir)
+    // file 2: user 1's LATE view at 9:00 — EARLIER than every click, so
+    // the MapState min-ts discipline must flip first_type to 'view'
+    // (a first-write-wins map would stay stuck on 'click')
+    Seq((1L, "view", ts(9 * H)), (2L, "purchase", ts(12 * H)))
+      .toDF("user_id", "event_type", "ts").coalesce(1).write.mode("append").parquet(dir)
+    val (rows, metrics) =
+      StreamingOps.withStateStoreProvider(spark, StreamingOps.RocksDbStateStoreProvider) {
+        val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+          .schema("user_id LONG, event_type STRING, ts TIMESTAMP").parquet(dir)
+        StreamingOps.runToMemoryStateMetrics(
+          StreamingOps.typeProfileStream(stream).toDF(), "tws_out",
+          OutputMode.Update(), availableNow = true)
+      }
+    val emitted = rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // cross-batch ValueState accumulation: user 1 was emitted once per
+    // batch it appeared in, with STRICTLY increasing running counts —
+    // a state-less (or state-losing) run would repeat or reset counts
+    val u1 = emitted.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.map(_._2).toSeq == Seq(2L, 3L), s"user-1 running counts: ${u1.toSeq}")
+    // the batch-1 profile knew only clicks; the final state healed to the
+    // late view on both the distinct-type count and the earliest type
+    assert(u1.head._4 == "click" && u1.head._3 == 1L, s"batch-1 profile: ${u1.head}")
+    assert(u1.last._4 == "view" && u1.last._3 == 2L, s"final profile: ${u1.last}")
+    // final fold equals the single-aggregate batch twin, per user
+    val fin = emitted.groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSet
+    assert(fin == Set((1L, 3L, 2L, "view"), (2L, 2L, 2L, "view")), s"final: $fin")
+    // RocksDB engaged (transformWithState REQUIRES it — this pins that the
+    // scoped swap actually carried into the query)
+    import scala.jdk.CollectionConverters._
+    assert(metrics.flatMap(_.customMetrics.keySet().asScala)
+      .exists(_.toLowerCase.contains("rocksdb")), "rocksdb metrics absent")
+    assert(metrics.exists(_.numRowsTotal > 0), "state operator saw no rows")
+  }
+
   test("profile state folds over stream micro-batches: merged state equals the batch profile") {
     import spark.implicits._
     import graft.operators.Profile
