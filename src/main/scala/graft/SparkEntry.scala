@@ -227,6 +227,57 @@ object SparkEntry {
        $branches"""
   }
 
+  /** Generated DuckDB replay of d39's FILTERED IVF search — the filtered
+    * sibling of [[ivfOracleSql]]: same deterministic centroids, same probe
+    * list, but candidates are restricted by `candSql` (over the `n` CTE's
+    * columns, here carrying `label`) BEFORE scoring, and the recall tail's
+    * exact baseline ranks only FILTERED neighbors — [[annOracleTail]]
+    * cannot be reused because its `ex` is unfiltered by construction.
+    * Queries stay unfiltered (a query outside the filter still searches
+    * the filtered corpus), replaying [[Similarity.ivfProbeFiltered]].
+    */
+  private def ivfFilteredOracleSql(spark: SparkSession, dir: String, nCentroids: Int,
+      nProbe: Int, sampleSize: Int, iters: Int, k: Int, candSql: String): String = {
+    val centroids = graft.operators.Similarity.ivfCentroids(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
+    val cellSims = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, list_dot_product(v, ${c.mkString("[", ", ", "]")}) AS sim FROM n"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       sims AS (
+       $cellSims),
+       ranked AS (SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                  FROM sims),
+       fassign AS (SELECT r.vec_id, r.cell FROM ranked r JOIN n nn ON nn.vec_id = r.vec_id
+                   WHERE r.rn = 1 AND ($candSql)),
+       probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $nProbe AND vec_id < 10),
+       cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+                FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       scored AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qa.v, nb.v) AS cos
+                  FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n nb ON nb.vec_id = c.n_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM scored) WHERE rank <= $k),
+       ex AS (SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, nb.vec_id AS n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
+                FROM n q JOIN n nb ON nb.vec_id <> q.vec_id
+                WHERE q.vec_id < 10 AND (${candSql.replace("nn.", "nb.")}))
+              WHERE rank <= $k),
+       n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
+       hits AS (SELECT a.q_id, COUNT(*) AS n_hit
+                FROM ap a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY a.q_id),
+       perq AS (SELECT n_ex.q_id,
+                  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEAST(n_ex.n_exact, $k) AS recall
+                FROM n_ex LEFT JOIN hits h ON h.q_id = n_ex.q_id)
+       SELECT p.q_id, a.n_id, a.rank, p.recall
+       FROM perq p LEFT JOIN ap a ON a.q_id = p.q_id"""
+  }
+
   /** Generated DuckDB replay of d26's full PQ/ADC pipeline: embeds the
     * deterministic per-subspace codebooks ([[Similarity.pqCodebooks]],
     * trained on the dump dir exactly as the Spark plan trains them) and
@@ -1730,6 +1781,30 @@ object SparkEntry {
             .agg(max(col("recall")).as("recall"), count(col("n_id")).as("n_returned"))
             .select(lit(np).as("n_probe"), col("q_id"), col("recall"), col("n_returned"))
         }.reduce(_ unionAll _)
+      }),
+
+    // METADATA-FILTERED ANN (round 17): "nearest neighbors among vectors
+    // WHERE label is even" — every production vector store's second query.
+    // PRE-filtering: the predicate prunes the cell-assigned inverted file
+    // (semi-join on an id sliver) BEFORE any distance is scored, so the
+    // probe never pays for out-of-filter vectors and recall is measured
+    // against the exact FILTERED baseline — post-filtering an unfiltered
+    // top-k would return short lists and miss true filtered neighbors
+    // (SimilaritySpec pins a concrete miss). Oracled dynamically like d09:
+    // [[ivfFilteredOracleSql]] embeds the identical centroids and replays
+    // probe + filter + recall in full
+    "d39_filtered_ann" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = col("vec_id") < 10
+        val cand = pmod(col("label"), lit(2)) === 0
+        val approx = Similarity.ivfProbeFiltered(emb, "vec_id", "embedding",
+          Similarity.ivfAssign(emb, "vec_id", "embedding"), q, cand,
+          k = 5, nProbe = 2)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
+          Similarity.bruteForceTopKFiltered(emb, "vec_id", "embedding", q, cand, k = 5),
+          k = 5)
       }),
 
     // product-quantization ANN (round 12): the compressed-scan path —
@@ -5772,6 +5847,9 @@ object SparkEntry {
                 sampleSize = 1024, iters = 5, k = 5)),
               "d25_ivf_nprobe_curve" -> (() => ivfCurveOracleSql(s, d, Seq(1, 2, 4),
                 nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)),
+              "d39_filtered_ann" -> (() => ivfFilteredOracleSql(s, d, nCentroids = 16,
+                nProbe = 2, sampleSize = 1024, iters = 5, k = 5,
+                candSql = "nn.label % 2 = 0")),
               "d26_ann_pq" -> (() => pqOracleSql(s, d, m = 8, ksub = 16,
                 sampleSize = 1024, iters = 5, k = 5)),
               "d32_ann_pq_rerank" -> (() => pqRerankOracleSql(s, d, m = 8, ksub = 16,

@@ -57,6 +57,30 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Exact FILTERED cosine top-k (round 17): [[bruteForceTopK]] with the
+    * candidate set restricted by `candPred` — the correctness baseline for
+    * metadata-filtered vector search ("nearest neighbors among docs WHERE
+    * …", every production vector store's second query). Queries are
+    * selected by `queryPred` INDEPENDENTLY of the candidate filter: a
+    * query outside the filter still gets its k filtered neighbors. Both
+    * predicates target the caller's columns, applied before renaming.
+    */
+  def bruteForceTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, candPred: Column, k: Int): DataFrame = {
+    val cands = normalized(emb.filter(candPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
+    val queries = broadcast(normalized(emb.filter(queryPred), idCol, vecCol)
+      .filter(col("unit").isNotNull)
+      .select(col("vec_id").as("q_id"), col("unit").as("q_unit")))
+    val scored = cands.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("q_unit"), col("unit")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Sign bits of the first `bits` components — a dimension-free axis-
     * aligned sign-LSH key used to subdivide oversized blocks. Components
     * past the vector's length contribute 0 (shorter vectors just get a
@@ -386,6 +410,36 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** METADATA-FILTERED IVF search (round 17): [[ivfProbe]] with the
+    * candidate set restricted by `candPred` — PRE-filtering, the design
+    * that keeps filtered vector search correct at scale. The alternative
+    * (post-filtering: take the unfiltered top-k, then drop rows failing
+    * the predicate) silently returns fewer than k and MISSES true
+    * filtered neighbors whenever the unfiltered top-k is dominated by
+    * out-of-filter vectors — the classic filtered-ANN pitfall
+    * (SimilaritySpec pins a case where post-filtering loses a neighbor
+    * pre-filtering finds).
+    *
+    * Mechanics: the predicate is evaluated against the CALLER's frame
+    * (so at 100 TB it pushes down to the metadata table's own parquet
+    * scan) and arrives at the index as an id sliver semi-joined into the
+    * model's cell-assigned frame BEFORE the probe join — the inverted
+    * file is pruned once, vectors failing the filter are never scored,
+    * and the semi-join broadcasts when the filter is selective (AQE's
+    * call). Queries are selected by `queryPred` independently: a query
+    * outside the filter still searches the filtered corpus. The model is
+    * trained on the FULL corpus (centroids describe the space; training
+    * per-filter would rebuild the index per query predicate).
+    */
+  def ivfProbeFiltered(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, queryPred: Column, candPred: Column, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val allowed = emb.filter(candPred).select(col(idCol).as("vec_id"))
+    ivfProbe(emb, idCol, vecCol,
+      model.copy(assigned = model.assigned.join(allowed, Seq("vec_id"), "left_semi")),
+      queryPred, k, nProbe)
   }
 
   /** Attach per-query recall@k to an approximate top-k result, measured

@@ -23,6 +23,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("filtered ANN: pre-filtering finds the neighbor post-filtering misses; filters independent; full probe exact") {
+    // query 100 points at x; the two CLOSEST vectors (2, 4) fail the
+    // filter (even ids allowed = odd labels here: allowed = label 1),
+    // the true FILTERED neighbor (1) is farther — the post-filtering
+    // pitfall fixture
+    val df = Seq(
+      (100L, Array(1.0f, 0.0f), 0),   // query, NOT in the filter itself
+      (1L, Array(0.70f, 0.71f), 1),   // allowed, cos ~0.70
+      (2L, Array(0.99f, 0.14f), 0),   // closest, filtered out
+      (4L, Array(0.95f, 0.31f), 0)    // second closest, filtered out
+    ).toDF("vec_id", "embedding", "label")
+    val q = col("vec_id") === 100L
+    val cand = col("label") === 1
+    val model = Similarity.ivfAssign(df, "vec_id", "embedding",
+      nCentroids = 1, sampleSize = 4, iters = 1)
+    // post-filtering: unfiltered top-2 = {2, 4}, then the filter drops
+    // BOTH — zero rows, the true filtered neighbor lost
+    val post = Similarity.ivfProbe(df, "vec_id", "embedding", model, q,
+        k = 2, nProbe = 1)
+      .join(df.filter(cand).select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")
+    assert(post.count() == 0L, "post-filtering unexpectedly kept a row")
+    // pre-filtering: the probe searches only allowed vectors — finds 1
+    val pre = Similarity.ivfProbeFiltered(df, "vec_id", "embedding", model,
+        q, cand, k = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pre.toSeq == Seq((100L, 1L, 1)), s"pre-filtered result: ${pre.toSeq}")
+    // query predicate independent of the candidate filter: the query's
+    // own label fails `cand` yet it still searches the filtered corpus
+    // (asserted above — query 100 has label 0); the exact filtered
+    // baseline agrees
+    val exact = Similarity.bruteForceTopKFiltered(df, "vec_id", "embedding",
+        q, cand, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(exact.toSeq == pre.toSeq)
+    // full probe over the shared fixture: filtered IVF == filtered exact
+    // for every query (recall 1.0 at nProbe = nCentroids)
+    val modelV = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      nCentroids = 2, sampleSize = 8, iters = 2)
+    val allQ = col("vec_id") >= 0
+    val candV = col("label") === 0
+    val ivfAll = Similarity.ivfProbeFiltered(vecs, "vec_id", "embedding",
+        modelV, allQ, candV, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAll = Similarity.bruteForceTopKFiltered(vecs, "vec_id", "embedding",
+        allQ, candV, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAll == exactAll, s"ivf=$ivfAll exact=$exactAll")
+    // only allowed ids ever appear as neighbors
+    assert(ivfAll.forall { case (_, n) => Set(0L, 1L, 2L).contains(n) })
+  }
+
   test("unitNorm leaves zero vectors untouched and normalizes others") {
     val df = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(0.0f, 0.0f))).toDF("id", "v")
     val out = df.select(Similarity.unitNorm(col("v")).as("u")).collect()
