@@ -3692,6 +3692,58 @@ object SparkEntry {
                 ELSE est_raw END AS est
          FROM e"""),
 
+    // mergeable KMV bottom-k sketch + cross-corpus overlap (round 17):
+    // the set-operation member of the persisted-sketch family — HLL (p24)
+    // unions but cannot intersect; KMV states hold concrete bottom-k hash
+    // values, so two corpora's states estimate their Jaccard overlap and
+    // intersection size with NO corpus rescan ("is cross-corpus dedup
+    // even worth scheduling?"). Click-users vs purchase-users, each side
+    // built as three shard states merged (bottom-k of union = from-scratch
+    // bottom-k, the family's hash-exact merge), then kmvOverlap. The
+    // oracle replays hash, per-side bottom-k, merged bottom-k, shared
+    // membership, and the (k-1)*2^60/h_(k) estimator from the RAW table —
+    // build+merge+estimate ≡ from-scratch at hash level. k=64; the only
+    // float ops are one multiply-divide chain, bit-deterministic.
+    "p25_kmv_overlap" -> entry(
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        def st(tp: String) = {
+          val side = ev.filter(col("event_type") === tp)
+          graft.operators.Profile.mergeKmvStates(64,
+            (0 until 3).map(i => graft.operators.Profile.kmvState(
+              side.filter(pmod(col("user_id"), lit(3)) === i), "user_id", 64)): _*)
+        }
+        graft.operators.Profile.kmvOverlap(st("click"), st("purchase"), 64)
+      },
+      """WITH ha AS (
+           SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+         sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         hb AS (
+           SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+         sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         un AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)),
+         mg AS (SELECT h FROM un ORDER BY h LIMIT 64),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_topk, MAX(h) AS kth FROM mg),
+         sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM mg
+                WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+         na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM sa),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM sb),
+         e AS (
+           SELECT CAST(64 AS INT) AS k, na.n_a, nb.n_b, m.n_union_topk, sh.n_shared,
+             CASE WHEN m.n_union_topk = 0 THEN 0.0
+                  ELSE CAST(sh.n_shared AS DOUBLE) / CAST(m.n_union_topk AS DOUBLE)
+             END AS jaccard_est,
+             CASE WHEN m.n_union_topk < 64 THEN CAST(m.n_union_topk AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(m.kth AS DOUBLE)
+             END AS union_est,
+             CASE WHEN m.n_union_topk < 64 THEN 'exact' ELSE 'estimate' END AS method
+           FROM m, sh, na, nb)
+         SELECT k, n_a, n_b, n_union_topk, n_shared, jaccard_est, union_est,
+           jaccard_est * union_est AS inter_est, method
+         FROM e"""),
+
     // per-source Gini concentration (round 12): the Lorenz-curve scalar
     // over each source's char-mass distribution — all-integer closed form
     // over the value histogram (DECIMAL(38,0) / HUGEINT), one final fp

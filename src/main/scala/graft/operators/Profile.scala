@@ -1348,6 +1348,121 @@ object Profile {
           .otherwise(col("est_raw")))
   }
 
+  /** Mergeable KMV (k-minimum-values / bottom-k) sketch state (round 17) —
+    * the SET-OPERATION member of the persisted-sketch family, answering
+    * what [[hllState]] cannot: overlap BETWEEN corpora. HLL registers
+    * union cleanly but carry no intersection information; a KMV state is
+    * the k smallest distinct hash values themselves (Bar-Yossef et al.'s
+    * distinct-elements sketch; Beyer et al., SIGMOD'07 for the unbiased
+    * estimator), and because two corpora's bottom-k sets share CONCRETE
+    * hash values, the merged bottom-k is a uniform sample of the union on
+    * which Jaccard — and so intersection size — is directly estimated.
+    * The pipeline question it answers from kilobytes of persisted state:
+    * "how much do these two sources overlap — is cross-corpus dedup even
+    * worth scheduling?"
+    *
+    * Same md5-60 hash family as [[hllState]] (replayable bit-for-bit by
+    * any engine), so the whole build/merge/estimate chain is STATIC SQL
+    * under the driver gate. Merge is "bottom-k of the union of states" —
+    * exact and order-independent (the k smallest of a union are always
+    * contained in the union of per-shard k smallest), so merged shard
+    * states equal the from-scratch state HASH-FOR-HASH, the family
+    * property. Duplicates are free (hashes are DISTINCT'd).
+    *
+    * Scale shape: one distinct aggregate on the 1-column hash projection
+    * (map-side partial), then TakeOrdered bottom-k (per-partition heads
+    * merged, never a global sort); ≤ k rows out however large the corpus.
+    *
+    * @return (h, kmv_k), the k smallest distinct hash values plus the
+    *         geometry stamp (the [[logBucketState]] idiom)
+    */
+  def kmvState(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536,
+      s"k must be in [1, 65536], got $k — the state is a bounded frame")
+    val h = conv(substring(md5(col(s"`$valueCol`").cast("string")), 1, 15),
+      16, 10).cast("long")
+    df.filter(col(s"`$valueCol`").isNotNull)
+      .select(h.as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .withColumn("kmv_k", lit(k))
+  }
+
+  /** Fold any number of [[kmvState]] frames built at the SAME k into the
+    * state of the unioned corpora — bottom-k of the distinct union. `k` is
+    * an explicit argument (the [[mergeMisraGriesStates]] idiom: the cut is
+    * a plan constant, no hidden driver action), and every input row's
+    * `kmv_k` stamp must equal it — checked in-plan via a broadcast 1-row
+    * provenance aggregate in a FILTER (the [[mergeHllStates]] idiom): a
+    * smaller-k state is a coarser sample, and treating it as k would bias
+    * every estimate derived from the kth minimum.
+    */
+  def mergeKmvStates(k: Int, states: DataFrame*): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    require(states.nonEmpty, "mergeKmvStates needs at least one state")
+    val all = states.reduce(_.unionByName(_))
+    val prov = all.agg(
+      coalesce(min(col("kmv_k")), lit(k)).as("__kmin"),
+      coalesce(max(col("kmv_k")), lit(k)).as("__kmax"))
+    all
+      .crossJoin(broadcast(prov))
+      .filter(assert_true(col("__kmin") === lit(k) && col("__kmax") === lit(k),
+        concat(lit("mergeKmvStates: states built at kmv_k ["),
+          col("__kmin"), lit(", "), col("__kmax"),
+          lit(s"], expected $k — kth-minimum estimates would be biased"))).isNull)
+      .select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .withColumn("kmv_k", lit(k))
+  }
+
+  /** Cross-corpus overlap estimated from two [[kmvState]] frames — no
+    * corpus rescan. The merged bottom-k (= the union's KMV state) is a
+    * uniform size-≤k sample of the union's distinct hashes; the fraction
+    * of it present in BOTH input states estimates the Jaccard similarity,
+    * and `inter_est = jaccard_est · union_est` the intersection size
+    * (Beyer et al.'s KMV set-operation estimators). When the union holds
+    * FEWER than k distinct values the sketch has seen everything and
+    * every figure is exact (`method = 'exact'`); otherwise the distinct-
+    * count estimate is the unbiased (k−1)·2^60 / h_(k) over the 60-bit
+    * hash domain. The only float ops are one multiply-divide chain —
+    * bit-deterministic across engines, no library functions — so the p25
+    * entry replays end-to-end in static DuckDB SQL.
+    *
+    * Both states' `kmv_k` stamps must equal `k` — enforced by the
+    * [[mergeKmvStates]] call on the hot path (its in-plan assert feeds
+    * every output column, so a mismatched state can never produce a row).
+    *
+    * @return one row: (k, n_a, n_b, n_union_topk, n_shared, jaccard_est,
+    *         union_est, inter_est, method)
+    */
+  def kmvOverlap(stateA: DataFrame, stateB: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    val merged = mergeKmvStates(k, stateA, stateB)
+    val shared = merged
+      .join(stateA.select(col("h")), Seq("h"), "left_semi")
+      .join(stateB.select(col("h")), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    val na = stateA.agg(count(lit(1)).as("n_a"))
+    val nb = stateB.agg(count(lit(1)).as("n_b"))
+    val twoPow60 = 1152921504606846976.0
+    merged
+      .agg(count(lit(1)).as("n_union_topk"), max(col("h")).as("__kth"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(shared))
+      .withColumn("method",
+        when(col("n_union_topk") < k, lit("exact")).otherwise(lit("estimate")))
+      .withColumn("jaccard_est",
+        when(col("n_union_topk") === 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_union_topk").cast("double")))
+      .withColumn("union_est",
+        when(col("method") === "exact", col("n_union_topk").cast("double"))
+          .otherwise(lit((k - 1).toDouble * twoPow60) / col("__kth").cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select(lit(k).as("k"), col("n_a"), col("n_b"), col("n_union_topk"),
+        col("n_shared"), col("jaccard_est"), col("union_est"),
+        col("inter_est"), col("method"))
+  }
+
   /** Persisted Misra–Gries shard state: the ≤k-counter summary of one
     * shard, as (item, cnt) ROWS a pipeline can write next to the shard
     * (the [[numericProfileState]] discipline applied to the heavy-hitters

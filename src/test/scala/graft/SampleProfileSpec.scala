@@ -905,6 +905,66 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.mergeHllStates())
   }
 
+  test("kmv state: merge == from-scratch bottom-k, overlap estimates within error, exact regime, geometry checks") {
+    val k = 128
+    def stateOf(d: org.apache.spark.sql.DataFrame, kk: Int = k) =
+      Profile.kmvState(d, "v", kk)
+    def rows(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // A = ids 0..999, B = ids 500..1499: true J = 1/3, union 1500, inter 500
+    val a = (0 until 1000).map(i => (i.toLong, s"id_$i")).toDF("id", "v")
+    val b = (500 until 1500).map(i => (i.toLong, s"id_$i")).toDF("id", "v")
+    // merge == from-scratch hash-for-hash, any shard split and order
+    val whole = rows(stateOf(a))
+    assert(whole.size == k && whole.forall(_._2 == k))
+    Seq(2, 3, 5).foreach { shards =>
+      val states = (0 until shards).map(s => stateOf(a.filter(col("id") % shards === s)))
+      Seq(states, states.reverse).foreach { order =>
+        assert(rows(Profile.mergeKmvStates(k, order: _*)) == whole,
+          s"merged $shards-way state != from-scratch")
+      }
+    }
+    // duplicates change nothing: hashes are distinct'd
+    assert(rows(stateOf(a.unionAll(a))) == whole)
+    // the state IS the k smallest: merging with a superset-corpus state
+    // never pushes a kept hash out unless a smaller one arrives — check
+    // bottom-k ordering directly against the brute-force hash set
+    val allHashes = a.select(
+        expr("cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      .collect().map(_.getLong(0)).sorted.take(k).toSet
+    assert(whole.map(_._1) == allHashes)
+    // overlap estimates within error bounds (3 sigma-ish)
+    val ov = Profile.kmvOverlap(stateOf(a), stateOf(b), k).collect()
+    assert(ov.length == 1)
+    val r = ov(0)
+    assert(r.getInt(0) == k && r.getString(8) == "estimate")
+    val (jac, uni, inter) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(math.abs(jac - 1.0 / 3.0) <= 0.15, s"jaccard_est $jac vs 1/3")
+    assert(math.abs(uni - 1500.0) / 1500.0 <= 0.30, s"union_est $uni vs 1500")
+    assert(math.abs(inter - 500.0) / 500.0 <= 0.45, s"inter_est $inter vs 500")
+    // exact regime: NDV < k on both sides -> every figure exact
+    val sa = (0 until 60).map(i => (i.toLong, s"id_$i")).toDF("id", "v")
+    val sb = (30 until 90).map(i => (i.toLong, s"id_$i")).toDF("id", "v")
+    val ex = Profile.kmvOverlap(stateOf(sa), stateOf(sb), k).collect()(0)
+    assert(ex.getString(8) == "exact")
+    assert(ex.getLong(3) == 90L && ex.getLong(4) == 30L)
+    assert(ex.getDouble(5) == 30.0 / 90.0 && ex.getDouble(6) == 90.0 &&
+      ex.getDouble(7) == (30.0 / 90.0) * 90.0)
+    // empty sides: zero row counts, zeroed estimates, never a crash
+    val e0 = Profile.kmvOverlap(
+      stateOf(a.filter(lit(false))), stateOf(b.filter(lit(false))), k).collect()(0)
+    assert(e0.getLong(3) == 0L && e0.getDouble(5) == 0.0 &&
+      e0.getDouble(6) == 0.0 && e0.getString(8) == "exact")
+    // mixed kmv_k geometries fail loudly instead of biasing the kth min
+    val eMix = intercept[Exception](
+      Profile.mergeKmvStates(k, stateOf(a), stateOf(b, kk = 64)).collect())
+    assert(eMix.getMessage != null && eMix.getMessage.contains("kmv_k"))
+    // guards
+    intercept[IllegalArgumentException](Profile.kmvState(a, "v", 0))
+    intercept[IllegalArgumentException](Profile.mergeKmvStates(k))
+    intercept[IllegalArgumentException](Profile.kmvOverlap(stateOf(a), stateOf(b), 0))
+  }
+
   test("misra-gries state: merged-state heavy hitters == frequentItems under any shard split; state bounded by k") {
     // p15's shape: 200-value noise floor + two heavy values, NDV >> k
     val data = (1 to 200).map(i => s"noise$i") ++
