@@ -848,6 +848,16 @@ object SparkEntry {
         "AS DOUBLE) AS spend_30d " +
         "FROM orders WHERE o_custkey % 50 = 0"),
 
+    // LIMIT ... OFFSET pagination (round 17): the page-2 query every API
+    // backend runs. Spark plans ORDER BY + LIMIT + OFFSET as a single
+    // global top-(limit+offset) then a drop — no full sort materializes.
+    // Unique-key tiebreak (o_orderkey) makes the page deterministic; a
+    // bare ORDER BY o_totalprice would hand non-deterministic pages to
+    // the hash gate (the LIMIT house rule)
+    "q58_limit_offset" -> shared(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 40"),
+
     // correlated LATERAL subquery in FROM (round 12): the other LATERAL
     // (q46 is LATERAL VIEW explode) — a per-row scalar-aggregate
     // subquery Catalyst decorrelates into one join + aggregate, never

@@ -872,10 +872,19 @@ object QueryEngine {
     // the inliner could not render keeps its PlanExpression and declines
     val inlined = inlineScalarSubqueries(optimized)
     if (hasSubqueryExpr(inlined)) return None
-    // peel LIMIT
+    // peel LIMIT (and OFFSET: `LIMIT n OFFSET m` optimizes to
+    // GlobalLimit n over Offset m over LocalLimit n+m — the LocalLimit is
+    // the pushed prefetch bound, not user syntax, so only n and m render)
     val (limitSql, p1) = inlined match {
       case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n, _),
+          org.apache.spark.sql.catalyst.plans.logical.Offset(
+            org.apache.spark.sql.catalyst.expressions.Literal(m, _),
+            LocalLimit(_, child))) => (s" LIMIT $n OFFSET $m", child)
+      case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n, _),
           LocalLimit(_, child)) => (s" LIMIT $n", child)
+      case org.apache.spark.sql.catalyst.plans.logical.Offset(
+          org.apache.spark.sql.catalyst.expressions.Literal(m, _), child) =>
+        (s" OFFSET $m", child)
       case other => ("", other)
     }
     // peel ORDER BY

@@ -363,9 +363,11 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 86 oracles are Spark-runnable; ALL 86 regenerate (y11's empty-
+    // 87 oracles are Spark-runnable; ALL 87 regenerate (y11's empty-
     // LocalRelation schema oracle joined the set already-rendering, riding
-    // the round-17 typed-null LIMIT-0 form). Round 17 flipped
+    // the round-17 typed-null LIMIT-0 form; q58 joined with the un-parser
+    // taught to render the GlobalLimit-over-Offset sandwich as
+    // LIMIT n OFFSET m). Round 17 flipped
     // twenty: empty LocalRelations render as typed-null LIMIT-0 selects
     // (the seven y-family WHERE-FALSE schema oracles, t07, y10);
     // RewriteIntersectAll/RewriteExceptAll tagged-union shapes un-parse
@@ -458,6 +460,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "q55_cube" -> true,
       "q56_lateral_subquery" -> true,
       "q57_interval_range" -> true,
+      "q58_limit_offset" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
       "s06_event_spikes" -> true,
