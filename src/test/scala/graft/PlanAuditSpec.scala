@@ -513,7 +513,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "d37_ppjoin_budget" -> (6, 0),
     // single pass: tokenize + df agg + df join + rank window + bucket agg
     // + block agg; slivers throughout, df join broadcasts at this SF
-    "d38_containment_budget" -> (6, 0))
+    "d38_containment_budget" -> (6, 0),
+    // round 17: three shard register aggs (two stages each under AQE) +
+    // merge re-agg + the 1-row read-out agg — every exchange over
+    // <=2^p-row register slivers however large the corpus; the merge's
+    // 1-row provenance frame rides an explicit broadcast
+    "p24_hll_distinct" -> (8, 1),
+    // round 17: six shard bottom-k states (distinct agg + TakeOrdered,
+    // exchanges over <=k-row hash slivers) + two side merges + the
+    // overlap merge + the 1-row read-out; the provenance and the three
+    // 1-row stat frames ride explicit broadcasts, the <=k semi-join
+    // sides broadcast at any SF (states are bounded by construction)
+    "p25_kmv_overlap" -> (7, 6),
+    // round 17: filtered IVF probe — cell join + rank window share the
+    // probe exchange; the allowed-id semi-join, query sides, and the
+    // |Q|·k-bounded recall frames all broadcast (band allows one AQE
+    // demotion at scale)
+    "d39_filtered_ann" -> (3, 4),
+    // ORDER BY + LIMIT + OFFSET plans as a single global top-(n+m) pick
+    // (TakeOrderedAndProject) — zero exchanges, the pagination shape
+    // that must never become a full sort
+    "q58_limit_offset" -> (0, 0),
+    // transformWithState twin: the streaming run completes before the
+    // audited frame exists; audited = memory-sink fold agg + batch
+    // single-aggregate twin + two except sides sharing the user exchange
+    "y11_transform_with_state" -> (3, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

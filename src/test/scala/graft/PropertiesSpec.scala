@@ -123,6 +123,62 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch states: merge ≡ from-scratch under random data and random shard splits (HLL, KMV, log-bucket)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(37)
+    (0 until 3).foreach { trial =>
+      // random multiset: duplicate-heavy strings + signed longs spanning
+      // magnitudes, random shard count — the deterministic family specs
+      // pin fixed splits; this pins the ALGEBRA under arbitrary ones
+      val n = 200 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"v${rnd.nextInt(300)}",
+          (rnd.nextInt(2000001) - 1000000).toLong)
+      }
+      val vals = rows.toDF("id", "s", "num")
+      val shards = 2 + rnd.nextInt(4)
+      def split(d: DataFrame) =
+        (0 until shards).map(j => d.filter(pmod(col("id"), lit(shards)) === j))
+      // HLL: register-max merge
+      val hWhole = Profile.hllState(vals, "s", 7).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val hMerged = Profile.mergeHllStates(
+        split(vals).map(Profile.hllState(_, "s", 7)): _*).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(hMerged == hWhole, s"trial=$trial shards=$shards: HLL merge drifted")
+      // KMV: bottom-k-of-union merge
+      val kWhole = Profile.kmvState(vals, "s", 96).collect()
+        .map(_.getLong(0)).toSet
+      val kMerged = Profile.mergeKmvStates(96,
+        split(vals).map(Profile.kmvState(_, "s", 96)): _*).collect()
+        .map(_.getLong(0)).toSet
+      assert(kMerged == kWhole, s"trial=$trial shards=$shards: KMV merge drifted")
+      // log-bucket: count-addition merge over signed magnitudes
+      val lWhole = Profile.logBucketState(vals, "num", 5).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val lMerged = Profile.mergeLogBucketStates(
+        split(vals).map(Profile.logBucketState(_, "num", 5)): _*).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(lMerged == lWhole, s"trial=$trial shards=$shards: log-bucket merge drifted")
+      // estimator sanity against the exact NDV (generous 5-sigma-ish
+      // bands — the tight accuracy pins live in the family specs; this
+      // guards against an algebra break that merges cleanly but estimates
+      // nonsense)
+      val ndv = rows.map(_._2).distinct.size.toDouble
+      val est = Profile.distinctFromHllState(
+        Profile.hllState(vals, "s", 7), 7).collect()(0).getDouble(5)
+      assert(math.abs(est - ndv) / ndv <= 0.5, s"trial=$trial: HLL est $est vs ndv $ndv")
+      val kEst = Profile.kmvOverlap(
+        Profile.kmvState(vals, "s", 96), Profile.kmvState(vals, "s", 96), 96)
+        .collect()(0)
+      assert(kEst.getDouble(5) == 1.0, "self-overlap Jaccard must be exactly 1")
+      assert(math.abs(kEst.getDouble(6) - ndv) / ndv <= 0.6,
+        s"trial=$trial: KMV union est ${kEst.getDouble(6)} vs ndv $ndv")
+    }
+  }
+
   test("asofJoin ≡ per-row brute-force reference on random data, both directions") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
