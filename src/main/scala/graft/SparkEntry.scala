@@ -3017,6 +3017,35 @@ object SparkEntry {
     // cuts mid-sentence — chunks begin when the running token count
     // crosses a budget multiple (size variance traded for boundary
     // sanity; PackOps.chunkDocuments is the fixed-window complement)
+    // vocabulary-growth / Heaps-law curve (round 17): distinct types vs
+    // cumulative tokens at md5-ordered corpus prefixes — the measured
+    // form of the vocabulary-growth property the PPJoin scale analysis
+    // assumes (BENCH_NOTES sf10: a plateaued vocabulary is the prefix
+    // filter's worst case). ONE token-keyed aggregate answers every cut
+    // via first-occurrence buckets; the oracle replays hash buckets,
+    // first-seen histogram, and prefix sums exactly
+    "t29_vocab_growth" -> entry(
+      (s, d) => TextOps.vocabularyGrowth(t(s, d, "documents"), "doc_id", "text"),
+      """WITH d AS (
+           SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS INT) AS b,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+           FROM documents WHERE text IS NOT NULL),
+         mass AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(len(w)) AS BIGINT) AS toks FROM d GROUP BY 1),
+         fs AS (SELECT tok, MIN(b) AS fb FROM
+             (SELECT b, unnest(w) AS tok FROM d) GROUP BY 1),
+         th AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS types FROM fs GROUP BY 1),
+         c AS (SELECT CAST(unnest([0, 1, 3, 7, 15, 31, 63, 99]) AS INT) AS cut_bucket),
+         m2 AS (SELECT c.cut_bucket,
+             CAST(COALESCE(SUM(mass.docs), 0) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(mass.toks), 0) AS BIGINT) AS n_tokens
+           FROM c LEFT JOIN mass ON mass.b <= c.cut_bucket GROUP BY 1),
+         t2 AS (SELECT c.cut_bucket,
+             CAST(COALESCE(SUM(th.types), 0) AS BIGINT) AS n_types
+           FROM c LEFT JOIN th ON th.fb <= c.cut_bucket GROUP BY 1)
+         SELECT m2.cut_bucket, m2.n_docs, m2.n_tokens, t2.n_types
+         FROM m2 JOIN t2 ON t2.cut_bucket = m2.cut_bucket"""),
+
     "t28_sentence_chunks" -> entry(
       (s, d) => TextOps.sentenceChunks(
         t(s, d, "documents"), "doc_id", "text", budgetTokens = 24),

@@ -860,4 +860,52 @@ object TextOps {
       .select(col(idCol), col("n_bigrams"),
         (col("__s").cast("double") / col("n_bigrams")).as("xent"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve (round 17): distinct-type count
+    * vs cumulative token count at hash-ordered corpus prefixes — the
+    * measured form of the "real corpora grow vocabulary" property the
+    * dedup prefix-filter analysis leans on (BENCH_NOTES sf10 section):
+    * a corpus whose types plateau while tokens grow is the PPJoin
+    * worst case; Heaps-like sub-linear growth (V ∝ N^β, β < 1) is what
+    * the candidate-pruning story assumes. One frame answers both.
+    *
+    * Prefixes are md5-order buckets ([[graft.operators.SampleOps
+    * .md5Bucket]], the engine-replayable split family): cut b = all docs
+    * whose bucket ≤ b, so the curve is deterministic and any engine
+    * replays it. The exact-count trick that keeps this ONE pass: types
+    * at cut b = tokens whose FIRST-OCCURRENCE bucket ≤ b, so one
+    * groupBy(token).min(bucket) aggregate + a ≤100-row histogram answers
+    * every cut — never a per-cut distinct scan.
+    *
+    * Scale shape: the token explode + groupBy(token) is the only
+    * data-sized exchange; doc/token mass and the first-seen histogram
+    * are ≤100-row slivers broadcast onto the cut frame.
+    *
+    * @return (cut_bucket, n_docs, n_tokens, n_types), one row per cut
+    */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[Int] = Seq(0, 1, 3, 7, 15, 31, 63, 99)): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.distinct.size == cuts.size && cuts.forall(c => c >= 0 && c <= 99),
+      s"cuts must be sorted, distinct, in [0, 99]; got $cuts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucketed = docs.filter(col(s"`$textCol`").isNotNull)
+      .select(SampleOps.md5Bucket(col(s"`$idCol`")).cast("int").as("b"),
+        tokens(col(s"`$textCol`")).as("__w"))
+    val mass = bucketed.groupBy(col("b"))
+      .agg(count(lit(1)).as("docs"), sum(size(col("__w"))).cast("long").as("toks"))
+    val firstSeen = bucketed.select(col("b"), explode(col("__w")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("b")).as("fb"))
+    val typeHist = firstSeen.groupBy(col("fb")).agg(count(lit(1)).as("types"))
+    val cutsDf = cuts.toDF("cut_bucket")
+    val m2 = cutsDf.join(broadcast(mass), col("b") <= col("cut_bucket"), "left")
+      .groupBy(col("cut_bucket"))
+      .agg(coalesce(sum(col("docs")), lit(0L)).cast("long").as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).cast("long").as("n_tokens"))
+    val t2 = cutsDf.join(broadcast(typeHist), col("fb") <= col("cut_bucket"), "left")
+      .groupBy(col("cut_bucket"))
+      .agg(coalesce(sum(col("types")), lit(0L)).cast("long").as("n_types"))
+    m2.join(t2, Seq("cut_bucket"))
+  }
 }

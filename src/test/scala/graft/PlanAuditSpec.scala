@@ -537,7 +537,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // transformWithState twin: the streaming run completes before the
     // audited frame exists; audited = memory-sink fold agg + batch
     // single-aggregate twin + two except sides sharing the user exchange
-    "y11_transform_with_state" -> (3, 0))
+    "y11_transform_with_state" -> (3, 0),
+    // round 17: bucket-mass agg + the token first-occurrence agg (the one
+    // data-sized exchange) + its <=100-row histogram + the two cut
+    // roll-ups; mass/histogram slivers broadcast onto the cut frame
+    // (band allows one AQE demotion)
+    "t29_vocab_growth" -> (5, 2))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -9,6 +9,59 @@ class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("vocabularyGrowth: curve matches brute force, monotone, endpoints exact, Heaps beta sub-linear on Zipf corpus") {
+    import graft.operators.SampleOps
+    val rnd = new scala.util.Random(41)
+    // Zipf-ish corpus: token t_j drawn with weight ~ 1/(j+1) from an
+    // unbounded id space — vocabulary grows with the corpus (Heaps), so
+    // types must grow SUB-linearly in tokens
+    val docs = (0 until 400).map { i =>
+      val n = 5 + rnd.nextInt(15)
+      val toks = Seq.fill(n) {
+        val r = rnd.nextDouble()
+        val j = math.min((math.exp(r * 7.0) - 1.0).toInt, 1500)
+        s"w$j"
+      }
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val cuts = Seq(0, 3, 15, 63, 99)
+    val got = TextOps.vocabularyGrowth(docs, "doc_id", "text", cuts)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == cuts)
+    // brute force: replay buckets via the same md5Bucket column, then
+    // compute each prefix's exact doc/token/type counts in plain Scala
+    val rows = docs.select(SampleOps.md5Bucket(col("doc_id")).cast("int").as("b"),
+        col("text")).collect().map(r => (r.getInt(0), r.getString(1).split(" ").toSeq))
+    cuts.zip(got).foreach { case (cut, (_, nDocs, nToks, nTypes)) =>
+      val pre = rows.filter(_._1 <= cut)
+      assert(nDocs == pre.length.toLong, s"cut=$cut docs")
+      assert(nToks == pre.map(_._2.size).sum.toLong, s"cut=$cut tokens")
+      assert(nTypes == pre.flatMap(_._2).distinct.size.toLong, s"cut=$cut types")
+    }
+    // monotone non-decreasing in every measure
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a !<= $b") }
+    // final cut = whole corpus
+    assert(got.last._2 == 400L)
+    // Heaps: between the 15 and 99 cuts, types grow sub-linearly in
+    // tokens (beta < 1) but DO grow (beta > 0) — the property the PPJoin
+    // scale analysis assumes of real corpora
+    val lo = got.find(_._1 == 15).get
+    val hi = got.last
+    val beta = math.log(hi._4.toDouble / lo._4) / math.log(hi._3.toDouble / lo._3)
+    assert(beta > 0.05 && beta < 0.95, s"Heaps beta $beta outside (0.05, 0.95)")
+    // NULL text excluded, not counted
+    val withNull = docs.unionAll(Seq((9999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(TextOps.vocabularyGrowth(withNull, "doc_id", "text", Seq(99))
+      .collect()(0).getLong(1) == 400L)
+    // guard: unsorted / out-of-range cuts refused
+    intercept[IllegalArgumentException](
+      TextOps.vocabularyGrowth(docs, "doc_id", "text", Seq(5, 3)))
+    intercept[IllegalArgumentException](
+      TextOps.vocabularyGrowth(docs, "doc_id", "text", Seq(100)))
+  }
+
   test("normalizeText: accent-fold, control strip, space collapse, case, idempotence") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
