@@ -569,4 +569,51 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(dir.toString), "v", 0L, 256L, 8))
     assert(rows(state.get) == whole, "streamed fold diverged from the batch state")
   }
+
+  test("HLL and KMV states fold over stream micro-batches: running states equal the batch sketches") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // the p18 incremental-profiling pattern applied to the round-17
+    // cardinality sketches: fold each micro-batch's state into the
+    // running state — distinct-count and overlap questions stay
+    // answerable mid-stream without revisiting processed rows
+    val dir = Files.createTempDirectory("graft-sketchstream")
+    Seq.tabulate(3) { f =>
+      val scratch = Files.createTempDirectory(s"graft-sk-$f")
+      Seq.tabulate(150)(i => (f * 150L + i, s"u${(f * 150 + i) % 220}"))
+        .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"f$f.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    var hll: Option[org.apache.spark.sql.DataFrame] = None
+    var kmv: Option[org.apache.spark.sql.DataFrame] = None
+    var nBatches = 0
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val h = Profile.hllState(batch, "v", 8).localCheckpoint(true)
+        hll = Some(hll.map(p =>
+          Profile.mergeHllStates(p, h).localCheckpoint(true)).getOrElse(h))
+        val k = Profile.kmvState(batch, "v", 96).localCheckpoint(true)
+        kmv = Some(kmv.map(p =>
+          Profile.mergeKmvStates(96, p, k).localCheckpoint(true)).getOrElse(k))
+        nBatches += 1
+        ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    val all = spark.read.parquet(dir.toString)
+    val hWhole = Profile.hllState(all, "v", 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(hll.get.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == hWhole,
+      "streamed HLL fold diverged from the batch state")
+    val kWhole = Profile.kmvState(all, "v", 96).collect().map(_.getLong(0)).toSet
+    assert(kmv.get.collect().map(_.getLong(0)).toSet == kWhole,
+      "streamed KMV fold diverged from the batch state")
+    // the folded state answers the stream's distinct count: 220 true NDV
+    val est = Profile.distinctFromHllState(hll.get, 8).collect()(0).getDouble(5)
+    assert(math.abs(est - 220.0) / 220.0 <= 0.25, s"HLL estimate $est vs ndv 220")
+  }
 }
