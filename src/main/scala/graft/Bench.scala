@@ -766,9 +766,12 @@ object Bench {
     // peak per-task execution memory captured — "growth ~linear in data
     // size" is the claim under test, and shuffle bytes are what separate
     // linear from quadratic-but-still-fits.
+    // p24/p25 joined in the continued round-17 session: the sketch-state
+    // scale claim ("bounded rows out however large the corpus") gets its
+    // measured 100×-direction point alongside the dedup family's
     val sf10Heavy = Seq("d03_dedup_minhash", "d05_ngram_jaccard",
       "d11_dedup_components", "d13_dedup_transitive", "d28_containment",
-      "p15_heavy_hitters")
+      "p15_heavy_hitters", "p24_hll_distinct", "p25_kmv_overlap")
     val sf10Result: Option[(String, Double, Seq[Sf10Row])] =
       if (!sys.env.get("SPARK_GRAFT_SF10").contains("on")) None
       else try {
