@@ -2503,6 +2503,76 @@ object SparkEntry {
          SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls, COUNT(*) AS n_docs
          FROM pd GROUP BY domain"""),
 
+    // URL canonicalization + url-level dedup accounting (round 17): the
+    // normalization a crawl pipeline runs BEFORE content dedup — scheme/
+    // host case, www., default ports, fragments, tracking params, param
+    // order, trailing slashes. Four deterministic messy variants per doc
+    // (t17's synthesis idiom, identical literals both engines): the
+    // HTTP/:80 form, the https/www/:443/trailing-slash form, and the
+    // utm+gclid+fragment form collapse per (site, page) group — the
+    // ?b=2&a=1 form canonicalizes to sorted ?a=1&b=2, its own group
+    "t30_url_canonical" -> entry(
+      (s, d) => TextOps.canonicalUrlGroups(
+        t(s, d, "documents").select(col("doc_id"),
+          {
+            val k = pmod(col("doc_id"), lit(5)).cast("string")
+            val pg = pmod(col("doc_id"), lit(3)).cast("string")
+            when(pmod(col("doc_id"), lit(4)) === 0,
+                concat(lit("HTTP://SITE"), k, lit(".org:80/Page/"), pg))
+              .when(pmod(col("doc_id"), lit(4)) === 1,
+                concat(lit("https://www.site"), k, lit(".org:443/Page/"), pg, lit("/")))
+              .when(pmod(col("doc_id"), lit(4)) === 2,
+                concat(lit("https://site"), k, lit(".org/Page/"), pg,
+                  lit("?utm_source=x&gclid=1#top")))
+              .otherwise(
+                concat(lit("https://site"), k, lit(".org/Page/"), pg, lit("?b=2&a=1")))
+              .as("url")
+          }),
+        "doc_id", "url"),
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'HTTP://SITE' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/Page/' || CAST(doc_id % 3 AS VARCHAR)
+               WHEN 1 THEN 'https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.org:443/Page/' || CAST(doc_id % 3 AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.org/Page/' || CAST(doc_id % 3 AS VARCHAR) || '?utm_source=x&gclid=1#top'
+               ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.org/Page/' || CAST(doc_id % 3 AS VARCHAR) || '?b=2&a=1'
+             END AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+           FROM raw),
+         norm AS (
+           SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                  ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS q0
+           FROM parts),
+         canon AS (
+           SELECT doc_id, url,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host || path ||
+                    CASE WHEN q0 = '' OR qs = '' THEN '' ELSE '?' || qs END
+             END AS canonical_url
+           FROM (SELECT *,
+               -- COALESCE: DuckDB's array_to_string of an empty list is
+               -- NULL where Spark's array_join is '' — without it every
+               -- all-tracking-params URL canonicalizes to NULL
+               COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z]+|gclid|fbclid)='))), '&'), '') AS qs
+             FROM norm))
+         SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           MIN(doc_id) AS first_doc
+         FROM canon WHERE canonical_url IS NOT NULL
+         GROUP BY canonical_url"""),
+
     // code-vs-prose detection (round 11): integer structural-signal gate
     // (braces + semicolons), synthetic code appended to every 7th doc with
     // identical literals on both engines

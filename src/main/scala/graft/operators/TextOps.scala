@@ -530,6 +530,58 @@ object TextOps {
       .groupBy(col("domain"))
       .agg(sum(col("__n")).as("n_urls"), count(lit(1)).as("n_docs"))
 
+  /** Canonical form of a URL (round 17) — the normalization a crawl
+    * pipeline applies BEFORE url-level dedup, so `http://WWW.Site.org:80/a/`
+    * and `http://site.org/a?utm_source=x` stop counting as distinct
+    * provenance: scheme and host lowercased (path case PRESERVED — it is
+    * significant), leading `www.` and the scheme's default port stripped,
+    * fragment dropped, tracking params (`utm_*`, `gclid`, `fbclid`)
+    * removed, remaining query params SORTED (param order is almost never
+    * semantic), trailing path slashes stripped. Pure per-row column
+    * algebra — char-class regexes identical in Java and RE2, split/filter/
+    * sort/join array ops with engine-identical semantics — so the DuckDB
+    * oracle replays it exactly. Malformed input (no scheme or host)
+    * canonicalizes to NULL rather than a half-normalized string.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = regexp_replace(path0, "/+$", "")
+    val q0 = regexp_extract(rest, "\\?(.*)$", 1)
+    val keep = filter(split(q0, "&"),
+      p => !(p === "" || p.rlike("^(utm_[A-Za-z]+|gclid|fbclid)=")))
+    val qs = array_join(array_sort(keep), "&")
+    val qPart = when(q0 === "" || qs === "", lit("")).otherwise(concat(lit("?"), qs))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, qPart))
+  }
+
+  /** URL-level dedup accounting over [[canonicalizeUrl]]: one row per
+    * canonical URL with how many raw rows and distinct raw FORMS collapsed
+    * into it, plus the first-seen doc (the keeper a dedup pass would
+    * retain). One canonical-key aggregate with map-side partials — the
+    * shuffle carries canonical strings, never document text.
+    *
+    * @return (canonical_url, n_urls, n_raw_forms, first_doc)
+    */
+  def canonicalUrlGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.filter(col(s"`$urlCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"), col(s"`$urlCol`").as("__u"),
+        canonicalizeUrl(col(s"`$urlCol`")).as("canonical_url"))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__u")).as("n_raw_forms"),
+        min(col("__id")).as("first_doc"))
+
   /** Occurrences of the single character `ch` in `text`, by length
     * difference against a translate-erase — pure codegen'd string algebra
     * any engine replays as `len(t) - len(replace(t, ch, ''))`.

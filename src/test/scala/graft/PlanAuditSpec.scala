@@ -542,7 +542,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // data-sized exchange) + its <=100-row histogram + the two cut
     // roll-ups; mass/histogram slivers broadcast onto the cut frame
     // (band allows one AQE demotion)
-    "t29_vocab_growth" -> (5, 2))
+    "t29_vocab_growth" -> (5, 2),
+    // round 17: per-row canonicalization on the scan; one canonical-key
+    // aggregate (countDistinct expand = 2 exchanges), strings only on
+    // the wire
+    "t30_url_canonical" -> (2, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

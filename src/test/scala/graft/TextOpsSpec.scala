@@ -9,6 +9,47 @@ class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("canonicalizeUrl: case/www/ports/fragment/tracking/sort/slash rules, non-default ports kept, malformed -> NULL") {
+    val cases = Seq(
+      // scheme+host lowercased, path case preserved
+      ("HTTP://ExAmPlE.org/CaSe/Path", "http://example.org/CaSe/Path"),
+      // www + https default port + trailing slashes
+      ("https://www.example.org:443/a//", "https://example.org/a"),
+      // http default port strips; http on 443 is NOT default — kept
+      ("http://example.org:80/a", "http://example.org/a"),
+      ("http://example.org:443/a", "http://example.org:443/a"),
+      ("https://example.org:8080/a", "https://example.org:8080/a"),
+      // fragment dropped, tracking params removed, empty query dropped
+      ("https://example.org/a?utm_source=x&fbclid=z#frag", "https://example.org/a"),
+      // surviving params sorted; tracking removed from the middle
+      ("https://example.org/a?b=2&utm_campaign=c&a=1", "https://example.org/a?a=1&b=2"),
+      // root URL: trailing slash strips to bare host
+      ("https://example.org/", "https://example.org"),
+      // malformed: no scheme, or empty host
+      ("example.org/a", null),
+      ("https:///a", null))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "u")
+      .select(col("i"), TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i) == want, s"canonicalizeUrl($u) = ${got(i)}, want $want") }
+    // groups: collapsed raw forms counted, first-seen keeper is the min id
+    val raw = Seq(
+      (10L, "https://www.example.org:443/a/"),
+      (3L, "https://example.org/a?utm_source=x"),
+      (7L, "HTTPS://EXAMPLE.ORG/a"),
+      (5L, "https://other.org/b"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val g = TextOps.canonicalUrlGroups(raw, "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(g("https://example.org/a") == ((3L, 3L, 3L)), g.toString)
+    assert(g("https://other.org/b") == ((1L, 1L, 5L)))
+    assert(g.size == 2, "NULL url must not form a group")
+  }
+
   test("vocabularyGrowth: curve matches brute force, monotone, endpoints exact, Heaps beta sub-linear on Zipf corpus") {
     import graft.operators.SampleOps
     val rnd = new scala.util.Random(41)
