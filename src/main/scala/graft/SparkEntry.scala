@@ -3816,11 +3816,18 @@ object SparkEntry {
     "p25_kmv_overlap" -> entry(
       (s, d) => {
         val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        // each side's state feeds THREE consumers in kmvOverlap (the
+        // merged bottom-k union, the shared semi-join, the n_a/n_b
+        // count) — checkpoint the <=k-row state eagerly (the d25 idiom)
+        // so the shard-build corpus scan runs once, exactly as a real
+        // pipeline reads a state PERSISTED next to the shard
         def st(tp: String) = {
           val side = ev.filter(col("event_type") === tp)
-          graft.operators.Profile.mergeKmvStates(64,
+          val raw = graft.operators.Profile.mergeKmvStates(64,
             (0 until 3).map(i => graft.operators.Profile.kmvState(
               side.filter(pmod(col("user_id"), lit(3)) === i), "user_id", 64)): _*)
+          if (s.sparkContext.getCheckpointDir.isDefined) raw.checkpoint(true)
+          else raw.localCheckpoint(true)
         }
         graft.operators.Profile.kmvOverlap(st("click"), st("purchase"), 64)
       },

@@ -519,12 +519,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // <=2^p-row register slivers however large the corpus; the merge's
     // 1-row provenance frame rides an explicit broadcast
     "p24_hll_distinct" -> (8, 1),
-    // round 17: six shard bottom-k states (distinct agg + TakeOrdered,
-    // exchanges over <=k-row hash slivers) + two side merges + the
-    // overlap merge + the 1-row read-out; the provenance and the three
-    // 1-row stat frames ride explicit broadcasts, the <=k semi-join
-    // sides broadcast at any SF (states are bounded by construction)
-    "p25_kmv_overlap" -> (7, 6),
+    // round 17: the two side states are eagerly CHECKPOINTED <=k-row
+    // frames (their six shard builds + merges run once, at build — the
+    // d25 idiom), so the audited plan is the overlap itself: the merged
+    // bottom-k union + the read-out over checkpoint scans; provenance
+    // and the three 1-row stat frames ride explicit broadcasts, the <=k
+    // semi-join sides broadcast at any SF
+    "p25_kmv_overlap" -> (4, 6),
     // round 17: filtered IVF probe — cell join + rank window share the
     // probe exchange; the allowed-id semi-join, query sides, and the
     // |Q|·k-bounded recall frames all broadcast (band allows one AQE
