@@ -5089,6 +5089,32 @@ object SparkEntry {
                   WHEN fa IS DISTINCT FROM fb THEN 'changed' END AS status
            FROM j) WHERE status IS NOT NULL"""),
 
+    // SCD Type-2 history (round 17): per-key change stream -> versioned
+    // validity intervals, the warehouse dimension-history shape — x08
+    // answers "what changed between two snapshots", this answers "what
+    // was X's value at time t" for EVERY t. Run-collapse (null-safe
+    // value compare, so consecutive duplicates never mint versions) +
+    // interval close (lead over the collapsed frame); (ts, event_id)
+    // tiebreak makes equal-timestamp streams deterministic. Both windows
+    // ride one user-keyed exchange; unix-micros intervals hash exactly
+    "x19_scd2_history" -> entry(
+      (s, d) => graft.operators.VersionOps.scd2History(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type"),
+      """WITH e AS (
+           SELECT user_id AS key, epoch_us(ts) AS us, event_id AS tie,
+             event_type AS value
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         o AS (
+           SELECT key, us, tie, value,
+             LAG(value) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+           FROM e WINDOW w AS (PARTITION BY key ORDER BY us, tie)),
+         op AS (SELECT key, us, tie, value FROM o
+                WHERE rn = 1 OR value IS DISTINCT FROM prev)
+         SELECT key, value, us AS valid_from_us,
+           LEAD(us) OVER w2 AS valid_to_us,
+           LEAD(us) OVER w2 IS NULL AS is_current
+         FROM op WINDOW w2 AS (PARTITION BY key ORDER BY us, tie)"""),
+
     // per-cell cap — over-dense regions downsampled, sparse ones kept
     // whole; md5 order hash makes the pick engine-replayable. One
     // window shuffle; the cluster-balanced subsample without k-means

@@ -547,7 +547,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // round 17: per-row canonicalization on the scan; one canonical-key
     // aggregate (countDistinct expand = 2 exchanges), strings only on
     // the wire
-    "t30_url_canonical" -> (2, 0))
+    "t30_url_canonical" -> (2, 0),
+    // round 17: SCD2 history — run-collapse window + interval-close
+    // window + the filter all ride ONE user-keyed exchange
+    "x19_scd2_history" -> (1, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
