@@ -2694,6 +2694,56 @@ object SparkEntry {
            FROM f)
          SELECT doc_id, frame_no, energy, energy < 100000 AS silent FROM e"""),
 
+    // cross-video frame-overlap near-dup (round 17): which video pairs
+    // share content at the frame level — re-upload detection, the video
+    // sibling of m04. Twin videos planted (every 25th doc re-keyed, full
+    // frame overlap); natural repeats in the synthetic payloads surface
+    // as partial overlaps. Frames ride the shared hamming engine under a
+    // packed (video, frame) id; overlap counts DISTINCT matched frames.
+    // ASCII guard (the m05 idiom) so DuckDB's char-substr replays the
+    // byte slicing
+    "m09_video_frame_dedup" -> entry(
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("text").rlike("^[ -~]*$"))
+          .select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        Multimodal.videoNearDupPairs(
+          Multimodal.videoFrameSignatures(
+            Multimodal.attachBinary(base.unionAll(twins), "doc_id", "text"),
+            frameBytes = 16, everyN = 4),
+          maxHamming = 2, blockBits = 15)
+      },
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')),
+         v AS (SELECT doc_id, text FROM d
+               UNION ALL SELECT doc_id + 200000, text FROM d WHERE doc_id % 25 = 0),
+         f0 AS (SELECT doc_id, text,
+                  CAST(ceil(strlen(text) / 16.0) AS INT) AS n_frames
+                FROM v WHERE strlen(text) > 0),
+         fr AS (SELECT doc_id, CAST(fno AS INT) AS frame_no,
+                  substr(text, CAST(fno * 16 + 1 AS INT), 16) AS fb
+                FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS fno FROM f0)
+                WHERE fno % 4 = 0),
+         sg AS (SELECT doc_id, frame_no,
+                  CAST(('0x' || substr(md5(fb), 1, 15)) AS BIGINT) AS sig FROM fr),
+         cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM sg GROUP BY 1),
+         pr AS (SELECT a.doc_id AS video_a, a.frame_no AS frame_a,
+                  b.doc_id AS video_b, b.frame_no AS frame_b
+                FROM sg a JOIN sg b
+                  ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 2),
+         ag AS (SELECT video_a, video_b, CAST(COUNT(*) AS BIGINT) AS n_matched_pairs,
+                  CAST(COUNT(DISTINCT frame_a) AS BIGINT) AS n_frames_a_matched,
+                  CAST(COUNT(DISTINCT frame_b) AS BIGINT) AS n_frames_b_matched
+                FROM pr GROUP BY 1, 2)
+         SELECT ag.video_a, ag.video_b, ag.n_matched_pairs,
+           ag.n_frames_a_matched, ag.n_frames_b_matched,
+           CAST(ag.n_frames_a_matched AS DOUBLE) / ca.nf AS overlap_a,
+           CAST(ag.n_frames_b_matched AS DOUBLE) / cb.nf AS overlap_b
+         FROM ag JOIN cnt ca ON ca.doc_id = ag.video_a
+                 JOIN cnt cb ON cb.doc_id = ag.video_b"""),
+
     // VAD speech segmentation (round 12): m05's energy gate composed
     // with gaps-and-islands — consecutive voiced frames merge into the
     // segments an ASR pipeline consumes; island window and segment agg

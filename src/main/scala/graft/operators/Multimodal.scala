@@ -434,4 +434,72 @@ object Multimodal {
         lit(0L).as("n_paired"), lit(null).cast("double").as("pair_rate"))
     perGroup.unionByName(orphans)
   }
+
+  /** Per-frame content signatures (round 17): [[frameSample]]'s kept
+    * frames hashed to 60-bit signatures — the md5-60 oracle family over
+    * the raw frame bytes (a real deployment swaps a per-frame perceptual
+    * hash in at this seam exactly as [[perceptualHash]] does for whole
+    * images; the sampling, signature, and pairing plumbing downstream is
+    * unchanged). One codegen'd projection over the frame explosion, no
+    * shuffle.
+    *
+    * @return (doc_id, frame_no, n_frames, sig)
+    */
+  def videoFrameSignatures(withBinary: DataFrame, frameBytes: Int,
+      everyN: Int): DataFrame =
+    frameSample(withBinary, frameBytes, everyN)
+      .select(col("doc_id"), col("frame_no"), col("n_frames"),
+        conv(substring(md5(col("frame_bytes")), 1, 15), 16, 10)
+          .cast("long").as("sig"))
+
+  /** Cross-video frame-overlap near-dup (round 17): which video PAIRS
+    * share content, measured at the frame level — the video sibling of
+    * m04's image pHash dedup, and the shape re-uploads/re-encodes take in
+    * a crawl (same footage, different container). Frame signatures ride
+    * the shared ≤64-bit hamming engine
+    * ([[graft.operators.Dedup.hammingNearDuplicates]]: 4-block pigeonhole
+    * candidates, never all-pairs) under a packed (video, frame) id — the
+    * in-plan guard keeps the packing collision-free — then matched frame
+    * pairs aggregate per video pair with DISTINCT-matched-frame counts
+    * and per-side overlap fractions (a frame matching five frames of the
+    * other video is one frame of overlap, not five).
+    *
+    * Scale shape: candidate generation is the hamming engine's block
+    * shuffle; the per-pair aggregate and the two bounded per-video count
+    * joins ride video-keyed exchanges over pair slivers.
+    *
+    * @param sigs (doc_id, frame_no, sig) from [[videoFrameSignatures]]
+    * @return (video_a, video_b, n_matched_pairs, n_frames_a_matched,
+    *         n_frames_b_matched, overlap_a, overlap_b), video_a < video_b
+    */
+  def videoNearDupPairs(sigs: DataFrame, maxHamming: Int = 2,
+      blockBits: Int = 15): DataFrame = {
+    val packed = sigs
+      .filter(assert_true(
+        col("frame_no") >= 0 && col("frame_no") < lit(1000000L),
+        concat(lit("videoNearDupPairs: frame_no outside packing range: "),
+          col("frame_no").cast("string"))).isNull)
+      .select((col("doc_id") * lit(1000000L) + col("frame_no")).as("fid"),
+        col("sig"))
+    val fp = Dedup.hammingNearDuplicates(packed, "fid", "sig",
+        maxHamming, blockBits)
+      .select(expr("doc_a div 1000000L").as("video_a"),
+        pmod(col("doc_a"), lit(1000000L)).as("frame_a"),
+        expr("doc_b div 1000000L").as("video_b"),
+        pmod(col("doc_b"), lit(1000000L)).as("frame_b"))
+      .filter(col("video_a") =!= col("video_b"))
+    val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
+    fp.groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_matched_pairs"),
+        countDistinct(col("frame_a")).as("n_frames_a_matched"),
+        countDistinct(col("frame_b")).as("n_frames_b_matched"))
+      .join(counts.select(col("doc_id").as("video_a"), col("__nf").as("__na")),
+        Seq("video_a"))
+      .join(counts.select(col("doc_id").as("video_b"), col("__nf").as("__nb")),
+        Seq("video_b"))
+      .select(col("video_a"), col("video_b"), col("n_matched_pairs"),
+        col("n_frames_a_matched"), col("n_frames_b_matched"),
+        (col("n_frames_a_matched").cast("double") / col("__na")).as("overlap_a"),
+        (col("n_frames_b_matched").cast("double") / col("__nb")).as("overlap_b"))
+  }
 }

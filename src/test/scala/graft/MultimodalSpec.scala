@@ -245,6 +245,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("videoNearDupPairs: planted full twin found at overlap 1.0, partial overlap exact, distinct-frame counting, guards") {
+    import org.apache.spark.sql.functions.col
+    // three "videos" as ASCII payloads, 4-byte frames, every frame kept:
+    //   v1: ABCD|EFGH|IJKL   (3 frames)
+    //   v2: ABCD|EFGH|IJKL   (full twin of v1)
+    //   v3: ABCD|ABCD|ZZZZ   (shares ONE distinct frame with v1/v2, twice)
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKL"), (2L, "ABCDEFGHIJKL"), (3L, "ABCDABCDZZZZ"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.videoFrameSignatures(
+      Multimodal.attachBinary(docs, "doc_id", "text"), frameBytes = 4, everyN = 1)
+    assert(sigs.count() == 9)
+    val got = Multimodal.videoNearDupPairs(sigs, maxHamming = 0, blockBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // full twin: 3 matched pairs, all 3 frames on both sides, overlap 1.0
+    assert(got((1L, 2L)) == ((3L, 3L, 3L, 1.0, 1.0)), got.toString)
+    // v3 vs v1: v1's ABCD matches v3's frames 0 AND 1 -> 2 pairs, but
+    // DISTINCT frames: 1 of v1's 3 (1/3), 2 of v3's 3 (2/3)
+    assert(got((1L, 3L)) == ((2L, 1L, 2L, 1.0 / 3.0, 2.0 / 3.0)), got.toString)
+    assert(got((2L, 3L)) == ((2L, 1L, 2L, 1.0 / 3.0, 2.0 / 3.0)))
+    assert(got.size == 3)
+    // packing guard: an out-of-range frame_no fails loudly
+    val bad = sigs.withColumn("frame_no", col("frame_no") + 2000000L)
+    val e = intercept[Exception](
+      Multimodal.videoNearDupPairs(bad, 0, 15).collect())
+    assert(e.getMessage != null && e.getMessage.contains("packing range"))
+  }
+
   test("pairAudit: per-group pair rates, orphan media row, duplicate-free counts") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
     val media = Seq(1L, 3L, 99L).toDF("vec_id")

@@ -550,7 +550,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "t30_url_canonical" -> (2, 0),
     // round 17: SCD2 history — run-collapse window + interval-close
     // window + the filter all ride ONE user-keyed exchange
-    "x19_scd2_history" -> (1, 0))
+    "x19_scd2_history" -> (1, 0),
+    // round 17: hamming-engine block shuffle + pair-dedup agg + the
+    // countDistinct expand + video-pair agg; the two bounded per-video
+    // count joins broadcast (band allows one AQE demotion)
+    "m09_video_frame_dedup" -> (4, 2))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,
