@@ -31,7 +31,9 @@ class DeterminismSpec extends AnyFunSuite {
     "d30_minhash_error",   // rate²-weighted BIGINT histogram (round-14 pair budget)
     "p18_mergeable_profile", // merged decimal Σ/Σ² state across shard aggs
     "p19_profile_compaction", // supersede join + merged decimal state
-    "p20_mg_state_merge")  // order-dependent MG counters under an order-free gate
+    "p20_mg_state_merge",  // order-dependent MG counters under an order-free gate
+    "p24_hll_distinct",    // register-max merge + const·2^K/z double chain
+    "p25_kmv_overlap")     // cross-partition bottom-k cut + exact-ratio doubles
 
   test("fp-sensitive entries are bit-identical across shuffle-partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
