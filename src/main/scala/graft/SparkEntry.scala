@@ -3851,6 +3851,50 @@ object SparkEntry {
                 ELSE est_raw END AS est
          FROM e"""),
 
+    // functional-dependency discovery (round 17): does every determinant
+    // value map to at most one dependent value — key inference and
+    // denormalization audit as a query, with the violation COUNT and the
+    // worst key's fan-out rather than a bare boolean. o_orderkey→o_custkey
+    // holds (orderkey is the key), o_custkey→o_orderstatus is violated,
+    // and o_orderdate→month (a derived column) holds NON-trivially —
+    // the classic function-of-the-determinant dependency
+    "p26_functional_deps" -> entry(
+      (s, d) => graft.operators.Profile.functionalDependencies(
+        t(s, d, "orders")
+          .withColumn("o_month", date_trunc("month", col("o_orderdate"))),
+        Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderdate", "o_month"))),
+      """WITH p1 AS (
+           SELECT o_orderkey AS k, COUNT(DISTINCT o_custkey) AS nb
+           FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         p2 AS (
+           SELECT o_custkey AS k, COUNT(DISTINCT o_orderstatus) AS nb
+           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         p3 AS (
+           SELECT o_orderdate AS k, COUNT(DISTINCT date_trunc('month', o_orderdate)) AS nb
+           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         r1 AS (SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_keys,
+             CAST(COALESCE(MAX(nb), 0) AS BIGINT) AS max_fanout
+           FROM p1),
+         r2 AS (SELECT 'o_custkey', 'o_orderstatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(MAX(nb), 0) AS BIGINT)
+           FROM p2),
+         r3 AS (SELECT 'o_orderdate', 'o_month',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(COALESCE(MAX(nb), 0) AS BIGINT)
+           FROM p3),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+         SELECT determinant, dependent, n_keys, n_violating_keys, max_fanout,
+           n_violating_keys = 0 AS fd_holds
+         FROM u"""),
+
     // mergeable KMV bottom-k sketch + cross-corpus overlap (round 17):
     // the set-operation member of the persisted-sketch family — HLL (p24)
     // unions but cannot intersect; KMV states hold concrete bottom-k hash

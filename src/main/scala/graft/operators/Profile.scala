@@ -1348,6 +1348,44 @@ object Profile {
           .otherwise(col("est_raw")))
   }
 
+  /** Functional-dependency check (round 17): for each candidate
+    * (determinant → dependent) column pair, does every determinant value
+    * map to at most ONE dependent value — the schema-discovery question
+    * behind key inference, denormalization audits, and "is this column
+    * safe to drop after a join". One row per pair with the violation
+    * COUNT and the worst key's fan-out, not just a boolean, so a 99.9%-FD
+    * (one dirty row in a billion) is visible as exactly that.
+    *
+    * Semantics: rows with a NULL determinant are excluded (NULL
+    * determines nothing); dependents are compared with COUNT(DISTINCT …)
+    * semantics (NULLs ignored), so a key whose only dependent is NULL has
+    * fan-out 0 and never violates. The FD holds iff no key has fan-out
+    * > 1.
+    *
+    * Scale shape: per pair, ONE hash aggregate on the determinant (with
+    * map-side partials) then a 1-row roll-up — never an all-pairs or a
+    * distinct over the full projection; pairs union into one frame.
+    *
+    * @return (determinant, dependent, n_keys, n_violating_keys,
+    *         max_fanout, fd_holds), one row per requested pair
+    */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencies needs at least one pair")
+    pairs.map { case (a, b) =>
+      df.filter(col(s"`$a`").isNotNull)
+        .groupBy(col(s"`$a`").as("__k"))
+        .agg(countDistinct(col(s"`$b`")).as("__nb"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("__nb") > 1, lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("n_violating_keys"),
+          coalesce(max(col("__nb")), lit(0L)).as("max_fanout"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_keys"), col("n_violating_keys"), col("max_fanout"),
+          (col("n_violating_keys") === 0).as("fd_holds"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Mergeable KMV (k-minimum-values / bottom-k) sketch state (round 17) —
     * the SET-OPERATION member of the persisted-sketch family, answering
     * what [[hllState]] cannot: overlap BETWEEN corpora. HLL registers

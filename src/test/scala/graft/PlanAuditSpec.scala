@@ -554,7 +554,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // round 17: hamming-engine block shuffle + pair-dedup agg + the
     // countDistinct expand + video-pair agg; the two bounded per-video
     // count joins broadcast (band allows one AQE demotion)
-    "m09_video_frame_dedup" -> (4, 2))
+    "m09_video_frame_dedup" -> (4, 2),
+    // round 17: per FD pair one determinant-keyed aggregate (countDistinct
+    // expand = 2-3 exchanges) + its 1-row roll-up; three pairs union
+    "p26_functional_deps" -> (9, 0))
 
   test("budget table covers exactly the SparkEntry query set") {
     assert(budgets.keySet == SparkEntry.queries.keySet,

@@ -363,7 +363,7 @@ class QueryEngineSpec extends AnyFunSuite {
     // without classifying it here fails the diff; an un-parser regression
     // (a true flipping to false) fails it too. Re-pin IN THE SAME COMMIT
     // when coverage intentionally changes.
-    // 87 oracles are Spark-runnable; ALL 87 regenerate (y11's empty-
+    // 88 oracles are Spark-runnable; ALL 88 regenerate (y11's empty-
     // LocalRelation schema oracle joined the set already-rendering, riding
     // the round-17 typed-null LIMIT-0 form; q58 joined with the un-parser
     // taught to render the GlobalLimit-over-Offset sandwich as
@@ -400,6 +400,7 @@ class QueryEngineSpec extends AnyFunSuite {
       "j02_range" -> true,
       "m07_pair_audit" -> true,
       "p06_diversity" -> true,
+      "p26_functional_deps" -> true,
       "p09_mad" -> true,
       "p13_winsorized" -> true,
       "q01_scan_project" -> true,

@@ -905,6 +905,26 @@ class SampleProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profile.mergeHllStates())
   }
 
+  test("functionalDependencies: held, violated with exact counts, null discipline, fan-out") {
+    val df = Seq(
+      (1L, "a", "X"), (2L, "a", "X"), (3L, "a", "Y"),   // a -> {X, Y}: violates
+      (4L, "b", "X"), (5L, "b", "X"),                   // b -> {X}: fine
+      (6L, "c", null.asInstanceOf[String]),             // c -> only NULL: fan-out 0
+      (7L, null.asInstanceOf[String], "Z"))             // NULL key excluded
+      .toDF("id", "k", "v")
+    val got = Profile.functionalDependencies(df,
+        Seq(("id", "k"), ("k", "v"), ("k", "id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // id is unique -> FD holds over all 7 non-null ids (NULL k fans 0 for id 7)
+    assert(got(("id", "k")) == ((7L, 0L, 1L, true)), got.toString)
+    // k -> v: keys a (2 dependents), b (1), c (0 - only NULL) => 1 violation
+    assert(got(("k", "v")) == ((3L, 1L, 2L, false)), got.toString)
+    // k -> id: every key fans out to its row count => a:3, b:2, c:1
+    assert(got(("k", "id")) == ((3L, 2L, 3L, false)), got.toString)
+    intercept[IllegalArgumentException](Profile.functionalDependencies(df, Seq()))
+  }
+
   test("kmv state: merge == from-scratch bottom-k, overlap estimates within error, exact regime, geometry checks") {
     val k = 128
     def stateOf(d: org.apache.spark.sql.DataFrame, kk: Int = k) =
