@@ -162,15 +162,24 @@ object Bench {
     * louder one never widens it.
     */
   private[graft] val sf1Bands: Map[String, (Double, Long)] = Map(
-    "d03_dedup_minhash" -> (1.5, 29000L),
+    // task band lowered 29k -> 25.7k: round-18 quiet adjudication of the
+    // r17 `regressed` stamp (walls [7.78, 1.87, 1.68], tasks [83.5k,
+    // 25.9k, 25.6k], ext_cores 0.0) — the cold first run pays the minhash
+    // expressions' JIT in TASK time (83.5k vs 25.6k warm), which is why
+    // the load-aware stamp can't excuse it; warm runs are in-band, no
+    // plan regression. The adaptive re-time below is the structural fix.
+    "d03_dedup_minhash" -> (1.5, 25700L),
     // task band lowered 144k -> 119k: the round-15 judge's quiet
     // official-config run measured 118,987 ms (min-across-sessions rule).
     // Wall band lowered 16.6 -> 11.7 (round 16) then 7.2 (round 17's
     // final official run, wall 7.15): persisting the verify AND prefix
     // frames made the single-compute structural. Round 17 also lowered
     // twelve other bands from the same run's observations (the
-    // min-across-sessions rule; task mins don't lie downward)
-    "d05_ngram_jaccard" -> (7.2, 119000L),
+    // min-across-sessions rule; task mins don't lie downward).
+    // Wall band lowered 7.2 -> 5.1 (round-18 quiet adjudication of the
+    // r17 `regressed` stamp: walls [11.88, 6.43, 5.06] ext_cores 0.0 —
+    // cold-JIT first run, warm runs in-band; no plan regression)
+    "d05_ngram_jaccard" -> (5.1, 119000L),
     "d11_dedup_components" -> (3.3, 28000L),
     "d13_dedup_transitive" -> (4.8, 82000L),
     "d15_semantic_dedup" -> (3.7, 57000L),
@@ -726,15 +735,26 @@ object Bench {
             // contention robustness (round 15): single-timed sf1 walls
             // published 2-3x inflated under another tenant's load (r14:
             // d28 30.6 s official vs 11.3 s quiet, same build). A first
-            // wall that would not stamp in_band gets exactly one re-time
-            // (band-relative, round 16 — see needsRetime) and the min
-            // among SUCCESSFUL runs is the headline — two samples under
-            // the same load bound the noise the one-shot can't, while
-            // in-band entries stay single-timed (re-running the whole
-            // section would double a multi-minute cost to shave noise on
-            // stable rows)
-            val r1 = runOnce()
-            val runs = if (r1.ok && needsRetime(name, r1.wall)) Seq(r1, runOnce()) else Seq(r1)
+            // wall that would not stamp in_band gets re-timed (band-
+            // relative, round 16 — see needsRetime) and the min among
+            // SUCCESSFUL runs is the headline — samples under the same
+            // load bound the noise the one-shot can't, while in-band
+            // entries stay single-timed (re-running the whole section
+            // would double a multi-minute cost to shave noise on stable
+            // rows). Round 18: up to TWO re-times, stopping as soon as
+            // an observation lands in-band — the r17 artifact stamped
+            // d03 `regressed` at wall 2.29 vs cutoff 2.25 on its single
+            // re-time right after the 6.14 cold run (whole-stage-codegen
+            // JIT for the entry's own expressions inflates the first
+            // observation's TASK time too — 83.5k vs 25.6k ms warm on a
+            // quiet box — so the load-aware stamp can't excuse it); a
+            // still-warming second run needs a third sample before a
+            // regression is published. Bounded: one extra ≤band-scale run
+            // only for entries already outside the band twice.
+            var runs = List(runOnce())
+            while (runs.forall(_.ok) && runs.length < 3 &&
+                needsRetime(name, runs.map(_.wall).min))
+              runs = runs :+ runOnce()
             val (entry, allFailed) = selectSf1(name, runs)
             if (allFailed) failed += s"sf1:$name"
             entry

@@ -235,9 +235,17 @@ object SparkEntry {
     * cannot be reused because its `ex` is unfiltered by construction.
     * Queries stay unfiltered (a query outside the filter still searches
     * the filtered corpus), replaying [[Similarity.ivfProbeFiltered]].
+    *
+    * `candSql` takes the candidate-side table ALIAS and renders the
+    * predicate against it — the approximate branch applies it to `nn`,
+    * the exact baseline to `nb` (round 18, advisor find: the previous
+    * `String` + blind `.replace("nn.", "nb.")` would silently corrupt
+    * any future predicate containing "nn." inside a literal or another
+    * identifier, producing a wrong recall baseline).
     */
   private def ivfFilteredOracleSql(spark: SparkSession, dir: String, nCentroids: Int,
-      nProbe: Int, sampleSize: Int, iters: Int, k: Int, candSql: String): String = {
+      nProbe: Int, sampleSize: Int, iters: Int, k: Int,
+      candSql: String => String): String = {
     val centroids = graft.operators.Similarity.ivfCentroids(
       t(spark, dir, "embeddings"), "vec_id", "embedding", nCentroids, sampleSize, iters)
     val cellSims = centroids.zipWithIndex.map { case (c, i) =>
@@ -251,7 +259,7 @@ object SparkEntry {
                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
                   FROM sims),
        fassign AS (SELECT r.vec_id, r.cell FROM ranked r JOIN n nn ON nn.vec_id = r.vec_id
-                   WHERE r.rn = 1 AND ($candSql)),
+                   WHERE r.rn = 1 AND (${candSql("nn")})),
        probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= $nProbe AND vec_id < 10),
        cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
                 FROM probes p JOIN fassign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
@@ -266,7 +274,7 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
                     ORDER BY list_cosine_similarity(q.v, nb.v) DESC, nb.vec_id ASC) AS rank
                 FROM n q JOIN n nb ON nb.vec_id <> q.vec_id
-                WHERE q.vec_id < 10 AND (${candSql.replace("nn.", "nb.")}))
+                WHERE q.vec_id < 10 AND (${candSql("nb")}))
               WHERE rank <= $k),
        n_ex AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY q_id),
        hits AS (SELECT a.q_id, COUNT(*) AS n_hit
@@ -1256,6 +1264,50 @@ object SparkEntry {
            CAST(MAX(dff) AS BIGINT) AS max_index_df,
            COUNT(*) AS n_shared_tokens
          FROM b WHERE dfp > 0 GROUP BY blk"""),
+
+    // the budget gate's GUARD branch (round 18, wiring d37's bound into
+    // the operator it protects): a degenerate no-vocabulary-growth fixture
+    // (every doc the same 8 tokens, one block — the provable worst case
+    // for PPJoin's prefix filter, the shape the sf10 run measured at
+    // 483 s / 34 GB shuffle) is gated at 200k candidate pairs; the
+    // operator evaluates the exact bound from its own persisted prefix
+    // frame, refuses the join, and returns the 1-row guard frame instead
+    // of walking into the cliff. Oracle replays the bound combinatorics
+    // from the raw table (dfp = N per prefix token -> 5*C(N,2) pairs).
+    "d40_ppjoin_gate_guard" -> entry(
+      (s, d) => graft.operators.Dedup.ngramJaccardPairsBudgeted(
+        t(s, d, "documents").select(col("doc_id"), lit("all").as("blk1"),
+          lit("a b c d e f g h").as("txt")),
+        "doc_id", "txt", "blk1", 0.5, maxCandidates = 200000L,
+        onExceed = "guard"),
+      """WITH toks AS (
+           SELECT doc_id, 'all' AS blk,
+             unnest(list_distinct(list_filter(string_split('a b c d e f g h', ' '), w -> w <> ''))) AS tok
+           FROM documents),
+         df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT t.doc_id, t.blk, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS pos,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+           FROM toks t JOIN df d ON d.tok = t.tok),
+         pref AS (SELECT blk, tok FROM ranked
+           WHERE pos <= sz - CEIL(0.5 * sz - 1e-9) + 1),
+         b AS (SELECT blk, tok, COUNT(*) AS dfp FROM pref GROUP BY 1, 2)
+         SELECT CAST(SUM((dfp * (dfp - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(dfp) AS BIGINT) AS max_prefix_df,
+           CAST(200000 AS BIGINT) AS budget
+         FROM b"""),
+
+    // the budget gate's ALLOWED branch: the real corpus clears a 10M
+    // budget (sf0.01 bound: 54,364), so the gated operator runs the exact
+    // pipeline and the result is bit-identical to d05's — pinned here by
+    // sharing d05's oracle SQL verbatim (same rows, same hash), and in
+    // DedupSpec against the ungated operator directly.
+    "d41_ppjoin_gate_allowed" -> entry(
+      (s, d) => graft.operators.Dedup.ngramJaccardPairsBudgeted(
+        t(s, d, "documents"), "doc_id", "text", "source", 0.5,
+        maxCandidates = 10000000L),
+      """WITH toks AS (SELECT doc_id, source AS blk, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS tok FROM documents), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""),
 
     "d05_ngram_jaccard" -> entry(
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5),
@@ -6137,7 +6189,7 @@ object SparkEntry {
                 nCentroids = 16, sampleSize = 1024, iters = 5, k = 5)),
               "d39_filtered_ann" -> (() => ivfFilteredOracleSql(s, d, nCentroids = 16,
                 nProbe = 2, sampleSize = 1024, iters = 5, k = 5,
-                candSql = "nn.label % 2 = 0")),
+                candSql = a => s"$a.label % 2 = 0")),
               "d26_ann_pq" -> (() => pqOracleSql(s, d, m = 8, ksub = 16,
                 sampleSize = 1024, iters = 5, k = 5)),
               "d32_ann_pq_rerank" -> (() => pqRerankOracleSql(s, d, m = 8, ksub = 16,

@@ -1222,7 +1222,16 @@ object Dedup {
     */
   def ppjoinCandidateBound(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame =
-    ppjoinPrefix(docs, idCol, textCol, blockCol, threshold)
+    ppjoinCandidateBoundFrom(ppjoinPrefix(docs, idCol, textCol, blockCol, threshold))
+
+  /** [[ppjoinCandidateBound]] over a PRE-BUILT prefix frame — split out
+    * (round 18) so [[ngramJaccardPairs]]'s budget gate reads the SAME
+    * persisted prefix frame the candidate join is about to consume: the
+    * guard costs one aggregate over an already-cached input, never a
+    * second tokenize/df/window pipeline.
+    */
+  private[graft] def ppjoinCandidateBoundFrom(prefix: DataFrame): DataFrame =
+    prefix
       .groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("dfp"))
       .groupBy(col("blk"))
       .agg(sum(expr("(dfp * (dfp - 1)) div 2")).cast("long").as("candidate_pairs"),
@@ -1245,11 +1254,21 @@ object Dedup {
     *         row per block; exact for the join's pre-filter volume
     */
   def containmentCandidateBound(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double): DataFrame =
+    containmentCandidateBoundFrom(
+      ppjoinPrefixRanked(docs, idCol, textCol, blockCol), threshold)
+
+  /** [[containmentCandidateBound]] over a PRE-BUILT ranked frame — the
+    * split that lets [[containmentPairs]]'s budget gate read its own
+    * persisted ranked frame (round 18), mirroring
+    * [[ppjoinCandidateBoundFrom]].
+    */
+  private[graft] def containmentCandidateBoundFrom(ranked: DataFrame,
+      threshold: Double): DataFrame = {
     val EPS = 1e-9
     // ONE pass over the ranked frame: per bucket, dfF is the row count and
     // dfP the rows meeting the prefix cut — no second tokenize, no join
-    ppjoinPrefixRanked(docs, idCol, textCol, blockCol)
+    ranked
       .groupBy(col("blk"), col("tok"))
       .agg(count(lit(1)).as("dff"),
         sum(when(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1,
@@ -1307,6 +1326,85 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try eagerPairs(ngramJaccardVerified(arrs, prefix, threshold))
     finally {
+      arrs.unpersist(false)
+      prefix.unpersist(false)
+    }
+  }
+
+  /** Budget-gated [[ngramJaccardPairs]] — the enforcement end of
+    * [[ppjoinCandidateBound]] (round 18): PPJoin's prefix filter assumes
+    * rare tokens stay rare, and on a no-vocabulary-growth corpus the
+    * candidate join turns quadratic (measured at copies=100: 8 s → 483 s
+    * wall, 34 GB shuffle — BENCH_NOTES round 17). This variant evaluates
+    * the EXACT pre-filter candidate bound from the SAME persisted prefix
+    * frame the join would read (one aggregate, ~free next to the join) and
+    * refuses to walk into the cliff: the "read the budget BEFORE paying
+    * the join" rule lives in the operator, not in caller discipline.
+    *
+    * Within budget the result is BIT-IDENTICAL to [[ngramJaccardPairs]]
+    * (same frames, same plan — the gate only adds the bound aggregate).
+    * Over budget, `onExceed` picks the response:
+    *  - `"fail"` (default): throw `IllegalStateException` naming the
+    *    bound, the budget, and the worst (block, max_prefix_df) offender —
+    *    the production default: a 100 TB pipeline wants the outage at
+    *    plan time with a re-block/re-threshold hint, not 483 s in.
+    *  - `"guard"`: return the 1-row guard frame
+    *    (candidate_pairs, max_prefix_df, budget) instead of pairs — for
+    *    pipelines that route the decision as data. NOTE the schema
+    *    differs from the pairs schema by design; the bound is evaluated
+    *    eagerly, so the returned frame's schema is known to the caller by
+    *    checking `columns`.
+    *  - `"minhash"`: fall back to the MinHash sibling
+    *    ([[minhashNearDuplicates]], default k=64/bands=16 banding at the
+    *    same threshold) whose banded-LSH candidate volume does not
+    *    depend on token-df concentration; returns (doc_a, doc_b, jaccard)
+    *    where `jaccard` is the signature ESTIMATE, not the exact value.
+    *
+    * @param maxCandidates total pre-filter candidate-pair budget summed
+    *        across blocks; `Long.MaxValue` skips the bound job entirely
+    *        (zero overhead vs the ungated operator)
+    */
+  def ngramJaccardPairsBudgeted(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxCandidates: Long,
+      onExceed: String = "fail"): DataFrame = {
+    require(Set("fail", "guard", "minhash")(onExceed),
+      s"onExceed must be fail|guard|minhash, got $onExceed")
+    if (maxCandidates == Long.MaxValue)
+      return ngramJaccardPairs(docs, idCol, textCol, blockCol, threshold)
+    val arrs = sortedTokenArrays(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = ppjoinPrefix(docs, idCol, textCol, blockCol, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perBlock = ppjoinCandidateBoundFrom(prefix)
+      // driver-side read of the per-block bound: one row per BLOCK (source/
+      // shard count, not doc count) — bounded the way crossSourceDupMatrix's
+      // matrix is
+      val rows = perBlock.select(col("blk"), col("candidate_pairs"),
+        col("max_prefix_df")).collect()
+      val total = rows.map(_.getLong(1)).sum
+      if (total <= maxCandidates)
+        eagerPairs(ngramJaccardVerified(arrs, prefix, threshold))
+      else {
+        val worst = rows.maxBy(_.getLong(1))
+        onExceed match {
+          case "fail" => throw new IllegalStateException(
+            s"ppjoin candidate bound $total exceeds budget $maxCandidates " +
+              s"(worst block '${worst.get(0)}': ${worst.getLong(1)} pairs, " +
+              s"max prefix df ${worst.getLong(2)}); re-block on a " +
+              "finer key, raise the threshold, or fall back to MinHash " +
+              "banding (onExceed=\"minhash\")")
+          case "guard" =>
+            val spark = docs.sparkSession
+            import spark.implicits._
+            Seq((total, rows.map(_.getLong(2)).max, maxCandidates))
+              .toDF("candidate_pairs", "max_prefix_df", "budget")
+          case "minhash" =>
+            minhashNearDuplicates(docs, idCol, textCol, threshold = threshold)
+              .withColumnRenamed("est_jaccard", "jaccard")
+        }
+      }
+    } finally {
       arrs.unpersist(false)
       prefix.unpersist(false)
     }
@@ -1452,7 +1550,8 @@ object Dedup {
     *         doc_a ≠ doc_b, within `blockCol` blocks
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      maxCandidates: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // the d05 discipline (round 16): the ranked token frame feeds BOTH
@@ -1464,8 +1563,32 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val arrs = sortedTokenArrays(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try eagerPairs(containmentVerified(ranked, arrs, threshold))
-    finally {
+    try {
+      // budget gate (round 18, d05's discipline applied to d28): evaluate
+      // the exact asymmetric candidate bound from the SAME persisted
+      // ranked frame before paying a join the sf10 run measured going
+      // quadratic on a no-vocabulary-growth corpus (6.5 s → 403 s, 20 GB
+      // shuffle). Fail-loud only: containment has no cheap estimating
+      // sibling (MinHash estimates the SYMMETRIC Jaccard), so the honest
+      // over-budget responses are re-block / raise threshold, named in
+      // the error. Long.MaxValue (default) skips the bound job entirely.
+      if (maxCandidates != Long.MaxValue) {
+        val rows = containmentCandidateBoundFrom(ranked, threshold)
+          .select(col("blk"), col("candidate_pairs"), col("max_index_df"))
+          .collect()
+        val total = rows.map(_.getLong(1)).sum
+        if (total > maxCandidates) {
+          val worst = rows.maxBy(_.getLong(1))
+          throw new IllegalStateException(
+            s"containment candidate bound $total exceeds budget " +
+              s"$maxCandidates (worst block '${worst.get(0)}': " +
+              s"${worst.getLong(1)} pairs, max index df " +
+              s"${worst.getLong(2)}); re-block on a finer key or raise " +
+              "the threshold")
+        }
+      }
+      eagerPairs(containmentVerified(ranked, arrs, threshold))
+    } finally {
       ranked.unpersist(false)
       arrs.unpersist(false)
     }

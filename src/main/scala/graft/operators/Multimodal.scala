@@ -474,18 +474,38 @@ object Multimodal {
     */
   def videoNearDupPairs(sigs: DataFrame, maxHamming: Int = 2,
       blockBits: Int = 15): DataFrame = {
+    // collision-free packing needs BOTH range guards (round 18, advisor
+    // find): (a) frame_no in [0, 1e6) so frames can't bleed into the
+    // video part; (b) doc_id in the no-overflow band — doc_id * 1e6 wraps
+    // silently for |doc_id| beyond ~9.2e12 (ANSI off), and wrapped fids
+    // can merge DISTINCT videos (1e6 is even, so the wrap map is not
+    // injective). Ids from xxhash64 (e.g. [[fromBinaryFiles]]) routinely
+    // exceed the band — such corpora must remap to dense video ids before
+    // calling; the in-plan assert makes that a loud error, never a
+    // silently corrupted overlap count. NEGATIVE in-band ids are fine:
+    // the unpack below subtracts the pmod remainder first, so the
+    // truncating `div` always divides an exact multiple — floor-division
+    // semantics for any sign, consistent with pmod.
+    val maxDoc = (Long.MaxValue - 999999L) / 1000000L
+    val minDoc = Long.MinValue / 1000000L
     val packed = sigs
       .filter(assert_true(
-        col("frame_no") >= 0 && col("frame_no") < lit(1000000L),
-        concat(lit("videoNearDupPairs: frame_no outside packing range: "),
-          col("frame_no").cast("string"))).isNull)
+        col("frame_no") >= 0 && col("frame_no") < lit(1000000L)
+          && col("doc_id") >= lit(minDoc) && col("doc_id") <= lit(maxDoc),
+        concat(lit("videoNearDupPairs: (doc_id, frame_no) outside packing range: ("),
+          col("doc_id").cast("string"), lit(", "),
+          col("frame_no").cast("string"), lit(")"))).isNull)
       .select((col("doc_id") * lit(1000000L) + col("frame_no")).as("fid"),
         col("sig"))
+    // `div` (integral divide) of the exact multiple (fid - pmod): double
+    // `/` would round above 2^53
+    def unpackVideo(name: String) =
+      expr(s"($name - pmod($name, 1000000L)) div 1000000L")
     val fp = Dedup.hammingNearDuplicates(packed, "fid", "sig",
         maxHamming, blockBits)
-      .select(expr("doc_a div 1000000L").as("video_a"),
+      .select(unpackVideo("doc_a").as("video_a"),
         pmod(col("doc_a"), lit(1000000L)).as("frame_a"),
-        expr("doc_b div 1000000L").as("video_b"),
+        unpackVideo("doc_b").as("video_b"),
         pmod(col("doc_b"), lit(1000000L)).as("frame_b"))
       .filter(col("video_a") =!= col("video_b"))
     val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))

@@ -604,17 +604,29 @@ object StreamingOps {
         timerValues: TimerValues): Iterator[TypeProfile] = {
       var n = if (nEvents.exists()) nEvents.get() else 0L
       rows.foreach { r =>
-        n += 1
-        // keep the MIN ts per type: file-source batches need not arrive
-        // in event-time order, and the batch twin takes the true min
-        if (!firstSeen.containsKey(r.event_type) ||
-            r.tsUs < firstSeen.getValue(r.event_type))
-          firstSeen.updateValue(r.event_type, r.tsUs)
+        // null-typed events are SKIPPED (not counted): a null MapState
+        // key would fail at runtime, and [[typeProfileStream]] filters
+        // them before grouping — this in-processor skip keeps the same
+        // semantics for any caller driving the processor directly
+        // (round 18, advisor find)
+        if (r.event_type != null) {
+          n += 1
+          // keep the MIN ts per type: file-source batches need not arrive
+          // in event-time order, and the batch twin takes the true min
+          if (!firstSeen.containsKey(r.event_type) ||
+              r.tsUs < firstSeen.getValue(r.event_type))
+            firstSeen.updateValue(r.event_type, r.tsUs)
+        }
       }
       nEvents.update(n)
       val entries = firstSeen.iterator().toSeq // bounded: distinct types
-      val first = entries.minBy { case (tp, ts) => (ts, tp) }._1
-      Iterator.single(TypeProfile(key, n, entries.size.toLong, first))
+      // a batch of only null-typed rows on a fresh key leaves no entries:
+      // emit nothing rather than minBy on empty
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val first = entries.minBy { case (tp, ts) => (ts, tp) }._1
+        Iterator.single(TypeProfile(key, n, entries.size.toLong, first))
+      }
     }
   }
 
@@ -633,6 +645,10 @@ object StreamingOps {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // null-typed events carry no type signal and would be null MapState
+      // keys — filtered HERE (not left to caller discipline), matching
+      // the y11 batch twin's predicate (round 18, advisor find)
+      .filter(col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tsUs"))
       .as[TypedEvent]

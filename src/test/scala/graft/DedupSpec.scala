@@ -268,6 +268,60 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("budget gate: within budget, gated pairs are bit-identical to ungated") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ungated = asSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5))
+    val gated = asSet(Dedup.ngramJaccardPairsBudgeted(docs, "doc_id", "text",
+      "source", 0.5, maxCandidates = 1000000L))
+    assert(gated == ungated && gated.nonEmpty)
+  }
+
+  // the degenerate no-vocabulary-growth fixture: every doc identical, one
+  // block — PPJoin's provable worst case (dfp = N for every prefix token)
+  private def degen(n: Int) = (1 to n).map(i => (i.toLong, "a b c d e f g h", "all"))
+    .toDF("doc_id", "text", "source")
+
+  test("budget gate: over budget fails loudly naming bound, budget, worst block") {
+    // n=30, sz=8, t=0.5 -> prefix len 5, bound = 5*C(30,2) = 2175
+    val e = intercept[IllegalStateException](
+      Dedup.ngramJaccardPairsBudgeted(degen(30), "doc_id", "text", "source",
+        0.5, maxCandidates = 1000L))
+    assert(e.getMessage.contains("2175") && e.getMessage.contains("1000")
+      && e.getMessage.contains("'all'"), e.getMessage)
+  }
+
+  test("budget gate: guard mode returns the 1-row decision frame") {
+    val rows = Dedup.ngramJaccardPairsBudgeted(degen(30), "doc_id", "text",
+      "source", 0.5, maxCandidates = 1000L, onExceed = "guard").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 2175L)  // candidate_pairs
+    assert(rows(0).getLong(1) == 30L)    // max_prefix_df = N
+    assert(rows(0).getLong(2) == 1000L)  // budget echoed
+  }
+
+  test("budget gate: minhash fallback returns the banded sibling's pairs") {
+    val fell = Dedup.ngramJaccardPairsBudgeted(degen(30), "doc_id", "text",
+      "source", 0.5, maxCandidates = 1000L, onExceed = "minhash")
+    assert(fell.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    val direct = Dedup.minhashNearDuplicates(degen(30), "doc_id", "text",
+      threshold = 0.5).withColumnRenamed("est_jaccard", "jaccard")
+    assert(fell.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    assert(fell.count() == 30L * 29 / 2) // identical docs: every pair found
+  }
+
+  test("containmentPairs budget gate: over fails loudly, under is unchanged") {
+    val e = intercept[IllegalStateException](
+      Dedup.containmentPairs(degen(30), "doc_id", "text", "source", 0.8,
+        maxCandidates = 100L))
+    assert(e.getMessage.contains("exceeds budget 100"), e.getMessage)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gated = asSet(Dedup.containmentPairs(docs, "doc_id", "text", "source",
+      0.8, maxCandidates = 1000000L))
+    assert(gated == asSet(Dedup.containmentPairs(docs, "doc_id", "text", "source", 0.8)))
+  }
+
   test("dedupCorpus keeps one representative per exact/near-dup cluster") {
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text", minhashThreshold = 0.5)
       .collect().map(_.getLong(0)).toSet

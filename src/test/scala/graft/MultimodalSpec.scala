@@ -275,6 +275,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("packing range"))
   }
 
+  test("videoNearDupPairs: NEGATIVE in-band doc_ids unpack exactly (floor-consistent div)") {
+    import org.apache.spark.sql.functions.col
+    // truncating div mis-attributed frames for negative ids (e.g.
+    // fid(-2, 3) unpacked to video -1); the subtract-pmod-first unpack
+    // must keep the planted twin pair at (-3, -2), never touch -1
+    val docs = Seq(
+      (-2L, "ABCDEFGHIJKL"), (-3L, "ABCDEFGHIJKL"), (-1L, "WWWWXXXXYYYY"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.videoFrameSignatures(
+      Multimodal.attachBinary(docs, "doc_id", "text"), frameBytes = 4, everyN = 1)
+    val got = Multimodal.videoNearDupPairs(sigs, maxHamming = 0, blockBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == Map((-3L, -2L) -> ((3L, 1.0, 1.0))), got.toString)
+  }
+
+  test("videoNearDupPairs: out-of-band doc_id (xxhash64-scale) fails loudly, never wraps") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq((1L, "ABCDEFGH"), (2L, "ABCDEFGH")).toDF("doc_id", "text")
+    val sigs = Multimodal.videoFrameSignatures(
+      Multimodal.attachBinary(docs, "doc_id", "text"), frameBytes = 4, everyN = 1)
+      .withColumn("doc_id", col("doc_id") * lit(1000000000000000L)) // 1e15 > band
+    // two loud paths, zero silent ones: under ANSI (this session's
+    // default) the packing multiply itself throws ARITHMETIC_OVERFLOW;
+    // with ANSI off the multiply would WRAP silently and the range
+    // assert is what fires — either way the call errors, never returns
+    // wrapped fids that merge distinct videos
+    val e = intercept[Exception](
+      Multimodal.videoNearDupPairs(sigs, 0, 15).collect())
+    assert(e.getMessage != null && (e.getMessage.contains("packing range")
+      || e.getMessage.toLowerCase.contains("overflow")), e.getMessage)
+  }
+
   test("pairAudit: per-group pair rates, orphan media row, duplicate-free counts") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
     val media = Seq(1L, 3L, 99L).toDF("vec_id")

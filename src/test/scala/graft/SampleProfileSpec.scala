@@ -743,6 +743,20 @@ class SampleProfileSpec extends AnyFunSuite {
       s"expected the duplicate-inclusion error, got: ${e.getMessage}")
   }
 
+  test("quantile rank EPS: exactly-integral q*N (0.55 * 100) does not shift the bucket") {
+    // ceil(0.55 * 100) = ceil(55.000000000000007) = 56 in doubles: without
+    // the 1e-9 guard the rank — and with 1 value per bucket, the reported
+    // bucket — shifts by one. Values 0..99 over [0, 100) x 100 buckets:
+    // rank must be 55, the 55th smallest value is 54, bucket 54.
+    val vals = Seq.tabulate(100)(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val row = Profile.quantilesFromState(
+      Profile.numericProfileState(vals, "v", 0L, 100L, 100),
+      Seq(0.55), 0L, 100L, 100).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(1) == 54L,
+      s"q=0.55, n=100 must hit bucket 54 (rank 55), got ${row(0).getLong(1)}")
+  }
+
   test("quantile/histogram state read-out: merge == from-scratch any order, exact quantile within bounds, bounds integer-exact") {
     val vals = Seq.tabulate(500)(i => (i.toLong, (i * 37 % 1000).toLong))
       .toDF("id", "v")

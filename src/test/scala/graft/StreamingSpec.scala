@@ -499,8 +499,12 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "ts").coalesce(1).write.mode("append").parquet(dir)
     // file 2: user 1's LATE view at 9:00 — EARLIER than every click, so
     // the MapState min-ts discipline must flip first_type to 'view'
-    // (a first-write-wins map would stay stuck on 'click')
-    Seq((1L, "view", ts(9 * H)), (2L, "purchase", ts(12 * H)))
+    // (a first-write-wins map would stay stuck on 'click'). User 2's
+    // NULL-typed event must be skipped by the operator's own filter
+    // (a null MapState key fails at runtime) — every count below proves
+    // it left no trace
+    Seq((1L, Some("view"), ts(9 * H)), (2L, Some("purchase"), ts(12 * H)),
+        (2L, None, ts(12 * H + 60)))
       .toDF("user_id", "event_type", "ts").coalesce(1).write.mode("append").parquet(dir)
     val (rows, metrics) =
       StreamingOps.withStateStoreProvider(spark, StreamingOps.RocksDbStateStoreProvider) {
