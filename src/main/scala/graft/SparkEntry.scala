@@ -866,6 +866,37 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 40"),
 
+    // cost-model accuracy, measured (round 18) — the Spark-native analog
+    // of the reference's cardinality table (README.md:149-153), which
+    // prints claimed percentages with no reproducible method. One row per
+    // operator class: actual_rows is genuinely replayed by the oracle;
+    // est_band is the documented accuracy contract and est_ok the
+    // MEASURED verdict (optimizedPlan.stats.rowCount vs executed count),
+    // so an estimator/stats regression flips a hashed value and fails
+    // this gate. The oracle's TRUE literals are the pinned claim — the
+    // estimates themselves are Spark-internal and pinned numerically in
+    // CboSpec. Bands are measurements (sf0.001/0.01/0.1), not
+    // aspirations: scan exact, filter <=5%, join <=3x ratio (FK-NDV
+    // underestimation on small tables — the structural CBO weakness AQE
+    // exists to absorb), agg <=15% (HLL NDV).
+    "q59_cbo_accuracy" -> entry(
+      (s, d) => graft.engine.CboAccuracy.estimatedVsActual(s, d),
+      """SELECT 'scan' AS op_class,
+           (SELECT COUNT(*) FROM customer) AS actual_rows,
+           'exact' AS est_band, TRUE AS est_ok
+         UNION ALL SELECT 'filter_range',
+           (SELECT COUNT(*) FROM customer WHERE c_acctbal > 5000.0),
+           '<=5%', TRUE
+         UNION ALL SELECT 'filter_eq',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O'),
+           '<=5%', TRUE
+         UNION ALL SELECT 'join',
+           (SELECT COUNT(*) FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+           '<=3x', TRUE
+         UNION ALL SELECT 'agg',
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+           '<=15%', TRUE"""),
+
     // correlated LATERAL subquery in FROM (round 12): the other LATERAL
     // (q46 is LATERAL VIEW explode) — a per-row scalar-aggregate
     // subquery Catalyst decorrelates into one join + aggregate, never
