@@ -5740,6 +5740,8 @@ object SparkEntry {
             cnt("y09", StreamingOps.intervalJoinBatchRightOuter(lb, rb, tolUs, wmUs)),
             cnt("y11", evTs.filter(col("user_id").isNotNull &&
               col("event_type").isNotNull).select(col("user_id")).distinct()),
+            cnt("y12", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
+              StreamingOps.finalWatermarkUs(sess))),
             cnt("t07", docs))
             .reduce(_.unionByName(_))
             .filter(assert_true(col("batch_rows") > 0,
@@ -5810,6 +5812,8 @@ object SparkEntry {
          UNION ALL SELECT 'y09', (SELECT npairs.n + unmatched_r.n FROM npairs, unmatched_r)
          UNION ALL SELECT 'y11', (SELECT COUNT(DISTINCT user_id) FROM events
            WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL)
+         UNION ALL SELECT 'y12', (SELECT COUNT(*) FROM sess, sesswm
+           WHERE last_us + 1800000000 <= sesswm.wm)
          UNION ALL SELECT 't07', (SELECT COUNT(*) FROM documents)"""),
 
     // windowed aggregation: tumbling 1h counts+sums per event type.
@@ -6139,6 +6143,32 @@ object SparkEntry {
       },
       """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS n_events,
                 CAST(NULL AS BIGINT) AS n_types, CAST(NULL AS STRING) AS first_type
+         WHERE FALSE"""),
+
+    // restart/recovery (round 18): the session-window aggregation run as
+    // TWO query instances over one checkpoint and one fault-tolerant file
+    // sink — instance 1 consumes the first (time-ordered) half and stops,
+    // instance 2 cold-starts from the checkpoint (offsets + session state
+    // + watermark) and appends only what the final watermark newly
+    // decides. The committed two-run total must equal the single-pass
+    // batch twin exactly: exactly-once THROUGH a restart, the contract
+    // the single-run y-entries cannot see. StreamingSpec additionally
+    // pins disjointness (instance 2 re-emits nothing) on a hand-built
+    // fixture with a session SPANNING the kill point.
+    "y12_restart_recovery" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val gapUs = 1800L * 1000000L
+        val ev = t(s, d, "events")
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"))
+        val streamed = StreamingOps.restartRecoverySessions(ev, gapUs)
+        val batch = StreamingOps.sessionWindowBatchDecided(ev, gapUs,
+          StreamingOps.finalWatermarkUs(ev))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
+                CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
          WHERE FALSE"""),
 
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap

@@ -804,4 +804,65 @@ object StreamingOps {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Exactly-once THROUGH A RESTART (round 18) — the recovery contract the
+    * single-run y-entries can't see: production streams die and resume
+    * from their checkpoint, and the resumed run must neither re-emit what
+    * the dead run committed nor lose what it hadn't. The session-window
+    * aggregation runs as TWO SEPARATE QUERY INSTANCES over one checkpoint
+    * and one fault-tolerant FILE sink (memory sinks reject recovery —
+    * only a replayable sink makes the claim testable): instance 1
+    * consumes the first half of the input and stops; the second half
+    * lands; instance 2 starts COLD from the checkpoint — offsets, session
+    * state, and the accumulated watermark all come from what instance 1
+    * committed — and appends only what the final watermark newly decides.
+    * Reading the sink afterwards goes through its `_spark_metadata`
+    * commit log, so only atomically committed files count (a batch that
+    * died mid-write is invisible — the same log that makes a true
+    * mid-batch kill replay exactly-once; stopping at a commit boundary
+    * exercises that identical recovery path deterministically).
+    *
+    * The input split is TIME-ORDERED (at the midpoint of the ts range):
+    * a stream's later files carry later events, and this is what makes
+    * restart ≡ uninterrupted exact — every session instance 1's watermark
+    * finalized ended gap-before every instance-2 event, so no restart can
+    * resurrect or split it (the y12 entry diffs the two-run total against
+    * the single-pass batch twin; an arrival-interleaved split would make
+    * instance-2 events late-and-dropped, which is watermark semantics,
+    * not a recovery defect).
+    *
+    * @param events BATCH events frame (user_id, ts µs), pre-cleaned of
+    *        null user_id/ts
+    * @return the sink's committed total across both instances:
+    *         (user_id, sess_start, sess_end, n_events)
+    */
+  def restartRecoverySessions(events: DataFrame, gapUs: Long = 1800L * 1000000L)
+      : DataFrame = {
+    require(!events.isStreaming,
+      "restartRecoverySessions takes the BATCH events frame; it builds its own streams")
+    val spark = events.sparkSession
+    val land = java.nio.file.Files.createTempDirectory("graft-restart-land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    require(!mm.isNullAt(0), "restartRecoverySessions: no non-null ts rows")
+    val splitUs = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    val schema = events.schema
+    def deliver(pred: org.apache.spark.sql.Column): Unit =
+      events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+    def runInstance(): Unit = {
+      val q = sessionWindowCounts(
+          spark.readStream.schema(schema).parquet(land), gapUs)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    deliver(unix_micros(col("ts")) <= splitUs)
+    runInstance() // instance 1: first half, stop at a commit boundary
+    deliver(unix_micros(col("ts")) > splitUs)
+    runInstance() // instance 2: cold start from the checkpoint
+    spark.read.parquet(out)
+  }
 }

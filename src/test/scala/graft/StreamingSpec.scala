@@ -620,4 +620,62 @@ class StreamingSpec extends AnyFunSuite {
     val est = Profile.distinctFromHllState(hll.get, 8).collect()(0).getDouble(5)
     assert(math.abs(est - 220.0) / 220.0 <= 0.25, s"HLL estimate $est vs ndv 220")
   }
+
+  test("restart recovery: state survives the kill, nothing re-emits, total equals uninterrupted") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val H = 3600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gapUs = 1800L * 1000000L
+    // fixture around a kill at 3:00 —
+    //   user 1: 1:00, 1:10  (session ends 1:40 — DECIDED before the kill)
+    //   user 2: 2:50 | 3:10 (one session SPANNING the kill: first event
+    //           before, second after — only checkpointed state can merge
+    //           them; a state-losing restart emits two fragments or
+    //           double-counts)
+    //   user 1: 5:00        (advances the final watermark; itself undecided)
+    val events = Seq((1L, ts(1 * H)), (1L, ts(1 * H + 600)), (2L, ts(3 * H - 600)),
+        (2L, ts(3 * H + 600)), (1L, ts(5 * H)))
+      .toDF("user_id", "ts")
+    val land = Files.createTempDirectory("graft-rst-land").toString
+    val ckpt = Files.createTempDirectory("graft-rst-ckpt").toString
+    val out = Files.createTempDirectory("graft-rst-out").toString
+    def deliver(pred: org.apache.spark.sql.Column): Unit =
+      events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+    def runInstance(): Unit = {
+      val q = StreamingOps.sessionWindowCounts(
+          spark.readStream.schema(events.schema).parquet(land), gapUs)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def committed(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(out).collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    deliver(unix_micros(col("ts")) <= 3L * H * 1000000L)
+    runInstance()
+    val afterKill = committed()
+    // instance 1 decided exactly user 1's first session; user 2's
+    // half-session is STATE, not output
+    assert(afterKill == Set((1L, 1 * H * 1000, (1 * H + 600 + 1800) * 1000, 2L)),
+      s"after kill: $afterKill")
+    deliver(unix_micros(col("ts")) > 3L * H * 1000000L)
+    runInstance() // cold start from the checkpoint
+    val total = committed()
+    // the resumed instance emitted ONLY the spanning session, MERGED:
+    // 2 events though instance 2 saw just one — the checkpointed session
+    // state did the other half. Nothing from instance 1 re-emitted.
+    assert(total -- afterKill == Set(
+      (2L, (3 * H - 600) * 1000, (3 * H + 600 + 1800) * 1000, 2L)),
+      s"resumed delta: ${total -- afterKill}")
+    assert(total.size == afterKill.size + 1, s"re-emission or loss: $total")
+    // exactly-once through restart: two-run committed total == the
+    // uninterrupted single-pass batch twin
+    val twin = StreamingOps.sessionWindowBatchDecided(events, gapUs,
+        StreamingOps.finalWatermarkUs(events))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(total == twin, s"total $total != twin $twin")
+  }
 }
