@@ -811,15 +811,14 @@ object Bench {
         val shufKey = "spark.sql.shuffle.partitions"
         val prevShuf = spark.conf.get(shufKey)
         spark.conf.set(shufKey, "1024")
-        val rows = try sf10Heavy.map { name =>
-          val fn = SparkEntry.queries(name)
+        def measureSf10(name: String)(run: => Unit): Sf10Row = {
           val task0 = settledTaskMs(taskTimes)
           val sr0 = taskTimes.shuffleReadB.get()
           val sw0 = taskTimes.shuffleWriteB.get()
           taskTimes.peakTaskMemB.set(0L)
           var ok = true
           val t = time(
-            try materialize(fn(spark, sf10Dir))
+            try run
             catch { case e: Throwable =>
               ok = false
               failed += s"sf10:$name"
@@ -830,6 +829,40 @@ object Bench {
           Sf10Row(name, if (ok) t else -1.0, task,
             taskTimes.shuffleReadB.get() - sr0, taskTimes.shuffleWriteB.get() - sw0,
             taskTimes.peakTaskMemB.get())
+        }
+        val rows = try {
+          val entryRows = sf10Heavy.map { name =>
+            val fn = SparkEntry.queries(name)
+            measureSf10(name)(materialize(fn(spark, sf10Dir)))
+          }
+          // Heaps-law Zipf corpus at 100× the sf0.1 twin (round 18): the
+          // degenerate copies=100 fixture above is PPJoin's provable worst
+          // case (no vocabulary growth — d05 483 s / 34 GB shuffle); real
+          // corpora grow vocabulary ~√N, and this measures d05/d28 on one
+          // at the same 100× scale. Candidate bounds are read FIRST (the
+          // d37/d38 discipline) and logged, so the BENCH_NOTES table can
+          // show candidate volume next to wall/shuffle.
+          val zipfRows = {
+            import org.apache.spark.sql.functions.{col, sum}
+            import graft.operators.Dedup
+            val zipfDir = new java.io.File(
+              sys.env.getOrElse("SPARK_GRAFT_ZIPF10_DIR", "benchdata/zipf10")).getAbsolutePath
+            val zGenS = time(graft.tools.ScaleData.ensureZipfCorpus(
+              spark, zipfDir, nDocs = 500000L, partitions = 256))
+            val zdocs = spark.read.parquet(s"$zipfDir/documents.parquet")
+            val jB = Dedup.ppjoinCandidateBound(zdocs, "doc_id", "text", "source", 0.8)
+              .agg(sum(col("candidate_pairs"))).head().getLong(0)
+            val cB = Dedup.containmentCandidateBound(zdocs, "doc_id", "text", "source", 0.9)
+              .agg(sum(col("candidate_pairs"))).head().getLong(0)
+            System.err.println(f"[bench] zipf10 gen=$zGenS%.1f s " +
+              s"jaccard_candidate_bound=$jB containment_candidate_bound=$cB")
+            Seq(
+              measureSf10("d05_zipf_heaps")(materialize(
+                Dedup.ngramJaccardPairs(zdocs, "doc_id", "text", "source", 0.8))),
+              measureSf10("d28_zipf_heaps")(materialize(
+                Dedup.containmentPairs(zdocs, "doc_id", "text", "source", 0.9))))
+          }
+          entryRows ++ zipfRows
         } finally spark.conf.set(shufKey, prevShuf)
         Some((sf10Dir, genS, rows))
       } catch { case e: Throwable =>

@@ -303,6 +303,55 @@ object SparkEntry {
     * `u`) and the ADC score expression (expects table aliases `q` for
     * the query units and `e` for the encoded candidates).
     */
+  /** Generated DuckDB replay of d42's FULL distributed k-means TRAINING —
+    * unlike the other ANN replays (which embed Spark-trained constants
+    * and replay only the query stage), every Lloyd's iteration is
+    * re-derived in SQL from the raw table: init = the k lowest-id unit
+    * vectors; per iteration, assignment by sequential-fold
+    * `list_dot_product` argmax (ties to the lowest cell — the Spark
+    * side's array_min struct order) and re-estimation by EXACT integer
+    * sums of floor(u·1e6) per (cell, dim), normalized directly (the
+    * mean's division cancels under normalization, so no decimal-rounding
+    * divergence exists between engines). Only `dim` is read from the
+    * data; the SQL itself is a pure function of (k, iters, dim).
+    */
+  private def kmeansOracleSql(spark: SparkSession, dir: String,
+      k: Int, iters: Int): String = {
+    val dim = t(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .head().getInt(0)
+    def assignSql(from: String): String =
+      s"""SELECT vec_id, cell FROM (
+         SELECT un.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY un.vec_id
+             ORDER BY list_dot_product(un.u, c.cvec) DESC, c.cell ASC) AS rn
+         FROM un CROSS JOIN $from c) WHERE rn = 1"""
+    val iterBlocks = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (${assignSql(prev)}),
+       s$i AS (SELECT a.cell, d.i AS dim,
+           SUM(CAST(FLOOR(un.u[d.i] * 1e6) AS BIGINT)) AS s
+         FROM a$i a JOIN un ON un.vec_id = a.vec_id, range(1, ${dim + 1}) d(i)
+         GROUP BY 1, 2),
+       v$i AS (SELECT cell, list(CAST(s AS DOUBLE) ORDER BY dim) AS sv
+         FROM s$i GROUP BY cell),
+       c$i AS (SELECT c.cell,
+           CASE WHEN v.cell IS NULL OR list_dot_product(v.sv, v.sv) = 0 THEN c.cvec
+                ELSE list_transform(v.sv, x -> x / sqrt(list_dot_product(v.sv, v.sv))) END AS cvec
+         FROM $prev c LEFT JOIN v$i v ON v.cell = c.cell)"""
+    }.mkString(",\n       ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+       un AS (SELECT vec_id,
+                CASE WHEN list_dot_product(v, v) = 0 THEN v
+                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+              FROM n),
+       c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, u AS cvec
+              FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT $k)),
+       $iterBlocks
+       SELECT vec_id, CAST(cell AS INT) AS cell FROM (${assignSql(s"c$iters")})"""
+  }
+
   private def pqSqlParts(spark: SparkSession, dir: String, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): (String, String) = {
     val books = graft.operators.Similarity.pqCodebooks(
@@ -1898,6 +1947,24 @@ object SparkEntry {
         else Similarity.withRecallAtK(approx,
           Similarity.bruteForceTopKFiltered(emb, "vec_id", "embedding", q, cand, k = 5),
           k = 5)
+      }),
+
+    // DISTRIBUTED k-means (round 18): the upgrade past ivfCentroids'
+    // documented driver-sample bound — Lloyd's over the FULL corpus,
+    // every iteration one scan + one k·dim-row shuffle, no vector ever
+    // collected. The oracle replays the ENTIRE training (not just the
+    // final assignment): init from the k lowest-id unit vectors, 4
+    // unrolled Lloyd's iterations with exact integer re-estimation sums
+    // (unit components quantized floor(u·1e6) so partial-sum order can't
+    // bit-drift), sum-normalized centroids (mean's division cancels under
+    // normalization — no engine-specific decimal rounding anywhere), and
+    // the final argmax assignment with lowest-cell tie-break.
+    "d42_kmeans_distributed" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.kmeansAssign(emb, "vec_id", "embedding",
+          Similarity.kmeansDistributed(emb, "vec_id", "embedding",
+            nCentroids = 8, iters = 4))
       }),
 
     // product-quantization ANN (round 12): the compressed-scan path —
@@ -6260,7 +6327,9 @@ object SparkEntry {
                 k = 5, shortlist = 4)),
               "d35_ivfpq_curve" -> (() => ivfPqCurveOracleSql(s, d,
                 Seq((1, 4), (2, 2), (2, 4), (4, 4)), nCentroids = 16, m = 8,
-                ksub = 16, sampleSize = 1024, iters = 5, k = 5)))
+                ksub = 16, sampleSize = 1024, iters = 5, k = 5)),
+              "d42_kmeans_distributed" -> (() => kmeansOracleSql(s, d,
+                k = 8, iters = 4)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

@@ -337,6 +337,87 @@ object Similarity {
     centroids
   }
 
+  /** DISTRIBUTED spherical k-means over the FULL corpus — the upgrade
+    * path for [[ivfCentroids]]' documented ≤2²⁰ driver-sample bound
+    * (round 18): at 100 TB a bounded sample trains fine-enough IVF cells,
+    * but cluster structure in the sample's tail is invisible; Lloyd's
+    * over every vector sees it, and each iteration is one corpus-scan
+    * aggregate (assign = broadcast-centroid argmax per row; re-estimate =
+    * one (cell, dim)-keyed shuffle of k·dim running sums — never a
+    * collect of vectors).
+    *
+    * Engine-replayable BY CONSTRUCTION — every arithmetic step is either
+    * exact or a sequential fold any engine reproduces bit-for-bit:
+    *  - init: the `nCentroids` lowest-id unit vectors (deterministic);
+    *  - assignment: dot(unit, centroid) in double via the native
+    *    sequential-fold [[dot]] (= DuckDB's list_dot_product order),
+    *    ties to the LOWEST cell;
+    *  - re-estimation sums are EXACT integers: each unit component is
+    *    quantized floor(u·10⁶) → BIGINT before summing, so partial-sum
+    *    order cannot change the result (a double sum would bit-drift with
+    *    partitioning) — 10⁻⁶ quantization on unit-norm data moves each
+    *    component by <1e-6, far below any cluster geometry, and 10¹²
+    *    vectors × 10⁶ still fits BIGINT;
+    *  - the new centroid NORMALIZES THE SUM directly (mean = sum/count
+    *    and normalization kills the scalar, so the division — and its
+    *    engine-specific decimal rounding — is skipped entirely); an
+    *    empty or zero-sum cell keeps its previous centroid.
+    *
+    * @return nCentroids unit-norm centroids (row = centroid, ordered by
+    *         cell id)
+    */
+  def kmeansDistributed(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = all.orderBy(col("vec_id"))
+        .limit(nCentroids).collect().map(_.getSeq[Double](1).toArray)
+      require(centroids.length == nCentroids,
+        s"corpus has ${centroids.length} non-null vectors < nCentroids=$nCentroids")
+      val dim = centroids.head.length
+      for (_ <- 0 until iters) {
+        val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+          struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+        }: _*)
+        // k x dim rows — bounded by configuration, never by data
+        val sums = all.withColumn("cell", array_min(cells).getField("cell"))
+          .select(col("cell"), posexplode(col("unit")).as(Seq("dim", "v")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(sum(floor(col("v") * lit(1e6))).as("s"))
+          .collect()
+        val acc = Array.fill(nCentroids)(new Array[Double](dim))
+        val seen = new Array[Boolean](nCentroids)
+        sums.foreach { r =>
+          acc(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble
+          seen(r.getInt(0)) = true
+        }
+        centroids = centroids.indices.map { i =>
+          if (!seen(i)) centroids(i)
+          else {
+            val n = math.sqrt(acc(i).map(x => x * x).sum)
+            if (n == 0) centroids(i) else acc(i).map(_ / n)
+          }
+        }.toArray
+      }
+      centroids
+    } finally all.unpersist(false)
+  }
+
+  /** Final cell assignment from [[kmeansDistributed]] centroids: one scan,
+    * (vec_id, cell), same argmax/tie rule as training's assignment step.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
+    }: _*)
+    normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+      .select(col("vec_id"), array_min(cells).getField("cell").as("cell"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nCentroids: Int = 16, nProbe: Int = 2, sampleSize: Int = 1024,
       iters: Int = 5): DataFrame =

@@ -221,6 +221,66 @@ object ScaleData {
     true
   }
 
+  /** Deterministic Zipfian corpus WITH Heaps-law vocabulary growth — the
+    * fixture the copies=100 scale point lacks (round 18). The sf10
+    * directory replicates the driver's 31-token-vocab documents table,
+    * which is PPJoin's provable worst case: no new vocabulary appears as
+    * the corpus grows, every token's df scales with N, and the prefix
+    * filter's candidate volume turns quadratic (measured: d05 483 s /
+    * 34 GB shuffle at copies=100 — BENCH_NOTES round 17). Real corpora
+    * are not shaped like that: token frequencies are Zipfian and
+    * vocabulary grows ~√N (Heaps' law, β ≈ 0.5), so rare tokens STAY
+    * rare and the prefix filter stays near-linear. This generator scales
+    * the bench's sf0.1 Zipf twin (5000 docs, 2000-token vocab, the
+    * 1.98 s measurement) to any N with vocab = 2000·√(N/5000): the same
+    * harmonic CDF, per-doc 25–54 distinct tokens, one block.
+    *
+    * Determinism: each doc draws from a Random seeded by its own id —
+    * byte-identical content for any partitioning. Sentinel-guarded like
+    * [[ensure]] (records nDocs/vocab/gen so a differently-sized corpus
+    * regenerates instead of being benched mislabeled).
+    */
+  def ensureZipfCorpus(spark: SparkSession, destDir: String, nDocs: Long,
+      partitions: Int = 32): Boolean = {
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
+    val vocab = math.ceil(2000.0 * math.sqrt(nDocs / 5000.0)).toInt.max(100)
+    val sentinel = java.nio.file.Paths.get(destDir, "_GRAFT_ZIPF_OK")
+    val stamp = s"nDocs=$nDocs vocab=$vocab gen=1\n"
+    if (java.nio.file.Files.exists(sentinel)) {
+      val recorded = new String(java.nio.file.Files.readAllBytes(sentinel),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (recorded == stamp) return false
+      System.err.println(s"[scale-data] $destDir zipf sentinel records " +
+        s"'${recorded.trim}' but '${stamp.trim}' was requested — regenerating")
+      java.nio.file.Files.delete(sentinel)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    var acc = 0.0
+    val cdf = (1 to vocab).map { r => acc += 1.0 / r; acc }.toArray
+    val bc = spark.sparkContext.broadcast(cdf)
+    import spark.implicits._
+    spark.range(1L, nDocs + 1L, 1L, partitions)
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { id =>
+          val rnd = new scala.util.Random(id * 2654435761L)
+          val toks = scala.collection.mutable.LinkedHashSet[String]()
+          val target = 25 + (id % 30).toInt
+          while (toks.size < target) {
+            val u = rnd.nextDouble() * c(c.length - 1)
+            val i = java.util.Arrays.binarySearch(c, u)
+            toks += s"tok${if (i >= 0) i else -i - 1}"
+          }
+          (id, toks.mkString(" "), "blk")
+        }
+      }
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+    java.nio.file.Files.write(sentinel,
+      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    true
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val destDir = args.lift(1).getOrElse("benchdata/sf1")

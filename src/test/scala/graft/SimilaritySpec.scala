@@ -479,4 +479,39 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.ivfPqProbe(
       real, "vec_id", "embedding", model, col("vec_id") < 2, k = 3, nProbe = 99))
   }
+
+  test("kmeansDistributed: separates planted clusters, deterministic across partitionings, empty cell keeps its centroid") {
+    // three tight clusters around orthogonal axes — any correct k-means
+    // with k=3 lands one centroid per axis whatever the iteration count
+    val pts = (0 until 30).map { i =>
+      val axis = i % 3
+      val eps = 0.01f * (i / 3)
+      val base = Array(0.0f, 0.0f, 0.0f); base(axis) = 1.0f
+      base((axis + 1) % 3) = eps
+      (i.toLong, base)
+    }
+    val df1 = pts.toDF("vec_id", "embedding").repartition(1)
+    val df7 = pts.toDF("vec_id", "embedding").repartition(7)
+    val c1 = Similarity.kmeansDistributed(df1, "vec_id", "embedding", 3, 4)
+    val c7 = Similarity.kmeansDistributed(df7, "vec_id", "embedding", 3, 4)
+    // partitioning-independence is the POINT of the integer re-estimation
+    // sums: bit-identical centroids whatever the partial-sum order
+    assert(c1.map(_.toSeq).toSeq == c7.map(_.toSeq).toSeq)
+    val assign = Similarity.kmeansAssign(df1, "vec_id", "embedding", c1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 3).foreach { axis =>
+      val members = (0 until 30).filter(_ % 3 == axis).map(_.toLong)
+      assert(members.map(assign).toSet.size == 1,
+        s"axis-$axis cluster split: ${members.map(assign)}")
+    }
+    assert(assign.values.toSet.size == 3, s"clusters collapsed: $assign")
+    // k=4 over 3 real clusters: some cell ends empty mid-iteration and
+    // must KEEP its previous centroid (not NaN out)
+    val c4 = Similarity.kmeansDistributed(df1, "vec_id", "embedding", 4, 4)
+    assert(c4.length == 4 && c4.forall(_.forall(x => !x.isNaN)))
+    // fewer non-null vectors than centroids fails loudly
+    intercept[IllegalArgumentException](
+      Similarity.kmeansDistributed(pts.take(2).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 3, 2))
+  }
 }
