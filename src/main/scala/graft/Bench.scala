@@ -826,9 +826,19 @@ object Bench {
             })
           spark.catalog.clearCache()
           val task = settledTaskMs(taskTimes) - task0
-          Sf10Row(name, if (ok) t else -1.0, task,
+          val row = Sf10Row(name, if (ok) t else -1.0, task,
             taskTimes.shuffleReadB.get() - sr0, taskTimes.shuffleWriteB.get() - sw0,
             taskTimes.peakTaskMemB.get())
+          // free the entry's shuffle files BEFORE the next one runs: at
+          // copies=100 each heavy entry writes 15-35 GB of shuffle, and
+          // Spark only deletes them when the ShuffleDependency is GC'd —
+          // without this nudge ~4 heavy entries accumulate ~100 GB and
+          // the section dies on disk (observed: d28_zipf_heaps, round-18
+          // probe, "No space left on device"). Untimed: runs after the
+          // entry's wall/task/shuffle deltas are captured.
+          System.gc()
+          Thread.sleep(2000L)
+          row
         }
         val rows = try {
           val entryRows = sf10Heavy.map { name =>
@@ -843,24 +853,36 @@ object Bench {
           // d37/d38 discipline) and logged, so the BENCH_NOTES table can
           // show candidate volume next to wall/shuffle.
           val zipfRows = {
-            import org.apache.spark.sql.functions.{col, sum}
+            import org.apache.spark.sql.functions.{col, concat, lit, pmod, sum}
             import graft.operators.Dedup
             val zipfDir = new java.io.File(
               sys.env.getOrElse("SPARK_GRAFT_ZIPF10_DIR", "benchdata/zipf10")).getAbsolutePath
             val zGenS = time(graft.tools.ScaleData.ensureZipfCorpus(
               spark, zipfDir, nDocs = 500000L, partitions = 256))
             val zdocs = spark.read.parquet(s"$zipfDir/documents.parquet")
+            // containment runs 16-way BLOCKED: its asymmetric filter has
+            // no size-ratio prune, and on the unblocked 500k-doc corpus
+            // the bound reads 515M pre-join pairs — measured to exceed
+            // local disk (>73 GB spill, "No space left on device",
+            // round-18 probe). That unblocked bound is logged as the
+            // refuse-evidence (what d38's gate answers); the timed row is
+            // the production shape (d28's own entry blocks by source).
+            val zBlocked = zdocs.withColumn("source",
+              concat(lit("blk"), pmod(col("doc_id"), lit(16L)).cast("string")))
             val jB = Dedup.ppjoinCandidateBound(zdocs, "doc_id", "text", "source", 0.8)
               .agg(sum(col("candidate_pairs"))).head().getLong(0)
             val cB = Dedup.containmentCandidateBound(zdocs, "doc_id", "text", "source", 0.9)
               .agg(sum(col("candidate_pairs"))).head().getLong(0)
+            val cBblk = Dedup.containmentCandidateBound(zBlocked, "doc_id", "text", "source", 0.9)
+              .agg(sum(col("candidate_pairs"))).head().getLong(0)
             System.err.println(f"[bench] zipf10 gen=$zGenS%.1f s " +
-              s"jaccard_candidate_bound=$jB containment_candidate_bound=$cB")
+              s"jaccard_candidate_bound=$jB containment_candidate_bound=$cB " +
+              s"containment_candidate_bound_blocked16=$cBblk")
             Seq(
               measureSf10("d05_zipf_heaps")(materialize(
                 Dedup.ngramJaccardPairs(zdocs, "doc_id", "text", "source", 0.8))),
-              measureSf10("d28_zipf_heaps")(materialize(
-                Dedup.containmentPairs(zdocs, "doc_id", "text", "source", 0.9))))
+              measureSf10("d28_zipf_blocked16")(materialize(
+                Dedup.containmentPairs(zBlocked, "doc_id", "text", "source", 0.9))))
           }
           entryRows ++ zipfRows
         } finally spark.conf.set(shufKey, prevShuf)
