@@ -535,6 +535,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // (TakeOrderedAndProject) — zero exchanges, the pagination shape
     // that must never become a full sort
     "q58_limit_offset" -> (0, 0),
+    // round 18: the guard branch returns the 1-row local decision frame
+    // (the bound was evaluated eagerly inside the operator)
+    "d40_ppjoin_gate_guard" -> (0, 0),
+    // the allowed branch IS d05 — eagerly checkpointed pairs, audited
+    // plan is the checkpoint scan
+    "d41_ppjoin_gate_allowed" -> (0, 0),
+    // training ran eagerly (per-iteration aggregates inside the call);
+    // audited = the final assignment projection over one scan
+    "d42_kmeans_distributed" -> (0, 0),
+    // five collected local rows (the per-class est-vs-actual verdicts)
+    "q59_cbo_accuracy" -> (0, 0),
+    // streamed side is the file sink's parquet read (both query
+    // instances completed before the audited frame exists); audited =
+    // batch session twin + the two exceptAll sides
+    "y12_restart_recovery" -> (4, 0),
     // transformWithState twin: the streaming run completes before the
     // audited frame exists; audited = memory-sink fold agg + batch
     // single-aggregate twin + two except sides sharing the user exchange

@@ -462,6 +462,11 @@ class QueryEngineSpec extends AnyFunSuite {
       "q56_lateral_subquery" -> true,
       "q57_interval_range" -> true,
       "q58_limit_offset" -> true,
+      // round 18: q59's five-row UNION ALL of scalar subqueries and
+      // y12's typed-null WHERE-FALSE schema oracle both regenerate and
+      // execute row-equal
+      "q59_cbo_accuracy" -> true,
+      "y12_restart_recovery" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
       "s06_event_spikes" -> true,
