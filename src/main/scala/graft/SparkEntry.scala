@@ -315,7 +315,11 @@ object SparkEntry {
     * divergence exists between engines). Only `dim` is read from the
     * data; the SQL itself is a pure function of (k, iters, dim).
     */
-  private def kmeansOracleSql(spark: SparkSession, dir: String,
+  /** The WITH-body shared by the d42 and x20 replays: normalization, k
+    * lowest-id init, `iters` unrolled Lloyd's iterations, and the final
+    * assignment as CTE `fa(vec_id, cell)`.
+    */
+  private def kmeansAssignCtes(spark: SparkSession, dir: String,
       k: Int, iters: Int): String = {
     val dim = t(spark, dir, "embeddings")
       .select(size(col("embedding")).as("d")).filter(col("d") > 0)
@@ -348,9 +352,32 @@ object SparkEntry {
               FROM n),
        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, u AS cvec
               FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT $k)),
-       $iterBlocks
-       SELECT vec_id, CAST(cell AS INT) AS cell FROM (${assignSql(s"c$iters")})"""
+       $iterBlocks,
+       fa AS (${assignSql(s"c$iters")})"""
   }
+
+  private def kmeansOracleSql(spark: SparkSession, dir: String,
+      k: Int, iters: Int): String =
+    s"""${kmeansAssignCtes(spark, dir, k, iters)}
+       SELECT vec_id, CAST(cell AS INT) AS cell FROM fa"""
+
+  /** Generated DuckDB replay of x20: the d42 training CTEs plus the
+    * stratified cut — per cell, rows ranked by (md5-order-hash(id), id)
+    * and the first ⌊n·pct/100⌋ take "train" — then (cell, split) counts.
+    */
+  private def clusterSplitOracleSql(spark: SparkSession, dir: String,
+      k: Int, iters: Int, trainPct: Int): String =
+    s"""${kmeansAssignCtes(spark, dir, k, iters)},
+       rk AS (SELECT cell,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+             vec_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY cell) AS n
+         FROM fa)
+       SELECT CAST(cell AS INT) AS cell,
+         CASE WHEN rn <= (n * $trainPct) // 100 THEN 'train' ELSE 'test' END AS split,
+         COUNT(*) AS n
+       FROM rk GROUP BY 1, 2"""
 
   private def pqSqlParts(spark: SparkSession, dir: String, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): (String, String) = {
@@ -5341,6 +5368,24 @@ object SparkEntry {
     // interval close (lead over the collapsed frame); (ts, event_id)
     // tiebreak makes equal-timestamp streams deterministic. Both windows
     // ride one user-keyed exchange; unix-micros intervals hash exactly
+    // cluster-balanced split (round 18): d42's distributed k-means cells
+    // as split strata — a plain id-hash split matches proportions only in
+    // EXPECTATION, so small semantic clusters land lopsided and the val
+    // set over-represents whole regions; the quota cut makes every
+    // cluster's train fraction exact to floor(n*pct/100). Oracle replays
+    // the ENTIRE composition: the full k-means training CTEs (d42's) plus
+    // the md5-ranked quota cut and the (cell, split) counts.
+    "x20_cluster_split" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.SampleOps.stratifiedQuotaSplit(
+            Similarity.kmeansAssign(emb, "vec_id", "embedding",
+              Similarity.kmeansDistributed(emb, "vec_id", "embedding",
+                nCentroids = 8, iters = 4)),
+            "vec_id", "cell", trainPct = 80)
+          .groupBy(col("cell"), col("split")).agg(count(lit(1)).as("n"))
+      }),
+
     "x19_scd2_history" -> entry(
       (s, d) => graft.operators.VersionOps.scd2History(
         t(s, d, "events"), "user_id", "ts", "event_id", "event_type"),
@@ -6329,7 +6374,9 @@ object SparkEntry {
                 Seq((1, 4), (2, 2), (2, 4), (4, 4)), nCentroids = 16, m = 8,
                 ksub = 16, sampleSize = 1024, iters = 5, k = 5)),
               "d42_kmeans_distributed" -> (() => kmeansOracleSql(s, d,
-                k = 8, iters = 4)))
+                k = 8, iters = 4)),
+              "x20_cluster_split" -> (() => clusterSplitOracleSql(s, d,
+                k = 8, iters = 4, trainPct = 80)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

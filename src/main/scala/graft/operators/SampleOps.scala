@@ -63,6 +63,36 @@ object SampleOps {
     df.withColumn("split",
       when(bucket(col(groupCol)) < trainPct, "train").otherwise("test"))
 
+  /** STRATIFIED split with EXACT per-stratum quotas (round 18): within
+    * each stratum (e.g. a [[graft.operators.Similarity.kmeansDistributed]]
+    * semantic cluster — the x20 composition), rows rank deterministically
+    * by ([[md5OrderHash]](id), id) and the first ⌊n·trainPct/100⌋ take
+    * "train". The plain id-hash split ([[deterministicSplit]]) matches
+    * proportions only in EXPECTATION — a 30-row cluster can land 40/60
+    * and a validation set silently over-represents whole semantic
+    * regions; the quota cut makes every stratum's fraction exact to
+    * integer arithmetic, which is what "val set matches the train
+    * distribution" actually requires.
+    *
+    * Scale shape: one window over the stratum partitioning — stratum-
+    * keyed shuffle, no global ordering. Ties are impossible (id is the
+    * final key); NULL ids sort last within their stratum and NULL strata
+    * form their own partition, both deterministic.
+    */
+  def stratifiedQuotaSplit(df: DataFrame, idCol: String, stratumCol: String,
+      trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100,
+      s"trainPct must be in [0, 100], got $trainPct")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5OrderHash(col(idCol)).asc_nulls_last, col(idCol).asc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("split",
+        when(expr(s"__rn <= (__n * $trainPct) div 100"), "train").otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
   /** Keep ~`pct`% of rows, deterministically by id hash. NULL ids give a
     * NULL bucket and are dropped (filter on NULL is false) — the one
     * deterministic reading of "sample by id" for an absent id.

@@ -544,6 +544,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // training ran eagerly (per-iteration aggregates inside the call);
     // audited = the final assignment projection over one scan
     "d42_kmeans_distributed" -> (0, 0),
+    // assignment projection + the stratum window + the (cell, split) agg
+    "x20_cluster_split" -> (2, 0),
     // five collected local rows (the per-class est-vs-actual verdicts)
     "q59_cbo_accuracy" -> (0, 0),
     // streamed side is the file sink's parquet read (both query

@@ -23,6 +23,36 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(nTrain > 700 && nTrain < 900) // ~80% of 1000
   }
 
+  test("stratifiedQuotaSplit: EXACT per-stratum quotas, deterministic, id-hash-ordered cut") {
+    // strata of deliberately awkward sizes: 1000 rows over cat0..3 are
+    // 250 each — add a 7-row and a 3-row stratum where the expectation
+    // split would swing wildly; quota = floor(n*80/100)
+    val skewed = df.unionByName(Seq.tabulate(10)(i =>
+      (10000L + i, if (i < 7) "tiny7" else "tiny3", "x")).toDF("id", "cat", "v"))
+    val s1 = SampleOps.stratifiedQuotaSplit(skewed, "id", "cat", 80)
+    val s2 = SampleOps.stratifiedQuotaSplit(skewed.repartition(7), "id", "cat", 80)
+    val m1 = s1.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2) // stable under repartitioning
+    val counts = s1.groupBy("cat", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { c =>
+      assert(counts((s"cat$c", "train")) == 200L, counts.toString) // exactly 80% of 250
+      assert(counts((s"cat$c", "test")) == 50L)
+    }
+    assert(counts(("tiny7", "train")) == 5L) // floor(7*0.8) = 5, never 7 or 3
+    assert(counts(("tiny3", "train")) == 2L) // floor(3*0.8) = 2
+    // the cut is the md5-rank prefix: train ids are exactly the quota-many
+    // smallest (md5OrderHash, id) keys within each stratum
+    val cat0 = skewed.filter(col("cat") === "cat0")
+      .select(col("id"), SampleOps.md5OrderHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+    val expectTrain = cat0.take(200).toSet
+    val gotTrain = s1.filter(col("cat") === "cat0" && col("split") === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotTrain == expectTrain)
+  }
+
   test("hashSample keeps the id-stable subset of the split") {
     val sampled = SampleOps.hashSample(df, "id", 80).select("id")
       .collect().map(_.getLong(0)).toSet
