@@ -379,6 +379,29 @@ object SparkEntry {
          COUNT(*) AS n
        FROM rk GROUP BY 1, 2"""
 
+  /** Generated DuckDB replay of p27: the d42 training CTEs, the
+    * doc↔assignment join, the t01 language CASE chain, both aggregates
+    * (exact BIGINT char mass), and the (count DESC, lang ASC) mode rank.
+    */
+  private def clusterProfileOracleSql(spark: SparkSession, dir: String,
+      k: Int, iters: Int): String =
+    s"""${kmeansAssignCtes(spark, dir, k, iters)},
+       j AS (SELECT fa.cell, d.source, length(d.text) AS len,
+               $langCaseSql AS lang
+             FROM documents d JOIN fa ON fa.vec_id = d.doc_id),
+       st AS (SELECT cell, COUNT(*) AS n_docs,
+                CAST(SUM(len) AS BIGINT) AS total_chars,
+                COUNT(DISTINCT source) AS n_sources
+              FROM j GROUP BY cell),
+       lc AS (SELECT cell, lang, COUNT(*) AS c FROM j GROUP BY 1, 2),
+       tl AS (SELECT cell, lang FROM (
+                SELECT cell, lang,
+                  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, lang ASC) AS rn
+                FROM lc) WHERE rn = 1)
+       SELECT CAST(st.cell AS INT) AS cell, st.n_docs, st.total_chars,
+         st.n_sources, tl.lang AS top_lang
+       FROM st JOIN tl ON tl.cell = st.cell"""
+
   private def pqSqlParts(spark: SparkSession, dir: String, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): (String, String) = {
     val books = graft.operators.Similarity.pqCodebooks(
@@ -4035,6 +4058,22 @@ object SparkEntry {
     // holds (orderkey is the key), o_custkey→o_orderstatus is violated,
     // and o_orderdate→month (a derived column) holds NON-trivially —
     // the classic function-of-the-determinant dependency
+    // per-semantic-cluster curation profile (round 18): what is IN each
+    // d42 k-means cell — doc count, exact text mass, source diversity,
+    // dominant language with the (count DESC, lang ASC) tie rule. The
+    // generated oracle replays the whole composition: full k-means
+    // training CTEs + the doc↔assignment join + the t01 language CASE
+    // chain + both aggregates and the mode rank.
+    "p27_cluster_profile" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Profile.semanticClusterProfile(
+          t(s, d, "documents"), "doc_id", "text", "source",
+          Similarity.kmeansAssign(emb, "vec_id", "embedding",
+            Similarity.kmeansDistributed(emb, "vec_id", "embedding",
+              nCentroids = 8, iters = 4)))
+      }),
+
     "p26_functional_deps" -> entry(
       (s, d) => graft.operators.Profile.functionalDependencies(
         t(s, d, "orders")
@@ -6376,7 +6415,9 @@ object SparkEntry {
               "d42_kmeans_distributed" -> (() => kmeansOracleSql(s, d,
                 k = 8, iters = 4)),
               "x20_cluster_split" -> (() => clusterSplitOracleSql(s, d,
-                k = 8, iters = 4, trainPct = 80)))
+                k = 8, iters = 4, trainPct = 80)),
+              "p27_cluster_profile" -> (() => clusterProfileOracleSql(s, d,
+                k = 8, iters = 4)))
             val results = attempts.map { case (nm, gen) =>
               try Right(nm -> gen())
               catch { case scala.util.control.NonFatal(ex) =>

@@ -1608,4 +1608,44 @@ object Profile {
           (col("__s").cast("double") / col("__nv"))).as("variance"),
         col("min_v"), col("max_v"))
   }
+
+  /** Per-SEMANTIC-CLUSTER curation profile (round 18): what is actually
+    * IN each embedding cluster — the question a curation pass asks right
+    * after [[graft.operators.Similarity.kmeansDistributed]] partitions a
+    * corpus into semantic regions: how many documents, how much text
+    * mass, how many distinct sources feed the region, and which language
+    * dominates it. Clusters that are single-source, single-language, or
+    * tiny are the ones a mixture rebalance (x09/x12) acts on.
+    *
+    * Scale shape: one doc↔assignment equi-join (the assignment side is
+    * ids+cells only — a sliver that broadcasts when cells come from a
+    * sampled or distributed k-means either way), then two cell-keyed
+    * aggregates; the dominant language is an exact per-(cell, lang)
+    * count with the (count DESC, lang ASC) tie rule stated in the
+    * result's contract, never a sampled mode.
+    *
+    * @param assigned (vec_id, cell) from [[graft.operators.Similarity.kmeansAssign]]
+    * @return (cell, n_docs, total_chars, n_sources, top_lang)
+    */
+  def semanticClusterProfile(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, assigned: DataFrame): DataFrame = {
+    val joined = docs.join(
+        assigned.select(col("vec_id").as("__doc"), col("cell")),
+        col(idCol) === col("__doc"))
+      .withColumn("__lang", TextOps.langId(col(textCol)))
+    val stats = joined.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_docs"),
+      // DECIMAL sum -> exact, order-independent; cast to long for the
+      // engine-agnostic result type
+      sum(length(col(textCol)).cast(DecimalType(38, 0))).cast("long").as("total_chars"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    val top = joined.groupBy(col("cell"), col("__lang"))
+      .agg(count(lit(1)).as("__ln"))
+      .groupBy(col("cell"))
+      // min over (-count, lang): largest count first, ties to the
+      // lexicographically smallest language — deterministic mode
+      .agg(min(struct((-col("__ln")).as("n"), col("__lang").as("l"))).as("__t"))
+      .select(col("cell"), col("__t.l").as("top_lang"))
+    stats.join(top, "cell")
+  }
 }

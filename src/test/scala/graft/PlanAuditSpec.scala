@@ -546,6 +546,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d42_kmeans_distributed" -> (0, 0),
     // assignment projection + the stratum window + the (cell, split) agg
     "x20_cluster_split" -> (2, 0),
+    // doc↔assignment join (assignment sliver broadcasts) + the stats agg,
+    // the (cell, lang) agg + mode roll-up, and the stats↔mode join
+    "p27_cluster_profile" -> (4, 2),
     // five collected local rows (the per-class est-vs-actual verdicts)
     "q59_cbo_accuracy" -> (0, 0),
     // streamed side is the file sink's parquet read (both query

@@ -23,6 +23,31 @@ class SampleProfileSpec extends AnyFunSuite {
     assert(nTrain > 700 && nTrain < 900) // ~80% of 1000
   }
 
+  test("semanticClusterProfile: exact masses, source diversity, mode tie to the smaller language") {
+    import graft.operators.Profile
+    val docs = Seq(
+      (1L, "der hund und die katze nicht", "sA"),   // de, 28 chars
+      (2L, "the cat and the dog of a", "sA"),       // en
+      (3L, "the dog and a cat of it", "sB"),        // en
+      (4L, "le chat et la maison les", "sB"),       // fr
+      (5L, "el gato los perros las casas es", "sC") // es
+    ).toDF("doc_id", "text", "source")
+    // cell 0 = {1, 2}: de vs en tied 1-1 -> 'de' (lexicographically
+    // smaller) must win; cell 1 = {3, 4, 5}: en/fr/es tied 1-1-1 -> 'en'
+    val assigned = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 1),
+      (99L, 2)).toDF("vec_id", "cell") // 99: assignment with no doc -> no row
+    val got = Profile.semanticClusterProfile(docs, "doc_id", "text", "source", assigned)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val chars0 = docs.filter(col("doc_id") <= 2).agg(sum(length(col("text"))))
+      .head().getLong(0)
+    val chars1 = docs.filter(col("doc_id") >= 3).agg(sum(length(col("text"))))
+      .head().getLong(0)
+    assert(got(0) == ((2L, chars0, 1L, "de")), got.toString)
+    assert(got(1) == ((3L, chars1, 2L, "en")), got.toString) // sources {sB, sC}
+    assert(got.size == 2, s"orphan assignment must not produce a row: $got")
+  }
+
   test("stratifiedQuotaSplit: EXACT per-stratum quotas, deterministic, id-hash-ordered cut") {
     // strata of deliberately awkward sizes: 1000 rows over cat0..3 are
     // 250 each — add a 7-row and a 3-row stratum where the expectation
