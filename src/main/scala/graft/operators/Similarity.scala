@@ -438,7 +438,8 @@ object Similarity {
     * pays this once; checkpoint `assigned` to pin the single scan.
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, sampleSize: Int = 1024, iters: Int = 5): IvfModel = {
+      nCentroids: Int = 16, sampleSize: Int = 1024, iters: Int = 5,
+      distributedTrainer: Boolean = false): IvfModel = {
     require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
     require(sampleSize >= 4 * nCentroids,
       s"sampleSize=$sampleSize cannot train nCentroids=$nCentroids cells: k-means needs " +
@@ -451,7 +452,15 @@ object Similarity {
     // would otherwise fall through every null negSim to an arbitrary cell
     // and could surface as a fabricated NULL-cos neighbor
     val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
-    val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
+    // distributedTrainer (round 18): swap the bounded driver-sample
+    // trainer for [[kmeansDistributed]] — full-corpus Lloyd's whose per-
+    // iteration cost is one scan + a k·dim-integer-sum shuffle, for
+    // corpora whose tail cluster structure a 2^20 sample can't see.
+    // sampleSize is unused on this path; the probe/assignment stages are
+    // trainer-agnostic (an IvfModel is just centroids + assigned cells).
+    val centroids =
+      if (distributedTrainer) kmeansDistributed(emb, idCol, vecCol, nCentroids, iters)
+      else ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
     // per-row cell assignment from broadcast centroid constants (struct
     // ordering makes array_min pick by similarity first)
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>

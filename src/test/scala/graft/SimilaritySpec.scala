@@ -480,6 +480,25 @@ class SimilaritySpec extends AnyFunSuite {
       real, "vec_id", "embedding", model, col("vec_id") < 2, k = 3, nProbe = 99))
   }
 
+  test("ivfAssign distributedTrainer: model carries the full-corpus centroids; full probe stays exact") {
+    import graft.engine.GraftSession
+    val real = GraftSession.table(spark, TestSpark.sfDir, "embeddings")
+    val model = Similarity.ivfAssign(real, "vec_id", "embedding",
+      nCentroids = 4, iters = 3, distributedTrainer = true)
+    val direct = Similarity.kmeansDistributed(real, "vec_id", "embedding", 4, 3)
+    assert(model.centroids.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      "ivfAssign must delegate training verbatim to kmeansDistributed")
+    // the probe stage is trainer-agnostic: probing EVERY cell of ANY
+    // correct assignment recovers the exact brute-force ranking
+    val q = col("vec_id") < 3
+    val full = Similarity.ivfProbe(real, "vec_id", "embedding", model, q,
+        k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(real, "vec_id", "embedding", q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact)
+  }
+
   test("kmeansDistributed: separates planted clusters, deterministic across partitionings, empty cell keeps its centroid") {
     // three tight clusters around orthogonal axes — any correct k-means
     // with k=3 lands one centroid per axis whatever the iteration count
