@@ -789,9 +789,14 @@ object Bench {
     // p24/p25 joined in the continued round-17 session: the sketch-state
     // scale claim ("bounded rows out however large the corpus") gets its
     // measured 100×-direction point alongside the dedup family's
+    // j06/s03 joined in round 19 (verdict item 8): the heaviest as-of
+    // (union + running-last window) and sessionize (lag window) entries,
+    // so the window/union shapes carry their own 100×-direction point —
+    // both scan only the events table the sf10 subset ships
     val sf10Heavy = Seq("d03_dedup_minhash", "d05_ngram_jaccard",
       "d11_dedup_components", "d13_dedup_transitive", "d28_containment",
-      "p15_heavy_hitters", "p24_hll_distinct", "p25_kmv_overlap")
+      "p15_heavy_hitters", "p24_hll_distinct", "p25_kmv_overlap",
+      "j06_nearest", "s03_events_sessionize")
     val sf10Result: Option[(String, Double, Seq[Sf10Row])] =
       if (!sys.env.get("SPARK_GRAFT_SF10").contains("on")) None
       else try {
@@ -851,8 +856,18 @@ object Bench {
           // corpora grow vocabulary ~√N, and this measures d05/d28 on one
           // at the same 100× scale. Candidate bounds are read FIRST (the
           // d37/d38 discipline) and logged, so the BENCH_NOTES table can
-          // show candidate volume next to wall/shuffle.
-          val zipfRows = {
+          // show candidate volume next to wall/shuffle. BOTH timed rows
+          // run 16-way BLOCKED (round 19 closes the d05 hygiene gap the
+          // r18 verdict flagged): the unblocked bounds are logged as the
+          // refuse-evidence a budget gate acts on — the unblocked d05
+          // wall was a 253-366 s single-measurement that dominated the
+          // section and carried ±45% session noise; the production shape
+          // (d05's own entry blocks by source) is what gets timed.
+          // Isolated in its own try (round-19 advisor find): a zipf
+          // failure — e.g. the disk-full mode the generation can hit —
+          // must degrade to the already-measured heavy-entry rows, not
+          // discard them via the section-level catch.
+          val zipfRows = try {
             import org.apache.spark.sql.functions.{col, concat, lit, pmod, sum}
             import graft.operators.Dedup
             val zipfDir = new java.io.File(
@@ -860,29 +875,35 @@ object Bench {
             val zGenS = time(graft.tools.ScaleData.ensureZipfCorpus(
               spark, zipfDir, nDocs = 500000L, partitions = 256))
             val zdocs = spark.read.parquet(s"$zipfDir/documents.parquet")
-            // containment runs 16-way BLOCKED: its asymmetric filter has
-            // no size-ratio prune, and on the unblocked 500k-doc corpus
-            // the bound reads 515M pre-join pairs — measured to exceed
-            // local disk (>73 GB spill, "No space left on device",
-            // round-18 probe). That unblocked bound is logged as the
-            // refuse-evidence (what d38's gate answers); the timed row is
-            // the production shape (d28's own entry blocks by source).
+            // the unblocked 500k-doc containment bound reads 515M
+            // pre-join pairs — measured to exceed local disk (>73 GB
+            // spill, "No space left on device", round-18 probe); the
+            // unblocked d05 bound is the same cliff one size down
             val zBlocked = zdocs.withColumn("source",
               concat(lit("blk"), pmod(col("doc_id"), lit(16L)).cast("string")))
             val jB = Dedup.ppjoinCandidateBound(zdocs, "doc_id", "text", "source", 0.8)
+              .agg(sum(col("candidate_pairs"))).head().getLong(0)
+            val jBblk = Dedup.ppjoinCandidateBound(zBlocked, "doc_id", "text", "source", 0.8)
               .agg(sum(col("candidate_pairs"))).head().getLong(0)
             val cB = Dedup.containmentCandidateBound(zdocs, "doc_id", "text", "source", 0.9)
               .agg(sum(col("candidate_pairs"))).head().getLong(0)
             val cBblk = Dedup.containmentCandidateBound(zBlocked, "doc_id", "text", "source", 0.9)
               .agg(sum(col("candidate_pairs"))).head().getLong(0)
             System.err.println(f"[bench] zipf10 gen=$zGenS%.1f s " +
-              s"jaccard_candidate_bound=$jB containment_candidate_bound=$cB " +
+              s"jaccard_candidate_bound_unblocked=$jB (refuse-evidence) " +
+              s"jaccard_candidate_bound_blocked16=$jBblk " +
+              s"containment_candidate_bound_unblocked=$cB (refuse-evidence) " +
               s"containment_candidate_bound_blocked16=$cBblk")
             Seq(
-              measureSf10("d05_zipf_heaps")(materialize(
-                Dedup.ngramJaccardPairs(zdocs, "doc_id", "text", "source", 0.8))),
+              measureSf10("d05_zipf_blocked16")(materialize(
+                Dedup.ngramJaccardPairs(zBlocked, "doc_id", "text", "source", 0.8))),
               measureSf10("d28_zipf_blocked16")(materialize(
                 Dedup.containmentPairs(zBlocked, "doc_id", "text", "source", 0.9))))
+          } catch { case e: Throwable =>
+            failed += "sf10:zipf"
+            System.err.println(
+              s"[bench] sf10 zipf sub-block failed (heavy-entry rows kept): ${e.getMessage}")
+            Seq.empty[Sf10Row]
           }
           entryRows ++ zipfRows
         } finally spark.conf.set(shufKey, prevShuf)
@@ -892,6 +913,25 @@ object Bench {
         System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
         None
       }
+
+    // ---- CBO accuracy at bench scale (round 19): the q59 entry pins the
+    // estimator at the oracle SF, but estimator error is scale-dependent
+    // (the join band's 2.13x ratio was an sf0.001 measurement), so the
+    // artifact carries measured est/actual per operator class at THIS
+    // sfDir and — when the sf1 section ran — at sf1, next to the shape
+    // tables those bands contextualize. One execution per shape
+    // (estimate read off the optimized plan, actual one count).
+    val cboAccuracy: Seq[(String, Seq[(String, BigInt, Long, String, Boolean)])] = {
+      def section(label: String, dir: String) =
+        try Some(label -> graft.engine.CboAccuracy.estimatesWithVerdict(spark, dir))
+        catch { case e: Throwable =>
+          failed += s"cbo:$label"
+          System.err.println(s"[bench] cbo_accuracy $label failed: ${e.getMessage}")
+          None
+        }
+      section("base", sfDir).toSeq ++
+        sf1Result.flatMap { case (sf1Dir, _, _, _) => section("sf1", sf1Dir) }
+    }
 
     // Locale.ROOT formatting throughout: the f-interpolator uses the JVM
     // default locale, and a comma-decimal locale would emit invalid JSON
@@ -1014,6 +1054,13 @@ object Bench {
           else s""","query_gc_ms":$g,"query_task_ms":$tk,"query_shuffle_b":$shuf,"dir":"${jesc(dir)}""""
         s"""{"gen_s":${num("%.1f", genS)},"queries":$q,"query_verdict":${if (slim) slimVd else vd},"shapes":$sh$gcPart}"""
     }
+    def cboJson(slim: Boolean): String = cboAccuracy.map { case (label, rows) =>
+      val rs = rows.map { case (op, est, actual, band, ok) =>
+        if (slim) s""""$op":[$est,$actual]"""
+        else s""""$op":{"est":$est,"actual":$actual,"band":"${jesc(band)}","ok":$ok}"""
+      }.mkString("{", ",", "}")
+      s""""$label":$rs"""
+    }.mkString("{", ",", "}")
     val sf10Json: String = sf10Result match {
       case None => "null"
       case Some((dir, genS, rows)) =>
@@ -1022,7 +1069,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"gen_s":${num("%.1f", genS)},"copies":100,"tables":"documents,events","shuffle_partitions":1024,"queries":$q,"dir":"${jesc(dir)}"}"""
     }
-    val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"query_gc_ms":$qGc,"query_task_ms":$qTask,"twins":$tw,"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv,"shapes_measured":"pre+post-sweep, per-shape best-evidenced"},"baseline_shapes":$bs,"sf1":${sf1Json(slim = false)},"sf10":$sf10Json,"sf":"${jesc(sfDir)}"}"""
+    val full = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"query_gc_ms":$qGc,"query_task_ms":$qTask,"twins":$tw,"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv,"shapes_measured":"pre+post-sweep, per-shape best-evidenced"},"baseline_shapes":$bs,"sf1":${sf1Json(slim = false)},"sf10":$sf10Json,"cbo_accuracy":${cboJson(slim = false)},"sf":"${jesc(sfDir)}"}"""
     // the full JSON (per-query times + per-query GC) goes to a FILE only
     // (SPARK_GRAFT_BENCH_OUT, default bench_out.json). The driver keeps
     // only the LAST 2000 chars of stdout (BENCH_r12's "tail" — its parse
@@ -1033,7 +1080,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    val compact = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv},"baseline_shapes":$bsSlim,"sf1":${sf1Json(slim = true)},"sf":"${jesc(sfDir)}","detail":"${jesc(outPath)}"}"""
+    val compact = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failures":$fails,"env":{"heap_max_mb":$heapMaxMb,$sweepEnv},"baseline_shapes":$bsSlim,"sf1":${sf1Json(slim = true)},"cbo":${cboJson(slim = true)},"sf":"${jesc(sfDir)}","detail":"${jesc(outPath)}"}"""
     if (compact.length > 2000)
       System.err.println(s"[bench] compact line ${compact.length} chars > 2000 — driver tail will truncate it")
     spark.stop()

@@ -402,6 +402,113 @@ object SparkEntry {
          st.n_sources, tl.lang AS top_lang
        FROM st JOIN tl ON tl.cell = st.cell"""
 
+  /** Per-subspace DISTRIBUTED PQ training CTEs for the d43 replay —
+    * [[kmeansAssignCtes]]' discipline applied to
+    * [[Similarity.pqCodebooksDistributed]]'s Euclidean Lloyd's: per
+    * subspace j, init = slices of the ksub lowest-id unit vectors;
+    * per iteration, assignment by argmin ‖c‖² − 2·sub·c (both terms
+    * sequential list_dot_product folds, ties to the lowest code) and
+    * re-estimation as EXACT integer sums of floor(u·1e6) per (code,
+    * sub-dim) divided by n·1e6 in ONE IEEE double division (exact
+    * operands → bit-identical on any engine; an empty code keeps its
+    * previous centroid). `penc{j}` is the final per-subspace encode —
+    * one more assignment pass over the final books. Expects CTE `un`
+    * upstream.
+    */
+  private def pqTrainCtes(dim: Int, m: Int, ksub: Int, iters: Int): String = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      def assignCte(name: String, from: String): String =
+        s"""$name AS (SELECT vec_id, code FROM (
+           SELECT un.vec_id, b.code,
+             ROW_NUMBER() OVER (PARTITION BY un.vec_id
+               ORDER BY (list_dot_product(b.bvec, b.bvec)
+                         - 2 * list_dot_product(un.u[$lo:$hi], b.bvec)) ASC,
+                 b.code ASC) AS rn
+           FROM un CROSS JOIN $from b) WHERE rn = 1)"""
+      val init =
+        s"""pb${j}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             u[$lo:$hi] AS bvec
+           FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT $ksub))"""
+      val iterBlocks = (1 to iters).map { i =>
+        s"""${assignCte(s"pa${j}_$i", s"pb${j}_${i - 1}")},
+       ps${j}_$i AS (SELECT a.code, d.i AS t,
+           SUM(CAST(FLOOR(un.u[${lo - 1} + d.i] * 1e6) AS BIGINT)) AS s,
+           COUNT(*) AS n
+         FROM pa${j}_$i a JOIN un ON un.vec_id = a.vec_id, range(1, ${subDim + 1}) d(i)
+         GROUP BY 1, 2),
+       pb${j}_$i AS (SELECT b.code,
+           CASE WHEN v.code IS NULL THEN b.bvec ELSE v.bvec END AS bvec
+         FROM pb${j}_${i - 1} b LEFT JOIN (
+           SELECT code, list(CAST(s AS DOUBLE) / (n * 1e6) ORDER BY t) AS bvec
+           FROM ps${j}_$i GROUP BY code) v ON v.code = b.code)"""
+      }.mkString(",\n       ")
+      s"""$init,
+       $iterBlocks,
+       ${assignCte(s"penc$j", s"pb${j}_$iters")}"""
+    }.mkString(",\n       ")
+  }
+
+  /** Generated DuckDB replay of d43's FULLY-DISTRIBUTED-TRAINING IVF-PQ
+    * stack — the d34 probe/ADC/re-rank chain with BOTH trainings
+    * re-derived in SQL instead of embedded as Spark-trained constants:
+    * coarse spherical k-means via [[kmeansAssignCtes]] (d42's unrolled
+    * Lloyd's), per-subspace Euclidean codebooks via [[pqTrainCtes]],
+    * then probe lists off the final centroid CTE, ADC as the same
+    * left-assoc sum of sub-dots against the final book CTEs, c·k
+    * shortlist, exact re-rank, recall@k against the shared exact
+    * baseline. Nothing in this SQL came from the Spark run — a
+    * divergence anywhere in either training or the query stack flips
+    * the hash.
+    */
+  private def ivfPqDistOracleSql(spark: SparkSession, dir: String,
+      nCentroids: Int, m: Int, ksub: Int, iters: Int, nProbe: Int, k: Int,
+      shortlist: Int): String = {
+    val dim = t(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .head().getInt(0)
+    val subDim = dim / m
+    val encCols = (0 until m).map(j => s"penc$j.code AS code$j").mkString(", ")
+    val encJoins = (0 until m)
+      .map(j => s"JOIN penc$j ON penc$j.vec_id = fa.vec_id").mkString("\n            ")
+    val adc = (0 until m).map { j =>
+      s"list_dot_product(q.u[${j * subDim + 1}:${(j + 1) * subDim}], b$j.bvec)"
+    }.mkString("\n            + ")
+    val bookJoins = (0 until m)
+      .map(j => s"JOIN pb${j}_$iters b$j ON b$j.code = e.code$j").mkString("\n            ")
+    s"""${kmeansAssignCtes(spark, dir, nCentroids, iters)},
+       ${pqTrainCtes(dim, m, ksub, iters)},
+       enc AS (SELECT fa.vec_id, fa.cell, $encCols
+               FROM fa $encJoins),
+       qrank AS (SELECT un.vec_id AS q_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY un.vec_id
+             ORDER BY list_dot_product(un.u, c.cvec) DESC, c.cell ASC) AS rn
+         FROM un CROSS JOIN c$iters c WHERE un.vec_id < 10),
+       probes AS (SELECT q_id, cell FROM qrank WHERE rn <= $nProbe),
+       q AS (SELECT vec_id AS q_id, u FROM un WHERE vec_id < 10),
+       sc AS (SELECT p.q_id, e.vec_id AS n_id,
+            ($adc) AS score
+          FROM probes p
+            JOIN enc e ON e.cell = p.cell AND e.vec_id <> p.q_id
+            JOIN q ON q.q_id = p.q_id
+            $bookJoins),
+       adcrk AS (SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS r
+                 FROM sc),
+       short AS (SELECT q_id, n_id FROM adcrk WHERE r <= ${k * shortlist}),
+       rr AS (SELECT s.q_id, s.n_id, list_dot_product(qu.u, nu.u) AS cos
+              FROM short s JOIN un qu ON qu.vec_id = s.q_id
+                           JOIN un nu ON nu.vec_id = s.n_id),
+       ap AS (SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+                SELECT q_id, n_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM rr) WHERE rank <= $k),
+       ${annOracleTail(k)}"""
+  }
+
   private def pqSqlParts(spark: SparkSession, dir: String, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): (String, String) = {
     val books = graft.operators.Similarity.pqCodebooks(
@@ -2017,6 +2124,43 @@ object SparkEntry {
             nCentroids = 8, iters = 4))
       }),
 
+    // IVF-PQ with BOTH trainers distributed (round 19): coarse cells
+    // from d42's full-corpus spherical Lloyd's, codebooks from the new
+    // per-subspace Euclidean Lloyd's (exact-integer re-estimation sums,
+    // one IEEE division per component) — no stage of the ANN stack reads
+    // a driver-side sample any more. The oracle re-derives BOTH
+    // trainings in SQL (not Spark-trained constants: every Lloyd's
+    // iteration of both k-means runs is unrolled CTE algebra) and
+    // replays probe/ADC/shortlist/re-rank/recall on top of them.
+    "d43_ann_ivfpq_distributed" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val k = 5
+        val model = Similarity.ivfPqEncodeDistributed(emb, "vec_id", "embedding",
+          nCentroids = 8, m = 4, ksub = 8, iters = 3)
+        val approx = Similarity.ivfPqProbe(emb, "vec_id", "embedding", model,
+          col("vec_id") < 10, k = k, nProbe = 2, shortlist = 4)
+        if (!annRecall) approx
+        else Similarity.withRecallAtK(approx,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = k),
+          k = k)
+      }),
+
+    // broadcast-centroid assignment (round 19): kmeansAssign past its
+    // plan-literal ceiling — centroids ship as a broadcast TABLE and one
+    // map-side-combined aggregate keeps the (negSim, cell)-minimal
+    // struct per vector, so nothing k-sized rides the plan or the
+    // generated code. Same training as d42, same oracle SQL verbatim:
+    // the two assignment shapes must be bit-identical (also pinned
+    // directly in SimilaritySpec).
+    "d44_kmeans_assign_join" -> noOracle(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.kmeansAssignJoin(emb, "vec_id", "embedding",
+          Similarity.kmeansDistributed(emb, "vec_id", "embedding",
+            nCentroids = 8, iters = 4))
+      }),
+
     // product-quantization ANN (round 12): the compressed-scan path —
     // unit vectors encoded as m per-subspace centroid codes (32× smaller
     // than the floats), queries score candidates via per-query lookup
@@ -2943,6 +3087,47 @@ object SparkEntry {
            CAST(ag.n_frames_b_matched AS DOUBLE) / cb.nf AS overlap_b
          FROM ag JOIN cnt ca ON ca.doc_id = ag.video_a
                  JOIN cnt cb ON cb.doc_id = ag.video_b"""),
+
+    // the multimodal budget gate's GUARD branch (round 19, the verdict's
+    // item 6): constant frame payloads — every video the same 64-byte
+    // still, the degenerate shape re-encoded filler produces — collapse
+    // every pigeonhole block into ONE bucket and the "banded" frame join
+    // turns all-pairs (4·C(n_frames, 2) candidates). The gated operator
+    // evaluates the exact pre-verify bound off the SAME packed frame the
+    // join would read, refuses, and returns the 1-row guard frame. The
+    // oracle replays the packing, the 15-bit block split and the bucket
+    // combinatorics from the raw table.
+    "m10_video_dedup_gate" -> entry(
+      (s, d) => {
+        val vids = t(s, d, "documents")
+          .select(col("doc_id"),
+            lit("STILLFRAMESTILLFRAMESTILLFRAMESTILLFRAMESTILLFRAMESTILLFRAME64.").as("text"))
+        Multimodal.videoNearDupPairsBudgeted(
+          Multimodal.videoFrameSignatures(
+            Multimodal.attachBinary(vids, "doc_id", "text"),
+            frameBytes = 16, everyN = 4),
+          maxHamming = 2, blockBits = 15, maxCandidates = 100000L,
+          onExceed = "guard")
+      },
+      """WITH v AS (SELECT doc_id,
+             'STILLFRAMESTILLFRAMESTILLFRAMESTILLFRAMESTILLFRAMESTILLFRAME64.' AS text
+           FROM documents),
+         f0 AS (SELECT doc_id, text,
+                  CAST(ceil(strlen(text) / 16.0) AS INT) AS n_frames
+                FROM v WHERE strlen(text) > 0),
+         fr AS (SELECT doc_id, CAST(fno AS INT) AS frame_no,
+                  substr(text, CAST(fno * 16 + 1 AS INT), 16) AS fb
+                FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS fno FROM f0)
+                WHERE fno % 4 = 0),
+         sg AS (SELECT doc_id * 1000000 + frame_no AS fid,
+                  CAST(('0x' || substr(md5(fb), 1, 15)) AS BIGINT) AS sig FROM fr),
+         bl AS (SELECT j, (sig >> CAST(j * 15 AS INT)) & 32767 AS blkval,
+                  COUNT(*) AS n
+                FROM sg, range(0, 4) t(j) GROUP BY 1, 2)
+         SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(100000 AS BIGINT) AS budget
+         FROM bl"""),
 
     // VAD speech segmentation (round 12): m05's energy gate composed
     // with gaps-and-islands — consecutive voiced frames merge into the
@@ -5856,7 +6041,7 @@ object SparkEntry {
         // round 17: the guard's cost must stay FLAT as y-entries grow —
         // persist the frames every branch re-derives (events-with-ts,
         // the click/purchase interval-join sides, the session input,
-        // docs) once, compute the 12-row guard eagerly, release in
+        // docs) once, compute the one-row-per-twin guard eagerly, release in
         // finally (the d05/d28 idiom). The collect is bounded by
         // construction: one row per twin, never data-sized.
         val evTs = t(s, d, "events").filter(col("ts").isNotNull)
@@ -5892,6 +6077,8 @@ object SparkEntry {
             cnt("y11", evTs.filter(col("user_id").isNotNull &&
               col("event_type").isNotNull).select(col("user_id")).distinct()),
             cnt("y12", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
+              StreamingOps.finalWatermarkUs(sess))),
+            cnt("y13", StreamingOps.sessionWindowBatchDecided(sess, gapUs,
               StreamingOps.finalWatermarkUs(sess))),
             cnt("t07", docs))
             .reduce(_.unionByName(_))
@@ -5964,6 +6151,8 @@ object SparkEntry {
          UNION ALL SELECT 'y11', (SELECT COUNT(DISTINCT user_id) FROM events
            WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL)
          UNION ALL SELECT 'y12', (SELECT COUNT(*) FROM sess, sesswm
+           WHERE last_us + 1800000000 <= sesswm.wm)
+         UNION ALL SELECT 'y13', (SELECT COUNT(*) FROM sess, sesswm
            WHERE last_us + 1800000000 <= sesswm.wm)
          UNION ALL SELECT 't07', (SELECT COUNT(*) FROM documents)"""),
 
@@ -6322,6 +6511,30 @@ object SparkEntry {
                 CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
          WHERE FALSE"""),
 
+    // mid-batch-kill recovery (round 19): the harder twin y12 stopped
+    // short of — after instance 2's sink commit, the checkpoint's newest
+    // commit-log entry is DELETED (byte-for-byte the crash window
+    // between sink commit and commit-log write), so instance 3 must
+    // re-execute that batch from offsets/N; the file sink's
+    // _spark_metadata makes the replayed write a no-op (no duplicates)
+    // and the third delivery lands on the recovered state (no loss).
+    // Committed three-instance total ≡ single-pass batch twin, exactly.
+    "y13_midbatch_kill_recovery" -> entry(
+      (s, d) => {
+        import graft.streaming.StreamingOps
+        val gapUs = 1800L * 1000000L
+        val ev = t(s, d, "events")
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"))
+        val streamed = StreamingOps.midBatchKillRecoverySessions(ev, gapUs)
+        val batch = StreamingOps.sessionWindowBatchDecided(ev, gapUs,
+          StreamingOps.finalWatermarkUs(ev))
+        streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+      },
+      """SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS TIMESTAMP) AS sess_start,
+                CAST(NULL AS TIMESTAMP) AS sess_end, CAST(NULL AS BIGINT) AS n_events
+         WHERE FALSE"""),
+
     // stateful sessionization (mapGroupsWithState): per-user 30-min-gap
     // session counts from the stream vs the batch lag-window derivation.
     // Update-mode rows are folded per user (max running session count,
@@ -6413,6 +6626,11 @@ object SparkEntry {
                 Seq((1, 4), (2, 2), (2, 4), (4, 4)), nCentroids = 16, m = 8,
                 ksub = 16, sampleSize = 1024, iters = 5, k = 5)),
               "d42_kmeans_distributed" -> (() => kmeansOracleSql(s, d,
+                k = 8, iters = 4)),
+              "d43_ann_ivfpq_distributed" -> (() => ivfPqDistOracleSql(s, d,
+                nCentroids = 8, m = 4, ksub = 8, iters = 3, nProbe = 2,
+                k = 5, shortlist = 4)),
+              "d44_kmeans_assign_join" -> (() => kmeansOracleSql(s, d,
                 k = 8, iters = 4)),
               "x20_cluster_split" -> (() => clusterSplitOracleSql(s, d,
                 k = 8, iters = 4, trainPct = 80)),

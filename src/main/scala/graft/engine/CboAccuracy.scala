@@ -62,27 +62,35 @@ object CboAccuracy {
     * [[GraftSession.build]]); ANALYZEd catalog tables are ensured here.
     */
   def estimatedVsActual(spark: SparkSession, dir: String): DataFrame = {
-    GraftSession.ensureAnalyzedCatalog(spark, dir)
-    val rows = shapes.map { sh =>
-      val df = spark.sql(sh.sql)
-      val est = df.queryExecution.optimizedPlan.stats.rowCount
-        .getOrElse(sys.error(s"no rowCount estimate for ${sh.opClass} — " +
-          "is spark.sql.cbo.enabled on and the catalog ANALYZEd?"))
-      val actual = df.count()
-      (sh.opClass, actual, sh.band, sh.ok(est, actual))
+    val rows = estimatesWithVerdict(spark, dir).map { case (op, est, actual, band, ok) =>
+      if (est < 0)
+        sys.error(s"no rowCount estimate for $op — " +
+          "is spark.sql.cbo.enabled on and the catalog ANALYZEd?")
+      (op, actual, band, ok)
     }
     import spark.implicits._
     rows.toDF("op_class", "actual_rows", "est_band", "est_ok")
   }
 
-  /** The raw (op_class, est, actual) triples for spec-level pinning. */
-  private[graft] def estimates(spark: SparkSession, dir: String): Seq[(String, BigInt, Long)] = {
+  /** One (op_class, est, actual, band, ok) row per shape — the single
+    * execution behind [[estimatedVsActual]], also consumed by the bench's
+    * `cbo_accuracy` section (round 19: estimator error is
+    * scale-dependent, so the artifact reports est/actual at sf0.1 and
+    * sf1 next to the oracle-scale q59 entry). est = −1 when no estimate
+    * exists.
+    */
+  private[graft] def estimatesWithVerdict(spark: SparkSession, dir: String)
+      : Seq[(String, BigInt, Long, String, Boolean)] = {
     GraftSession.ensureAnalyzedCatalog(spark, dir)
     shapes.map { sh =>
       val df = spark.sql(sh.sql)
-      (sh.opClass,
-        df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1)),
-        df.count())
+      val est = df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      val actual = df.count()
+      (sh.opClass, est, actual, sh.band, est >= 0 && sh.ok(est, actual))
     }
   }
+
+  /** The raw (op_class, est, actual) triples for spec-level pinning. */
+  private[graft] def estimates(spark: SparkSession, dir: String): Seq[(String, BigInt, Long)] =
+    estimatesWithVerdict(spark, dir).map { case (op, est, actual, _, _) => (op, est, actual) }
 }

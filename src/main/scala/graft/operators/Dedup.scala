@@ -750,12 +750,21 @@ object Dedup {
     * within hamming <= 3 must agree on at least one block. Shuffles on
     * (block id, block value) only.
     */
-  private def simhashPairs(sh: DataFrame, blockBits: Int, maxHamming: Int): DataFrame = {
-    require(maxHamming < 4, "block trick with 4 blocks covers hamming <= 3")
+  /** The 4-block pigeonhole explosion shared by [[simhashPairs]] and
+    * [[hammingCandidateBound]]: (doc_id, simhash, blk, blkval), one row
+    * per (doc, block). Factored out (round 19) so the budget gate reads
+    * the SAME banding the candidate join would — the d40 discipline.
+    */
+  private def simhashBlocks(sh: DataFrame, blockBits: Int): DataFrame = {
     val mask = (1L << blockBits) - 1
-    val blocks = sh.select(col("doc_id"), col("simhash"),
+    sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * blockBits).bitwiseAND(mask)): _*)).as(Seq("blk", "blkval")))
+  }
+
+  private def simhashPairs(sh: DataFrame, blockBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "block trick with 4 blocks covers hamming <= 3")
+    val blocks = simhashBlocks(sh, blockBits)
     val a = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocks.select(col("blk"), col("blkval"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("blk", "blkval"))
@@ -830,6 +839,85 @@ object Dedup {
       sigs.filter(col(s"`$idCol`").isNotNull && col(s"`$sigCol`").isNotNull)
         .select(col(s"`$idCol`").as("doc_id"), col(s"`$sigCol`").cast("long").as("simhash")),
       blockBits, maxHamming)
+  }
+
+  /** EXACT per-block upper bound on [[hammingNearDuplicates]]' pigeonhole
+    * candidate-join volume (round 19) — [[ppjoinCandidateBound]]'s sibling
+    * for the ≤64-bit signature engine: per (block, block-value) bucket of
+    * n signatures the self-join emits exactly C(n, 2) ordered pairs
+    * before the bit_count verify prunes, so summing per block bounds the
+    * join's row volume from above with one aggregate over the same banded
+    * frame the join reads. The degenerate input this guards against is
+    * band SKEW — constant payloads (re-encoded video stills, filler
+    * frames, boilerplate thumbnails) collapse a block into ONE bucket and
+    * the "banded" join silently turns all-pairs.
+    *
+    * @return (blk, candidate_pairs, max_bucket_n, n_buckets), one row per
+    *         pigeonhole block (always ≤ 4 rows)
+    */
+  def hammingCandidateBound(sigs: DataFrame, idCol: String, sigCol: String,
+      blockBits: Int = 16): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 16,
+      s"blockBits must be in [1, 16] (4 blocks cover <= 64 bits), got $blockBits")
+    simhashBlocks(
+      sigs.filter(col(s"`$idCol`").isNotNull && col(s"`$sigCol`").isNotNull)
+        .select(col(s"`$idCol`").as("doc_id"), col(s"`$sigCol`").cast("long").as("simhash")),
+      blockBits)
+      .groupBy(col("blk"), col("blkval")).agg(count(lit(1)).as("n"))
+      .groupBy(col("blk"))
+      .agg(sum(expr("(n * (n - 1)) div 2")).cast("long").as("candidate_pairs"),
+        max(col("n")).cast("long").as("max_bucket_n"),
+        count(lit(1)).as("n_buckets"))
+  }
+
+  /** Budget-gated [[hammingNearDuplicates]] — the d40 contract on the
+    * hamming engine: the EXACT pre-verify candidate bound
+    * ([[hammingCandidateBound]]) is evaluated first (one aggregate, ~free
+    * next to the join), and the operator refuses to walk into a
+    * band-skew cliff instead of discovering it as a multi-hour stage.
+    * Within budget the result is BIT-IDENTICAL to the ungated operator
+    * (same banded join, same verify). Over budget, `onExceed`:
+    *  - `"fail"` (default): throw `IllegalStateException` naming the
+    *    bound, the budget, and the worst (block, bucket) skew;
+    *  - `"guard"`: return the 1-row guard frame
+    *    (candidate_pairs, max_bucket_n, budget) — the decision as data,
+    *    schema intentionally distinct from the pairs schema.
+    * (No third fallback branch: unlike PPJoin→MinHash there is no
+    * cheaper estimator with the same contract under a ≤64-bit exact
+    * hamming radius — the honest answers are re-key or don't run.)
+    *
+    * @param maxCandidates total pre-verify pair budget summed across the
+    *        4 blocks; `Long.MaxValue` skips the bound job entirely
+    */
+  def hammingNearDuplicatesBudgeted(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, blockBits: Int = 16, maxCandidates: Long = Long.MaxValue,
+      onExceed: String = "fail"): DataFrame = {
+    require(Set("fail", "guard")(onExceed),
+      s"onExceed must be fail|guard, got $onExceed")
+    if (maxCandidates == Long.MaxValue)
+      return hammingNearDuplicates(sigs, idCol, sigCol, maxHamming, blockBits)
+    // one row per pigeonhole block (<= 4) — driver read is constant-size
+    val rows = hammingCandidateBound(sigs, idCol, sigCol, blockBits)
+      .select(col("blk"), col("candidate_pairs"), col("max_bucket_n")).collect()
+    val total = rows.map(_.getLong(1)).sum
+    if (total <= maxCandidates)
+      hammingNearDuplicates(sigs, idCol, sigCol, maxHamming, blockBits)
+    else {
+      val worst = rows.maxBy(_.getLong(1))
+      onExceed match {
+        case "fail" => throw new IllegalStateException(
+          s"hamming candidate bound $total exceeds budget $maxCandidates " +
+            s"(worst block ${worst.getInt(0)}: ${worst.getLong(1)} pairs, " +
+            s"max bucket ${worst.getLong(2)} signatures); the signatures are " +
+            "band-skewed — use a wider/better hash, pre-dedup constant payloads, " +
+            "or route the decision as data (onExceed=\"guard\")")
+        case "guard" =>
+          val spark = sigs.sparkSession
+          import spark.implicits._
+          Seq((total, rows.map(_.getLong(2)).max, maxCandidates))
+            .toDF("candidate_pairs", "max_bucket_n", "budget")
+      }
+    }
   }
 
   /** Survivor selection with a QUALITY policy: near-dup connected

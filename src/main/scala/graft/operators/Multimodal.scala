@@ -473,22 +473,30 @@ object Multimodal {
     *         n_frames_b_matched, overlap_a, overlap_b), video_a < video_b
     */
   def videoNearDupPairs(sigs: DataFrame, maxHamming: Int = 2,
-      blockBits: Int = 15): DataFrame = {
-    // collision-free packing needs BOTH range guards (round 18, advisor
-    // find): (a) frame_no in [0, 1e6) so frames can't bleed into the
-    // video part; (b) doc_id in the no-overflow band — doc_id * 1e6 wraps
-    // silently for |doc_id| beyond ~9.2e12 (ANSI off), and wrapped fids
-    // can merge DISTINCT videos (1e6 is even, so the wrap map is not
-    // injective). Ids from xxhash64 (e.g. [[fromBinaryFiles]]) routinely
-    // exceed the band — such corpora must remap to dense video ids before
-    // calling; the in-plan assert makes that a loud error, never a
-    // silently corrupted overlap count. NEGATIVE in-band ids are fine:
-    // the unpack below subtracts the pmod remainder first, so the
-    // truncating `div` always divides an exact multiple — floor-division
-    // semantics for any sign, consistent with pmod.
+      blockBits: Int = 15): DataFrame =
+    videoPairsFromPacked(sigs, packFrameIds(sigs), maxHamming, blockBits)
+
+  /** The collision-free (video, frame) → fid packing stage of
+    * [[videoNearDupPairs]], factored out (round 19) so the budget gate
+    * reads the SAME packed frame the hamming join would.
+    *
+    * Packing needs BOTH range guards (round 18, advisor find): (a)
+    * frame_no in [0, 1e6) so frames can't bleed into the video part;
+    * (b) doc_id in the no-overflow band — doc_id * 1e6 wraps silently
+    * for |doc_id| beyond ~9.2e12 (ANSI off), and wrapped fids can merge
+    * DISTINCT videos (1e6 is even, so the wrap map is not injective).
+    * Ids from xxhash64 (e.g. [[fromBinaryFiles]]) routinely exceed the
+    * band — such corpora must remap to dense video ids before calling;
+    * the in-plan assert makes that a loud error, never a silently
+    * corrupted overlap count. NEGATIVE in-band ids are fine: the unpack
+    * subtracts the pmod remainder first, so the truncating `div` always
+    * divides an exact multiple — floor-division semantics for any sign,
+    * consistent with pmod.
+    */
+  private def packFrameIds(sigs: DataFrame): DataFrame = {
     val maxDoc = (Long.MaxValue - 999999L) / 1000000L
     val minDoc = Long.MinValue / 1000000L
-    val packed = sigs
+    sigs
       .filter(assert_true(
         col("frame_no") >= 0 && col("frame_no") < lit(1000000L)
           && col("doc_id") >= lit(minDoc) && col("doc_id") <= lit(maxDoc),
@@ -497,6 +505,11 @@ object Multimodal {
           col("frame_no").cast("string"), lit(")"))).isNull)
       .select((col("doc_id") * lit(1000000L) + col("frame_no")).as("fid"),
         col("sig"))
+  }
+
+  /** Pairing + per-video-pair aggregation downstream of [[packFrameIds]]. */
+  private def videoPairsFromPacked(sigs: DataFrame, packed: DataFrame,
+      maxHamming: Int, blockBits: Int): DataFrame = {
     // `div` (integral divide) of the exact multiple (fid - pmod): double
     // `/` would round above 2^53
     def unpackVideo(name: String) =
@@ -521,5 +534,56 @@ object Multimodal {
         col("n_frames_a_matched"), col("n_frames_b_matched"),
         (col("n_frames_a_matched").cast("double") / col("__na")).as("overlap_a"),
         (col("n_frames_b_matched").cast("double") / col("__nb")).as("overlap_b"))
+  }
+
+  /** Budget-gated [[videoNearDupPairs]] (round 19) — the d40 contract
+    * propagated to the multimodal pair generator the round-18 verdict
+    * flagged: constant frame payloads (stills, filler, boilerplate
+    * intros) collapse the pigeonhole bands into one bucket and the
+    * "banded" frame join silently turns all-pairs. The EXACT pre-verify
+    * candidate bound ([[graft.operators.Dedup.hammingCandidateBound]]
+    * over the SAME packed frame the join reads) is evaluated first;
+    * within budget the result is BIT-IDENTICAL to the ungated operator.
+    * Over budget, `onExceed`:
+    *  - `"fail"` (default): `IllegalStateException` naming bound, budget
+    *    and the worst (block, bucket) skew — the plan-time outage;
+    *  - `"guard"`: the 1-row guard frame
+    *    (candidate_pairs, max_bucket_n, budget), schema intentionally
+    *    distinct from the pairs schema — the decision as data.
+    *
+    * @param maxCandidates total pre-verify frame-pair budget summed
+    *        across the 4 pigeonhole blocks; `Long.MaxValue` skips the
+    *        bound job entirely
+    */
+  def videoNearDupPairsBudgeted(sigs: DataFrame, maxHamming: Int = 2,
+      blockBits: Int = 15, maxCandidates: Long = Long.MaxValue,
+      onExceed: String = "fail"): DataFrame = {
+    require(Set("fail", "guard")(onExceed),
+      s"onExceed must be fail|guard, got $onExceed")
+    val packed = packFrameIds(sigs)
+    if (maxCandidates == Long.MaxValue)
+      return videoPairsFromPacked(sigs, packed, maxHamming, blockBits)
+    // <= 4 rows (one per pigeonhole block) — constant-size driver read
+    val rows = Dedup.hammingCandidateBound(packed, "fid", "sig", blockBits)
+      .select(col("blk"), col("candidate_pairs"), col("max_bucket_n")).collect()
+    val total = rows.map(_.getLong(1)).sum
+    if (total <= maxCandidates)
+      videoPairsFromPacked(sigs, packed, maxHamming, blockBits)
+    else {
+      val worst = rows.maxBy(_.getLong(1))
+      onExceed match {
+        case "fail" => throw new IllegalStateException(
+          s"video frame-pair candidate bound $total exceeds budget $maxCandidates " +
+            s"(worst block ${worst.getInt(0)}: ${worst.getLong(1)} pairs, max bucket " +
+            s"${worst.getLong(2)} frames); the frame signatures are band-skewed — " +
+            "drop constant/filler frames first, or route the decision as data " +
+            "(onExceed=\"guard\")")
+        case "guard" =>
+          val spark = sigs.sparkSession
+          import spark.implicits._
+          Seq((total, rows.map(_.getLong(2)).max, maxCandidates))
+            .toDF("candidate_pairs", "max_bucket_n", "budget")
+      }
+    }
   }
 }

@@ -75,9 +75,14 @@ object SampleOps {
     * distribution" actually requires.
     *
     * Scale shape: one window over the stratum partitioning — stratum-
-    * keyed shuffle, no global ordering. Ties are impossible (id is the
-    * final key); NULL ids sort last within their stratum and NULL strata
-    * form their own partition, both deterministic.
+    * keyed shuffle, no global ordering. `idCol` must identify rows
+    * uniquely (the [[stratifiedCap]] precondition, round-19 advisor
+    * find): rows sharing an id — including several NULL-id rows in one
+    * stratum — are indistinguishable to every id-derived sort key, so if
+    * the quota boundary falls between two of them split membership
+    * depends on physical row order; determinism holds exactly up to id
+    * uniqueness. Unique NULL ids sort last within their stratum and NULL
+    * strata form their own partition, both deterministic.
     */
   def stratifiedQuotaSplit(df: DataFrame, idCol: String, stratumCol: String,
       trainPct: Int): DataFrame = {

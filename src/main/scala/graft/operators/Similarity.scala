@@ -408,14 +408,63 @@ object Similarity {
 
   /** Final cell assignment from [[kmeansDistributed]] centroids: one scan,
     * (vec_id, cell), same argmax/tie rule as training's assignment step.
+    *
+    * CEILING — the centroids ride the plan as k literal arrays and every
+    * row scores all k inline in one codegen'd projection: right up to a
+    * few thousand cells (k·dim doubles serialized with the plan, k dots
+    * per row in one generated method), wrong at production cell counts
+    * (k ≳ 10⁴, dim ≳ 10³ is 10⁷⁺ plan constants and a codegen method
+    * past JIT limits). Past the ceiling use [[kmeansAssignJoin]] — same
+    * argmax/tie rule, centroids shipped as a broadcast TABLE instead of
+    * plan text. Enforced loudly below rather than discovered as a driver
+    * OOM / codegen fallback at submit time.
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign: no centroids")
+    require(centroids.length.toLong * centroids.head.length <= 1000000L,
+      s"kmeansAssign embeds k x dim = ${centroids.length} x ${centroids.head.length} " +
+        "doubles as plan literals; past 10^6 use kmeansAssignJoin (broadcast centroid table)")
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct((-dot(col("unit"), typedlit(c.toSeq))).as("negSim"), lit(i).as("cell"))
     }: _*)
     normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
       .select(col("vec_id"), array_min(cells).getField("cell").as("cell"))
+  }
+
+  /** [[kmeansAssign]] past the plan-literal ceiling (round 19): the
+    * centroids ship as a BROADCAST TABLE, each vector meets all k cells
+    * through a broadcast cross join, and one hash aggregate keeps the
+    * (negSim, cell)-minimal struct per vector — bit-identical assignment
+    * (same [[dot]] fold over the same doubles, same struct tie order;
+    * SimilaritySpec pins equality against the literal form) with nothing
+    * k-sized in the plan or the generated code.
+    *
+    * Scale shape: the cross join is map-side (centroid table broadcast,
+    * corpus never shuffles for it) and the k-row-per-vector blowup is
+    * collapsed by the aggregate's map-side partials BEFORE the one
+    * vec_id-keyed exchange — at k = 10⁴ over 10⁹ vectors no stage ever
+    * materializes the 10¹³-row product beyond streaming it through the
+    * partial aggregate.
+    */
+  def kmeansAssignJoin(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssignJoin: no centroids")
+    val spark = emb.sparkSession
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+      .crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-dot(col("unit"), col("cvec"))).as("negSim"),
+        col("cell").as("cell"))).getField("cell").as("cell"))
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
@@ -441,13 +490,19 @@ object Similarity {
       nCentroids: Int = 16, sampleSize: Int = 1024, iters: Int = 5,
       distributedTrainer: Boolean = false): IvfModel = {
     require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
-    require(sampleSize >= 4 * nCentroids,
-      s"sampleSize=$sampleSize cannot train nCentroids=$nCentroids cells: k-means needs " +
-        "several samples per centroid (rule of thumb ~40x; 4x enforced). For a big corpus " +
-        "size nCentroids ~ sqrt(n) and sampleSize ~ 40*nCentroids.")
-    require(sampleSize <= (1 << 20),
-      s"sampleSize=$sampleSize: the training sample is collected to the driver " +
-        "(sampleSize x dim x 8 bytes); centroid quality saturates long before 2^20 samples")
+    // sampleSize is validated ONLY on the trainer that reads it (round 19,
+    // advisor find): the distributed path trains on the full corpus and a
+    // caller asking for e.g. 512 distributed cells with the default
+    // sampleSize=1024 must not trip a bound that governs nothing there
+    if (!distributedTrainer) {
+      require(sampleSize >= 4 * nCentroids,
+        s"sampleSize=$sampleSize cannot train nCentroids=$nCentroids cells: k-means needs " +
+          "several samples per centroid (rule of thumb ~40x; 4x enforced). For a big corpus " +
+          "size nCentroids ~ sqrt(n) and sampleSize ~ 40*nCentroids.")
+      require(sampleSize <= (1 << 20),
+        s"sampleSize=$sampleSize: the training sample is collected to the driver " +
+          "(sampleSize x dim x 8 bytes); centroid quality saturates long before 2^20 samples")
+    }
     // null units skipped (as in [[ivfCentroids]]/[[lshTopK]]): a null unit
     // would otherwise fall through every null negSim to an arbitrary cell
     // and could surface as a fabricated NULL-cos neighbor
@@ -648,6 +703,91 @@ object Similarity {
     }
   }
 
+  /** DISTRIBUTED per-subspace PQ codebook training (round 19) — the
+    * upgrade path for [[pqCodebooks]]' driver-sample bound, closing the
+    * last sample-trained stage in the ANN stack (coarse centroids got
+    * theirs in [[kmeansDistributed]]): Euclidean Lloyd's over EVERY
+    * vector's subspace slices, all `m` subspaces trained in the SAME
+    * per-iteration corpus scan. Per iteration: one projection assigns
+    * each row its m sub-codes (argmin ‖c‖² − 2·sub·c over broadcast
+    * codebook constants), one posexplode of the unit vector keyed by
+    * (subspace, code, sub-dim) feeds a map-side-combined aggregate, and
+    * only m·ksub·subDim = dim·ksub sum rows reach the driver — bounded
+    * by configuration, never by data.
+    *
+    * Engine-replayable BY CONSTRUCTION, the [[kmeansDistributed]]
+    * discipline adapted to Euclidean re-estimation (where the mean's
+    * division does NOT cancel):
+    *  - init: subspace slices of the `ksub` lowest-id unit vectors;
+    *  - assignment: dist = ‖c‖² − 2·dot(sub, c), both terms sequential
+    *    folds (= DuckDB's list_dot_product order), ties to the LOWEST
+    *    code — identical to [[pqTopK]]'s encode argmin;
+    *  - re-estimation sums are EXACT integers (floor(u·10⁶) → BIGINT
+    *    per (code, sub-dim)), so partial-sum order cannot drift the
+    *    result; the new component is ONE IEEE double division
+    *    s / (n·10⁶) of exact operands — deterministic on any engine
+    *    (unlike a float SUM, a float DIVIDE of identical operands is
+    *    bit-exact everywhere); an empty code keeps its previous
+    *    centroid.
+    *
+    * @return `result(j)(c)` = centroid c of subspace j ([[pqCodebooks]]'
+    *         shape — drop-in for the encode/ADC stages)
+    */
+  def pqCodebooksDistributed(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2, s"need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
+    require(ksub <= 256, s"ksub=$ksub: a PQ code is a byte per subspace by design")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initVecs = all.orderBy(col("vec_id")).limit(ksub)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(initVecs.length == ksub,
+        s"corpus has ${initVecs.length} non-null vectors < ksub=$ksub")
+      val dim = initVecs.head.length
+      require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+      val subDim = dim / m
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        initVecs.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      }
+      def sub(u: Column, j: Int): Column = slice(u, j * subDim + 1, subDim)
+      for (_ <- 0 until iters) {
+        // one projection: per row, the m sub-code argmins over the current
+        // (broadcast-constant) books — the same (dist, code) struct order
+        // the encode expression uses
+        val codes = array((0 until m).map { j =>
+          array_min(array(books(j).zipWithIndex.map { case (c, ci) =>
+            val cc = c.map(x => x * x).sum
+            struct((lit(cc) - lit(2.0) * dot(sub(col("unit"), j), typedlit(c.toSeq))).as("dist"),
+              lit(ci).as("code"))
+          }: _*)).getField("code")
+        }: _*)
+        // one (subspace, code, sub-dim)-keyed shuffle of exact-integer
+        // partials; dim·ksub rows collected — config-bounded
+        val sums = all.select(codes.as("codes"), posexplode(col("unit")).as(Seq("d0", "v")))
+          .select((col("d0") / lit(subDim)).cast("int").as("j"),
+            element_at(col("codes"), (col("d0") / lit(subDim)).cast("int") + 1).as("code"),
+            pmod(col("d0"), lit(subDim)).cast("int").as("t"), col("v"))
+          .groupBy(col("j"), col("code"), col("t"))
+          .agg(sum(floor(col("v") * lit(1e6))).cast("long").as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val acc = Array.tabulate(m)(_ => Array.fill(ksub)(new Array[Double](subDim)))
+        val seen = Array.fill(m)(new Array[Boolean](ksub))
+        sums.foreach { r =>
+          val (j, c, t) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          acc(j)(c)(t) = r.getLong(3).toDouble / (r.getLong(4) * 1e6)
+          seen(j)(c) = true
+        }
+        books = Array.tabulate(m) { j =>
+          Array.tabulate(ksub)(c => if (seen(j)(c)) acc(j)(c) else books(j)(c))
+        }
+      }
+      books
+    } finally all.unpersist(false)
+  }
+
   /** Product-quantization approximate top-k (asymmetric distance
     * computation): unit vectors are chopped into `m` subspaces, each
     * encoded as its nearest of `ksub` per-subspace centroids — the
@@ -789,9 +929,22 @@ object Similarity {
     require(m >= 1 && ksub >= 2 && ksub <= 256, s"bad PQ config m=$m ksub=$ksub")
     require(sampleSize >= 4 * math.max(nCentroids, ksub) && sampleSize <= (1 << 20),
       s"sampleSize=$sampleSize out of range (driver-collected training sample)")
-    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     val centroids = ivfCentroids(emb, idCol, vecCol, nCentroids, sampleSize, iters)
     val books = pqCodebooks(emb, idCol, vecCol, m, ksub, sampleSize, iters)
+    encodeCorpus(emb, idCol, vecCol, centroids, books)
+  }
+
+  /** Corpus-encode stage shared by [[ivfPqEncode]] and
+    * [[ivfPqEncodeDistributed]]: ONE full scan labeling every vector with
+    * its nearest cell and its m sub-codes from the given (plan-constant)
+    * centroids/books — the trainer supplies the constants, this stage is
+    * trainer-agnostic.
+    */
+  private def encodeCorpus(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): IvfPqModel = {
+    val m = books.length
+    val all = normalized(emb, idCol, vecCol).filter(col("unit").isNotNull)
     val subDim = books(0)(0).length
     def sub(u: Column, j: Int): Column = slice(u, j * subDim + 1, subDim)
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -807,6 +960,23 @@ object Similarity {
     val assigned = all.select(col("vec_id"),
       array_min(cells).getField("cell").as("cell"), codes.as("codes"))
     IvfPqModel(centroids, books, assigned)
+  }
+
+  /** [[ivfPqEncode]] with BOTH trainers distributed (round 19): coarse
+    * cells from [[kmeansDistributed]] (full-corpus spherical Lloyd's),
+    * codebooks from [[pqCodebooksDistributed]] (full-corpus per-subspace
+    * Euclidean Lloyd's) — no stage of the IVF-PQ stack reads a
+    * driver-side sample any more. The encode scan, probe join, ADC and
+    * re-rank are the trainer-agnostic stages unchanged; d43's oracle
+    * re-derives BOTH trainings in SQL and replays the full stack against
+    * them bit-exactly.
+    */
+  def ivfPqEncodeDistributed(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, m: Int = 4, ksub: Int = 8, iters: Int = 3): IvfPqModel = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    val centroids = kmeansDistributed(emb, idCol, vecCol, nCentroids, iters)
+    val books = pqCodebooksDistributed(emb, idCol, vecCol, m, ksub, iters)
+    encodeCorpus(emb, idCol, vecCol, centroids, books)
   }
 
   /** Query stage of [[ivfPqTopK]] against a pre-trained [[IvfPqModel]]:

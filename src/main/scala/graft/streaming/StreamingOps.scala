@@ -841,28 +841,130 @@ object StreamingOps {
     require(!events.isStreaming,
       "restartRecoverySessions takes the BATCH events frame; it builds its own streams")
     val spark = events.sparkSession
-    val land = java.nio.file.Files.createTempDirectory("graft-restart-land").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
-    val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    require(!mm.isNullAt(0), "restartRecoverySessions: no non-null ts rows")
-    val splitUs = mm.getLong(0) / 2 + mm.getLong(1) / 2
-    val schema = events.schema
-    def deliver(pred: org.apache.spark.sql.Column): Unit =
-      events.filter(pred).coalesce(1).write.mode("append").parquet(land)
-    def runInstance(): Unit = {
-      val q = sessionWindowCounts(
-          spark.readStream.schema(schema).parquet(land), gapUs)
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+    withRecoveryDirs("graft-restart") { (land, ckpt, out) =>
+      val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      require(!mm.isNullAt(0), "restartRecoverySessions: no non-null ts rows")
+      val splitUs = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      val schema = events.schema
+      def deliver(pred: org.apache.spark.sql.Column): Unit =
+        events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+      deliver(unix_micros(col("ts")) <= splitUs)
+      runRecoveryInstance(spark, schema, land, ckpt, out, gapUs)
+      // ^ instance 1: first half, stop at a commit boundary
+      deliver(unix_micros(col("ts")) > splitUs)
+      runRecoveryInstance(spark, schema, land, ckpt, out, gapUs)
+      // ^ instance 2: cold start from the checkpoint
+      spark.read.parquet(out)
     }
-    deliver(unix_micros(col("ts")) <= splitUs)
-    runInstance() // instance 1: first half, stop at a commit boundary
-    deliver(unix_micros(col("ts")) > splitUs)
-    runInstance() // instance 2: cold start from the checkpoint
-    spark.read.parquet(out)
+  }
+
+  /** One query instance of the recovery twins: AvailableNow over the
+    * landing dir, session-window aggregation, append to the file sink
+    * through one shared checkpoint; blocks until the instance stops
+    * itself.
+    */
+  private def runRecoveryInstance(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, land: String,
+      ckpt: String, out: String, gapUs: Long): Unit = {
+    val q = sessionWindowCounts(
+        spark.readStream.schema(schema).parquet(land), gapUs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Temp landing/checkpoint/sink dirs for the recovery twins, deleted in
+    * a finally (round 19, advisor find: the y12 entry runs every sweep
+    * and leaked three dirs of parquet per invocation). The body must
+    * MATERIALIZE anything it reads from them before returning —
+    * [[restartRecoverySessions]]/[[midBatchKillRecoverySessions]] end
+    * with an eager localCheckpoint of the (tiny) committed session set.
+    */
+  private def withRecoveryDirs(prefix: String)
+      (body: (String, String, String) => DataFrame): DataFrame = {
+    val dirs = Seq("land", "ckpt", "out")
+      .map(s => java.nio.file.Files.createTempDirectory(s"$prefix-$s"))
+    try body(dirs(0).toString, dirs(1).toString, dirs(2).toString)
+      .localCheckpoint(true)
+    finally dirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(d)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  /** Exactly-once through a MID-BATCH kill (round 19) — the harder twin
+    * of [[restartRecoverySessions]], exercising the claim that entry
+    * only argued: what happens when the query dies AFTER the sink
+    * committed a batch but BEFORE the checkpoint's commit log recorded
+    * it (the crash window Spark's two-log protocol exists for). Three
+    * time-ordered deliveries run as three query instances over one
+    * checkpoint; after instance 2 completes, the checkpoint's LATEST
+    * commit-log entry is deleted — byte-for-byte the on-disk state a
+    * kill inside that window leaves behind: `offsets/N` plans batch N,
+    * the sink's `_spark_metadata` already holds batch N, `commits/N` is
+    * missing. Instance 3 must therefore RE-EXECUTE batch N (state store
+    * reloads version N's predecessor, the file source replays the exact
+    * file list `offsets/N` recorded) — and the sink's own commit log
+    * makes the replayed write a NO-OP (batch N is already committed), so
+    * nothing duplicates; it then processes the third delivery on top of
+    * the recovered state, so nothing is lost. The committed total must
+    * equal the single-pass batch twin exactly — the y13 entry diffs
+    * them; StreamingSpec additionally pins a session SPANNING the kill
+    * point on a hand-built fixture.
+    *
+    * @param events BATCH events frame (user_id, ts µs), pre-cleaned of
+    *        null user_id/ts
+    * @return the sink's committed total across the three instances:
+    *         (user_id, sess_start, sess_end, n_events)
+    */
+  def midBatchKillRecoverySessions(events: DataFrame, gapUs: Long = 1800L * 1000000L)
+      : DataFrame = {
+    require(!events.isStreaming,
+      "midBatchKillRecoverySessions takes the BATCH events frame; it builds its own streams")
+    val spark = events.sparkSession
+    withRecoveryDirs("graft-midkill") { (land, ckpt, out) =>
+      val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      require(!mm.isNullAt(0), "midBatchKillRecoverySessions: no non-null ts rows")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      // time-ordered terciles (the y12 rationale: later deliveries carry
+      // later events, so watermark semantics cannot drop a replayed
+      // session — any mismatch is a recovery defect, not lateness)
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val schema = events.schema
+      def deliver(pred: org.apache.spark.sql.Column): Unit =
+        events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+      deliver(unix_micros(col("ts")) <= cut1)
+      runRecoveryInstance(spark, schema, land, ckpt, out, gapUs) // batch 0
+      deliver(unix_micros(col("ts")) > cut1 && unix_micros(col("ts")) <= cut2)
+      runRecoveryInstance(spark, schema, land, ckpt, out, gapUs) // batch N
+      // the kill: drop the newest commit-log entry. offsets/N and the
+      // sink's _spark_metadata entry for N survive — the exact crash
+      // window between sink commit and commit-log write.
+      val commitDir = new java.io.File(ckpt, "commits")
+      val entries = Option(commitDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.forall(_.isDigit))
+      require(entries.nonEmpty,
+        s"midBatchKillRecoverySessions: no commit-log entries under $commitDir")
+      val newest = entries.maxBy(_.getName.toLong)
+      require(newest.delete(),
+        s"midBatchKillRecoverySessions: could not truncate commit log at $newest")
+      // the local checksum fs keeps a `.N.crc` sidecar per log entry; a
+      // real kill never wrote either file, so the simulation must drop
+      // both — a stale sidecar makes the re-commit's rename fail as
+      // FileAlreadyExists and Spark reads that as a concurrent query
+      new java.io.File(commitDir, s".${newest.getName}.crc").delete()
+      deliver(unix_micros(col("ts")) > cut2)
+      runRecoveryInstance(spark, schema, land, ckpt, out, gapUs)
+      // ^ instance 3: replays batch N (sink skips — already committed),
+      //   then processes the third delivery on the recovered state
+      spark.read.parquet(out)
+    }
   }
 }

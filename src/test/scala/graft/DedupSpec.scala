@@ -998,4 +998,47 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.rankPropagation(pairs, "a", "b", iters = 0))
   }
+
+  test("hammingCandidateBound: exact per-block bucket combinatorics on a hand fixture") {
+    // blockBits=15 over 60-bit sigs; craft collisions per block:
+    //   sigs 0,1,2 share block 0 value (low 15 bits = 7) -> C(3,2)=3
+    //   sigs 0,1 also share blocks 1-3 (identical high bits) -> 1 each
+    //   sig 3 collides with nobody anywhere
+    val sigs = Seq(
+      (0L, (1L << 15) | 7L), (1L, (1L << 15) | 7L), (2L, (2L << 15) | 7L),
+      (3L, (3L << 30) | 5L)).toDF("id", "sig")
+    val got = Dedup.hammingCandidateBound(sigs, "id", "sig", blockBits = 15)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // block 0: one bucket of 3 (val 7) + one of 1 (val 5) -> 3 pairs, max 3
+    assert(got(0) == ((3L, 3L, 2L)), got.toString)
+    // block 1: bucket {0,1} (val 1), {2} (val 2), {3} (val 0) -> 1 pair
+    assert(got(1) == ((1L, 2L, 3L)), got.toString)
+    // block 2: {0,1,2} share val 0, {3} has val 3 -> 3 pairs
+    assert(got(2) == ((3L, 3L, 2L)), got.toString)
+    // block 3: all four share val 0 -> C(4,2)=6 pairs, one bucket
+    assert(got(3) == ((6L, 4L, 1L)), got.toString)
+  }
+
+  test("hammingNearDuplicatesBudgeted: within budget bit-identical, guard row exact, fail loud") {
+    // constant signatures — the degenerate band-skew shape the gate
+    // exists for: every block one bucket, bound = 4*C(5,2) = 40
+    val skewed = (0L until 5L).map(i => (i, 12345L)).toDF("id", "sig")
+    val ungated = Dedup.hammingNearDuplicates(skewed, "id", "sig", 3, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val allowed = Dedup.hammingNearDuplicatesBudgeted(skewed, "id", "sig", 3, 15,
+        maxCandidates = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(allowed == ungated && ungated.size == 10)
+    val guard = Dedup.hammingNearDuplicatesBudgeted(skewed, "id", "sig", 3, 15,
+      maxCandidates = 39L, onExceed = "guard")
+    assert(guard.columns.toSeq == Seq("candidate_pairs", "max_bucket_n", "budget"))
+    val g = guard.head()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == ((40L, 5L, 39L)), g.toString)
+    val e = intercept[IllegalStateException](
+      Dedup.hammingNearDuplicatesBudgeted(skewed, "id", "sig", 3, 15,
+        maxCandidates = 39L))
+    assert(e.getMessage.contains("40") && e.getMessage.contains("budget 39"))
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDuplicatesBudgeted(skewed, "id", "sig", 3, 15, 39L, "retry"))
+  }
 }

@@ -275,6 +275,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("packing range"))
   }
 
+  test("videoNearDupPairsBudgeted: allowed branch identical, guard on constant frames exact, fail loud") {
+    // allowed branch on the planted-twin fixture above: bit-identical to
+    // the ungated operator
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKL"), (2L, "ABCDEFGHIJKL"), (3L, "ABCDABCDZZZZ"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.videoFrameSignatures(
+      Multimodal.attachBinary(docs, "doc_id", "text"), frameBytes = 4, everyN = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(rows(Multimodal.videoNearDupPairsBudgeted(sigs, 0, 15,
+        maxCandidates = 1000000L)) ==
+      rows(Multimodal.videoNearDupPairs(sigs, 0, 15)))
+    // degenerate: every video the same single frame -> each pigeonhole
+    // block collapses to ONE bucket of 6 -> bound = 4*C(6,2) = 60
+    val still = (1L to 6L).map(i => (i, "SAMEFRAME")).toSeq.toDF("doc_id", "text")
+    val stillSigs = Multimodal.videoFrameSignatures(
+      Multimodal.attachBinary(still, "doc_id", "text"), frameBytes = 16, everyN = 1)
+    val guard = Multimodal.videoNearDupPairsBudgeted(stillSigs, 2, 15,
+      maxCandidates = 59L, onExceed = "guard")
+    assert(guard.columns.toSeq == Seq("candidate_pairs", "max_bucket_n", "budget"))
+    val g = guard.head()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == ((60L, 6L, 59L)), g.toString)
+    val e = intercept[IllegalStateException](
+      Multimodal.videoNearDupPairsBudgeted(stillSigs, 2, 15, maxCandidates = 59L))
+    assert(e.getMessage.contains("band-skewed"))
+    // budget above the bound: the gated degenerate join still runs and
+    // matches the ungated pairs (all 15 video pairs at overlap 1.0)
+    val allowed = Multimodal.videoNearDupPairsBudgeted(stillSigs, 2, 15,
+      maxCandidates = 60L)
+    assert(rows(allowed) == rows(Multimodal.videoNearDupPairs(stillSigs, 2, 15))
+      && allowed.count() == 15)
+  }
+
   test("videoNearDupPairs: NEGATIVE in-band doc_ids unpack exactly (floor-consistent div)") {
     import org.apache.spark.sql.functions.col
     // truncating div mis-attributed frames for negative ids (e.g.

@@ -544,6 +544,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // training ran eagerly (per-iteration aggregates inside the call);
     // audited = the final assignment projection over one scan
     "d42_kmeans_distributed" -> (0, 0),
+    // round 19: both trainings ran eagerly; audited = encode scan + probe
+    // (cell join broadcasts the |Q|·nProbe query side) + ADC rank window,
+    // the two re-rank joins and the |Q|·k-bounded recall frames all
+    // broadcast (band allows one AQE demotion)
+    "d43_ann_ivfpq_distributed" -> (3, 6),
+    // round 19: broadcast centroid table (the one pinned broadcast — the
+    // point of the variant) + the single vec_id-keyed partial-agg exchange
+    "d44_kmeans_assign_join" -> (1, 1),
+    // round 19: the guard branch returns the 1-row local decision frame
+    // (the d40 shape — bound evaluated eagerly inside the operator)
+    "m10_video_dedup_gate" -> (0, 0),
     // assignment projection + the stratum window + the (cell, split) agg
     "x20_cluster_split" -> (2, 0),
     // doc↔assignment join (assignment sliver broadcasts) + the stats agg,
@@ -555,6 +566,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // instances completed before the audited frame exists); audited =
     // batch session twin + the two exceptAll sides
     "y12_restart_recovery" -> (4, 0),
+    // round 19: same twin shape over the three-instance sink (streamed
+    // side is the eager localCheckpoint scan after the recovery dirs are
+    // cleaned)
+    "y13_midbatch_kill_recovery" -> (4, 0),
     // transformWithState twin: the streaming run completes before the
     // audited frame exists; audited = memory-sink fold agg + batch
     // single-aggregate twin + two except sides sharing the user exchange

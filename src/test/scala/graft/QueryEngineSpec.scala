@@ -467,6 +467,7 @@ class QueryEngineSpec extends AnyFunSuite {
       // execute row-equal
       "q59_cbo_accuracy" -> true,
       "y12_restart_recovery" -> true,
+      "y13_midbatch_kill_recovery" -> true,
       "s01_events_hourly" -> true,
       "s04_funnel" -> true,
       "s06_event_spikes" -> true,

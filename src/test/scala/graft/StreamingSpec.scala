@@ -678,4 +678,83 @@ class StreamingSpec extends AnyFunSuite {
         r.getTimestamp(2).getTime, r.getLong(3))).toSet
     assert(total == twin, s"total $total != twin $twin")
   }
+
+  test("mid-batch kill: replayed batch does not duplicate its committed output; spanning session merges; total equals twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val H = 3600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gapUs = 1800L * 1000000L
+    // events span 1:00..7:00; the operator's terciles cut at 3:00 and
+    // 5:00 — the manual deliveries below use the same cuts so this
+    // fixture exercises BOTH the replicated scenario and the public
+    // operator:
+    //   user 1: 1:00, 1:10  -> held by instance 1 (its own watermark,
+    //           1:10, can't decide it), decided and COMMITTED by
+    //           instance 2
+    //   user 3: 3:30, 3:40  -> decided and COMMITTED by instance 2 —
+    //           the batch whose commit-log entry the kill erases commits
+    //           BOTH sessions: on replay both would DUPLICATE if the
+    //           sink didn't skip
+    //   user 2: 4:50 | 5:10 -> one session SPANNING the kill point
+    //   user 1: 7:00        -> advances the final watermark; undecided
+    val events = Seq((1L, ts(1 * H)), (1L, ts(1 * H + 600)),
+        (3L, ts(3 * H + 1800)), (3L, ts(3 * H + 2400)),
+        (2L, ts(5 * H - 600)), (2L, ts(5 * H + 600)), (1L, ts(7 * H)))
+      .toDF("user_id", "ts")
+    val land = Files.createTempDirectory("graft-mbk-land").toString
+    val ckpt = Files.createTempDirectory("graft-mbk-ckpt").toString
+    val out = Files.createTempDirectory("graft-mbk-out").toString
+    def deliver(pred: org.apache.spark.sql.Column): Unit =
+      events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+    def runInstance(): Unit = {
+      val q = StreamingOps.sessionWindowCounts(
+          spark.readStream.schema(events.schema).parquet(land), gapUs)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // multiset, not set: a replayed-batch duplicate emission is EXACTLY
+    // what this test exists to catch, and a set union would mask it
+    def committed(): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(out).collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .toSeq.sorted
+    val u1 = (1L, 1 * H * 1000, (1 * H + 600 + 1800) * 1000, 2L)
+    val u3 = (3L, (3 * H + 1800) * 1000, (3 * H + 2400 + 1800) * 1000, 2L)
+    val u2 = (2L, (5 * H - 600) * 1000, (5 * H + 600 + 1800) * 1000, 2L)
+    deliver(unix_micros(col("ts")) <= 3L * H * 1000000L)
+    runInstance()
+    assert(committed().isEmpty, committed().toString)
+    deliver(unix_micros(col("ts")) > 3L * H * 1000000L
+      && unix_micros(col("ts")) <= 5L * H * 1000000L)
+    runInstance()
+    // instance 2 committed u3 to the SINK; now erase its commit-log
+    // entry (and the checksum sidecar) — the crash window between sink
+    // commit and commit-log write
+    assert(committed().sorted == Seq(u1, u3).sorted, committed().toString)
+    val commitDir = new java.io.File(ckpt, "commits")
+    val newest = commitDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitDir, s".${newest.getName}.crc").delete()
+    deliver(unix_micros(col("ts")) > 5L * H * 1000000L)
+    runInstance()
+    // instance 3 REPLAYED u3's batch: exactly-once means u3 appears ONCE
+    // (the sink's _spark_metadata made the replayed write a no-op), the
+    // spanning session merged across the kill, and nothing was lost
+    assert(committed() == Seq(u1, u2, u3).sorted, committed().toString)
+    val twin = StreamingOps.sessionWindowBatchDecided(events, gapUs,
+        StreamingOps.finalWatermarkUs(events))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSeq.sorted
+    assert(committed() == twin, s"${committed()} != twin $twin")
+    // the public operator runs the same protocol end-to-end
+    val op = StreamingOps.midBatchKillRecoverySessions(
+        events.select(col("user_id"), col("ts")), gapUs)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSeq.sorted
+    assert(op == twin, s"operator $op != twin $twin")
+  }
 }
