@@ -33,7 +33,9 @@ class DeterminismSpec extends AnyFunSuite {
     "p19_profile_compaction", // supersede join + merged decimal state
     "p20_mg_state_merge",  // order-dependent MG counters under an order-free gate
     "p24_hll_distinct",    // register-max merge + const·2^K/z double chain
-    "p25_kmv_overlap")     // cross-partition bottom-k cut + exact-ratio doubles
+    "p25_kmv_overlap",     // cross-partition bottom-k cut + exact-ratio doubles
+    "d43_ann_ivfpq_distributed") // two full distributed trainings (integer
+                           // re-estimation sums) + ADC double chain + rerank
 
   test("fp-sensitive entries are bit-identical across shuffle-partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
