@@ -1506,7 +1506,10 @@ object SparkEntry {
     // the operator it protects): a degenerate no-vocabulary-growth fixture
     // (every doc the same 8 tokens, one block — the provable worst case
     // for PPJoin's prefix filter, the shape the sf10 run measured at
-    // 483 s / 34 GB shuffle) is gated at 200k candidate pairs; the
+    // 483 s / 34 GB shuffle) is gated at 2000 candidate pairs (small
+    // enough that the guard branch survives the documents:16 subset
+    // replay mode — 5*C(31,2)=2325 still exceeds it; the sf0.01 bound
+    // is 623,725); the
     // operator evaluates the exact bound from its own persisted prefix
     // frame, refuses the join, and returns the 1-row guard frame instead
     // of walking into the cliff. Oracle replays the bound combinatorics
@@ -1515,7 +1518,7 @@ object SparkEntry {
       (s, d) => graft.operators.Dedup.ngramJaccardPairsBudgeted(
         t(s, d, "documents").select(col("doc_id"), lit("all").as("blk1"),
           lit("a b c d e f g h").as("txt")),
-        "doc_id", "txt", "blk1", 0.5, maxCandidates = 200000L,
+        "doc_id", "txt", "blk1", 0.5, maxCandidates = 2000L,
         onExceed = "guard"),
       """WITH toks AS (
            SELECT doc_id, 'all' AS blk,
@@ -1532,7 +1535,7 @@ object SparkEntry {
          b AS (SELECT blk, tok, COUNT(*) AS dfp FROM pref GROUP BY 1, 2)
          SELECT CAST(SUM((dfp * (dfp - 1)) // 2) AS BIGINT) AS candidate_pairs,
            CAST(MAX(dfp) AS BIGINT) AS max_prefix_df,
-           CAST(200000 AS BIGINT) AS budget
+           CAST(2000 AS BIGINT) AS budget
          FROM b"""),
 
     // the budget gate's ALLOWED branch: the real corpus clears a 10M
@@ -3106,7 +3109,7 @@ object SparkEntry {
           Multimodal.videoFrameSignatures(
             Multimodal.attachBinary(vids, "doc_id", "text"),
             frameBytes = 16, everyN = 4),
-          maxHamming = 2, blockBits = 15, maxCandidates = 100000L,
+          maxHamming = 2, blockBits = 15, maxCandidates = 1000L,
           onExceed = "guard")
       },
       """WITH v AS (SELECT doc_id,
@@ -3126,7 +3129,7 @@ object SparkEntry {
                 FROM sg, range(0, 4) t(j) GROUP BY 1, 2)
          SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs,
            CAST(MAX(n) AS BIGINT) AS max_bucket_n,
-           CAST(100000 AS BIGINT) AS budget
+           CAST(1000 AS BIGINT) AS budget
          FROM bl"""),
 
     // VAD speech segmentation (round 12): m05's energy gate composed

@@ -62,12 +62,8 @@ object CboAccuracy {
     * [[GraftSession.build]]); ANALYZEd catalog tables are ensured here.
     */
   def estimatedVsActual(spark: SparkSession, dir: String): DataFrame = {
-    val rows = estimatesWithVerdict(spark, dir).map { case (op, est, actual, band, ok) =>
-      if (est < 0)
-        sys.error(s"no rowCount estimate for $op — " +
-          "is spark.sql.cbo.enabled on and the catalog ANALYZEd?")
-      (op, actual, band, ok)
-    }
+    val rows = estimatesWithVerdict(spark, dir, failFast = true)
+      .map { case (op, _, actual, band, ok) => (op, actual, band, ok) }
     import spark.implicits._
     rows.toDF("op_class", "actual_rows", "est_band", "est_ok")
   }
@@ -77,14 +73,20 @@ object CboAccuracy {
     * `cbo_accuracy` section (round 19: estimator error is
     * scale-dependent, so the artifact reports est/actual at sf0.1 and
     * sf1 next to the oracle-scale q59 entry). est = −1 when no estimate
-    * exists.
+    * exists — unless `failFast`, which errors on the FIRST stats-blind
+    * shape BEFORE paying its count (round-19 review find: the q59 path's
+    * loud misconfiguration error must not cost five full executions at
+    * the caller's SF first).
     */
-  private[graft] def estimatesWithVerdict(spark: SparkSession, dir: String)
-      : Seq[(String, BigInt, Long, String, Boolean)] = {
+  private[graft] def estimatesWithVerdict(spark: SparkSession, dir: String,
+      failFast: Boolean = false): Seq[(String, BigInt, Long, String, Boolean)] = {
     GraftSession.ensureAnalyzedCatalog(spark, dir)
     shapes.map { sh =>
       val df = spark.sql(sh.sql)
       val est = df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      if (failFast && est < 0)
+        sys.error(s"no rowCount estimate for ${sh.opClass} — " +
+          "is spark.sql.cbo.enabled on and the catalog ANALYZEd?")
       val actual = df.count()
       (sh.opClass, est, actual, sh.band, est >= 0 && sh.ok(est, actual))
     }

@@ -859,16 +859,23 @@ object Dedup {
       blockBits: Int = 16): DataFrame = {
     require(blockBits >= 1 && blockBits <= 16,
       s"blockBits must be in [1, 16] (4 blocks cover <= 64 bits), got $blockBits")
-    simhashBlocks(
+    hammingCandidateBoundFrom(simhashBlocks(
       sigs.filter(col(s"`$idCol`").isNotNull && col(s"`$sigCol`").isNotNull)
         .select(col(s"`$idCol`").as("doc_id"), col(s"`$sigCol`").cast("long").as("simhash")),
-      blockBits)
+      blockBits))
+  }
+
+  /** [[hammingCandidateBound]] over a pre-built banded frame — the split
+    * that lets the budget gates read their own persisted projection
+    * (mirroring [[ppjoinCandidateBoundFrom]]).
+    */
+  private def hammingCandidateBoundFrom(blocks: DataFrame): DataFrame =
+    blocks
       .groupBy(col("blk"), col("blkval")).agg(count(lit(1)).as("n"))
       .groupBy(col("blk"))
       .agg(sum(expr("(n * (n - 1)) div 2")).cast("long").as("candidate_pairs"),
         max(col("n")).cast("long").as("max_bucket_n"),
         count(lit(1)).as("n_buckets"))
-  }
 
   /** Budget-gated [[hammingNearDuplicates]] — the d40 contract on the
     * hamming engine: the EXACT pre-verify candidate bound
@@ -896,12 +903,29 @@ object Dedup {
       s"onExceed must be fail|guard, got $onExceed")
     if (maxCandidates == Long.MaxValue)
       return hammingNearDuplicates(sigs, idCol, sigCol, maxHamming, blockBits)
+    // the d40 persist discipline (round-19 review find): the projected
+    // signature frame feeds the bound read AND (within budget) both
+    // self-join sides — uncached, each consumer would re-derive the
+    // caller's signature expression (often a tokenize+hash pipeline)
+    // from scratch, three scans per call. Pairs materialize eagerly so
+    // the cache is released before returning.
+    val sh = sigs.filter(col(s"`$idCol`").isNotNull && col(s"`$sigCol`").isNotNull)
+      .select(col(s"`$idCol`").as("doc_id"), col(s"`$sigCol`").cast("long").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try hammingGated(sh, maxHamming, blockBits, maxCandidates, onExceed,
+      sigs.sparkSession)
+    finally sh.unpersist(false)
+  }
+
+  private def hammingGated(sh: DataFrame, maxHamming: Int, blockBits: Int,
+      maxCandidates: Long, onExceed: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     // one row per pigeonhole block (<= 4) — driver read is constant-size
-    val rows = hammingCandidateBound(sigs, idCol, sigCol, blockBits)
+    val rows = hammingCandidateBoundFrom(simhashBlocks(sh, blockBits))
       .select(col("blk"), col("candidate_pairs"), col("max_bucket_n")).collect()
     val total = rows.map(_.getLong(1)).sum
     if (total <= maxCandidates)
-      hammingNearDuplicates(sigs, idCol, sigCol, maxHamming, blockBits)
+      eagerPairs(simhashPairs(sh, blockBits, maxHamming))
     else {
       val worst = rows.maxBy(_.getLong(1))
       onExceed match {
@@ -912,7 +936,6 @@ object Dedup {
             "band-skewed — use a wider/better hash, pre-dedup constant payloads, " +
             "or route the decision as data (onExceed=\"guard\")")
         case "guard" =>
-          val spark = sigs.sparkSession
           import spark.implicits._
           Seq((total, rows.map(_.getLong(2)).max, maxCandidates))
             .toDF("candidate_pairs", "max_bucket_n", "budget")

@@ -474,7 +474,7 @@ object Multimodal {
     */
   def videoNearDupPairs(sigs: DataFrame, maxHamming: Int = 2,
       blockBits: Int = 15): DataFrame =
-    videoPairsFromPacked(sigs, packFrameIds(sigs), maxHamming, blockBits)
+    videoPairsFromPacked(packFrameIds(sigs), maxHamming, blockBits)
 
   /** The collision-free (video, frame) → fid packing stage of
     * [[videoNearDupPairs]], factored out (round 19) so the budget gate
@@ -507,8 +507,15 @@ object Multimodal {
         col("sig"))
   }
 
-  /** Pairing + per-video-pair aggregation downstream of [[packFrameIds]]. */
-  private def videoPairsFromPacked(sigs: DataFrame, packed: DataFrame,
+  /** Pairing + per-video-pair aggregation downstream of [[packFrameIds]].
+    * Everything — the hamming join, the per-pair aggregate AND the
+    * per-video frame counts — reads the packed frame only (round-19
+    * review find: counts off the raw sigs frame would re-derive every
+    * frame signature once more per call; off `packed`, column pruning
+    * drops the signature bytes entirely and the gated variant's persist
+    * covers every consumer).
+    */
+  private def videoPairsFromPacked(packed: DataFrame,
       maxHamming: Int, blockBits: Int): DataFrame = {
     // `div` (integral divide) of the exact multiple (fid - pmod): double
     // `/` would round above 2^53
@@ -521,7 +528,9 @@ object Multimodal {
         unpackVideo("doc_b").as("video_b"),
         pmod(col("doc_b"), lit(1000000L)).as("frame_b"))
       .filter(col("video_a") =!= col("video_b"))
-    val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
+    val counts = packed
+      .select(unpackVideo("fid").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
     fp.groupBy(col("video_a"), col("video_b"))
       .agg(count(lit(1)).as("n_matched_pairs"),
         countDistinct(col("frame_a")).as("n_frames_a_matched"),
@@ -560,15 +569,29 @@ object Multimodal {
       onExceed: String = "fail"): DataFrame = {
     require(Set("fail", "guard")(onExceed),
       s"onExceed must be fail|guard, got $onExceed")
-    val packed = packFrameIds(sigs)
     if (maxCandidates == Long.MaxValue)
-      return videoPairsFromPacked(sigs, packed, maxHamming, blockBits)
+      return videoPairsFromPacked(packFrameIds(sigs), maxHamming, blockBits)
+    // the d40 persist discipline: the packed frame feeds the bound read
+    // AND (within budget) the pair join — uncached, each consumer would
+    // re-derive every frame signature from scratch. MEMORY_AND_DISK,
+    // result materialized eagerly (it is a per-video-pair aggregate,
+    // tiny next to the frames), cache released in the finally.
+    val packed = packFrameIds(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try videoNearDupGated(packed, maxHamming, blockBits, maxCandidates, onExceed,
+      sigs.sparkSession)
+    finally packed.unpersist(false)
+  }
+
+  private def videoNearDupGated(packed: DataFrame,
+      maxHamming: Int, blockBits: Int, maxCandidates: Long,
+      onExceed: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     // <= 4 rows (one per pigeonhole block) — constant-size driver read
     val rows = Dedup.hammingCandidateBound(packed, "fid", "sig", blockBits)
       .select(col("blk"), col("candidate_pairs"), col("max_bucket_n")).collect()
     val total = rows.map(_.getLong(1)).sum
     if (total <= maxCandidates)
-      videoPairsFromPacked(sigs, packed, maxHamming, blockBits)
+      Dedup.eagerPairs(videoPairsFromPacked(packed, maxHamming, blockBits))
     else {
       val worst = rows.maxBy(_.getLong(1))
       onExceed match {
@@ -579,7 +602,6 @@ object Multimodal {
             "drop constant/filler frames first, or route the decision as data " +
             "(onExceed=\"guard\")")
         case "guard" =>
-          val spark = sigs.sparkSession
           import spark.implicits._
           Seq((total, rows.map(_.getLong(2)).max, maxCandidates))
             .toDF("candidate_pairs", "max_bucket_n", "budget")

@@ -939,10 +939,26 @@ object StreamingOps {
       val schema = events.schema
       def deliver(pred: org.apache.spark.sql.Column): Unit =
         events.filter(pred).coalesce(1).write.mode("append").parquet(land)
+      def latestCommit(): Long = {
+        val commitDir = new java.io.File(ckpt, "commits")
+        Option(commitDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.forall(_.isDigit))
+          .map(_.getName.toLong).foldLeft(-1L)(math.max)
+      }
       deliver(unix_micros(col("ts")) <= cut1)
       runRecoveryInstance(spark, schema, land, ckpt, out, gapUs) // batch 0
+      val afterFirst = latestCommit()
       deliver(unix_micros(col("ts")) > cut1 && unix_micros(col("ts")) <= cut2)
       runRecoveryInstance(spark, schema, land, ckpt, out, gapUs) // batch N
+      // the kill window must belong to INSTANCE 2 (round-19 review find):
+      // an empty middle tercile would leave instance 2 batch-less, the
+      // truncation would instead erase instance 1's entry, and the
+      // "kill after instance 2's sink commit" claim would pass vacuously
+      // — fail loudly instead of simulating nothing.
+      require(latestCommit() > afterFirst,
+        "midBatchKillRecoverySessions: instance 2 committed no batch (empty middle " +
+          s"time-tercile — events cluster outside ($cut1, $cut2]); the mid-batch kill " +
+          "cannot be exercised on this input")
       // the kill: drop the newest commit-log entry. offsets/N and the
       // sink's _spark_metadata entry for N survive — the exact crash
       // window between sink commit and commit-log write.
